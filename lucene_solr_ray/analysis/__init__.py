@@ -1,0 +1,23 @@
+from .analyzers import (
+    ENGLISH_STOP_WORDS,
+    Analyzer,
+    SimpleRegexAnalyzer,
+    StandardAnalyzer,
+    WhitespaceAnalyzer,
+    get_analyzer,
+    register_analyzer,
+)
+from .tokenizer import simple_lowercase, tokenize, tokenize_with_positions
+
+__all__ = [
+    "ENGLISH_STOP_WORDS",
+    "Analyzer",
+    "SimpleRegexAnalyzer",
+    "StandardAnalyzer",
+    "WhitespaceAnalyzer",
+    "get_analyzer",
+    "register_analyzer",
+    "simple_lowercase",
+    "tokenize",
+    "tokenize_with_positions",
+]

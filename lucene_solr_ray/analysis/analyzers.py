@@ -1,0 +1,207 @@
+"""Analyzers: tokenizer + filter chains, mirroring the reference's Analyzer API.
+
+- :class:`StandardAnalyzer` replicates the reference chain
+  ``StandardTokenizer -> StandardFilter(no-op) -> LowerCaseFilter -> StopFilter``
+  (``lucene/analysis/common/src/java/org/apache/lucene/analysis/standard/
+  StandardAnalyzer.java:87-113``), including the 33-word English stop set
+  (``core/StopAnalyzer.java:42-48``) and position-gap accounting for removed
+  stopwords (``core/StopFilter.java:31``, ``util/FilteringTokenFilter.java:50-58``).
+
+- :class:`SimpleRegexAnalyzer` is the SQL-oracle-matchable analyzer: lowercase
+  + split on ``[^a-z0-9]+`` + stop set — the ``LetterOrDigitTokenizer`` family
+  (``core/LowerCaseTokenizer``-style, ``lucene/analysis/common/.../core/``).
+  Its output is reproducible in DuckDB with ``string_split_regex``, which is
+  what the driver's correctness oracle runs.
+
+- :class:`WhitespaceAnalyzer` mirrors ``core/WhitespaceAnalyzer.java``.
+
+Analyzers are stateless after construction (compiled patterns, frozen stop
+set); construct once per worker (module-level registry) — the Ray analogue of
+``Analyzer.ReuseStrategy`` (``lucene/core/.../analysis/Analyzer.java:72-96``).
+
+``field length`` for norms = number of tokens the full chain *emits* (stop
+words and over-long tokens excluded) minus overlap tokens; with these chains
+no filter emits posIncr==0 so numOverlap==0
+(``index/DefaultIndexingChain.java:621-645``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .fast import ascii_tokenize_concat
+from .tokenizer import (
+    DEFAULT_MAX_TOKEN_LENGTH,
+    simple_lowercase,
+    tokenize,
+    tokenize_with_positions,
+)
+
+# StopAnalyzer.ENGLISH_STOP_WORDS_SET (core/StopAnalyzer.java:42-48)
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+class Analyzer:
+    """Base: subclasses implement tokens(text) and tokens_with_positions(text)."""
+
+    name = "base"
+
+    def tokens(self, text: str) -> list[str]:
+        raise NotImplementedError
+
+    def tokens_with_positions(self, text: str) -> tuple[list[str], list[int]]:
+        # default: no position gaps beyond token order
+        toks = self.tokens(text)
+        return toks, list(range(len(toks)))
+
+    def __call__(self, text: str) -> list[str]:
+        return self.tokens(text)
+
+    def tokens_batch(
+        self, texts: list[str]
+    ) -> tuple[list[str], np.ndarray, np.ndarray]:
+        """Batch tokenize: returns (tokens, doc_idx:int64, positions:int64).
+
+        Default implementation loops docs; StandardAnalyzer overrides with a
+        vectorized concat pass. Positions include gaps for tokens removed by
+        the chain (stop words / over-long), mirroring posIncr accumulation
+        (``core/StopFilter.java:31``, ``StandardTokenizer.java:158``).
+        """
+        all_t: list[str] = []
+        all_d: list[np.ndarray] = []
+        all_p: list[np.ndarray] = []
+        for i, text in enumerate(texts):
+            t, p = self.tokens_with_positions(text)
+            all_t.extend(t)
+            all_d.append(np.full(len(t), i, dtype=np.int64))
+            all_p.append(np.asarray(p, dtype=np.int64))
+        if all_d:
+            return all_t, np.concatenate(all_d), np.concatenate(all_p)
+        z = np.empty(0, np.int64)
+        return all_t, z, z
+
+
+class StandardAnalyzer(Analyzer):
+    """The reference default chain (StandardAnalyzer.java:87-113)."""
+
+    name = "standard"
+
+    def __init__(self, stop_words=ENGLISH_STOP_WORDS,
+                 max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+        self.stop_words = frozenset(stop_words) if stop_words else frozenset()
+        self.max_token_length = max_token_length
+
+    def tokens(self, text: str) -> list[str]:
+        # lowercase first: 1:1 simple mapping never changes WB classes, so
+        # lower->tokenize == tokenize->lower (the reference order) but cheaper.
+        toks = tokenize(simple_lowercase(text), self.max_token_length)
+        stop = self.stop_words
+        return [t for t in toks if t not in stop]
+
+    def tokens_with_positions(self, text: str) -> tuple[list[str], list[int]]:
+        toks, pos = tokenize_with_positions(
+            simple_lowercase(text), self.max_token_length
+        )
+        stop = self.stop_words
+        out_t, out_p = [], []
+        for t, p in zip(toks, pos):
+            if t not in stop:
+                out_t.append(t)
+                out_p.append(p)
+        return out_t, out_p
+
+    def tokens_batch(
+        self, texts: list[str]
+    ) -> tuple[list[str], np.ndarray, np.ndarray]:
+        # Fast path: whole batch ASCII -> one vectorized pass over the concat.
+        lowered = [t.lower() if t.isascii() else simple_lowercase(t) for t in texts]
+        if all(t.isascii() for t in lowered):
+            tokens, doc_idx, positions = ascii_tokenize_concat(
+                lowered, self.max_token_length
+            )
+        else:
+            tokens, doc_idx, positions = super().tokens_batch(texts)
+            if not self.stop_words:
+                return tokens, doc_idx, positions
+            # super() already applied the full chain including stop filter
+            return tokens, doc_idx, positions
+        stop = self.stop_words
+        if stop and tokens:
+            keep = np.fromiter(
+                (t not in stop for t in tokens), dtype=bool, count=len(tokens)
+            )
+            if not keep.all():
+                tokens = [t for t, k in zip(tokens, keep) if k]
+                doc_idx = doc_idx[keep]
+                positions = positions[keep]
+        return tokens, doc_idx, positions
+
+
+class SimpleRegexAnalyzer(Analyzer):
+    """lowercase + split [^a-z0-9]+ + stop filter; DuckDB-reproducible."""
+
+    name = "simple"
+    _split = re.compile(r"[^a-z0-9]+")
+
+    def __init__(self, stop_words=ENGLISH_STOP_WORDS,
+                 max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
+        self.stop_words = frozenset(stop_words) if stop_words else frozenset()
+        self.max_token_length = max_token_length
+
+    def tokens(self, text: str) -> list[str]:
+        stop = self.stop_words
+        n = self.max_token_length
+        return [t for t in self._split.split(text.lower())
+                if t and len(t) <= n and t not in stop]
+
+    def sql_tokens_cte(self, table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+        """DuckDB CTE body producing (doc_id, term) identical to tokens()."""
+        stop_list = ", ".join(f"'{w}'" for w in sorted(self.stop_words))
+        return (
+            f"SELECT {id_col} AS doc_id, t AS term "
+            f"FROM (SELECT {id_col}, unnest(string_split_regex(lower({text_col}), "
+            f"'[^a-z0-9]+')) AS t FROM {table}) "
+            f"WHERE t <> '' AND length(t) <= {self.max_token_length}"
+            + (f" AND t NOT IN ({stop_list})" if stop_list else "")
+        )
+
+
+class WhitespaceAnalyzer(Analyzer):
+    name = "whitespace"
+    _split = re.compile(r"\s+")
+
+    def tokens(self, text: str) -> list[str]:
+        return [t for t in self._split.split(text) if t]
+
+
+_REGISTRY: dict[str, Analyzer] = {}
+
+
+def get_analyzer(name: str) -> Analyzer:
+    """Per-process analyzer cache (the Analyzer.ReuseStrategy analogue)."""
+    if name not in _REGISTRY:
+        if name == "standard":
+            _REGISTRY[name] = StandardAnalyzer()
+        elif name == "standard_nostop":
+            _REGISTRY[name] = StandardAnalyzer(stop_words=())
+        elif name == "simple":
+            _REGISTRY[name] = SimpleRegexAnalyzer()
+        elif name == "simple_nostop":
+            _REGISTRY[name] = SimpleRegexAnalyzer(stop_words=())
+        elif name == "whitespace":
+            _REGISTRY[name] = WhitespaceAnalyzer()
+        else:
+            raise KeyError(f"unknown analyzer: {name}")
+    return _REGISTRY[name]
+
+
+def register_analyzer(name: str, analyzer: Analyzer) -> None:
+    """Extension hook — the TokenizerFactory/AnalyzerFactory SPI analogue
+    (``lucene/analysis/common/.../util/TokenizerFactory.java``)."""
+    _REGISTRY[name] = analyzer
