@@ -118,18 +118,35 @@ class StandardAnalyzer(Analyzer):
     def tokens_batch(
         self, texts: list[str]
     ) -> tuple[list[str], np.ndarray, np.ndarray]:
-        # Fast path: whole batch ASCII -> one vectorized pass over the concat.
+        # Fast path for the ASCII docs (one vectorized pass over their
+        # concat); only non-ASCII docs take the per-doc regex path.
         lowered = [t.lower() if t.isascii() else simple_lowercase(t) for t in texts]
-        if all(t.isascii() for t in lowered):
+        ascii_ids = [i for i, t in enumerate(lowered) if t.isascii()]
+        if len(ascii_ids) == len(texts):
             tokens, doc_idx, positions = ascii_tokenize_concat(
                 lowered, self.max_token_length
             )
         else:
-            tokens, doc_idx, positions = super().tokens_batch(texts)
-            if not self.stop_words:
-                return tokens, doc_idx, positions
-            # super() already applied the full chain including stop filter
-            return tokens, doc_idx, positions
+            a_tok, a_doc, a_pos = ascii_tokenize_concat(
+                [lowered[i] for i in ascii_ids], self.max_token_length
+            )
+            a_doc = np.asarray(ascii_ids, np.int64)[a_doc]
+            o_tok: list[str] = []
+            o_doc_l, o_pos_l = [], []
+            for i, t in enumerate(lowered):
+                if t.isascii():
+                    continue
+                toks, pos = tokenize_with_positions(t, self.max_token_length)
+                o_tok.extend(toks)
+                o_doc_l.append(np.full(len(toks), i, np.int64))
+                o_pos_l.append(np.asarray(pos, np.int64))
+            tokens = a_tok + o_tok
+            doc_idx = np.concatenate(
+                [a_doc] + o_doc_l if o_doc_l else [a_doc]
+            )
+            positions = np.concatenate(
+                [a_pos] + o_pos_l if o_pos_l else [a_pos]
+            )
         stop = self.stop_words
         if stop and tokens:
             keep = np.fromiter(

@@ -1,0 +1,209 @@
+"""Posting-list codec: delta-gapped doc IDs + term frequencies in FOR blocks.
+
+Our own byte format, modeled on the reference's block postings layout
+(``lucene/core/src/java/org/apache/lucene/codecs/lucene50/
+Lucene50PostingsWriter.java:213-341``: 128-int FOR blocks chosen per-block
+bit width, all-values-equal special case ``ForUtil.java:41``, delta-gapped
+doc IDs ``FreqProxTermsWriterPerField.java:109-173``) but NOT byte-compatible
+with Lucene — SURVEY.md §2.3 licenses our own spec.
+
+Layout (little-endian):
+
+    [num_docs: uint32]
+    repeat per block of <=128 docs (last block may be short):
+        [doc_bpv: uint8][doc payload][tf_bpv: uint8][tf payload]
+
+    payload for bpv == 0   : uint32 value (all values in block equal)
+    payload for bpv == 255 : n * uint32 raw values           (byte-aligned fast path)
+    payload for bpv == 254 : n * uint16 raw values           (byte-aligned fast path)
+    payload for bpv == 253 : n * uint8  raw values           (byte-aligned fast path)
+    payload for 1<=bpv<=32 : ceil(n*bpv/8) bytes, values bit-packed big-endian
+
+Doc IDs are encoded as deltas: first = doc_id[0], then successive gaps
+(always >= 1). TFs are encoded as tf-1 (tf >= 1). ``byte_aligned=True``
+(default) rounds widths up to 8/16/32 bits — ~15% larger, much faster to
+encode/decode in numpy (the BEST_SPEED analogue of
+``Lucene50StoredFieldsFormat``'s speed/size modes).
+
+Block metadata for skipping + block-max scoring (the analogue of
+``Lucene50SkipWriter.java:25-70`` plus Block-Max WAND metadata, Ding & Suel
+SIGIR'11) is returned at encode time: per block ``(last_doc, max_tf)``;
+the caller adds ``max_norm_byte`` (max norm byte = smallest field length in
+block -> largest score bound) when norms are available.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # reference: Lucene50PostingsFormat.java:398
+
+
+def _bits_required(maxval: int) -> int:
+    return max(1, int(maxval).bit_length())
+
+
+def _pack(vals: np.ndarray, bpv: int) -> bytes:
+    """Bit-pack uint32 values big-endian at bpv bits each."""
+    n = vals.size
+    bits = np.unpackbits(
+        vals.astype(">u4").view(np.uint8).reshape(n, 4), axis=1
+    )[:, 32 - bpv :]
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _unpack(buf: memoryview, n: int, bpv: int) -> np.ndarray:
+    bits = np.unpackbits(
+        np.frombuffer(buf, np.uint8, count=(n * bpv + 7) // 8), count=n * bpv
+    )
+    out = np.zeros((n, 32), np.uint8)
+    out[:, 32 - bpv :] = bits.reshape(n, bpv)
+    return np.packbits(out, axis=1).view(">u4").ravel().astype(np.uint32)
+
+
+def _encode_stream(out: list, vals: np.ndarray, byte_aligned: bool) -> None:
+    mx = int(vals.max()) if vals.size else 0
+    mn = int(vals.min()) if vals.size else 0
+    if mx == mn:
+        out.append(np.uint8(0).tobytes())
+        out.append(np.uint32(mx).tobytes())
+        return
+    bpv = _bits_required(mx)
+    if byte_aligned:
+        if bpv <= 8:
+            out.append(np.uint8(253).tobytes())
+            out.append(vals.astype(np.uint8).tobytes())
+        elif bpv <= 16:
+            out.append(np.uint8(254).tobytes())
+            out.append(vals.astype("<u2").tobytes())
+        else:
+            out.append(np.uint8(255).tobytes())
+            out.append(vals.astype("<u4").tobytes())
+    else:
+        out.append(np.uint8(bpv).tobytes())
+        out.append(_pack(vals, bpv))
+
+
+def _decode_stream(buf: memoryview, off: int, n: int) -> tuple[np.ndarray, int]:
+    bpv = buf[off]
+    off += 1
+    if bpv == 0:
+        val = np.frombuffer(buf, "<u4", count=1, offset=off)[0]
+        return np.full(n, val, np.uint32), off + 4
+    if bpv == 253:
+        return (
+            np.frombuffer(buf, np.uint8, count=n, offset=off).astype(np.uint32),
+            off + n,
+        )
+    if bpv == 254:
+        return (
+            np.frombuffer(buf, "<u2", count=n, offset=off).astype(np.uint32),
+            off + 2 * n,
+        )
+    if bpv == 255:
+        return (
+            np.frombuffer(buf, "<u4", count=n, offset=off).astype(np.uint32),
+            off + 4 * n,
+        )
+    nbytes = (n * bpv + 7) // 8
+    return _unpack(buf[off:], n, bpv), off + nbytes
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    byte_aligned: bool = True,
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Encode one term's postings.
+
+    ``doc_ids`` strictly ascending int array; ``tfs`` >= 1 ints.
+    Returns ``(payload, block_last_doc:int64[], block_max_tf:int32[])``.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = doc_ids.size
+    deltas = np.empty(n, np.uint32)
+    if n:
+        deltas[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:], casting="unsafe")
+    tfm1 = (tfs - 1).astype(np.uint32)
+    out: list[bytes] = [np.uint32(n).tobytes()]
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_last = np.empty(nblocks, np.int64)
+    block_maxtf = np.empty(nblocks, np.int32)
+    for b in range(nblocks):
+        lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, n)
+        _encode_stream(out, deltas[lo:hi], byte_aligned)
+        _encode_stream(out, tfm1[lo:hi], byte_aligned)
+        block_last[b] = doc_ids[hi - 1]
+        block_maxtf[b] = tfs[lo:hi].max()
+    return b"".join(out), block_last, block_maxtf
+
+
+def decode_postings(payload: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full posting list -> (doc_ids:int64[], tfs:int32[])."""
+    buf = memoryview(payload)
+    n = int(np.frombuffer(buf, "<u4", count=1)[0])
+    off = 4
+    deltas = np.empty(n, np.uint32)
+    tfm1 = np.empty(n, np.uint32)
+    pos = 0
+    while pos < n:
+        cnt = min(BLOCK_SIZE, n - pos)
+        d, off = _decode_stream(buf, off, cnt)
+        t, off = _decode_stream(buf, off, cnt)
+        deltas[pos : pos + cnt] = d
+        tfm1[pos : pos + cnt] = t
+        pos += cnt
+    doc_ids = np.cumsum(deltas.astype(np.int64))
+    return doc_ids, (tfm1 + 1).astype(np.int32)
+
+
+def decode_block(
+    payload: bytes | memoryview,
+    block_offsets: np.ndarray,
+    block_idx: int,
+    n_docs: int,
+    prev_last_doc: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block given its byte offset (for skip-based access).
+
+    ``prev_last_doc`` = last doc id of the preceding block (0 for the first,
+    matching delta-from-zero encoding of the first doc).
+    """
+    buf = memoryview(payload)
+    off = int(block_offsets[block_idx])
+    lo = block_idx * BLOCK_SIZE
+    cnt = min(BLOCK_SIZE, n_docs - lo)
+    d, off = _decode_stream(buf, off, cnt)
+    t, _ = _decode_stream(buf, off, cnt)
+    doc_ids = np.cumsum(d.astype(np.int64)) + prev_last_doc
+    return doc_ids, (t + 1).astype(np.int32)
+
+
+def block_offsets(payload: bytes | memoryview, n_docs: int) -> np.ndarray:
+    """Compute per-block byte offsets by walking headers (cheap, no payload
+    decode) — the in-memory analogue of the skip list's file pointers."""
+    buf = memoryview(payload)
+    nblocks = (n_docs + BLOCK_SIZE - 1) // BLOCK_SIZE
+    offs = np.empty(nblocks, np.int64)
+    off = 4
+    pos = 0
+    for b in range(nblocks):
+        offs[b] = off
+        cnt = min(BLOCK_SIZE, n_docs - pos)
+        for _ in range(2):  # doc stream, tf stream
+            bpv = buf[off]
+            off += 1
+            if bpv == 0:
+                off += 4
+            elif bpv == 253:
+                off += cnt
+            elif bpv == 254:
+                off += 2 * cnt
+            elif bpv == 255:
+                off += 4 * cnt
+            else:
+                off += (cnt * bpv + 7) // 8
+        pos += cnt
+    return offs

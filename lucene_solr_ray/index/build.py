@@ -1,0 +1,352 @@
+"""Distributed SPIMI index build: Parquet corpus -> per-partition segments.
+
+The Ray Data restatement of the reference write path (SURVEY.md §3.1/§3.3):
+
+- one partition == one ``DocumentsWriterPerThread`` — a shared-nothing
+  in-memory segment build (``index/DocumentsWriterPerThread.java``,
+  ``DefaultIndexingChain.java:277-665``), here a pure function of
+  (input slice, partition id);
+- flush == the task writing a sorted postings table + norms table
+  (``FreqProxTermsWriter.java:91`` term sort; ``Lucene50PostingsWriter``
+  block encode) as Parquet, atomically (tmp + rename);
+- commit == the driver writing ``manifest.json`` last, after all partitions
+  checkpointed (the ``segments_N`` two-phase publish,
+  ``IndexWriter.java:2662-2667``).
+
+Partition planning is driver-side and metadata-only: parquet row counts give
+a prefix sum of deterministic ``doc_base`` values, so
+``doc_id = doc_base + row_index`` is stable under retries and any degree of
+parallelism (docIDs-ephemeral-per-segment + docBase semantics,
+``SegmentInfos``/``TopScoreDocCollector.java:59,77``).
+
+Resume: a partition whose ``_checkpoints/part-N.json`` exists is skipped
+(lineage: input fragment, row range, token/posting counts, sha256 rollup) —
+the ``UpdateLog`` replay analogue (SURVEY.md §4).
+
+Scale notes (100 TB): the descriptor Dataset is tiny (one row per ~10^2 MB
+input slice); all heavy work streams inside ``map_batches`` tasks reading
+only the needed columns; nothing materializes the corpus on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analysis import get_analyzer
+from ..codec import BLOCK_SIZE, encode_norm, encode_postings
+
+MANIFEST = "manifest.json"
+
+
+@dataclass
+class IndexManifest:
+    index_dir: str
+    field: str
+    analyzer: str
+    max_doc: int
+    sum_total_term_freq: int
+    num_partitions: int
+    partitions: list = field(default_factory=list)
+    merged: bool = False
+    merged_shards: int = 0
+    byte_aligned: bool = True
+    store_positions: bool = False
+
+    @property
+    def avgdl(self) -> float:
+        # BM25Similarity.avgFieldLength (BM25Similarity.java:79-87):
+        # (float) (sumTotalTermFreq / (double) maxDoc)
+        if self.sum_total_term_freq <= 0:
+            return 1.0
+        return float(
+            np.float32(self.sum_total_term_freq / float(self.max_doc))
+        )
+
+    def save(self) -> None:
+        d = self.__dict__.copy()
+        tmp = os.path.join(self.index_dir, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(d, f, indent=1)
+        os.replace(tmp, os.path.join(self.index_dir, MANIFEST))
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IndexManifest":
+        with open(os.path.join(index_dir, MANIFEST)) as f:
+            d = json.load(f)
+        d["index_dir"] = index_dir
+        return cls(**d)
+
+
+def plan_partitions(source: str | list[str], rows_per_partition: int) -> list[dict]:
+    """Metadata-only partition plan: (file, row-group range) slices with a
+    deterministic doc_base prefix sum. Sorted file order => stable plan."""
+    if isinstance(source, str):
+        if os.path.isdir(source):
+            files = sorted(
+                os.path.join(source, f)
+                for f in os.listdir(source)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [source]
+    else:
+        files = sorted(source)
+    parts = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        cur_rgs: list[int] = []
+        cur_rows = 0
+        for i, rows in enumerate(rg_rows):
+            cur_rgs.append(i)
+            cur_rows += rows
+            if cur_rows >= rows_per_partition:
+                parts.append({"file": fp, "row_groups": cur_rgs, "rows": cur_rows})
+                cur_rgs, cur_rows = [], 0
+        if cur_rgs:
+            parts.append({"file": fp, "row_groups": cur_rgs, "rows": cur_rows})
+    base = 0
+    for pid, p in enumerate(parts):
+        p["partition_id"] = pid
+        p["doc_base"] = base
+        base += p["rows"]
+    return parts
+
+
+def _invert(
+    texts: list[str], analyzer_name: str, doc_base_local: int
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a sub-batch and aggregate (term, doc, tf) triples.
+
+    Returns (terms_sorted_unique?, ...) — actually returns raw triples:
+    (vocab_tokens, tid, doc, tf, doc_len). tid indexes vocab_tokens.
+    """
+    import pandas as pd
+
+    ana = get_analyzer(analyzer_name)
+    tokens, doc_idx, _pos = ana.tokens_batch(texts)
+    doc_len = np.bincount(doc_idx, minlength=len(texts)).astype(np.int32)
+    if not tokens:
+        e = np.empty(0, np.int64)
+        return [], e, e, e, doc_len
+    tid, vocab = pd.factorize(np.asarray(tokens, dtype=object))
+    key = tid.astype(np.int64) * len(texts) + doc_idx
+    uniq, counts = np.unique(key, return_counts=True)
+    u_tid = uniq // len(texts)
+    u_doc = uniq % len(texts) + doc_base_local
+    return list(vocab), u_tid, u_doc, counts.astype(np.int64), doc_len
+
+
+def build_segment(part: dict, out_dir: str, *, text_field: str,
+                  analyzer_name: str, byte_aligned: bool,
+                  tokenize_batch_rows: int = 2000) -> dict:
+    """Build one partition's segment (one 'DWPT flush'). Pure function of
+    (part descriptor, config); writes atomically; returns manifest row."""
+    pid = part["partition_id"]
+    doc_base = part["doc_base"]
+    seg_path = os.path.join(out_dir, "segments", f"part-{pid:05d}.parquet")
+    norm_path = os.path.join(out_dir, "norms", f"part-{pid:05d}.parquet")
+    ckpt_path = os.path.join(out_dir, "_checkpoints", f"part-{pid:05d}.json")
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
+            return json.load(f)
+
+    pf = pq.ParquetFile(part["file"])
+    vocab: dict[str, int] = {}
+    tids, docs, tfs = [], [], []
+    lens_parts, sha_parts = [], []
+    rows_done = 0
+    for rg in part["row_groups"]:
+        tbl = pf.read_row_group(rg, columns=[text_field])
+        col = tbl.column(text_field)
+        texts = col.to_pylist()
+        texts = [t if t is not None else "" for t in texts]
+        # per-row content sha256 — the end-to-end invariant (input_hint)
+        sha_parts.extend(hashlib.sha256(t.encode("utf-8")).digest() for t in texts)
+        for lo in range(0, len(texts), tokenize_batch_rows):
+            sub = texts[lo : lo + tokenize_batch_rows]
+            toks, s_tid, s_doc, s_tf, s_len = _invert(
+                sub, analyzer_name, rows_done + lo
+            )
+            lens_parts.append(s_len)
+            if not toks:
+                continue
+            # remap sub-batch tids into the partition vocab
+            remap = np.empty(len(toks), np.int64)
+            for i, t in enumerate(toks):
+                gid = vocab.get(t)
+                if gid is None:
+                    gid = len(vocab)
+                    vocab[t] = gid
+                remap[i] = gid
+            tids.append(remap[s_tid])
+            docs.append(s_doc)
+            tfs.append(s_tf)
+        rows_done += len(texts)
+
+    doc_lens = (
+        np.concatenate(lens_parts) if lens_parts else np.empty(0, np.int32)
+    )
+    norm_bytes = encode_norm(doc_lens)
+
+    # SPIMI flush: sort terms bytewise (FreqProxTermsWriter.java:91 — UTF-8
+    # order == Python str order), then (term, doc) for encode.
+    terms_sorted = sorted(vocab)
+    order = np.array([vocab[t] for t in terms_sorted], np.int64)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    if tids:
+        a_tid = rank[np.concatenate(tids)]
+        a_doc = np.concatenate(docs)
+        a_tf = np.concatenate(tfs)
+        srt = np.lexsort((a_doc, a_tid))
+        a_tid, a_doc, a_tf = a_tid[srt], a_doc[srt], a_tf[srt]
+        bounds = np.flatnonzero(np.diff(a_tid)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [a_tid.size]))
+    else:
+        starts = ends = np.empty(0, np.int64)
+
+    payloads, dfs, ttfs = [], [], []
+    bl_last, bl_maxtf, bl_maxnorm = [], [], []
+    a_doc_g = a_doc + doc_base if tids else None
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        d = a_doc_g[s:e]
+        t = a_tf[s:e]
+        payload, last, maxtf = encode_postings(d, t, byte_aligned=byte_aligned)
+        payloads.append(payload)
+        dfs.append(e - s)
+        ttfs.append(int(t.sum()))
+        bl_last.append(last)
+        bl_maxtf.append(maxtf)
+        # per-block max norm byte (= smallest field length -> score UB input)
+        nb = norm_bytes[(d - doc_base)]
+        mx = np.maximum.reduceat(nb, np.arange(0, nb.size, BLOCK_SIZE))
+        bl_maxnorm.append(mx.astype(np.uint8))
+
+    os.makedirs(os.path.dirname(seg_path), exist_ok=True)
+    os.makedirs(os.path.dirname(norm_path), exist_ok=True)
+    os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
+
+    seg_tbl = pa.table({
+        "term": pa.array(terms_sorted, pa.string()),
+        "pid": pa.array(np.full(len(terms_sorted), pid, np.int32)),
+        "df": pa.array(np.asarray(dfs, np.int32)),
+        "ttf": pa.array(np.asarray(ttfs, np.int64)),
+        "postings": pa.array(payloads, pa.large_binary()),
+        "block_last": pa.array([x.tolist() for x in bl_last],
+                               pa.list_(pa.int64())),
+        "block_max_tf": pa.array([x.tolist() for x in bl_maxtf],
+                                 pa.list_(pa.int32())),
+        "block_max_norm": pa.array([x.tolist() for x in bl_maxnorm],
+                                   pa.list_(pa.uint8())),
+    })
+    pq.write_table(seg_tbl, seg_path + ".tmp")
+    os.replace(seg_path + ".tmp", seg_path)
+
+    doc_ids = np.arange(doc_base, doc_base + part["rows"], dtype=np.int64)
+    norm_tbl = pa.table({
+        "doc_id": pa.array(doc_ids),
+        "length": pa.array(doc_lens.astype(np.int32)),
+        "norm": pa.array(norm_bytes),
+        "content_sha256": pa.array(sha_parts, pa.binary(32)),
+    })
+    pq.write_table(norm_tbl, norm_path + ".tmp")
+    os.replace(norm_path + ".tmp", norm_path)
+
+    sha_roll = hashlib.sha256(b"".join(sha_parts)).hexdigest()
+    row = {
+        "partition_id": pid,
+        "file": part["file"],
+        "row_groups": part["row_groups"],
+        "doc_base": doc_base,
+        "rows": part["rows"],
+        "num_terms": len(terms_sorted),
+        "num_postings": int(sum(dfs)),
+        "sum_len": int(doc_lens.sum()),
+        "sha256_rollup": sha_roll,
+        "segment": os.path.relpath(seg_path, out_dir),
+        "norms": os.path.relpath(norm_path, out_dir),
+    }
+    with open(ckpt_path + ".tmp", "w") as f:
+        json.dump(row, f)
+    os.replace(ckpt_path + ".tmp", ckpt_path)
+    return row
+
+
+class _SegmentTask:
+    """Actor-pool stage: builds segments for a batch of partition
+    descriptors. Analyzer state (compiled DFA/regex, stop set) is created
+    once per actor (the Analyzer.ReuseStrategy analogue)."""
+
+    def __init__(self, out_dir: str, text_field: str, analyzer_name: str,
+                 byte_aligned: bool):
+        self.out_dir = out_dir
+        self.text_field = text_field
+        self.analyzer_name = analyzer_name
+        self.byte_aligned = byte_aligned
+        get_analyzer(analyzer_name)  # warm the per-process cache
+
+    def __call__(self, batch: dict) -> dict:
+        rows = []
+        n = len(batch["partition_id"])
+        for i in range(n):
+            part = {
+                "partition_id": int(batch["partition_id"][i]),
+                "file": str(batch["file"][i]),
+                "row_groups": [int(x) for x in batch["row_groups"][i]],
+                "rows": int(batch["rows"][i]),
+                "doc_base": int(batch["doc_base"][i]),
+            }
+            row = build_segment(
+                part, self.out_dir, text_field=self.text_field,
+                analyzer_name=self.analyzer_name,
+                byte_aligned=self.byte_aligned,
+            )
+            rows.append(row)
+        return {"manifest_row": np.array([json.dumps(r) for r in rows], object)}
+
+
+def build_index(
+    source: str | list[str],
+    out_dir: str,
+    *,
+    text_field: str = "content",
+    analyzer: str = "standard",
+    rows_per_partition: int = 20_000,
+    byte_aligned: bool = True,
+    concurrency: int | None = None,
+) -> IndexManifest:
+    """Full distributed build: plan -> segment tasks -> manifest commit."""
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    parts = plan_partitions(source, rows_per_partition)
+    ds = rd.from_items(parts)
+    out = ds.map_batches(
+        _SegmentTask,
+        batch_size=1,
+        fn_constructor_args=(out_dir, text_field, analyzer, byte_aligned),
+        concurrency=concurrency or (1, 16),
+    )
+    rows = [json.loads(r["manifest_row"]) for r in out.take_all()]
+    rows.sort(key=lambda r: r["partition_id"])
+    man = IndexManifest(
+        index_dir=out_dir,
+        field=text_field,
+        analyzer=analyzer,
+        max_doc=sum(r["rows"] for r in rows),
+        sum_total_term_freq=sum(r["sum_len"] for r in rows),
+        num_partitions=len(rows),
+        partitions=rows,
+        byte_aligned=byte_aligned,
+    )
+    man.save()
+    return man

@@ -1,0 +1,131 @@
+"""Query model — the relational algebra of search (SURVEY.md §2.5).
+
+Maps the reference Query classes (``lucene/core/src/java/org/apache/lucene/
+search/``) onto plain dataclasses consumed by the scorer:
+
+- :class:`TermQuery` (TermQuery.java:41-95)
+- :class:`BooleanQuery` with SHOULD/MUST/MUST_NOT/FILTER occurs and
+  minimumNumberShouldMatch (BooleanQuery.java; coord() disabled for BM25,
+  BooleanWeight.java:97-109)
+- :class:`PhraseQuery` (PhraseQuery.java — needs positions, index option)
+- :class:`MatchAllDocsQuery`, :class:`ConstantScoreQuery`
+- multi-term queries rewritten against the term dictionary
+  (MultiTermQuery.java:66-76): :class:`PrefixQuery`, :class:`WildcardQuery`,
+  :class:`RegexpQuery`, :class:`FuzzyQuery`, :class:`TermRangeQuery`
+
+plus :func:`parse_query`, a QueryParser-lite for ``a b``, ``+a -b``,
+``"a b"`` and ``field-free`` syntax (classic QueryParser grammar subset,
+``queryparser/.../classic/QueryParser.jj``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+SHOULD, MUST, MUST_NOT, FILTER = "SHOULD", "MUST", "MUST_NOT", "FILTER"
+
+
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple  # of (occur, Query)
+    min_should_match: int = 0
+
+    @staticmethod
+    def build(should=(), must=(), must_not=(), filter=(), msm: int = 0):
+        cl = (
+            tuple((MUST, q) for q in must)
+            + tuple((SHOULD, q) for q in should)
+            + tuple((MUST_NOT, q) for q in must_not)
+            + tuple((FILTER, q) for q in filter)
+        )
+        return BooleanQuery(cl, msm)
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+    score: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # '*' and '?' wildcards (WildcardQuery.java)
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    pattern: str
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2  # LevenshteinAutomata supports <=2 (FuzzyQuery.java)
+
+
+def parse_query(text: str, analyzer, default_op: str = "OR") -> Query:
+    """QueryParser-lite: whitespace clauses, ``+``=MUST, ``-``=MUST_NOT,
+    ``"..."``=phrase; each clause analyzed by ``analyzer``. Stopword-only
+    clauses vanish (StopFilter semantics)."""
+    import re as _re
+
+    tokens = _re.findall(r'[+-]?"[^"]*"|\S+', text)
+    should, must, must_not = [], [], []
+    for raw in tokens:
+        occur = SHOULD if default_op == "OR" else MUST
+        if raw.startswith("+"):
+            occur, raw = MUST, raw[1:]
+        elif raw.startswith("-"):
+            occur, raw = MUST_NOT, raw[1:]
+        if raw.startswith('"') and raw.endswith('"'):
+            terms = tuple(analyzer.tokens(raw[1:-1]))
+            if not terms:
+                continue
+            q: Query = PhraseQuery(terms)
+        else:
+            terms = tuple(analyzer.tokens(raw))
+            if not terms:
+                continue
+            q = (
+                TermQuery(terms[0])
+                if len(terms) == 1
+                else PhraseQuery(terms)  # classic QP: multi-token clause
+            )
+        (must if occur == MUST else must_not if occur == MUST_NOT else should
+         ).append(q)
+    if len(should) == 1 and not must and not must_not:
+        return should[0]
+    return BooleanQuery.build(should=should, must=must, must_not=must_not)

@@ -1,0 +1,247 @@
+"""IndexSearcher: BM25 query execution over a built index.
+
+The single-process scoring core (used standalone at small scale, and as the
+per-shard worker inside scorer actor pools — SURVEY.md §3.2). Execution
+mirrors the reference contract Query -> Weight (per-searcher stats) ->
+vectorized scorer -> top-k collector:
+
+- per-term scoring: ``search/TermQuery.java:41-95`` + ``TermScorer.java:69-71``
+  with BM25 float32 op order (bm25.py)
+- BooleanQuery: sorted-doc-array intersection/union with float64 clause-sum
+  cast to float32 (``ConjunctionScorer``/``DisjunctionSumScorer`` accumulate
+  double, return float — ``search/DisjunctionSumScorer.java``)
+- MUST_NOT: mask (``ReqExclScorer.java``); FILTER: non-scoring conjunction
+- minimumNumberShouldMatch (``MinShouldMatchSumScorer.java``)
+- multi-term queries rewrite against the term dictionary to a constant-score
+  union, the 5.2 default CONSTANT_SCORE rewrite (``MultiTermQuery.java:66-76``)
+- top-k ties and searchAfter per topk.py (HitQueue/TopDocs semantics)
+
+``precise=True`` scores in float64 on exact lengths (SQL-oracle mode, see
+bm25.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..index.build import IndexManifest
+from . import bm25
+from .query import (
+    BooleanQuery,
+    ConstantScoreQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from .readers import MergedReader, NormsReader, SegmentsReader
+from .topk import top_k
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def _levenshtein_within(a: str, b: str, k: int) -> bool:
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str, precise: bool = False):
+        self.manifest = IndexManifest.load(index_dir)
+        self.max_doc = self.manifest.max_doc
+        self.avgdl = self.manifest.avgdl
+        self.norms = NormsReader(index_dir, self.max_doc)
+        if os.path.isdir(os.path.join(index_dir, "merged")):
+            self.reader = MergedReader(index_dir)
+        else:
+            self.reader = SegmentsReader(index_dir)
+        self.precise = precise
+        if precise:
+            # float64 avgdl without the float32 cast, exact lengths
+            self.avgdl_precise = (
+                self.manifest.sum_total_term_freq / float(self.max_doc)
+                if self.manifest.sum_total_term_freq > 0
+                else 1.0
+            )
+        else:
+            self._cache = bm25.norm_cache(self.avgdl)
+
+    # ---- stats (CollectionStatistics / TermStatistics analogues) ----
+    def doc_freq(self, term: str) -> int:
+        return self.reader.doc_freqs([term])[term]
+
+    # ---- scoring ----
+    def _score_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        docs, tfs = self.reader.postings(term)
+        if docs.size == 0:
+            return docs, np.empty(0, np.float32)
+        df = self.doc_freq(term)
+        if self.precise:
+            scores = bm25.score_precise(
+                tfs, self.norms.length[docs], df, self.max_doc,
+                self.avgdl_precise,
+            )
+        else:
+            scores = bm25.score_postings(
+                tfs, self.norms.norm[docs], bm25.idf(df, self.max_doc),
+                self._cache,
+            )
+        return docs, scores
+
+    def _docs_only(self, q: Query) -> np.ndarray:
+        """Matching doc set (sorted), ignoring scores (FILTER context)."""
+        docs, _ = self._score(q)
+        return docs
+
+    def _rewrite_terms(self, q: Query) -> list[str]:
+        r = self.reader
+        if isinstance(q, PrefixQuery):
+            hi = q.prefix + "\U0010FFFF"
+            return r.terms_in_range(q.prefix, hi, True, True)
+        if isinstance(q, WildcardQuery):
+            pat = re.compile(_wildcard_to_regex(q.pattern) + r"\Z")
+            i = min(
+                (q.pattern.index(c) for c in "*?" if c in q.pattern),
+                default=len(q.pattern),
+            )
+            if i > 0:  # constant prefix narrows the dictionary scan
+                pre = q.pattern[:i]
+                cand = r.terms_in_range(pre, pre + "\U0010FFFF", True, True)
+                return [t for t in cand if pat.match(t)]
+            return r.terms_matching(lambda t: bool(pat.match(t)))
+        if isinstance(q, RegexpQuery):
+            pat = re.compile(q.pattern + r"\Z")
+            return r.terms_matching(lambda t: bool(pat.match(t)))
+        if isinstance(q, TermRangeQuery):
+            return r.terms_in_range(
+                q.lower, q.upper, q.include_lower, q.include_upper
+            )
+        if isinstance(q, FuzzyQuery):
+            return r.terms_matching(
+                lambda t: _levenshtein_within(q.term, t, q.max_edits)
+            )
+        raise TypeError(q)
+
+    def _score(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
+        """Exhaustive (docs asc, scores) for a query tree."""
+        dtype = np.float64 if self.precise else np.float32
+        if isinstance(q, TermQuery):
+            return self._score_term(q.term)
+        if isinstance(q, MatchAllDocsQuery):
+            return (
+                np.arange(self.max_doc, dtype=np.int64),
+                np.ones(self.max_doc, dtype),
+            )
+        if isinstance(q, ConstantScoreQuery):
+            docs = self._docs_only(q.query)
+            return docs, np.full(docs.size, dtype(q.score))
+        if isinstance(
+            q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery,
+                FuzzyQuery)
+        ):
+            # CONSTANT_SCORE rewrite: union of matching terms' docs, score 1
+            terms = self._rewrite_terms(q)
+            if not terms:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            all_docs = [self.reader.postings(t)[0] for t in terms]
+            docs = np.unique(np.concatenate(all_docs))
+            return docs, np.ones(docs.size, dtype)
+        if isinstance(q, PhraseQuery):
+            return self._score_phrase(q)
+        if isinstance(q, BooleanQuery):
+            return self._score_bool(q)
+        raise TypeError(f"unsupported query: {q}")
+
+    def _score_phrase(self, q: PhraseQuery):
+        raise NotImplementedError(
+            "positions are not stored in this index build "
+            "(store_positions=False); phrase queries need them"
+        )
+
+    def _score_bool(self, q: BooleanQuery) -> tuple[np.ndarray, np.ndarray]:
+        from .query import FILTER, MUST, MUST_NOT, SHOULD
+
+        dtype = np.float64 if self.precise else np.float32
+        must, should, must_not, filt = [], [], [], []
+        for occur, sub in q.clauses:
+            res = self._score(sub)
+            {MUST: must, SHOULD: should, MUST_NOT: must_not,
+             FILTER: filt}[occur].append(res)
+
+        if must or filt:
+            cand = None
+            for docs, _ in must + filt:
+                cand = docs if cand is None else np.intersect1d(
+                    cand, docs, assume_unique=True
+                )
+        else:
+            if not should:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            cand = np.unique(np.concatenate([d for d, _ in should]))
+
+        msm = q.min_should_match
+        if msm > 0 and should:
+            cnt = np.zeros(cand.size, np.int32)
+            for docs, _ in should:
+                pos = np.searchsorted(cand, docs)
+                ok = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)]
+                                          == docs)
+                np.add.at(cnt, pos[ok], 1)
+            cand = cand[cnt >= msm]
+
+        for docs, _ in must_not:
+            cand = cand[~np.isin(cand, docs, assume_unique=True)]
+
+        # sum scoring clauses in float64, cast (double-accumulate contract)
+        acc = np.zeros(cand.size, np.float64)
+        for docs, scores in must + should:
+            pos = np.searchsorted(cand, docs)
+            ok = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)]
+                                      == docs)
+            np.add.at(acc, pos[ok], scores[ok].astype(np.float64))
+        return cand, acc.astype(dtype)
+
+    # ---- public API ----
+    def search(
+        self, q: Query, k: int = 10, after: tuple[float, int] | None = None
+    ) -> pa.Table:
+        docs, scores = self._score(q)
+        d, s = top_k(docs, scores, k, after=after)
+        return pa.table({
+            "rank": pa.array(np.arange(1, d.size + 1, dtype=np.int32)),
+            "doc_id": pa.array(d),
+            "score": pa.array(s),
+        })
+
+    def count(self, q: Query) -> int:
+        return int(self._docs_only(q).size)

@@ -109,10 +109,11 @@ def test_batch_matches_per_doc_on_mixed_unicode():
     sa = StandardAnalyzer()
     texts = ["Hello WORLD", "日本語 テスト the", "café 3.14"]
     toks, doc_idx, _ = sa.tokens_batch(texts)
-    per_doc = []
-    for t in texts:
-        per_doc.extend(sa.tokens(t))
-    assert toks == per_doc
+    got = sorted(zip(doc_idx.tolist(), toks))
+    want = sorted(
+        (i, t) for i, text in enumerate(texts) for t in sa.tokens(text)
+    )
+    assert got == want
 
 
 def test_simple_regex_analyzer_matches_duckdb():

@@ -1,0 +1,207 @@
+"""End-to-end: corpus -> distributed build -> BM25 search vs oracle.
+
+The control-vs-distributed equivalence strategy of the reference
+(``BaseDistributedSearchTestCase``) + golden-score tests
+(``TestSimilarityBase.correctnessTestCore``): the Ray-built index must score
+rank- and float32-score-identically to the single-process oracle.
+"""
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.analysis import get_analyzer
+from lucene_solr_ray.index import IndexManifest, build_index, merge_index
+from lucene_solr_ray.oracle import OracleIndex
+from lucene_solr_ray.search import (
+    BooleanQuery,
+    IndexSearcher,
+    MatchAllDocsQuery,
+    PrefixQuery,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from lucene_solr_ray.sources import generate_table
+
+N_DOCS = 600
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    tbl = generate_table(N_DOCS, seed=42)
+    # two files, small row groups -> several partitions
+    pq.write_table(tbl.slice(0, 350), str(d / "a.parquet"), row_group_size=100)
+    pq.write_table(tbl.slice(350), str(d / "b.parquet"), row_group_size=100)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def index_dir(corpus_dir, tmp_path_factory, ray_session):
+    out = str(tmp_path_factory.mktemp("index"))
+    build_index(corpus_dir, out, rows_per_partition=100)
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(corpus_dir).to_table(columns=["content"])
+    return OracleIndex(tbl["content"].to_pylist())
+
+
+@pytest.fixture(scope="module")
+def searcher(index_dir):
+    return IndexSearcher(index_dir)
+
+
+def test_manifest_and_stats(index_dir, oracle):
+    man = IndexManifest.load(index_dir)
+    assert man.max_doc == N_DOCS
+    assert man.sum_total_term_freq == oracle.sum_ttf
+    assert man.num_partitions >= 6
+    assert float(np.float32(man.avgdl)) == float(oracle.avgdl)
+
+
+def test_sha256_invariant(index_dir, corpus_dir):
+    import pyarrow.dataset as pads
+
+    src = pads.dataset(corpus_dir).to_table(columns=["content"])
+    texts = src["content"].to_pylist()
+    norms = pads.dataset(os.path.join(index_dir, "norms")).to_table()
+    got = dict(zip(norms["doc_id"].to_pylist(),
+                   norms["content_sha256"].to_pylist()))
+    for i, t in enumerate(texts):
+        assert got[i] == hashlib.sha256(t.encode()).digest()
+
+
+def test_doc_freq_matches_oracle(searcher, oracle):
+    for term in ["return", "def", "quick", "flushwrite", "zzz_not_a_term"]:
+        assert searcher.doc_freq(term) == oracle.df.get(term, 0)
+
+
+TERMS = ["return", "def", "none", "quick", "0x1f", "value_count"]
+
+
+@pytest.mark.parametrize("term", TERMS)
+def test_term_query_rank_and_score_identity(searcher, oracle, term):
+    got = searcher.search(TermQuery(term), k=20).to_pydict()
+    want = oracle.search([term], k=20)
+    assert got["doc_id"] == [d for d, _ in want]
+    # float32 bit equality
+    assert got["score"] == [float(s) for _, s in want], term
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+def test_bool_query_identity(searcher, oracle, mode):
+    terms = ["return", "quick", "def"]
+    tq = [TermQuery(t) for t in terms]
+    q = (BooleanQuery.build(should=tq) if mode == "OR"
+         else BooleanQuery.build(must=tq))
+    got = searcher.search(q, k=25).to_pydict()
+    want = oracle.search(terms, k=25, mode=mode)
+    assert got["doc_id"] == [d for d, _ in want]
+    assert got["score"] == pytest.approx([float(s) for _, s in want],
+                                         abs=1e-6)
+
+
+def test_stopword_query_empty(searcher):
+    # stopwords never enter the index (TestSimilarity2.java:115 analogue)
+    assert searcher.search(TermQuery("the"), k=10).num_rows == 0
+    assert searcher.doc_freq("the") == 0
+
+
+def test_must_not_and_filter(searcher, oracle):
+    q = BooleanQuery.build(must=[TermQuery("return")],
+                           must_not=[TermQuery("quick")])
+    got = searcher.search(q, k=1000).to_pydict()
+    want = [
+        (d, s) for d, s in oracle.search(["return"], k=10**9)
+        if oracle.tf[d].get("quick", 0) == 0
+    ]
+    want.sort(key=lambda h: (-h[1], h[0]))
+    assert got["doc_id"] == [d for d, _ in want][:1000]
+
+
+def test_match_all(searcher):
+    t = searcher.search(MatchAllDocsQuery(), k=5)
+    assert t["doc_id"].to_pylist() == [0, 1, 2, 3, 4]
+    assert searcher.count(MatchAllDocsQuery()) == N_DOCS
+
+
+def test_multiterm_rewrites(searcher, oracle):
+    vocab = set(oracle.df)
+    # prefix
+    pref_terms = {t for t in vocab if t.startswith("get")}
+    want_docs = sorted({
+        d for t in pref_terms for d in range(oracle.n) if oracle.tf[d].get(t)
+    })
+    got = searcher.search(PrefixQuery("get"), k=10**6)
+    assert got["doc_id"].to_pylist() == want_docs
+    # wildcard
+    wc = {t for t in vocab if t.startswith("hash") and t.endswith("key")}
+    want_docs = sorted({
+        d for t in wc for d in range(oracle.n) if oracle.tf[d].get(t)
+    })
+    assert (searcher.search(WildcardQuery("hash*key"), k=10**6)
+            ["doc_id"].to_pylist() == want_docs)
+    # regex + range agree with brute force over the dictionary
+    rx_terms = set(searcher.reader.terms_matching(
+        lambda t: t.startswith("num")))
+    assert rx_terms == {t for t in vocab if t.startswith("num")}
+    rng = searcher.reader.terms_in_range("aa", "ab")
+    assert rng == sorted(t for t in vocab if "aa" <= t <= "ab")
+
+
+def test_searchafter_paging(searcher):
+    q = TermQuery("return")
+    page1 = searcher.search(q, k=5).to_pydict()
+    after = (page1["score"][-1], page1["doc_id"][-1])
+    page2 = searcher.search(q, k=5, after=after).to_pydict()
+    full = searcher.search(q, k=10).to_pydict()
+    assert page1["doc_id"] + page2["doc_id"] == full["doc_id"]
+
+
+def test_merged_index_identical_results(index_dir, searcher, oracle,
+                                        ray_session):
+    # merge with aggressive salting so the salted path is exercised
+    merge_index(index_dir, hot_df_threshold=50, salt_group_size=2,
+                chunk_docs=256)
+    merged = IndexSearcher(index_dir)
+    from lucene_solr_ray.search.readers import MergedReader
+
+    assert isinstance(merged.reader, MergedReader)
+    for term in TERMS:
+        a = searcher.search(TermQuery(term), k=30).to_pydict()
+        b = merged.search(TermQuery(term), k=30).to_pydict()
+        assert a == b, term
+    assert merged.doc_freq("return") == oracle.df["return"]
+
+
+def test_resume_skips_and_is_deterministic(corpus_dir, index_dir,
+                                           tmp_path_factory, ray_session):
+    import pyarrow.dataset as pads
+
+    # fresh build in a new dir -> identical segment tables
+    out2 = str(tmp_path_factory.mktemp("index2"))
+    build_index(corpus_dir, out2, rows_per_partition=100)
+    a = pads.dataset(os.path.join(index_dir, "segments")).to_table()
+    b = pads.dataset(os.path.join(out2, "segments")).to_table()
+    assert a.sort_by([("term", "ascending"), ("pid", "ascending")]).equals(
+        b.sort_by([("term", "ascending"), ("pid", "ascending")]))
+    # delete half the outputs+checkpoints, rebuild, byte-identical content
+    ckpts = sorted(os.listdir(os.path.join(out2, "_checkpoints")))
+    for c in ckpts[::2]:
+        pid = c.split("-")[1].split(".")[0]
+        os.remove(os.path.join(out2, "_checkpoints", c))
+        os.remove(os.path.join(out2, "segments", f"part-{pid}.parquet"))
+    build_index(corpus_dir, out2, rows_per_partition=100)
+    b2 = pads.dataset(os.path.join(out2, "segments")).to_table()
+    assert b.sort_by([("term", "ascending"), ("pid", "ascending")]).equals(
+        b2.sort_by([("term", "ascending"), ("pid", "ascending")]))
