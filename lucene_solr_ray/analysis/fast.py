@@ -68,11 +68,14 @@ def ascii_token_spans(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     starts = np.flatnonzero(d == 1)
     ends = np.flatnonzero(d == -1)
     # drop runs with no letter/digit (pure '_' runs are not tokens)
-    alnum = (cls == _AL) | (cls == _NUM)
-    cs = np.zeros(b.size + 1, np.int64)
-    np.cumsum(alnum, out=cs[1:])
-    keep = (cs[ends] - cs[starts]) > 0
-    return starts[keep], ends[keep]
+    if starts.size:
+        alnum = (cls == _AL) | (cls == _NUM)
+        keep = np.logical_or.reduceat(alnum, starts)
+        # reduceat over [start_i, start_{i+1}) includes inter-run gaps, but
+        # gap chars are all non-core (mask False) and never alnum, so the
+        # any-alnum result per run is unaffected.
+        return starts[keep], ends[keep]
+    return starts, ends
 
 
 def ascii_tokenize_concat(

@@ -217,19 +217,45 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     payloads, dfs, ttfs = [], [], []
     bl_last, bl_maxtf, bl_maxnorm = [], [], []
     a_doc_g = a_doc + doc_base if tids else None
+    # df==1 fast path (the Zipf majority; singletonDocID analogue,
+    # Lucene50PostingsWriter.java:325-330): payloads are a fixed 14-byte
+    # struct, built for ALL singleton terms in one vectorized pass.
+    if starts.size:
+        df_arr = ends - starts
+        single = df_arr == 1
+        sdt = np.dtype([("n", "<u4"), ("b1", "u1"), ("d", "<u4"),
+                        ("b2", "u1"), ("t", "<u4")])
+        s_idx = starts[single]
+        s_arr = np.empty(s_idx.size, sdt)
+        s_arr["n"] = 1
+        s_arr["b1"] = 0
+        s_arr["d"] = a_doc_g[s_idx]
+        s_arr["b2"] = 0
+        s_arr["t"] = a_tf[s_idx] - 1
+        singles_blob = s_arr.tobytes()
+    j = 0  # index into singles
     for s, e in zip(starts.tolist(), ends.tolist()):
+        if e - s == 1:
+            payloads.append(singles_blob[j * 14 : (j + 1) * 14])
+            j += 1
+            dfs.append(1)
+            ttfs.append(int(a_tf[s]))
+            bl_last.append([int(a_doc_g[s])])
+            bl_maxtf.append([int(a_tf[s])])
+            bl_maxnorm.append([int(norm_bytes[a_doc[s]])])
+            continue
         d = a_doc_g[s:e]
         t = a_tf[s:e]
         payload, last, maxtf = encode_postings(d, t, byte_aligned=byte_aligned)
         payloads.append(payload)
         dfs.append(e - s)
         ttfs.append(int(t.sum()))
-        bl_last.append(last)
-        bl_maxtf.append(maxtf)
+        bl_last.append(last.tolist())
+        bl_maxtf.append(maxtf.tolist())
         # per-block max norm byte (= smallest field length -> score UB input)
         nb = norm_bytes[(d - doc_base)]
         mx = np.maximum.reduceat(nb, np.arange(0, nb.size, BLOCK_SIZE))
-        bl_maxnorm.append(mx.astype(np.uint8))
+        bl_maxnorm.append(mx.astype(np.uint8).tolist())
 
     os.makedirs(os.path.dirname(seg_path), exist_ok=True)
     os.makedirs(os.path.dirname(norm_path), exist_ok=True)
@@ -241,12 +267,9 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         "df": pa.array(np.asarray(dfs, np.int32)),
         "ttf": pa.array(np.asarray(ttfs, np.int64)),
         "postings": pa.array(payloads, pa.large_binary()),
-        "block_last": pa.array([x.tolist() for x in bl_last],
-                               pa.list_(pa.int64())),
-        "block_max_tf": pa.array([x.tolist() for x in bl_maxtf],
-                                 pa.list_(pa.int32())),
-        "block_max_norm": pa.array([x.tolist() for x in bl_maxnorm],
-                                   pa.list_(pa.uint8())),
+        "block_last": pa.array(bl_last, pa.list_(pa.int64())),
+        "block_max_tf": pa.array(bl_maxtf, pa.list_(pa.int32())),
+        "block_max_norm": pa.array(bl_maxnorm, pa.list_(pa.uint8())),
     })
     pq.write_table(seg_tbl, seg_path + ".tmp")
     os.replace(seg_path + ".tmp", seg_path)

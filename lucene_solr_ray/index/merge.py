@@ -1,99 +1,192 @@
-"""Segment merge: groupby-term shuffle into a global, term-sorted index.
+"""Segment merge: sort-shuffle on (term, salt) into a global mmap-able index.
 
 The Ray Data restatement of ``SegmentMerger.merge`` + the MapReduce tool's
-mtree merge (``SegmentMerger.java:83-127``,
+tree merge (``SegmentMerger.java:83-127``,
 ``solr/contrib/map-reduce/.../TreeMergeOutputFormat.java:100-138``): postings
-rows from all per-partition segments are shuffled on ``(term, salt)``,
+rows from all per-partition segments are range-shuffled on ``(term, salt)``
+(``Dataset.sort`` — the groupby-term exchange expressed as one sort pass),
 concatenated in partition order (doc-id ranges are disjoint and ascending by
-partition id, so no docID remap is needed — doc_base was applied at build),
-re-encoded, and written as a term-sorted chunk table.
+partition id: doc_base was applied at build, so no docID remap is needed),
+re-encoded, and written as:
+
+- ``merged/payload-<name>.bin`` — concatenated posting payloads, memory-
+  mapped by scorers (the ``.doc`` file analogue);
+- ``merged/terms-<name>.parquet`` — the term dictionary: (term, chunk_id,
+  df, ttf, start_doc, payload_file, offset, length, block metadata) — the
+  ``.tim/.tip`` analogue, small enough to hold in RAM per shard actor.
+
+**Vectorized group merge without per-group UDF overhead:** after the sort,
+each map_batches task merges every (term, salt) group that is *interior* to
+its block; groups touching a block boundary (at most 2 per block, and salted
+hot terms keep groups small) pass through to a tiny final stage merged
+driver-side. This avoids ``map_groups``'s per-group Python dispatch, which
+dominates wall time at high term cardinality.
 
 Skew handling (north rule):
 
 - **salting**: terms whose global df exceeds ``hot_df_threshold`` get
-  ``salt = pid // salt_group_size`` so one reducer never sees a stopword-like
-  term's whole posting list; salt groups cover disjoint ascending doc ranges,
-  so chunks re-concatenate in doc order at read time (chunk_id carries salt).
+  ``salt = pid // salt_group_size`` so one reducer never materializes a
+  stopword-like term's entire posting list; salt groups cover disjoint
+  ascending doc ranges, so chunks re-concatenate in doc order at read time
+  (chunk_id carries the salt in its high bits).
 - **posting-list splitting**: merged lists are emitted in chunk rows of at
-  most ``chunk_docs`` postings — a term may span many rows (the analogue of
-  Lucene's block/skip structure at file granularity).
+  most ``chunk_docs`` postings — a term may span many rows/files (the
+  analogue of Lucene's block/skip structure at file granularity).
 
 Each chunk payload is self-contained (first delta = absolute first doc id),
 so readers decode chunks independently and in parallel.
 
-Output: ``merged/part-*.parquet`` with rows (term, chunk_id, start_doc, df,
-ttf, df_total_chunked?, postings, block meta) globally sorted by term (the
-sort-based groupby preserves key order across blocks), giving parquet
-row-group statistics the role of the ``.tip`` term index.
+File names are deterministic functions of content (first term/chunk + row
+count), so task retries are idempotent (write tmp + rename).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..codec import BLOCK_SIZE, decode_postings, encode_postings
 from .build import IndexManifest
 
 DEFAULT_CHUNK_DOCS = BLOCK_SIZE * 512  # 64k postings per chunk row
+SALT_STRIDE = 1 << 20  # chunk_id = salt * SALT_STRIDE + local chunk index
+
+_TERMS_SCHEMA = pa.schema({
+    "term": pa.string(),
+    "chunk_id": pa.int64(),
+    "df": pa.int32(),
+    "ttf": pa.int64(),
+    "start_doc": pa.int64(),
+    "payload_file": pa.string(),
+    "offset": pa.int64(),
+    "length": pa.int64(),
+    "block_last": pa.list_(pa.int64()),
+    "block_max_tf": pa.list_(pa.int32()),
+    "block_max_norm": pa.list_(pa.uint8()),
+})
 
 
-def _merge_group(
-    group: pa.Table, byte_aligned: bool, chunk_docs: int
-) -> pa.Table:
-    """Merge one (term, salt) group: decode in pid order, concat, re-encode
-    into <=chunk_docs chunk rows."""
-    order = np.argsort(group["pid"].to_numpy(), kind="stable")
-    payloads = group["postings"].to_pylist()
-    term = group["term"][0].as_py()
-    salt = int(group["salt"][0].as_py())
+def _merge_rows(
+    term: str,
+    salt: int,
+    payloads: list,
+    pids: np.ndarray,
+    max_norms: list,
+    byte_aligned: bool,
+    chunk_docs: int,
+) -> list[dict]:
+    """Merge one (term, salt) group's rows -> list of chunk dicts."""
+    order = np.argsort(pids, kind="stable")
     docs_l, tfs_l = [], []
     max_norm = 0
-    mn = group["block_max_norm"].to_pylist()
     for i in order:
         d, f = decode_postings(payloads[i])
         docs_l.append(d)
         tfs_l.append(f)
-        if mn[i]:
-            max_norm = max(max_norm, max(mn[i]))
-    docs = np.concatenate(docs_l)
-    tfs = np.concatenate(tfs_l)
-    rows = {k: [] for k in (
-        "term", "chunk_id", "start_doc", "df", "ttf", "postings",
-        "block_last", "block_max_tf", "block_max_norm",
-    )}
+        if len(max_norms[i]):
+            max_norm = max(max_norm, int(max(max_norms[i])))
+    docs = np.concatenate(docs_l) if len(docs_l) > 1 else docs_l[0]
+    tfs = np.concatenate(tfs_l) if len(tfs_l) > 1 else tfs_l[0]
+    out = []
     n = docs.size
-    nchunks = (n + chunk_docs - 1) // chunk_docs
-    for c in range(nchunks):
+    for c in range((n + chunk_docs - 1) // chunk_docs):
         lo, hi = c * chunk_docs, min((c + 1) * chunk_docs, n)
         payload, last, maxtf = encode_postings(
             docs[lo:hi], tfs[lo:hi], byte_aligned=byte_aligned
         )
-        rows["term"].append(term)
-        # chunk ids order first by salt (disjoint ascending doc ranges),
-        # then by local chunk index
-        rows["chunk_id"].append(salt * 1_000_000 + c)
-        rows["start_doc"].append(int(docs[lo]))
-        rows["df"].append(hi - lo)
-        rows["ttf"].append(int(tfs[lo:hi].sum()))
-        rows["postings"].append(payload)
-        rows["block_last"].append(last.tolist())
-        rows["block_max_tf"].append(maxtf.tolist())
-        rows["block_max_norm"].append([max_norm] * last.size)
-    return pa.table({
-        "term": pa.array(rows["term"], pa.string()),
-        "chunk_id": pa.array(rows["chunk_id"], pa.int64()),
-        "start_doc": pa.array(rows["start_doc"], pa.int64()),
-        "df": pa.array(rows["df"], pa.int32()),
-        "ttf": pa.array(rows["ttf"], pa.int64()),
-        "postings": pa.array(rows["postings"], pa.large_binary()),
-        "block_last": pa.array(rows["block_last"], pa.list_(pa.int64())),
-        "block_max_tf": pa.array(rows["block_max_tf"], pa.list_(pa.int32())),
-        "block_max_norm": pa.array(rows["block_max_norm"],
+        out.append({
+            "term": term,
+            "chunk_id": salt * SALT_STRIDE + c,
+            "df": hi - lo,
+            "ttf": int(tfs[lo:hi].sum()),
+            "start_doc": int(docs[lo]),
+            "payload": payload,
+            "block_last": last.tolist(),
+            "block_max_tf": maxtf.tolist(),
+            "block_max_norm": [max_norm] * last.size,
+        })
+    return out
+
+
+def _write_chunkfiles(chunks: list[dict], out_dir: str) -> None:
+    """Write a payload .bin + terms .parquet pair, atomically, with a
+    content-deterministic name (idempotent under task retry)."""
+    if not chunks:
+        return
+    name = hashlib.sha1(
+        f"{chunks[0]['term']}:{chunks[0]['chunk_id']}:{len(chunks)}".encode()
+    ).hexdigest()[:16]
+    payload_name = f"payload-{name}.bin"
+    offsets, lengths = [], []
+    pos = 0
+    for c in chunks:
+        offsets.append(pos)
+        lengths.append(len(c["payload"]))
+        pos += lengths[-1]
+    tbl = pa.table({
+        "term": pa.array([c["term"] for c in chunks], pa.string()),
+        "chunk_id": pa.array([c["chunk_id"] for c in chunks], pa.int64()),
+        "df": pa.array([c["df"] for c in chunks], pa.int32()),
+        "ttf": pa.array([c["ttf"] for c in chunks], pa.int64()),
+        "start_doc": pa.array([c["start_doc"] for c in chunks], pa.int64()),
+        "payload_file": pa.array([payload_name] * len(chunks), pa.string()),
+        "offset": pa.array(offsets, pa.int64()),
+        "length": pa.array(lengths, pa.int64()),
+        "block_last": pa.array([c["block_last"] for c in chunks],
+                               pa.list_(pa.int64())),
+        "block_max_tf": pa.array([c["block_max_tf"] for c in chunks],
+                                 pa.list_(pa.int32())),
+        "block_max_norm": pa.array([c["block_max_norm"] for c in chunks],
                                    pa.list_(pa.uint8())),
     })
+    ppath = os.path.join(out_dir, payload_name)
+    with open(ppath + ".tmp", "wb") as f:
+        for c in chunks:
+            f.write(c["payload"])
+    os.replace(ppath + ".tmp", ppath)
+    tpath = os.path.join(out_dir, f"terms-{name}.parquet")
+    pq.write_table(tbl, tpath + ".tmp")
+    os.replace(tpath + ".tmp", tpath)
+
+
+def _merge_batch(
+    batch: pa.Table, out_dir: str, byte_aligned: bool, chunk_docs: int
+) -> pa.Table:
+    """Merge all interior (term, salt) groups of a sorted batch; return the
+    boundary rows (first & last key of the block) unmerged."""
+    n = batch.num_rows
+    if n == 0:
+        return batch
+    terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+    salts = batch["salt"].to_numpy()
+    pids = batch["pid"].to_numpy()
+    payloads = batch["postings"].to_pylist()
+    max_norms = batch["block_max_norm"].to_pylist()
+    # group bounds on (term, salt)
+    change = np.empty(n, bool)
+    change[0] = True
+    if n > 1:
+        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    chunks: list[dict] = []
+    boundary_idx: list[int] = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        if s == 0 or e == n:  # touches block boundary -> pass through
+            boundary_idx.extend(range(s, e))
+            continue
+        chunks.extend(_merge_rows(
+            terms[s], int(salts[s]), payloads[s:e], pids[s:e],
+            max_norms[s:e], byte_aligned, chunk_docs,
+        ))
+    _write_chunkfiles(chunks, out_dir)
+    return batch.take(pa.array(boundary_idx, pa.int64()))
 
 
 def merge_index(
@@ -109,19 +202,21 @@ def merge_index(
 
     man = IndexManifest.load(index_dir)
     seg_dir = os.path.join(index_dir, "segments")
-    ds = rd.read_parquet(seg_dir)
+    out_dir = os.path.join(index_dir, "merged")
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir + ".tmp", exist_ok=True)
 
     # cheap pre-pass: global df per term from (term, df) columns only;
     # only hot terms ship to the driver (tiny set)
     df_ds = rd.read_parquet(seg_dir, columns=["term", "df"])
-    import pyarrow.compute as pc
-
     hot_tbl = (
         df_ds.groupby("term")
         .sum("df")
         .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["sum(df)"],
-                                                hot_df_threshold)),
+            lambda t: t.filter(
+                pc.greater_equal(t["sum(df)"], hot_df_threshold)
+            ),
             batch_format="pyarrow",
         )
         .to_pandas()
@@ -132,34 +227,47 @@ def merge_index(
 
     def add_salt(batch: pa.Table) -> pa.Table:
         hot = ray.get(hot_ref)
-        terms = batch["term"].to_pylist()
-        pids = batch["pid"].to_numpy()
-        salt = np.array(
-            [pid // gsize if t in hot else 0
-             for t, pid in zip(terms, pids)],
-            np.int32,
-        )
+        if not hot:
+            salt = np.zeros(batch.num_rows, np.int32)
+        else:
+            t = batch["term"].to_pylist()
+            pids = batch["pid"].to_numpy()
+            salt = np.fromiter(
+                ((pid // gsize) if x in hot else 0
+                 for x, pid in zip(t, pids)),
+                np.int32, count=batch.num_rows,
+            )
         return batch.append_column("salt", pa.array(salt))
 
     byte_aligned = man.byte_aligned
-    merged = (
-        ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby(["term", "salt"])
-        .map_groups(
-            lambda g: _merge_group(g, byte_aligned, chunk_docs),
+    tmp_out = out_dir + ".tmp"
+    boundary = (
+        rd.read_parquet(seg_dir)
+        .map_batches(add_salt, batch_format="pyarrow")
+        .sort(["term", "salt"])
+        .map_batches(
+            lambda b: _merge_batch(b, tmp_out, byte_aligned, chunk_docs),
             batch_format="pyarrow",
+            batch_size=None,
         )
+        .take_all()
     )
-    out_dir = os.path.join(index_dir, "merged")
-    tmp_dir = out_dir + ".tmp"
-    import shutil
-
-    if os.path.isdir(tmp_dir):
-        shutil.rmtree(tmp_dir)
-    merged.write_parquet(tmp_dir)
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    os.replace(tmp_dir, out_dir)
+    # final stage: merge the (small) boundary groups driver-side
+    if boundary:
+        rows: dict[tuple, dict] = {}
+        for r in boundary:
+            rows.setdefault((r["term"], int(r["salt"])), []).append(r)
+        chunks: list[dict] = []
+        for (term, salt), grp in sorted(rows.items()):
+            chunks.extend(_merge_rows(
+                term, salt,
+                [g["postings"] for g in grp],
+                np.array([g["pid"] for g in grp]),
+                [g["block_max_norm"] for g in grp],
+                byte_aligned, chunk_docs,
+            ))
+        _write_chunkfiles(chunks, tmp_out)
+    os.replace(tmp_out, out_dir)
     man.merged = True
     man.save()
     return man

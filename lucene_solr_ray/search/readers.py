@@ -1,35 +1,41 @@
-"""Index readers: postings + norms access (DirectoryReader analogue).
+"""Index readers: in-memory term dictionary + mmap'd posting payloads.
+
+The DirectoryReader analogue (``index/DirectoryReader.java:62-202``):
 
 - :class:`NormsReader` — dense uint8 norm bytes + int32 lengths per doc_id
   (the ``.nvd`` analogue); loaded once per searcher/actor.
-- :class:`SegmentsReader` — term lookup across per-partition segment tables
-  (pre-merge view, = a MultiReader over leaves).
-- :class:`MergedReader` — term lookup against the merged, term-sorted chunk
-  table (post-merge global index). Parquet row-group statistics on the
-  sorted ``term`` column provide the term-dictionary pruning that the
-  reference gets from the ``.tip`` FST (``BlockTreeTermsWriter.java:173-195``)
-  — a dataset filter reads only matching row groups.
+- :class:`MergedReader` — the post-merge global index: loads the term
+  dictionary (``merged/terms-*.parquet`` — the ``.tim/.tip`` analogue,
+  sorted in RAM, binary-searched) and memory-maps the posting payload files
+  (``merged/payload-*.bin`` — the ``.doc`` analogue, decoded lazily per
+  term with an LRU cache, the ``LRUQueryCache`` analogue).
+- :class:`SegmentsReader` — pre-merge view over per-partition segment
+  tables (a MultiReader over leaves); loads the segment tables into memory —
+  used by tests and by doc-sharded scorer actors that each own a small
+  shard set, never for a giant corpus in one process.
 
-Readers keep pyarrow datasets open and LRU-cache decoded posting lists
-(the ``LRUQueryCache`` analogue, ``search/LRUQueryCache.java``).
+Term dictionary RAM cost is ~60 B/term + the term bytes; at web scale the
+dictionary is sharded across scorer actors (each actor mounts a range of
+``terms-*`` files), exactly like per-shard FSTs.
 """
 
 from __future__ import annotations
 
+import mmap
 import os
 from collections import OrderedDict
+from dataclasses import dataclass
 
 import numpy as np
-import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 
 from ..codec import decode_postings
 
 
 class NormsReader:
     def __init__(self, index_dir: str, max_doc: int):
+        import pyarrow.parquet as pq
+
         self.norm = np.empty(max_doc, np.uint8)
         self.length = np.empty(max_doc, np.int32)
         d = os.path.join(index_dir, "norms")
@@ -56,105 +62,189 @@ class _LRU(OrderedDict):
             self.popitem(last=False)
 
 
-class PostingsReader:
-    """Shared term-lookup logic over a pyarrow dataset of postings rows."""
+@dataclass
+class Chunk:
+    """One posting-list chunk (a term may span several — list splitting)."""
 
-    chunked = False  # merged tables store chunked posting lists
+    payload: memoryview
+    df: int
+    ttf: int
+    start_doc: int
+    block_last: np.ndarray
+    block_max_tf: np.ndarray
+    block_max_norm: np.ndarray
 
-    def __init__(self, paths: list[str], cache_size: int = 4096):
-        self.ds = pads.dataset(paths, format="parquet")
+
+class TermDictReader:
+    """Shared logic: sorted in-memory term dict + payload resolution."""
+
+    def __init__(self, cache_size: int = 4096):
         self._cache = _LRU(cache_size)
+        # subclasses fill:
+        self.terms: np.ndarray  # sorted object array (with duplicates)
+        self.chunk_order: np.ndarray  # secondary order within a term
+        self.df: np.ndarray
+        self.ttf: np.ndarray
+        self.start_doc: np.ndarray
+        self.block_last: list
+        self.block_max_tf: list
+        self.block_max_norm: list
 
-    def _rows_for_terms(self, terms: list[str], columns: list[str]) -> pa.Table:
-        return self.ds.to_table(
-            columns=columns,
-            filter=pc.field("term").isin(terms),
-        )
+    def _payload(self, row: int) -> memoryview:
+        raise NotImplementedError
+
+    def _finish_init(self, terms, chunk_order, df, ttf, start_doc,
+                     block_last, block_max_tf, block_max_norm):
+        terms = np.asarray(terms, dtype=object)
+        order = np.lexsort((chunk_order, terms))
+        self.terms = terms[order]
+        self.chunk_order = np.asarray(chunk_order)[order]
+        self.df = np.asarray(df, np.int64)[order]
+        self.ttf = np.asarray(ttf, np.int64)[order]
+        self.start_doc = np.asarray(start_doc, np.int64)[order]
+        self.block_last = [block_last[i] for i in order]
+        self.block_max_tf = [block_max_tf[i] for i in order]
+        self.block_max_norm = [block_max_norm[i] for i in order]
+        self._row_order = order  # maps sorted pos -> original row
+
+    def _term_rows(self, term: str) -> range:
+        lo = np.searchsorted(self.terms, term, side="left")
+        hi = np.searchsorted(self.terms, term, side="right")
+        return range(int(lo), int(hi))
+
+    # ---- public API ----
+    def num_terms(self) -> int:
+        return int(np.sum(self.terms[1:] != self.terms[:-1]) + 1) \
+            if self.terms.size else 0
 
     def doc_freqs(self, terms: list[str]) -> dict[str, int]:
-        missing = [t for t in terms if ("df", t) not in self._cache]
-        if missing:
-            tbl = self._rows_for_terms(missing, ["term", "df"])
-            dfs: dict[str, int] = {t: 0 for t in missing}
-            for t, df in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
-                dfs[t] += df
-            for t, v in dfs.items():
-                self._cache.put(("df", t), v)
-        return {t: self._cache[("df", t)] for t in terms}
+        return {t: int(self.df[self._term_rows(t)].sum()) for t in terms}
+
+    def total_term_freq(self, term: str) -> int:
+        return int(self.ttf[self._term_rows(term)].sum())
+
+    def chunks(self, term: str) -> list[Chunk]:
+        rows = self._term_rows(term)
+        return [
+            Chunk(
+                payload=self._payload(r),
+                df=int(self.df[r]),
+                ttf=int(self.ttf[r]),
+                start_doc=int(self.start_doc[r]),
+                block_last=np.asarray(self.block_last[r], np.int64),
+                block_max_tf=np.asarray(self.block_max_tf[r], np.int32),
+                block_max_norm=np.asarray(self.block_max_norm[r], np.uint8),
+            )
+            for r in rows
+        ]
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Full decoded postings (doc_ids asc, tfs) for one term, merged
-        across rows in deterministic order."""
         hit = self._cache.get(("p", term))
         if hit is not None:
             return hit
-        cols = ["term", "postings", "df"]
-        order_col = "chunk_id" if self.chunked else "pid"
-        cols.append(order_col)
-        tbl = self._rows_for_terms([term], cols)
-        if tbl.num_rows == 0:
+        rows = self._term_rows(term)
+        if len(rows) == 0:
             out = (np.empty(0, np.int64), np.empty(0, np.int32))
+        elif len(rows) == 1:
+            out = decode_postings(self._payload(rows[0]))
         else:
-            idx = np.argsort(tbl[order_col].to_numpy(), kind="stable")
-            docs_l, tfs_l = [], []
-            payloads = tbl["postings"].to_pylist()
-            for i in idx:
-                d, f = decode_postings(payloads[i])
-                docs_l.append(d)
-                tfs_l.append(f)
-            out = (np.concatenate(docs_l), np.concatenate(tfs_l))
+            parts = [decode_postings(self._payload(r)) for r in rows]
+            out = (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
         self._cache.put(("p", term), out)
         return out
 
-    def postings_rows(self, term: str) -> pa.Table:
-        """Raw rows incl. block metadata (for block-max scoring)."""
-        cols = [f.name for f in self.ds.schema]
-        tbl = self._rows_for_terms([term], cols)
-        order_col = "chunk_id" if self.chunked else "pid"
-        return tbl.sort_by(order_col)
+    def unique_terms(self) -> np.ndarray:
+        if not self.terms.size:
+            return self.terms
+        keep = np.empty(self.terms.size, bool)
+        keep[0] = True
+        keep[1:] = self.terms[1:] != self.terms[:-1]
+        return self.terms[keep]
 
     def terms_matching(self, predicate) -> list[str]:
-        """Scan the term dictionary (term column only — cheap columnar scan)
-        and return matching terms; the MultiTermQuery rewrite input
-        (``MultiTermQuery.java:66-76``)."""
-        out: set[str] = set()
-        for batch in self.ds.to_batches(columns=["term"]):
-            for t in batch.column("term").to_pylist():
-                if predicate(t):
-                    out.add(t)
-        return sorted(out)
+        return [t for t in self.unique_terms() if predicate(t)]
 
     def terms_in_range(self, lower, upper, include_lower=True,
                        include_upper=True) -> list[str]:
-        f = None
+        u = self.unique_terms()
+        lo = 0
+        hi = u.size
         if lower is not None:
-            f = (pc.field("term") >= lower) if include_lower else (
-                pc.field("term") > lower)
+            lo = np.searchsorted(u, lower, "left" if include_lower else "right")
         if upper is not None:
-            g = (pc.field("term") <= upper) if include_upper else (
-                pc.field("term") < upper)
-            f = g if f is None else f & g
-        tbl = self.ds.to_table(columns=["term"], filter=f)
-        return sorted(set(tbl["term"].to_pylist()))
+            hi = np.searchsorted(u, upper, "right" if include_upper else "left")
+        return list(u[lo:hi])
 
 
-class SegmentsReader(PostingsReader):
-    chunked = False
-
+class MergedReader(TermDictReader):
     def __init__(self, index_dir: str, **kw):
-        d = os.path.join(index_dir, "segments")
-        paths = sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-        )
-        super().__init__(paths, **kw)
-
-
-class MergedReader(PostingsReader):
-    chunked = True
-
-    def __init__(self, index_dir: str, **kw):
+        super().__init__(**kw)
         d = os.path.join(index_dir, "merged")
-        paths = sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        self.dir = d
+        tfiles = sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.startswith("terms-") and f.endswith(".parquet")
         )
-        super().__init__(paths, **kw)
+        tbl = pads.dataset(tfiles, format="parquet").to_table()
+        self._files = tbl["payload_file"].to_pylist()
+        self._offsets = tbl["offset"].to_numpy()
+        self._lengths = tbl["length"].to_numpy()
+        self._finish_init(
+            tbl["term"].to_pylist(),
+            tbl["chunk_id"].to_numpy(),
+            tbl["df"].to_numpy(),
+            tbl["ttf"].to_numpy(),
+            tbl["start_doc"].to_numpy(),
+            tbl["block_last"].to_pylist(),
+            tbl["block_max_tf"].to_pylist(),
+            tbl["block_max_norm"].to_pylist(),
+        )
+        self._mmaps: dict[str, memoryview] = {}
+
+    def _mmap(self, fname: str) -> memoryview:
+        mv = self._mmaps.get(fname)
+        if mv is None:
+            with open(os.path.join(self.dir, fname), "rb") as f:
+                mv = memoryview(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
+            self._mmaps[fname] = mv
+        return mv
+
+    def _payload(self, row: int) -> memoryview:
+        orig = int(self._row_order[row])
+        off = int(self._offsets[orig])
+        ln = int(self._lengths[orig])
+        return self._mmap(self._files[orig])[off : off + ln]
+
+
+class SegmentsReader(TermDictReader):
+    """In-memory view over per-partition segment tables (pre-merge)."""
+
+    def __init__(self, index_dir: str, partition_ids: list[int] | None = None,
+                 **kw):
+        super().__init__(**kw)
+        d = os.path.join(index_dir, "segments")
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        if partition_ids is not None:
+            want = {f"part-{p:05d}.parquet" for p in partition_ids}
+            files = [f for f in files if os.path.basename(f) in want]
+        tbl = pads.dataset(files, format="parquet").to_table()
+        self._payloads = tbl["postings"].to_pylist()
+        self._finish_init(
+            tbl["term"].to_pylist(),
+            tbl["pid"].to_numpy(),
+            tbl["df"].to_numpy(),
+            tbl["ttf"].to_numpy(),
+            np.zeros(tbl.num_rows, np.int64),
+            tbl["block_last"].to_pylist(),
+            tbl["block_max_tf"].to_pylist(),
+            tbl["block_max_norm"].to_pylist(),
+        )
+
+    def _payload(self, row: int) -> memoryview:
+        return memoryview(self._payloads[int(self._row_order[row])])
