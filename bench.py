@@ -1,0 +1,159 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Headline: the north-star pipeline — build a SPIMI inverted index over the
+synthetic source-code corpus (input_hint shape), merge it into the global
+index, and serve the BM25 reference query mix. Secondary: representative
+Dataset pipelines (facet, dedup-minhash, ANN) over $GRAFT_SF_DIR tables.
+
+    python bench.py              # one run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh 8-CPU and 32-CPU processes,
+                                 # reports throughputs + scaling efficiency
+
+The bench corpus (50k docs) is generated deterministically once and cached
+in /tmp; index output dirs are fresh per run so timings never hit
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
+CORPUS_DIR = f"/tmp/lsr_bench_corpus_{BENCH_DOCS}"
+
+QUERY_MIX = [
+    "return value", "def run", "+parseToken -getList", "hashKey",
+    "table scan merge", "+index +term +freq", "flushWrite readBuf",
+    "docField scoreNorm", "0x1f", "segment block",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+
+    from lucene_solr_ray.analysis import get_analyzer
+    from lucene_solr_ray.index import build_index, merge_index
+    from lucene_solr_ray.search import IndexSearcher, parse_query
+    from lucene_solr_ray.sources import write_corpus
+
+    timings: dict[str, float] = {}
+
+    # corpus: cached across runs (generation is not part of the headline)
+    if not os.path.isdir(CORPUS_DIR):
+        write_corpus(CORPUS_DIR, BENCH_DOCS, docs_per_file=5000)
+    # warm OS page cache so we measure compute+shuffle, not first-touch IO
+    for f in os.listdir(CORPUS_DIR):
+        with open(os.path.join(CORPUS_DIR, f), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    idx_dir = f"/tmp/lsr_bench_idx_{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    man = build_index(CORPUS_DIR, idx_dir, rows_per_partition=1000)
+    t1 = time.perf_counter()
+    timings["index_build"] = t1 - t0
+    merge_index(idx_dir, hot_df_threshold=20_000, salt_group_size=8)
+    t2 = time.perf_counter()
+    timings["segment_merge"] = t2 - t1
+
+    s = IndexSearcher(idx_dir)
+    ana = get_analyzer("standard")
+    qs = [parse_query(q, ana) for q in QUERY_MIX]
+    for q in qs:
+        s.search(q, k=10)  # warm postings cache
+    lat = []
+    for _ in range(5):
+        for q in qs:
+            tq0 = time.perf_counter()
+            s.search(q, k=10)
+            lat.append(time.perf_counter() - tq0)
+    timings["query_p50"] = float(np.percentile(lat, 50))
+    timings["query_p99"] = float(np.percentile(lat, 99))
+    t3 = time.perf_counter()
+    timings["query_mix"] = t3 - t2
+
+    # secondary pipelines over the driver tables
+    from lucene_solr_ray.pipelines.registry import (
+        q_ann_cosine_top5,
+        q_facet_lang,
+        q_minhash_candidates,
+        q_quality_tokens,
+    )
+
+    for name, fn in [
+        ("facet_lang", q_facet_lang),
+        ("quality_tokens", q_quality_tokens),
+        ("minhash_candidates", q_minhash_candidates),
+        ("ann_cosine_top5", q_ann_cosine_top5),
+    ]:
+        tq0 = time.perf_counter()
+        fn(SF_DIR)
+        timings[name] = time.perf_counter() - tq0
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    docs_per_sec = man.max_doc / timings["index_build"]
+    headline = (
+        timings["index_build"] + timings["segment_merge"]
+        + timings["query_mix"]
+    )
+    result = {
+        "metric": "fulltext index build + merge + BM25 query mix (sec)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": man.max_doc,
+        "index_docs_per_sec": round(docs_per_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (8 -> 32 CPUs)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["index_docs_per_sec"],
+        "docs_per_sec_32": r_hi["index_docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -357,7 +357,7 @@ def build_index(
         _SegmentTask,
         batch_size=1,
         fn_constructor_args=(out_dir, text_field, analyzer, byte_aligned),
-        concurrency=concurrency or (1, 16),
+        concurrency=concurrency or (1, 64),
     )
     rows = [json.loads(r["manifest_row"]) for r in out.take_all()]
     rows.sort(key=lambda r: r["partition_id"])

@@ -1,0 +1,644 @@
+"""Driver-facing query registry: one entry per operator + its DuckDB oracle.
+
+Each query fn takes ``sf_dir`` (a directory of the driver's parquet tables)
+and returns a small pyarrow Table; ``ORACLE_SQL[name]`` is ANSI SQL DuckDB
+runs on the same tables for the side-by-side correctness gate.
+
+Conventions for hash-stable comparison:
+- column names identical on both sides; ints as int64, floats as float64
+- every float column rounded via ``floor(x*1e4 + 0.5)/1e4`` on BOTH sides
+- explicit ``rank``/order columns where top-k order matters
+- BM25 entries run the engine in ``precise`` mode (float64, exact lengths —
+  see bm25.py) with the ``simple`` analyzer, whose tokenization is exactly
+  reproducible in SQL (``SimpleRegexAnalyzer.sql_tokens_cte``). The
+  Lucene-faithful float32/quantized-norm mode is covered by the pytest
+  oracle (tests/test_index_search.py), which SQL cannot express.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analysis import ENGLISH_STOP_WORDS, get_analyzer
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+# tokens CTE fragments (match SimpleRegexAnalyzer exactly)
+_TOKENS = (
+    "tokens AS (SELECT doc_id, t AS term FROM (SELECT doc_id, "
+    "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t "
+    "FROM documents) WHERE t <> '' AND length(t) <= 255 "
+    f"AND t NOT IN ({_STOP_SQL}))"
+)
+_TOKENS_ALL = (
+    "tokens_all AS (SELECT doc_id, t AS term FROM (SELECT doc_id, "
+    "unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t "
+    "FROM documents) WHERE t <> '' AND length(t) <= 255)"
+)
+
+
+def _round4(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(x, np.float64) * 1e4 + 0.5) / 1e4
+
+
+def _docs_ds(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+# --------------------------------------------------------------------------
+# fulltext index over the documents table (cached per sf_dir)
+# --------------------------------------------------------------------------
+
+_SEARCHERS: dict = {}
+
+
+def _doc_index(sf_dir: str):
+    """Build (once) a simple-analyzer index over documents.text and return
+    (searcher_precise, doc_id_map). Cached on disk + in process."""
+    from ..index import IndexManifest, build_index
+    from ..search.searcher import IndexSearcher
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:simple".encode()).hexdigest()[:12]
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    out = f"/tmp/lsr_qidx/{key}"
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        os.makedirs(out, exist_ok=True)
+        build_index(src, out, text_field="text", analyzer="simple",
+                    rows_per_partition=50_000)
+    import pyarrow.parquet as pq
+
+    doc_ids = pq.read_table(src, columns=["doc_id"])["doc_id"].to_numpy()
+    s = IndexSearcher(out, precise=True)
+    _SEARCHERS[key] = (s, doc_ids)
+    return _SEARCHERS[key]
+
+
+def _bm25_table(sf_dir: str, terms: list[str], k: int, mode: str) -> pa.Table:
+    from ..search.query import BooleanQuery, TermQuery
+
+    s, doc_map = _doc_index(sf_dir)
+    tq = [TermQuery(t) for t in terms]
+    q = tq[0] if len(tq) == 1 else (
+        BooleanQuery.build(should=tq) if mode == "OR"
+        else BooleanQuery.build(must=tq)
+    )
+    t = s.search(q, k=k)
+    return pa.table({
+        "rank": t["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
+def _bm25_sql(terms: list[str], k: int, mode: str) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    having = (
+        f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "AND" else ""
+    )
+    return f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokens
+        WHERE term IN ({tlist}) GROUP BY doc_id, term),
+ dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+ cand AS (SELECT doc_id FROM tf GROUP BY doc_id {having}),
+ scored0 AS (
+   SELECT tf.doc_id,
+          ln(1 + (stats.n - dfx.df + 0.5)/(dfx.df + 0.5)) * 2.2 * tf.tf
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sumdl/stats.n)))
+          AS s
+   FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats
+   WHERE tf.doc_id IN (SELECT doc_id FROM cand)),
+ scored AS (SELECT doc_id, sum(s) AS s FROM scored0 GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, floor(s*10000 + 0.5)/10000 AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# individual queries
+# --------------------------------------------------------------------------
+
+def q_ft_term_df_top100(sf_dir: str) -> pa.Table:
+    s, _ = _doc_index(sf_dir)
+    r = s.reader
+    terms = r.unique_terms()
+    dfs = np.array([r.doc_freqs([t])[t] for t in terms], np.int64)
+    order = np.lexsort((terms, -dfs))[:100]
+    return pa.table({
+        "term": pa.array(terms[order].tolist(), pa.string()),
+        "df": pa.array(dfs[order], pa.int64()),
+    })
+
+
+def q_ft_collection_stats(sf_dir: str) -> pa.Table:
+    s, _ = _doc_index(sf_dir)
+    return pa.table({
+        "max_doc": pa.array([s.max_doc], pa.int64()),
+        "sum_ttf": pa.array([s.manifest.sum_total_term_freq], pa.int64()),
+        "distinct_terms": pa.array([s.reader.num_terms()], pa.int64()),
+    })
+
+
+def q_ft_doc_length(sf_dir: str) -> pa.Table:
+    s, doc_map = _doc_index(sf_dir)
+    lens = s.norms.length
+    m = lens > 0
+    ids = np.arange(s.max_doc)[m]
+    return pa.table({
+        "doc_id": pa.array(doc_map[ids], pa.int64()),
+        "dl": pa.array(lens[m].astype(np.int64)),
+    })
+
+
+def q_ft_term_search(sf_dir: str) -> pa.Table:
+    return _bm25_table(sf_dir, ["table"], 10, "OR")
+
+
+def q_ft_term_search_rare(sf_dir: str) -> pa.Table:
+    return _bm25_table(sf_dir, ["vector"], 10, "OR")
+
+
+def q_ft_bool_or(sf_dir: str) -> pa.Table:
+    return _bm25_table(sf_dir, ["table", "vector", "stream"], 10, "OR")
+
+
+def q_ft_bool_and(sf_dir: str) -> pa.Table:
+    return _bm25_table(sf_dir, ["table", "join"], 10, "AND")
+
+
+def q_ft_phrase_count(sf_dir: str) -> pa.Table:
+    pat = re.compile(r"\bhash join\b")
+
+    def f(b: pa.Table) -> pa.Table:
+        n = sum(1 for t in b["text"].to_pylist() if pat.search(t or ""))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    ds = _docs_ds(sf_dir, ["text"]).map_batches(f, batch_format="pyarrow")
+    total = sum(r["n"] for r in ds.take_all())
+    return pa.table({"phrase_docs": pa.array([total], pa.int64())})
+
+
+def q_ft_prefix_count(sf_dir: str) -> pa.Table:
+    from ..search.query import PrefixQuery
+
+    s, _ = _doc_index(sf_dir)
+    return pa.table({
+        "prefix_docs": pa.array([s.count(PrefixQuery("val"))], pa.int64())
+    })
+
+
+def q_facet_lang(sf_dir: str) -> pa.Table:
+    out = (
+        _docs_ds(sf_dir, ["lang"]).groupby("lang").count().to_pandas()
+        .rename(columns={"count()": "cnt"})
+        .sort_values(["cnt", "lang"], ascending=[False, True])
+    )
+    return pa.table({
+        "lang": pa.array(out["lang"].tolist(), pa.string()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+    })
+
+
+def q_facet_source_top10(sf_dir: str) -> pa.Table:
+    out = (
+        _docs_ds(sf_dir, ["source"]).groupby("source").count().to_pandas()
+        .rename(columns={"count()": "cnt"})
+        .sort_values(["cnt", "source"], ascending=[False, True])
+        .head(10)
+    )
+    return pa.table({
+        "source": pa.array(out["source"].tolist(), pa.string()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+    })
+
+
+def q_stats_nchars(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+    out = _docs_ds(sf_dir, ["n_chars"]).aggregate(
+        Count(alias_name="n"),
+        Min("n_chars", alias_name="min_nc"),
+        Max("n_chars", alias_name="max_nc"),
+        Sum("n_chars", alias_name="sum_nc"),
+        Mean("n_chars", alias_name="avg_nc"),
+        Std("n_chars", alias_name="std_nc"),
+    )
+    return pa.table({
+        "n": pa.array([int(out["n"])], pa.int64()),
+        "min_nc": pa.array([int(out["min_nc"])], pa.int64()),
+        "max_nc": pa.array([int(out["max_nc"])], pa.int64()),
+        "sum_nc": pa.array([int(out["sum_nc"])], pa.int64()),
+        "avg_nc": pa.array(_round4([out["avg_nc"]]), pa.float64()),
+        "std_nc": pa.array(_round4([out["std_nc"]]), pa.float64()),
+    })
+
+
+def q_range_facet_nchars(sf_dir: str) -> pa.Table:
+    def bucketize(b: pa.Table) -> pa.Table:
+        nc = b["n_chars"].to_numpy()
+        return pa.table({"bucket": pa.array((nc // 100) * 100, pa.int64())})
+
+    out = (
+        _docs_ds(sf_dir, ["n_chars"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket").count().to_pandas()
+        .rename(columns={"count()": "cnt"}).sort_values("bucket")
+    )
+    return pa.table({
+        "bucket": pa.array(out["bucket"].to_numpy(), pa.int64()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+    })
+
+
+def q_group_top2_per_lang(sf_dir: str) -> pa.Table:
+    import pandas as pd
+
+    def head2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        g = g.head(2).copy()
+        g["rn"] = range(1, len(g) + 1)
+        return g
+
+    out = (
+        _docs_ds(sf_dir, ["lang", "doc_id", "n_chars"])
+        .groupby("lang").map_groups(head2, batch_format="pandas")
+        .to_pandas().sort_values(["lang", "rn"])
+    )
+    return pa.table({
+        "lang": pa.array(out["lang"].tolist(), pa.string()),
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "n_chars": pa.array(out["n_chars"].to_numpy(), pa.int64()),
+        "rn": pa.array(out["rn"].to_numpy(), pa.int64()),
+    })
+
+
+def q_sort_export_top50(sf_dir: str) -> pa.Table:
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(50).to_pandas()
+    )
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(out) + 1), pa.int64()),
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "n_chars": pa.array(out["n_chars"].to_numpy(), pa.int64()),
+    })
+
+
+def q_join_semi(sf_dir: str) -> pa.Table:
+    """Semi-join: broadcast the small key side, filter inside map_batches
+    (``JoinUtil.createJoinQuery`` phase-1/2, ``join/.../JoinUtil.java:69``)."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "label"]
+    )
+    keys = set()
+    for b in emb.iter_batches(batch_format="pyarrow"):
+        v = b["vec_id"].to_numpy()
+        keys.update(v[b["label"].to_numpy() == 0].tolist())
+    key_ref = ray.put(np.array(sorted(keys), np.int64))
+
+    def f(b: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        ids = b["doc_id"].to_numpy()
+        pos = np.searchsorted(ks, ids)
+        ok = (pos < ks.size) & (ks[np.minimum(pos, ks.size - 1)] == ids)
+        return pa.table({"n": pa.array([int(ok.sum())], pa.int64())})
+
+    total = sum(
+        r["n"] for r in _docs_ds(sf_dir, ["doc_id"])
+        .map_batches(f, batch_format="pyarrow").take_all()
+    )
+    return pa.table({"n_docs": pa.array([total], pa.int64())})
+
+
+def q_join_agg(sf_dir: str) -> pa.Table:
+    """Broadcast hash join (small dim side) + grouped aggregate."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "label"]
+    ).to_pandas()
+    lut_ref = ray.put(
+        (emb["vec_id"].to_numpy(), emb["label"].to_numpy())
+    )
+
+    def f(b: pa.Table) -> pa.Table:
+        vid, lab = ray.get(lut_ref)
+        order = np.argsort(vid)
+        vid, lab = vid[order], lab[order]
+        ids = b["doc_id"].to_numpy()
+        pos = np.searchsorted(vid, ids)
+        ok = (pos < vid.size) & (vid[np.minimum(pos, vid.size - 1)] == ids)
+        return pa.table({
+            "label": pa.array(lab[pos[ok]].astype(np.int64)),
+            "n_chars": pa.array(b["n_chars"].to_numpy()[ok]),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(f, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="cnt"), Sum("n_chars", alias_name="sum_nc"))
+        .to_pandas().sort_values("label")
+    )
+    return pa.table({
+        "label": pa.array(out["label"].to_numpy(), pa.int64()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+        "sum_nc": pa.array(out["sum_nc"].to_numpy(), pa.int64()),
+    })
+
+
+def q_dedup_exact(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import exact_dedup
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    return pa.table({
+        "distinct_docs": pa.array([len(out)], pa.int64()),
+        "total_docs": pa.array([int(out["dup_count"].sum())], pa.int64()),
+    })
+
+
+def q_events_window(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "event_type": b["event_type"],
+            "hour_bucket": pa.array(us // 3_600_000_000, pa.int64()),
+            "value": b["value"],
+        })
+
+    out = (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="cnt"), Sum("value", alias_name="sum_v"))
+        .to_pandas().sort_values(["event_type", "hour_bucket"])
+    )
+    return pa.table({
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "hour_bucket": pa.array(out["hour_bucket"].to_numpy(), pa.int64()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+        "sum_v": pa.array(_round4(out["sum_v"].to_numpy()), pa.float64()),
+    })
+
+
+def q_quality_tokens(sf_dir: str) -> pa.Table:
+    from ..stages.textstats import token_quality_batch
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: token_quality_batch(b).select(
+                ["doc_id", "n_tokens", "stop_tokens", "distinct_tokens"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas().sort_values("doc_id")
+    )
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "n_tokens": pa.array(out["n_tokens"].to_numpy(), pa.int64()),
+        "stop_tokens": pa.array(out["stop_tokens"].to_numpy(), pa.int64()),
+        "distinct_tokens": pa.array(
+            out["distinct_tokens"].to_numpy(), pa.int64()
+        ),
+    })
+
+
+def q_ann_cosine_top5(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import brute_force_topk
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, filters=[("vec_id", "in", [0, 1, 2])])
+    qv = np.array(head["embedding"].to_pylist(), np.float64)
+    qids = head["vec_id"].to_numpy()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    t = brute_force_topk(ds, qv, k=6, round_decimals=3)
+    # map query row -> actual vec_id; drop self-hits; re-rank to top5
+    out = {"query_id": [], "rank": [], "vec_id": [], "score": []}
+    tt = t.to_pydict()
+    for qi, real in enumerate(qids):
+        rows = [
+            (v, s) for q, v, s in zip(tt["query_id"], tt["vec_id"],
+                                      tt["score"])
+            if q == qi and v != real
+        ][:5]
+        out["query_id"].extend([int(real)] * len(rows))
+        out["rank"].extend(range(1, len(rows) + 1))
+        out["vec_id"].extend(v for v, _ in rows)
+        out["score"].extend(s for _, s in rows)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+    })
+
+
+# ---- rows-only (non-SQL-expressible) entries ----
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    from ..stages.textstats import lang_id_batch
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: lang_id_batch(b).select(["doc_id", "lang_pred"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas().sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_simhash(sf_dir: str) -> pa.Table:
+    from ..stages.textstats import simhash64_batch
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: simhash64_batch(b).select(["doc_id", "simhash"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas().sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_minhash_candidates(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import minhash_lsh_candidates
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    pairs = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=32,
+                                   bands=8)
+    n = pairs.count()
+    return pa.table({"candidate_pairs": pa.array([n], pa.int64())})
+
+
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "ft_term_df_top100": q_ft_term_df_top100,
+    "ft_collection_stats": q_ft_collection_stats,
+    "ft_doc_length": q_ft_doc_length,
+    "ft_term_search": q_ft_term_search,
+    "ft_term_search_rare": q_ft_term_search_rare,
+    "ft_bool_or": q_ft_bool_or,
+    "ft_bool_and": q_ft_bool_and,
+    "ft_phrase_count": q_ft_phrase_count,
+    "ft_prefix_count": q_ft_prefix_count,
+    "facet_lang": q_facet_lang,
+    "facet_source_top10": q_facet_source_top10,
+    "stats_nchars": q_stats_nchars,
+    "range_facet_nchars": q_range_facet_nchars,
+    "group_top2_per_lang": q_group_top2_per_lang,
+    "sort_export_top50": q_sort_export_top50,
+    "join_semi": q_join_semi,
+    "join_agg": q_join_agg,
+    "dedup_exact": q_dedup_exact,
+    "events_window": q_events_window,
+    "quality_tokens": q_quality_tokens,
+    "ann_cosine_top5": q_ann_cosine_top5,
+    "lang_id": q_lang_id,
+    "simhash": q_simhash,
+    "minhash_candidates": q_minhash_candidates,
+}
+
+ORACLE_SQL = {
+    "ft_term_df_top100": f"""
+WITH {_TOKENS}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tokens
+GROUP BY term ORDER BY df DESC, term LIMIT 100
+""",
+    "ft_collection_stats": f"""
+WITH {_TOKENS}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS max_doc,
+       (SELECT count(*) FROM tokens)::BIGINT AS sum_ttf,
+       (SELECT count(DISTINCT term) FROM tokens)::BIGINT AS distinct_terms
+""",
+    "ft_doc_length": f"""
+WITH {_TOKENS}
+SELECT doc_id, count(*)::BIGINT AS dl FROM tokens GROUP BY doc_id
+ORDER BY doc_id
+""",
+    "ft_term_search": _bm25_sql(["table"], 10, "OR"),
+    "ft_term_search_rare": _bm25_sql(["vector"], 10, "OR"),
+    "ft_bool_or": _bm25_sql(["table", "vector", "stream"], 10, "OR"),
+    "ft_bool_and": _bm25_sql(["table", "join"], 10, "AND"),
+    "ft_phrase_count": """
+SELECT count(*)::BIGINT AS phrase_docs FROM documents
+WHERE regexp_matches(text, '\\bhash join\\b')
+""",
+    "ft_prefix_count": f"""
+WITH {_TOKENS}
+SELECT count(DISTINCT doc_id)::BIGINT AS prefix_docs FROM tokens
+WHERE term LIKE 'val%'
+""",
+    "facet_lang": """
+SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang
+ORDER BY cnt DESC, lang
+""",
+    "facet_source_top10": """
+SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source
+ORDER BY cnt DESC, source LIMIT 10
+""",
+    "stats_nchars": """
+SELECT count(*)::BIGINT AS n, min(n_chars)::BIGINT AS min_nc,
+       max(n_chars)::BIGINT AS max_nc, sum(n_chars)::BIGINT AS sum_nc,
+       floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_nc,
+       floor(stddev_samp(n_chars)*10000 + 0.5)/10000 AS std_nc
+FROM documents
+""",
+    "range_facet_nchars": """
+SELECT (n_chars // 100 * 100)::BIGINT AS bucket, count(*)::BIGINT AS cnt
+FROM documents GROUP BY bucket ORDER BY bucket
+""",
+    "group_top2_per_lang": """
+SELECT lang, doc_id, n_chars::BIGINT AS n_chars, rn::BIGINT AS rn FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 2 ORDER BY lang, rn
+""",
+    "sort_export_top50": """
+SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS rank, doc_id, n_chars::BIGINT AS n_chars
+FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50
+""",
+    "join_semi": """
+SELECT count(*)::BIGINT AS n_docs FROM documents
+WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label = 0)
+""",
+    "join_agg": """
+SELECT e.label::BIGINT AS label, count(*)::BIGINT AS cnt,
+       sum(d.n_chars)::BIGINT AS sum_nc
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label ORDER BY label
+""",
+    "dedup_exact": """
+SELECT count(DISTINCT md5(text))::BIGINT AS distinct_docs,
+       count(*)::BIGINT AS total_docs
+FROM documents
+""",
+    "events_window": """
+SELECT event_type,
+       CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket,
+       count(*)::BIGINT AS cnt,
+       floor(sum(value)*10000 + 0.5)/10000 AS sum_v
+FROM events GROUP BY event_type, hour_bucket
+ORDER BY event_type, hour_bucket
+""",
+    "quality_tokens": f"""
+WITH {_TOKENS_ALL}
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN term IN ({_STOP_SQL}) THEN 1 ELSE 0 END)::BIGINT
+         AS stop_tokens,
+       count(DISTINCT term)::BIGINT AS distinct_tokens
+FROM tokens_all GROUP BY doc_id ORDER BY doc_id
+""",
+    "ann_cosine_top5": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+ scored AS (
+   SELECT q.qid AS query_id, e.vec_id,
+          CAST(list_cosine_similarity(q.qv, e.embedding) AS DOUBLE) AS s
+   FROM embeddings e, q WHERE e.vec_id <> q.qid)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY s DESC, vec_id) AS BIGINT) AS rank,
+       vec_id, floor(s*1000 + 0.5)/1000 AS score
+FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+}

@@ -190,7 +190,11 @@ def write_corpus(out_dir: str, num_docs: int, seed: int = 42,
                         for cid in range(start // CHUNK, (end + CHUNK - 1) // CHUNK)
                     ]
                     tmp = str(fpath) + ".tmp"
-                    pq.write_table(pa.concat_tables(tables), tmp)
+                    # row groups = CHUNK so partition planning can slice at
+                    # CHUNK granularity (plan_partitions is row-group based)
+                    pq.write_table(
+                        pa.concat_tables(tables), tmp, row_group_size=CHUNK
+                    )
                     os.replace(tmp, str(fpath))
                 return {"file_id": batch["file_id"]}
 

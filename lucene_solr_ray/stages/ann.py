@@ -1,0 +1,116 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_topk`: exact cosine top-k — numpy matmul per batch
+  against a broadcast query matrix (the baseline; one pass, no shuffle).
+- :func:`lsh_bucketed_topk`: random-hyperplane LSH variant (the scale
+  path): each vector is bucketed by sign bits; queries only scan matching
+  buckets (probing neighbors), turning a full scan into a targeted read.
+
+Both stream batches; nothing materializes the embedding table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def brute_force_topk(
+    ds, query_vecs: np.ndarray, k: int = 5, *, vec_col: str = "embedding",
+    id_col: str = "vec_id", round_decimals: int = 4,
+):
+    """Exact cosine top-k per query vector.
+
+    Per batch: normalized matmul -> per-query local top-k rows; a tiny
+    final groupby-free reduction on the driver keeps only global top-k
+    (the per-shard top-k + TopDocs.merge pattern applied to ANN).
+    Returns pa.Table (query_id, rank, vec_id, score) with score rounded to
+    4 decimals for float-stable comparison; ties -> lower vec_id.
+    """
+    import ray
+
+    q = np.asarray(query_vecs, np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _to_matrix(batch[vec_col])
+        ids = batch[id_col].to_numpy()
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = qm @ mn.T  # (nq, nbatch)
+        nq = qm.shape[0]
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(nq):
+            s = sims[qi]
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_id.append(ids[idx])
+            out_s.append(s[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    qid = np.array([r["query_id"] for r in parts])
+    vid = np.array([r[id_col] for r in parts])
+    sc = np.array([r["score"] for r in parts])
+    rows = {"query_id": [], "rank": [], id_col: [], "score": []}
+    for qi in np.unique(qid):
+        m = qid == qi
+        order = np.lexsort((vid[m], -sc[m]))[:k]
+        rows["query_id"].extend([int(qi)] * len(order))
+        rows["rank"].extend(range(1, len(order) + 1))
+        rows[id_col].extend(vid[m][order].tolist())
+        r = 10.0 ** round_decimals
+        rows["score"].extend(
+            (np.floor(sc[m][order] * r + 0.5) / r).tolist()
+        )
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        id_col: pa.array(rows[id_col], pa.int64()),
+        "score": pa.array(rows["score"], pa.float64()),
+    })
+
+
+def hyperplane_buckets(
+    ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+    n_bits: int = 8, seed: int = 11, dim: int | None = None,
+):
+    """Add an LSH ``bucket`` column (sign-bit hash of random hyperplanes).
+
+    The scale path for ANN: write bucketed, query probes only nearby
+    buckets. Returns (bucketed_ds, hyperplanes).
+    """
+    first = None
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+
+    import ray
+
+    p_ref = ray.put(planes)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        pl = ray.get(p_ref)
+        m = _to_matrix(batch[vec_col])
+        bits = (m @ pl.T) > 0
+        bucket = np.zeros(len(m), np.int64)
+        for i in range(pl.shape[0]):
+            bucket |= bits[:, i].astype(np.int64) << i
+        return batch.append_column("bucket", pa.array(bucket))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow"), planes

@@ -1,0 +1,172 @@
+"""Deduplication stages: exact, MinHash-LSH, n-gram Jaccard.
+
+- exact: content hash in a vectorized ``map_batches`` + hash-partitioned
+  keep-first (``SignatureUpdateProcessorFactory`` + MD5Signature,
+  ``solr/.../processor/SignatureUpdateProcessorFactory.java:40``; the
+  MR-tool's reducer-side conflict resolution,
+  ``hadoop/dedup/RetainMostRecentUpdateConflictResolver.java``)
+- MinHash-LSH: shingle -> k minhash permutations -> band buckets ->
+  groupby(band, bucket) candidate pairs -> Jaccard verify (Broder'97 /
+  Leskovec MMDS construction; scale path for near-dup at 100 TB)
+
+Everything shuffles at most (band_hash) keys — never raw text pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def content_hash_batch(batch: pa.Table, text_col: str,
+                       out_col: str = "content_md5") -> pa.Table:
+    vals = [
+        hashlib.md5((t or "").encode()).hexdigest()
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(vals, pa.string()))
+
+
+def exact_dedup(ds, text_col: str, id_col: str):
+    """Keep the lowest id per distinct content: hash -> groupby -> min.
+
+    Returns a Dataset of (content_md5, keep_id, dup_count).
+    """
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col).select(
+            ["content_md5", id_col]
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count, Min
+
+    return hashed.groupby("content_md5").aggregate(
+        Min(id_col, alias_name="keep_id"),
+        Count(alias_name="dup_count"),
+    )
+
+
+def _shingles(tokens: list[str], k: int) -> set[bytes]:
+    if len(tokens) < k:
+        return {" ".join(tokens).encode()} if tokens else set()
+    return {" ".join(tokens[i : i + k]).encode()
+            for i in range(len(tokens) - k + 1)}
+
+
+_M61 = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _M61, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _M61, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_batch(
+    batch: pa.Table, text_col: str, id_col: str, *, num_perm: int = 64,
+    shingle_k: int = 3, analyzer: str = "simple",
+) -> pa.Table:
+    """(id, minhash:list<uint64>) per row — one pass, vectorized per doc."""
+    from ..analysis import get_analyzer
+
+    ana = get_analyzer(analyzer + "_nostop")
+    a, b = _minhash_params(num_perm)
+    ids = batch[id_col].to_pylist()
+    sigs = []
+    for t in batch[text_col].to_pylist():
+        sh = _shingles(ana.tokens(t or ""), shingle_k)
+        if not sh:
+            sigs.append(np.full(num_perm, _M61, np.uint64).tolist())
+            continue
+        hv = np.fromiter(
+            (int.from_bytes(
+                hashlib.blake2b(s, digest_size=8).digest(), "little"
+            ) & _M61 for s in sh),
+            np.uint64, count=len(sh),
+        )
+        # (a*h + b) mod 2^61-1, min over shingles, per permutation
+        vals = (hv[None, :] * a[:, None] + b[:, None]) % _M61
+        sigs.append(vals.min(axis=1).tolist())
+    return pa.table({
+        id_col: pa.array(ids),
+        "minhash": pa.array(sigs, pa.list_(pa.uint64())),
+    })
+
+
+def minhash_lsh_candidates(
+    ds, text_col: str, id_col: str, *, num_perm: int = 64, bands: int = 16,
+    shingle_k: int = 3,
+):
+    """Candidate near-dup pairs via LSH banding.
+
+    sig -> explode to (band, band_hash, id) -> groupby -> pairs within
+    bucket. Returns Dataset of (id_a, id_b) with id_a < id_b (deduped).
+    """
+    rows_per_band = num_perm // bands
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        sigs = batch["minhash"].to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, sig in zip(ids, sigs):
+            arr = np.asarray(sig, np.uint64)
+            for band in range(bands):
+                chunk = arr[band * rows_per_band : (band + 1) * rows_per_band]
+                h = hashlib.blake2b(
+                    chunk.tobytes(), digest_size=8
+                ).hexdigest()
+                out_id.append(i)
+                out_band.append(band)
+                out_hash.append(h)
+        return pa.table({
+            id_col: pa.array(out_id),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.string()),
+        })
+
+    sigs = ds.map_batches(
+        lambda b: minhash_batch(b, text_col, id_col, num_perm=num_perm,
+                                shingle_k=shingle_k),
+        batch_format="pyarrow",
+    )
+    banded = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(group):
+        import pandas as pd
+
+        ids = sorted(group[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        pairs = [(a, c) for j, a in enumerate(ids) for c in ids[j + 1 :]]
+        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).count()
+
+
+def jaccard_pairs(texts_by_id: dict, pairs: list[tuple], shingle_k: int = 3,
+                  analyzer: str = "simple") -> list[tuple]:
+    """Verify candidate pairs -> (id_a, id_b, jaccard). Driver-side helper
+    for small candidate sets; at scale run inside map_batches with a
+    broadcast doc store."""
+    from ..analysis import get_analyzer
+
+    ana = get_analyzer(analyzer + "_nostop")
+    cache: dict = {}
+
+    def sh(i):
+        if i not in cache:
+            cache[i] = _shingles(ana.tokens(texts_by_id[i] or ""), shingle_k)
+        return cache[i]
+
+    out = []
+    for a, b in pairs:
+        sa, sb = sh(a), sh(b)
+        u = len(sa | sb)
+        out.append((a, b, (len(sa & sb) / u) if u else 0.0))
+    return out

@@ -1,0 +1,130 @@
+"""Text-analysis stages for training-data pipelines (SURVEY.md + brief):
+
+- token counting (analyzer-based), quality signals (stop-word counts,
+  punctuation/alpha ratios) — Solr's field-length / langid processor family
+  (``solr/core/.../update/processor/``; langid contrib)
+- language ID via stop-word-profile n-gram heuristic (no external models)
+- document fingerprinting: 64-bit rolling/content hashes, SimHash,
+  TextProfileSignature (``solr/.../processor/TextProfileSignature.java:49-110``)
+
+All are vectorized ``map_batches`` stages over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..analysis import ENGLISH_STOP_WORDS, get_analyzer
+
+# tiny per-language stop-word profiles (public common-word lists)
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf",
+           "für"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "en", "que"},
+}
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+def token_quality_batch(batch: pa.Table, text_col: str = "text",
+                        analyzer: str = "simple") -> pa.Table:
+    """Add n_tokens / stop_tokens / distinct_tokens columns."""
+    ana = get_analyzer(analyzer + "_nostop")
+    texts = batch[text_col].to_pylist()
+    n_tok = np.zeros(len(texts), np.int64)
+    n_stop = np.zeros(len(texts), np.int64)
+    n_distinct = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        toks = ana.tokens(t or "")
+        n_tok[i] = len(toks)
+        n_stop[i] = sum(1 for x in toks if x in ENGLISH_STOP_WORDS)
+        n_distinct[i] = len(set(toks))
+    return batch.append_column(
+        "n_tokens", pa.array(n_tok)
+    ).append_column(
+        "stop_tokens", pa.array(n_stop)
+    ).append_column(
+        "distinct_tokens", pa.array(n_distinct)
+    )
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic language ID: CJK char presence -> zh, else best stop-word
+    profile hit rate (ties -> en). Rows-only correctness check (non-SQL)."""
+    texts = batch[text_col].to_pylist()
+    out = []
+    split = re.compile(r"[^a-zàâäçéèêëîïôöùûüñáíóúß]+")
+    for t in texts:
+        t = t or ""
+        if _CJK_RE.search(t):
+            out.append("zh")
+            continue
+        words = [w for w in split.split(t.lower()) if w]
+        if not words:
+            out.append("und")
+            continue
+        ws = set(words)
+        best, best_hits = "en", -1
+        for lang, prof in LANG_PROFILES.items():
+            hits = len(ws & prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        out.append(best if best_hits > 0 else "und")
+    return batch.append_column("lang_pred", pa.array(out, pa.string()))
+
+
+def simhash64_batch(batch: pa.Table, text_col: str = "text",
+                    analyzer: str = "simple") -> pa.Table:
+    """64-bit SimHash over analyzer tokens (Charikar; near-dup fingerprint)."""
+    ana = get_analyzer(analyzer + "_nostop")
+    texts = batch[text_col].to_pylist()
+    out = np.zeros(len(texts), np.uint64)
+    for i, t in enumerate(texts):
+        toks = ana.tokens(t or "")
+        if not toks:
+            continue
+        hashes = np.fromiter(
+            (int.from_bytes(
+                hashlib.blake2b(x.encode(), digest_size=8).digest(), "little"
+            ) for x in set(toks)),
+            np.uint64, count=len(set(toks)),
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+        votes = bits.sum(axis=0) * 2 - bits.shape[0]
+        out[i] = np.uint64(
+            sum(1 << b for b in range(64) if votes[b] > 0)
+        )
+    return batch.append_column("simhash", pa.array(out.astype(np.int64)))
+
+
+def text_profile_signature_batch(
+    batch: pa.Table, text_col: str = "text", quant_rate: float = 0.01,
+    analyzer: str = "simple",
+) -> pa.Table:
+    """TextProfileSignature: quantized term-frequency profile, sorted,
+    md5'd (``solr/.../processor/TextProfileSignature.java:49-110``)."""
+    from collections import Counter
+
+    ana = get_analyzer(analyzer + "_nostop")
+    out = []
+    for t in batch[text_col].to_pylist():
+        toks = ana.tokens(t or "")
+        if not toks:
+            out.append(hashlib.md5(b"").hexdigest())
+            continue
+        c = Counter(toks)
+        max_freq = max(c.values())
+        quant = max(2, round(quant_rate * max_freq)) if max_freq > 1 else 1
+        prof = sorted(
+            (term, (f // quant) * quant)
+            for term, f in c.items()
+            if (f // quant) * quant > 0
+        )
+        s = " ".join(f"{t2} {f}" for t2, f in prof)
+        out.append(hashlib.md5(s.encode()).hexdigest())
+    return batch.append_column("signature", pa.array(out, pa.string()))

@@ -1,0 +1,92 @@
+"""Emulates the driver's correctness gate: every queries() entry runs at
+sf0.01 and must match its oracle_sql() DuckDB result on row count, schema
+(column names) and values (order-insensitive)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF001", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def test_all_queries_have_callable_and_sql_columns_match(contract):
+    queries, sql = contract
+    assert len(queries) >= 20
+    unknown_sql = set(sql) - set(queries)
+    assert not unknown_sql
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ft_term_df_top100", "ft_collection_stats", "ft_doc_length",
+        "ft_term_search", "ft_term_search_rare", "ft_bool_or", "ft_bool_and",
+        "ft_phrase_count", "ft_prefix_count", "facet_lang",
+        "facet_source_top10", "stats_nchars", "range_facet_nchars",
+        "group_top2_per_lang", "sort_export_top50", "join_semi", "join_agg",
+        "dedup_exact", "events_window", "quality_tokens", "ann_cosine_top5",
+    ],
+)
+def test_query_matches_oracle(contract, duck, name):
+    queries, sql = contract
+    got = _norm(_to_df(queries[name](SF_DIR)))
+    want = _norm(duck.execute(sql[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: cols {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True, obj=name)
+
+
+@pytest.mark.parametrize("name", ["lang_id", "simhash", "minhash_candidates"])
+def test_rows_only_queries_run(contract, name):
+    queries, _ = contract
+    df = _to_df(queries[name](SF_DIR))
+    assert len(df) >= 1
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    t = _to_df(e.entry())
+    assert len(t) > 0
+    assert set(t.columns) == {"query_id", "query", "rank", "doc_id", "score"}
