@@ -181,6 +181,19 @@ def decode_block(
     return doc_ids, (t + 1).astype(np.int32)
 
 
+def first_doc(payload: bytes | memoryview) -> int:
+    """First doc id of a payload without decoding (header peek)."""
+    buf = memoryview(payload)
+    bpv = buf[4]
+    if bpv == 0 or bpv == 255:
+        return int(np.frombuffer(buf, "<u4", count=1, offset=5)[0])
+    if bpv == 253:
+        return int(buf[5])
+    if bpv == 254:
+        return int(np.frombuffer(buf, "<u2", count=1, offset=5)[0])
+    return int(_unpack(buf[5:], 1, bpv)[0])
+
+
 def block_offsets(payload: bytes | memoryview, n_docs: int) -> np.ndarray:
     """Compute per-block byte offsets by walking headers (cheap, no payload
     decode) — the in-memory analogue of the skip list's file pointers."""

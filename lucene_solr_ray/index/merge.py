@@ -52,6 +52,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..codec import BLOCK_SIZE, decode_postings, encode_postings
+from ..codec.postings import first_doc
 from .build import IndexManifest
 
 DEFAULT_CHUNK_DOCS = BLOCK_SIZE * 512  # 64k postings per chunk row
@@ -80,8 +81,29 @@ def _merge_rows(
     max_norms: list,
     byte_aligned: bool,
     chunk_docs: int,
+    metas: list | None = None,
 ) -> list[dict]:
-    """Merge one (term, salt) group's rows -> list of chunk dicts."""
+    """Merge one (term, salt) group's rows -> list of chunk dicts.
+
+    Single-source-row fast path: when the group has exactly one segment row
+    that fits one chunk, its payload is already a valid self-contained chunk
+    (first delta = absolute doc id) — pass it through without decode
+    (``metas`` = [(df, ttf, block_last, block_max_tf, block_max_norm)]).
+    """
+    if metas is not None and len(payloads) == 1:
+        df, ttf, b_last, b_maxtf, b_maxnorm = metas[0]
+        if df <= chunk_docs:
+            return [{
+                "term": term,
+                "chunk_id": salt * SALT_STRIDE,
+                "df": int(df),
+                "ttf": int(ttf),
+                "start_doc": first_doc(payloads[0]),
+                "payload": payloads[0],
+                "block_last": list(b_last),
+                "block_max_tf": list(b_maxtf),
+                "block_max_norm": list(b_maxnorm),
+            }]
     order = np.argsort(pids, kind="stable")
     docs_l, tfs_l = [], []
     max_norm = 0
@@ -167,6 +189,10 @@ def _merge_batch(
     salts = batch["salt"].to_numpy()
     pids = batch["pid"].to_numpy()
     payloads = batch["postings"].to_pylist()
+    dfs = batch["df"].to_numpy()
+    ttfs = batch["ttf"].to_numpy()
+    b_last = batch["block_last"].to_pylist()
+    b_maxtf = batch["block_max_tf"].to_pylist()
     max_norms = batch["block_max_norm"].to_pylist()
     # group bounds on (term, salt)
     change = np.empty(n, bool)
@@ -181,9 +207,13 @@ def _merge_batch(
         if s == 0 or e == n:  # touches block boundary -> pass through
             boundary_idx.extend(range(s, e))
             continue
+        metas = (
+            [(dfs[s], ttfs[s], b_last[s], b_maxtf[s], max_norms[s])]
+            if e - s == 1 else None
+        )
         chunks.extend(_merge_rows(
             terms[s], int(salts[s]), payloads[s:e], pids[s:e],
-            max_norms[s:e], byte_aligned, chunk_docs,
+            max_norms[s:e], byte_aligned, chunk_docs, metas=metas,
         ))
     _write_chunkfiles(chunks, out_dir)
     return batch.take(pa.array(boundary_idx, pa.int64()))
@@ -207,21 +237,25 @@ def merge_index(
         shutil.rmtree(out_dir)
     os.makedirs(out_dir + ".tmp", exist_ok=True)
 
-    # cheap pre-pass: global df per term from (term, df) columns only;
-    # only hot terms ship to the driver (tiny set)
-    df_ds = rd.read_parquet(seg_dir, columns=["term", "df"])
-    hot_tbl = (
-        df_ds.groupby("term")
-        .sum("df")
-        .map_batches(
-            lambda t: t.filter(
-                pc.greater_equal(t["sum(df)"], hot_df_threshold)
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-    )
-    hot_terms = set(hot_tbl["term"]) if len(hot_tbl) else set()
+    # cheap hot-term pre-pass with NO shuffle: a term can only reach global
+    # df >= T if some partition has df >= T/nparts (else sum < nparts *
+    # (T/nparts) = T). Filtered parquet read of (term, df) pulls just those
+    # candidate rows (predicate pushdown); the driver sums the (tiny)
+    # candidate set exactly.
+    nparts = max(1, man.num_partitions)
+    cut = max(1, hot_df_threshold // nparts)
+    cand = rd.read_parquet(
+        seg_dir, columns=["term", "df"],
+        filter=(pc.field("df") >= cut),
+    ).to_pandas()
+    if len(cand):
+        # sums over candidate rows only — a slight underestimate for terms
+        # that also have sub-cut rows; borderline-hot terms may miss salting
+        # (a load-balance heuristic, never a correctness issue)
+        sums = cand.groupby("term")["df"].sum()
+        hot_terms = set(sums[sums >= hot_df_threshold].index)
+    else:
+        hot_terms = set()
     hot_ref = ray.put(hot_terms)
     gsize = salt_group_size
 
