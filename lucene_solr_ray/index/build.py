@@ -304,37 +304,29 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     return row
 
 
-class _SegmentTask:
-    """Actor-pool stage: builds segments for a batch of partition
-    descriptors. Analyzer state (compiled DFA/regex, stop set) is created
-    once per actor (the Analyzer.ReuseStrategy analogue)."""
-
-    def __init__(self, out_dir: str, text_field: str, analyzer_name: str,
-                 byte_aligned: bool):
-        self.out_dir = out_dir
-        self.text_field = text_field
-        self.analyzer_name = analyzer_name
-        self.byte_aligned = byte_aligned
-        get_analyzer(analyzer_name)  # warm the per-process cache
-
-    def __call__(self, batch: dict) -> dict:
-        rows = []
-        n = len(batch["partition_id"])
-        for i in range(n):
-            part = {
-                "partition_id": int(batch["partition_id"][i]),
-                "file": str(batch["file"][i]),
-                "row_groups": [int(x) for x in batch["row_groups"][i]],
-                "rows": int(batch["rows"][i]),
-                "doc_base": int(batch["doc_base"][i]),
-            }
-            row = build_segment(
-                part, self.out_dir, text_field=self.text_field,
-                analyzer_name=self.analyzer_name,
-                byte_aligned=self.byte_aligned,
-            )
-            rows.append(row)
-        return {"manifest_row": np.array([json.dumps(r) for r in rows], object)}
+def _segment_task(batch: dict, *, out_dir: str, text_field: str,
+                  analyzer_name: str, byte_aligned: bool) -> dict:
+    """Stateless task stage: builds segments for a batch of partition
+    descriptors. Worker-process state (compiled tokenizer tables, stop set)
+    lives in the module-level analyzer registry — the Analyzer.ReuseStrategy
+    analogue — so plain Ray tasks reuse it across partitions without the
+    per-stage process spin-up an actor pool would pay."""
+    rows = []
+    n = len(batch["partition_id"])
+    for i in range(n):
+        part = {
+            "partition_id": int(batch["partition_id"][i]),
+            "file": str(batch["file"][i]),
+            "row_groups": [int(x) for x in batch["row_groups"][i]],
+            "rows": int(batch["rows"][i]),
+            "doc_base": int(batch["doc_base"][i]),
+        }
+        row = build_segment(
+            part, out_dir, text_field=text_field,
+            analyzer_name=analyzer_name, byte_aligned=byte_aligned,
+        )
+        rows.append(row)
+    return {"manifest_row": np.array([json.dumps(r) for r in rows], object)}
 
 
 def build_index(
@@ -348,17 +340,19 @@ def build_index(
     concurrency: int | None = None,
 ) -> IndexManifest:
     """Full distributed build: plan -> segment tasks -> manifest commit."""
+    import functools
+
     import ray.data as rd
 
     os.makedirs(out_dir, exist_ok=True)
     parts = plan_partitions(source, rows_per_partition)
     ds = rd.from_items(parts)
-    out = ds.map_batches(
-        _SegmentTask,
-        batch_size=1,
-        fn_constructor_args=(out_dir, text_field, analyzer, byte_aligned),
-        concurrency=concurrency or (1, 64),
+    fn = functools.partial(
+        _segment_task, out_dir=out_dir, text_field=text_field,
+        analyzer_name=analyzer, byte_aligned=byte_aligned,
     )
+    kw = {"concurrency": concurrency} if concurrency else {}
+    out = ds.map_batches(fn, batch_size=1, **kw)
     rows = [json.loads(r["manifest_row"]) for r in out.take_all()]
     rows.sort(key=lambda r: r["partition_id"])
     man = IndexManifest(

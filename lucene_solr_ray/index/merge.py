@@ -227,7 +227,6 @@ def merge_index(
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
 ) -> IndexManifest:
     """Shuffle-merge all segments into ``index_dir/merged``."""
-    import ray
     import ray.data as rd
 
     man = IndexManifest.load(index_dir)
@@ -237,47 +236,37 @@ def merge_index(
         shutil.rmtree(out_dir)
     os.makedirs(out_dir + ".tmp", exist_ok=True)
 
-    # cheap hot-term pre-pass with NO shuffle: a term can only reach global
-    # df >= T if some partition has df >= T/nparts (else sum < nparts *
-    # (T/nparts) = T). Filtered parquet read of (term, df) pulls just those
-    # candidate rows (predicate pushdown); the driver sums the (tiny)
-    # candidate set exactly.
+    # Local salting — NO global pre-pass: a row salts itself when its own
+    # per-partition df meets the necessary condition for the term to be
+    # globally hot (df_row >= threshold/nparts; if every row is below that
+    # cut, sum(df) < threshold). Rows of one term may disagree (some salt 0,
+    # some pid//G); that's safe because readers restore doc order after
+    # concatenating chunks — chunks always partition the term's doc set
+    # (readers.py TermDictReader.postings).
     nparts = max(1, man.num_partitions)
     cut = max(1, hot_df_threshold // nparts)
-    cand = rd.read_parquet(
-        seg_dir, columns=["term", "df"],
-        filter=(pc.field("df") >= cut),
-    ).to_pandas()
-    if len(cand):
-        # sums over candidate rows only — a slight underestimate for terms
-        # that also have sub-cut rows; borderline-hot terms may miss salting
-        # (a load-balance heuristic, never a correctness issue)
-        sums = cand.groupby("term")["df"].sum()
-        hot_terms = set(sums[sums >= hot_df_threshold].index)
-    else:
-        hot_terms = set()
-    hot_ref = ray.put(hot_terms)
     gsize = salt_group_size
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        hot = ray.get(hot_ref)
-        if not hot:
-            salt = np.zeros(batch.num_rows, np.int32)
-        else:
-            t = batch["term"].to_pylist()
-            pids = batch["pid"].to_numpy()
-            salt = np.fromiter(
-                ((pid // gsize) if x in hot else 0
-                 for x, pid in zip(t, pids)),
-                np.int32, count=batch.num_rows,
-            )
+        pids = batch["pid"].to_numpy()
+        dfs = batch["df"].to_numpy()
+        salt = np.where(dfs >= cut, pids // gsize, 0).astype(np.int32)
         return batch.append_column("salt", pa.array(salt))
 
     byte_aligned = man.byte_aligned
     tmp_out = out_dir + ".tmp"
+    # size merge tasks at ~75k term rows each: fewer boundary groups and
+    # file pairs than CPU-count-driven default splitting, while keeping the
+    # sort exchange wide enough to use the cluster
+    total_rows = sum(r.get("num_terms", 0) for r in man.partitions) or 1
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(8, min(total_rows // 75_000 + 1, ncpu * 4))
     boundary = (
         rd.read_parquet(seg_dir)
         .map_batches(add_salt, batch_format="pyarrow")
+        .repartition(nparts)
         .sort(["term", "salt"])
         .map_batches(
             lambda b: _merge_batch(b, tmp_out, byte_aligned, chunk_docs),

@@ -149,10 +149,13 @@ class TermDictReader:
             out = decode_postings(self._payload(rows[0]))
         else:
             parts = [decode_postings(self._payload(r)) for r in rows]
-            out = (
-                np.concatenate([p[0] for p in parts]),
-                np.concatenate([p[1] for p in parts]),
-            )
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            # chunks partition the term's doc set but need not arrive in
+            # doc order (locally-salted merge groups) — restore the sorted
+            # invariant the boolean scorers rely on
+            order = np.argsort(docs, kind="stable")
+            out = (docs[order], tfs[order])
         self._cache.put(("p", term), out)
         return out
 
