@@ -142,7 +142,7 @@ def encode_postings(
 
 def decode_postings(payload: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
     """Decode a full posting list -> (doc_ids:int64[], tfs:int32[])."""
-    buf = memoryview(payload)
+    buf = memoryview(payload).cast("B")  # unsigned view (arrow buffers are 'b')
     n = int(np.frombuffer(buf, "<u4", count=1)[0])
     off = 4
     deltas = np.empty(n, np.uint32)
@@ -171,7 +171,7 @@ def decode_block(
     ``prev_last_doc`` = last doc id of the preceding block (0 for the first,
     matching delta-from-zero encoding of the first doc).
     """
-    buf = memoryview(payload)
+    buf = memoryview(payload).cast("B")
     off = int(block_offsets[block_idx])
     lo = block_idx * BLOCK_SIZE
     cnt = min(BLOCK_SIZE, n_docs - lo)
@@ -183,7 +183,7 @@ def decode_block(
 
 def first_doc(payload: bytes | memoryview) -> int:
     """First doc id of a payload without decoding (header peek)."""
-    buf = memoryview(payload)
+    buf = memoryview(payload).cast("B")
     bpv = buf[4]
     if bpv == 0 or bpv == 255:
         return int(np.frombuffer(buf, "<u4", count=1, offset=5)[0])
@@ -197,7 +197,7 @@ def first_doc(payload: bytes | memoryview) -> int:
 def block_offsets(payload: bytes | memoryview, n_docs: int) -> np.ndarray:
     """Compute per-block byte offsets by walking headers (cheap, no payload
     decode) — the in-memory analogue of the skip list's file pointers."""
-    buf = memoryview(payload)
+    buf = memoryview(payload).cast("B")
     nblocks = (n_docs + BLOCK_SIZE - 1) // BLOCK_SIZE
     offs = np.empty(nblocks, np.int64)
     off = 4

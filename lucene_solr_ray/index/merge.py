@@ -177,6 +177,110 @@ def _write_chunkfiles(chunks: list[dict], out_dir: str) -> None:
     os.replace(tpath + ".tmp", tpath)
 
 
+class _BatchView:
+    """Zero-copy-ish columnar view of a sorted segment-rows batch: list
+    columns exposed as (offsets, values) numpy pairs, payloads as
+    memoryview slices of the binary column's data buffer — no per-row
+    ``to_pylist`` materialization."""
+
+    def __init__(self, batch: pa.Table):
+        self.terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        self.salts = batch["salt"].to_numpy()
+        self.pids = batch["pid"].to_numpy()
+        self.dfs = batch["df"].to_numpy()
+        self.ttfs = batch["ttf"].to_numpy()
+        p = batch["postings"].combine_chunks()
+        off_dtype = (
+            np.int64 if pa.types.is_large_binary(p.type) else np.int32
+        )
+        self._p_off = np.frombuffer(p.buffers()[1], off_dtype)[
+            p.offset : p.offset + len(p) + 1
+        ]
+        self._p_data = memoryview(p.buffers()[2])
+        self._lists = {}
+        for name in ("block_last", "block_max_tf", "block_max_norm"):
+            arr = batch[name].combine_chunks()
+            # ListArray.offsets/.values already account for the array
+            # offset in pyarrow (offsets is an Int32Array view)
+            off = arr.offsets.to_numpy()
+            vals = arr.values.to_numpy()
+            self._lists[name] = (off, vals)
+
+    def payload(self, i: int) -> memoryview:
+        return self._p_data[self._p_off[i]:self._p_off[i + 1]]
+
+    def lst(self, name: str, i: int) -> np.ndarray:
+        off, vals = self._lists[name]
+        return vals[off[i]:off[i + 1]]
+
+    def row_chunk(self, i: int, term: str, chunk_id: int) -> dict:
+        return {
+            "term": term,
+            "chunk_id": chunk_id,
+            "df": int(self.dfs[i]),
+            "ttf": int(self.ttfs[i]),
+            "start_doc": first_doc(self.payload(i)),
+            "payload": self.payload(i),
+            "block_last": self.lst("block_last", i),
+            "block_max_tf": self.lst("block_max_tf", i),
+            "block_max_norm": self.lst("block_max_norm", i),
+        }
+
+
+# groups with more postings than this pass their rows through as
+# independent chunks instead of decode+re-encode — the TieredMergePolicy
+# "don't rewrite big segments" analogue (readers merge chunks at read time)
+REENCODE_MAX_DOCS = 4096
+
+
+def _merge_group_view(
+    v: _BatchView, s: int, e: int, byte_aligned: bool, chunk_docs: int
+) -> list[dict]:
+    term = v.terms[s]
+    salt = int(v.salts[s])
+    if e - s == 1:  # single source row: always passthrough
+        return [v.row_chunk(s, term, salt * SALT_STRIDE)]
+    total_df = int(v.dfs[s:e].sum())
+    order = s + np.argsort(v.pids[s:e], kind="stable")
+    if total_df > REENCODE_MAX_DOCS:
+        # large group: keep each row as its own chunk (no re-encode);
+        # chunk ids follow pid order within the salt
+        return [
+            v.row_chunk(int(i), term, salt * SALT_STRIDE + k)
+            for k, i in enumerate(order)
+        ]
+    # small fragmented group: compact into one (or few) chunk(s)
+    docs_l, tfs_l = [], []
+    max_norm = 0
+    for i in order:
+        d, f = decode_postings(v.payload(int(i)))
+        docs_l.append(d)
+        tfs_l.append(f)
+        mn = v.lst("block_max_norm", int(i))
+        if mn.size:
+            max_norm = max(max_norm, int(mn.max()))
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    out = []
+    for c in range((docs.size + chunk_docs - 1) // chunk_docs):
+        lo, hi = c * chunk_docs, min((c + 1) * chunk_docs, docs.size)
+        payload, last, maxtf = encode_postings(
+            docs[lo:hi], tfs[lo:hi], byte_aligned=byte_aligned
+        )
+        out.append({
+            "term": term,
+            "chunk_id": salt * SALT_STRIDE + c,
+            "df": hi - lo,
+            "ttf": int(tfs[lo:hi].sum()),
+            "start_doc": int(docs[lo]),
+            "payload": payload,
+            "block_last": last,
+            "block_max_tf": maxtf,
+            "block_max_norm": np.full(last.size, max_norm, np.uint8),
+        })
+    return out
+
+
 def _merge_batch(
     batch: pa.Table, out_dir: str, byte_aligned: bool, chunk_docs: int
 ) -> pa.Table:
@@ -185,20 +289,13 @@ def _merge_batch(
     n = batch.num_rows
     if n == 0:
         return batch
-    terms = np.asarray(batch["term"].to_pylist(), dtype=object)
-    salts = batch["salt"].to_numpy()
-    pids = batch["pid"].to_numpy()
-    payloads = batch["postings"].to_pylist()
-    dfs = batch["df"].to_numpy()
-    ttfs = batch["ttf"].to_numpy()
-    b_last = batch["block_last"].to_pylist()
-    b_maxtf = batch["block_max_tf"].to_pylist()
-    max_norms = batch["block_max_norm"].to_pylist()
-    # group bounds on (term, salt)
+    v = _BatchView(batch)
     change = np.empty(n, bool)
     change[0] = True
     if n > 1:
-        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        change[1:] = (v.terms[1:] != v.terms[:-1]) | (
+            v.salts[1:] != v.salts[:-1]
+        )
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
     chunks: list[dict] = []
@@ -207,14 +304,7 @@ def _merge_batch(
         if s == 0 or e == n:  # touches block boundary -> pass through
             boundary_idx.extend(range(s, e))
             continue
-        metas = (
-            [(dfs[s], ttfs[s], b_last[s], b_maxtf[s], max_norms[s])]
-            if e - s == 1 else None
-        )
-        chunks.extend(_merge_rows(
-            terms[s], int(salts[s]), payloads[s:e], pids[s:e],
-            max_norms[s:e], byte_aligned, chunk_docs, metas=metas,
-        ))
+        chunks.extend(_merge_group_view(v, s, e, byte_aligned, chunk_docs))
     _write_chunkfiles(chunks, out_dir)
     return batch.take(pa.array(boundary_idx, pa.int64()))
 
@@ -275,20 +365,36 @@ def merge_index(
         )
         .take_all()
     )
-    # final stage: merge the (small) boundary groups driver-side
+    # final stage: merge the (small) boundary groups driver-side; big
+    # groups (salted hot terms) pass through row-per-chunk like interiors
     if boundary:
         rows: dict[tuple, dict] = {}
         for r in boundary:
             rows.setdefault((r["term"], int(r["salt"])), []).append(r)
         chunks: list[dict] = []
         for (term, salt), grp in sorted(rows.items()):
-            chunks.extend(_merge_rows(
-                term, salt,
-                [g["postings"] for g in grp],
-                np.array([g["pid"] for g in grp]),
-                [g["block_max_norm"] for g in grp],
-                byte_aligned, chunk_docs,
-            ))
+            grp.sort(key=lambda g: int(g["pid"]))
+            if sum(int(g["df"]) for g in grp) > REENCODE_MAX_DOCS:
+                for k, g in enumerate(grp):
+                    chunks.append({
+                        "term": term,
+                        "chunk_id": salt * SALT_STRIDE + k,
+                        "df": int(g["df"]),
+                        "ttf": int(g["ttf"]),
+                        "start_doc": first_doc(g["postings"]),
+                        "payload": g["postings"],
+                        "block_last": g["block_last"],
+                        "block_max_tf": g["block_max_tf"],
+                        "block_max_norm": g["block_max_norm"],
+                    })
+            else:
+                chunks.extend(_merge_rows(
+                    term, salt,
+                    [g["postings"] for g in grp],
+                    np.arange(len(grp)),
+                    [g["block_max_norm"] for g in grp],
+                    byte_aligned, chunk_docs,
+                ))
         _write_chunkfiles(chunks, tmp_out)
     os.replace(tmp_out, out_dir)
     man.merged = True
