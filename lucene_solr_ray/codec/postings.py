@@ -181,6 +181,33 @@ def decode_block(
     return doc_ids, (t + 1).astype(np.int32)
 
 
+def encode_values(vals: np.ndarray, byte_aligned: bool = True) -> bytes:
+    """Generic block-compressed uint32 stream (the ``.pos`` file analogue:
+    position deltas flattened across postings, 128-value FOR blocks —
+    ``Lucene50PostingsWriter`` pos stream)."""
+    vals = np.asarray(vals, dtype=np.uint32)
+    out: list[bytes] = [np.uint32(vals.size).tobytes()]
+    for b in range((vals.size + BLOCK_SIZE - 1) // BLOCK_SIZE):
+        _encode_stream(
+            out, vals[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE], byte_aligned
+        )
+    return b"".join(out)
+
+
+def decode_values(payload: bytes | memoryview) -> np.ndarray:
+    buf = memoryview(payload).cast("B")
+    n = int(np.frombuffer(buf, "<u4", count=1)[0])
+    out = np.empty(n, np.uint32)
+    off = 4
+    pos = 0
+    while pos < n:
+        cnt = min(BLOCK_SIZE, n - pos)
+        v, off = _decode_stream(buf, off, cnt)
+        out[pos : pos + cnt] = v
+        pos += cnt
+    return out
+
+
 def first_doc(payload: bytes | memoryview) -> int:
     """First doc id of a payload without decoding (header peek)."""
     buf = memoryview(payload).cast("B")

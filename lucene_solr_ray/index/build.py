@@ -121,31 +121,54 @@ def plan_partitions(source: str | list[str], rows_per_partition: int) -> list[di
 
 
 def _invert(
-    texts: list[str], analyzer_name: str, doc_base_local: int
-) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    texts: list[str], analyzer_name: str, doc_base_local: int,
+    want_positions: bool = False,
+):
     """Tokenize a sub-batch and aggregate (term, doc, tf) triples.
 
-    Returns (terms_sorted_unique?, ...) — actually returns raw triples:
-    (vocab_tokens, tid, doc, tf, doc_len). tid indexes vocab_tokens.
+    Returns (vocab_tokens, tid, doc, tf, doc_len, pos_lists) where
+    ``pos_lists`` (only when ``want_positions``) is a list of int32 arrays —
+    the in-doc token positions per (term, doc) pair, aligned with the
+    triples (positions include gaps from removed stop/over-long tokens,
+    matching ``FreqProxTermsWriterPerField`` prox accumulation).
     """
     import pandas as pd
 
     ana = get_analyzer(analyzer_name)
-    tokens, doc_idx, _pos = ana.tokens_batch(texts)
+    tokens, doc_idx, pos = ana.tokens_batch(texts)
     doc_len = np.bincount(doc_idx, minlength=len(texts)).astype(np.int32)
     if not tokens:
         e = np.empty(0, np.int64)
-        return [], e, e, e, doc_len
+        return [], e, e, e, doc_len, []
     tid, vocab = pd.factorize(np.asarray(tokens, dtype=object))
     key = tid.astype(np.int64) * len(texts) + doc_idx
-    uniq, counts = np.unique(key, return_counts=True)
+    if want_positions:
+        order = np.lexsort((pos, key))
+        key_s = key[order]
+        pos_s = pos[order].astype(np.int32)
+        uniq, starts, counts = np.unique(
+            key_s, return_index=True, return_counts=True
+        )
+        # delta-encode within each posting (first position raw) — the
+        # prox-delta stream shape (FreqProxTermsWriterPerField.java:80-99)
+        d = np.empty_like(pos_s)
+        if pos_s.size:
+            d[0] = pos_s[0]
+            d[1:] = pos_s[1:] - pos_s[:-1]
+            d[starts] = pos_s[starts]
+        pos_lists = np.split(d, starts[1:])
+    else:
+        uniq, counts = np.unique(key, return_counts=True)
+        pos_lists = []
     u_tid = uniq // len(texts)
     u_doc = uniq % len(texts) + doc_base_local
-    return list(vocab), u_tid, u_doc, counts.astype(np.int64), doc_len
+    return list(vocab), u_tid, u_doc, counts.astype(np.int64), doc_len, \
+        pos_lists
 
 
 def build_segment(part: dict, out_dir: str, *, text_field: str,
                   analyzer_name: str, byte_aligned: bool,
+                  store_positions: bool = False,
                   tokenize_batch_rows: int = 2000) -> dict:
     """Build one partition's segment (one 'DWPT flush'). Pure function of
     (part descriptor, config); writes atomically; returns manifest row."""
@@ -161,6 +184,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     pf = pq.ParquetFile(part["file"])
     vocab: dict[str, int] = {}
     tids, docs, tfs = [], [], []
+    all_pos: list = []
     lens_parts, sha_parts = [], []
     rows_done = 0
     for rg in part["row_groups"]:
@@ -172,8 +196,9 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         sha_parts.extend(hashlib.sha256(t.encode("utf-8")).digest() for t in texts)
         for lo in range(0, len(texts), tokenize_batch_rows):
             sub = texts[lo : lo + tokenize_batch_rows]
-            toks, s_tid, s_doc, s_tf, s_len = _invert(
-                sub, analyzer_name, rows_done + lo
+            toks, s_tid, s_doc, s_tf, s_len, s_pos = _invert(
+                sub, analyzer_name, rows_done + lo,
+                want_positions=store_positions,
             )
             lens_parts.append(s_len)
             if not toks:
@@ -189,6 +214,8 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
             tids.append(remap[s_tid])
             docs.append(s_doc)
             tfs.append(s_tf)
+            if store_positions:
+                all_pos.extend(s_pos)
         rows_done += len(texts)
 
     doc_lens = (
@@ -215,8 +242,12 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         starts = ends = np.empty(0, np.int64)
 
     payloads, dfs, ttfs = [], [], []
+    pos_payloads: list = []
     bl_last, bl_maxtf, bl_maxnorm = [], [], []
     a_doc_g = a_doc + doc_base if tids else None
+    if store_positions and tids:
+        pos_sorted = [all_pos[i] for i in srt.tolist()]
+    from ..codec.postings import encode_values
     # df==1 fast path (the Zipf majority; singletonDocID analogue,
     # Lucene50PostingsWriter.java:325-330): payloads are a fixed 14-byte
     # struct, built for ALL singleton terms in one vectorized pass.
@@ -235,6 +266,12 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         singles_blob = s_arr.tobytes()
     j = 0  # index into singles
     for s, e in zip(starts.tolist(), ends.tolist()):
+        if store_positions:
+            flat = (
+                pos_sorted[s] if e - s == 1
+                else np.concatenate(pos_sorted[s:e])
+            )
+            pos_payloads.append(encode_values(flat, byte_aligned))
         if e - s == 1:
             payloads.append(singles_blob[j * 14 : (j + 1) * 14])
             j += 1
@@ -270,6 +307,10 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         "block_last": pa.array(bl_last, pa.list_(pa.int64())),
         "block_max_tf": pa.array(bl_maxtf, pa.list_(pa.int32())),
         "block_max_norm": pa.array(bl_maxnorm, pa.list_(pa.uint8())),
+        "positions": pa.array(
+            pos_payloads if store_positions else [b""] * len(payloads),
+            pa.large_binary(),
+        ),
     })
     pq.write_table(seg_tbl, seg_path + ".tmp")
     os.replace(seg_path + ".tmp", seg_path)
@@ -305,7 +346,8 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
 
 
 def _segment_task(batch: dict, *, out_dir: str, text_field: str,
-                  analyzer_name: str, byte_aligned: bool) -> dict:
+                  analyzer_name: str, byte_aligned: bool,
+                  store_positions: bool = False) -> dict:
     """Stateless task stage: builds segments for a batch of partition
     descriptors. Worker-process state (compiled tokenizer tables, stop set)
     lives in the module-level analyzer registry — the Analyzer.ReuseStrategy
@@ -324,6 +366,7 @@ def _segment_task(batch: dict, *, out_dir: str, text_field: str,
         row = build_segment(
             part, out_dir, text_field=text_field,
             analyzer_name=analyzer_name, byte_aligned=byte_aligned,
+            store_positions=store_positions,
         )
         rows.append(row)
     return {"manifest_row": np.array([json.dumps(r) for r in rows], object)}
@@ -337,6 +380,7 @@ def build_index(
     analyzer: str = "standard",
     rows_per_partition: int = 20_000,
     byte_aligned: bool = True,
+    store_positions: bool = False,
     concurrency: int | None = None,
 ) -> IndexManifest:
     """Full distributed build: plan -> segment tasks -> manifest commit."""
@@ -350,6 +394,7 @@ def build_index(
     fn = functools.partial(
         _segment_task, out_dir=out_dir, text_field=text_field,
         analyzer_name=analyzer, byte_aligned=byte_aligned,
+        store_positions=store_positions,
     )
     kw = {"concurrency": concurrency} if concurrency else {}
     out = ds.map_batches(fn, batch_size=1, **kw)
@@ -364,6 +409,7 @@ def build_index(
         num_partitions=len(rows),
         partitions=rows,
         byte_aligned=byte_aligned,
+        store_positions=store_positions,
     )
     man.save()
     return man

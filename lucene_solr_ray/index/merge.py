@@ -52,7 +52,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..codec import BLOCK_SIZE, decode_postings, encode_postings
-from ..codec.postings import first_doc
+from ..codec.postings import decode_values, encode_values, first_doc
 from .build import IndexManifest
 
 DEFAULT_CHUNK_DOCS = BLOCK_SIZE * 512  # 64k postings per chunk row
@@ -81,40 +81,28 @@ def _merge_rows(
     max_norms: list,
     byte_aligned: bool,
     chunk_docs: int,
-    metas: list | None = None,
+    pos_payloads: list | None = None,
 ) -> list[dict]:
-    """Merge one (term, salt) group's rows -> list of chunk dicts.
-
-    Single-source-row fast path: when the group has exactly one segment row
-    that fits one chunk, its payload is already a valid self-contained chunk
-    (first delta = absolute doc id) — pass it through without decode
-    (``metas`` = [(df, ttf, block_last, block_max_tf, block_max_norm)]).
-    """
-    if metas is not None and len(payloads) == 1:
-        df, ttf, b_last, b_maxtf, b_maxnorm = metas[0]
-        if df <= chunk_docs:
-            return [{
-                "term": term,
-                "chunk_id": salt * SALT_STRIDE,
-                "df": int(df),
-                "ttf": int(ttf),
-                "start_doc": first_doc(payloads[0]),
-                "payload": payloads[0],
-                "block_last": list(b_last),
-                "block_max_tf": list(b_maxtf),
-                "block_max_norm": list(b_maxnorm),
-            }]
+    """Merge one (term, salt) group's rows -> list of chunk dicts
+    (decode + concat in pid order + re-encode; driver-side boundary path)."""
     order = np.argsort(pids, kind="stable")
-    docs_l, tfs_l = [], []
+    docs_l, tfs_l, pos_l = [], [], []
     max_norm = 0
     for i in order:
         d, f = decode_postings(payloads[i])
         docs_l.append(d)
         tfs_l.append(f)
+        if pos_payloads is not None and len(pos_payloads[i]):
+            pos_l.append(decode_values(pos_payloads[i]))
         if len(max_norms[i]):
             max_norm = max(max_norm, int(max(max_norms[i])))
     docs = np.concatenate(docs_l) if len(docs_l) > 1 else docs_l[0]
     tfs = np.concatenate(tfs_l) if len(tfs_l) > 1 else tfs_l[0]
+    pos_flat = np.concatenate(pos_l) if pos_l else None
+    tf_cum = (
+        np.concatenate(([0], np.cumsum(tfs))) if pos_flat is not None
+        else None
+    )
     out = []
     n = docs.size
     for c in range((n + chunk_docs - 1) // chunk_docs):
@@ -129,6 +117,10 @@ def _merge_rows(
             "ttf": int(tfs[lo:hi].sum()),
             "start_doc": int(docs[lo]),
             "payload": payload,
+            "positions": (
+                encode_values(pos_flat[tf_cum[lo]:tf_cum[hi]], byte_aligned)
+                if pos_flat is not None else b""
+            ),
             "block_last": last.tolist(),
             "block_max_tf": maxtf.tolist(),
             "block_max_norm": [max_norm] * last.size,
@@ -151,6 +143,12 @@ def _write_chunkfiles(chunks: list[dict], out_dir: str) -> None:
         offsets.append(pos)
         lengths.append(len(c["payload"]))
         pos += lengths[-1]
+    pos_offsets, pos_lengths = [], []
+    for c in chunks:
+        pl = c.get("positions", b"")
+        pos_offsets.append(pos)
+        pos_lengths.append(len(pl))
+        pos += len(pl)
     tbl = pa.table({
         "term": pa.array([c["term"] for c in chunks], pa.string()),
         "chunk_id": pa.array([c["chunk_id"] for c in chunks], pa.int64()),
@@ -160,6 +158,8 @@ def _write_chunkfiles(chunks: list[dict], out_dir: str) -> None:
         "payload_file": pa.array([payload_name] * len(chunks), pa.string()),
         "offset": pa.array(offsets, pa.int64()),
         "length": pa.array(lengths, pa.int64()),
+        "pos_offset": pa.array(pos_offsets, pa.int64()),
+        "pos_length": pa.array(pos_lengths, pa.int64()),
         "block_last": pa.array([c["block_last"] for c in chunks],
                                pa.list_(pa.int64())),
         "block_max_tf": pa.array([c["block_max_tf"] for c in chunks],
@@ -171,6 +171,10 @@ def _write_chunkfiles(chunks: list[dict], out_dir: str) -> None:
     with open(ppath + ".tmp", "wb") as f:
         for c in chunks:
             f.write(c["payload"])
+        for c in chunks:
+            pl = c.get("positions", b"")
+            if len(pl):
+                f.write(pl)
     os.replace(ppath + ".tmp", ppath)
     tpath = os.path.join(out_dir, f"terms-{name}.parquet")
     pq.write_table(tbl, tpath + ".tmp")
@@ -183,7 +187,7 @@ class _BatchView:
     memoryview slices of the binary column's data buffer — no per-row
     ``to_pylist`` materialization."""
 
-    def __init__(self, batch: pa.Table):
+    def __init__(self, batch: pa.Table, use_positions: bool = True):
         self.terms = np.asarray(batch["term"].to_pylist(), dtype=object)
         self.salts = batch["salt"].to_numpy()
         self.pids = batch["pid"].to_numpy()
@@ -197,6 +201,17 @@ class _BatchView:
             p.offset : p.offset + len(p) + 1
         ]
         self._p_data = memoryview(p.buffers()[2])
+        self.has_positions = (
+            use_positions and "positions" in batch.schema.names
+        )
+        if self.has_positions:
+            q = batch["positions"].combine_chunks()
+            qd = (np.int64 if pa.types.is_large_binary(q.type) else np.int32)
+            self._q_off = np.frombuffer(q.buffers()[1], qd)[
+                q.offset : q.offset + len(q) + 1
+            ]
+            self._q_data = memoryview(q.buffers()[2]) if q.buffers()[2] \
+                else memoryview(b"")
         self._lists = {}
         for name in ("block_last", "block_max_tf", "block_max_norm"):
             arr = batch[name].combine_chunks()
@@ -208,6 +223,11 @@ class _BatchView:
 
     def payload(self, i: int) -> memoryview:
         return self._p_data[self._p_off[i]:self._p_off[i + 1]]
+
+    def pos_payload(self, i: int) -> memoryview:
+        if not self.has_positions:
+            return memoryview(b"")
+        return self._q_data[self._q_off[i]:self._q_off[i + 1]]
 
     def lst(self, name: str, i: int) -> np.ndarray:
         off, vals = self._lists[name]
@@ -221,6 +241,7 @@ class _BatchView:
             "ttf": int(self.ttfs[i]),
             "start_doc": first_doc(self.payload(i)),
             "payload": self.payload(i),
+            "positions": self.pos_payload(i),
             "block_last": self.lst("block_last", i),
             "block_max_tf": self.lst("block_max_tf", i),
             "block_max_norm": self.lst("block_max_norm", i),
@@ -250,17 +271,22 @@ def _merge_group_view(
             for k, i in enumerate(order)
         ]
     # small fragmented group: compact into one (or few) chunk(s)
-    docs_l, tfs_l = [], []
+    docs_l, tfs_l, pos_l = [], [], []
     max_norm = 0
     for i in order:
         d, f = decode_postings(v.payload(int(i)))
         docs_l.append(d)
         tfs_l.append(f)
+        if v.has_positions:
+            pos_l.append(decode_values(v.pos_payload(int(i))))
         mn = v.lst("block_max_norm", int(i))
         if mn.size:
             max_norm = max(max_norm, int(mn.max()))
     docs = np.concatenate(docs_l)
     tfs = np.concatenate(tfs_l)
+    pos_flat = np.concatenate(pos_l) if pos_l else None
+    tf_cum = np.concatenate(([0], np.cumsum(tfs))) if pos_flat is not None \
+        else None
     out = []
     for c in range((docs.size + chunk_docs - 1) // chunk_docs):
         lo, hi = c * chunk_docs, min((c + 1) * chunk_docs, docs.size)
@@ -274,6 +300,10 @@ def _merge_group_view(
             "ttf": int(tfs[lo:hi].sum()),
             "start_doc": int(docs[lo]),
             "payload": payload,
+            "positions": (
+                encode_values(pos_flat[tf_cum[lo]:tf_cum[hi]], byte_aligned)
+                if pos_flat is not None else b""
+            ),
             "block_last": last,
             "block_max_tf": maxtf,
             "block_max_norm": np.full(last.size, max_norm, np.uint8),
@@ -282,14 +312,15 @@ def _merge_group_view(
 
 
 def _merge_batch(
-    batch: pa.Table, out_dir: str, byte_aligned: bool, chunk_docs: int
+    batch: pa.Table, out_dir: str, byte_aligned: bool, chunk_docs: int,
+    use_positions: bool = True,
 ) -> pa.Table:
     """Merge all interior (term, salt) groups of a sorted batch; return the
     boundary rows (first & last key of the block) unmerged."""
     n = batch.num_rows
     if n == 0:
         return batch
-    v = _BatchView(batch)
+    v = _BatchView(batch, use_positions=use_positions)
     change = np.empty(n, bool)
     change[0] = True
     if n > 1:
@@ -359,7 +390,8 @@ def merge_index(
         .repartition(nparts)
         .sort(["term", "salt"])
         .map_batches(
-            lambda b: _merge_batch(b, tmp_out, byte_aligned, chunk_docs),
+            lambda b: _merge_batch(b, tmp_out, byte_aligned, chunk_docs,
+                                   use_positions=man.store_positions),
             batch_format="pyarrow",
             batch_size=None,
         )
@@ -383,6 +415,7 @@ def merge_index(
                         "ttf": int(g["ttf"]),
                         "start_doc": first_doc(g["postings"]),
                         "payload": g["postings"],
+                        "positions": g.get("positions", b""),
                         "block_last": g["block_last"],
                         "block_max_tf": g["block_max_tf"],
                         "block_max_norm": g["block_max_norm"],
@@ -394,6 +427,10 @@ def merge_index(
                     np.arange(len(grp)),
                     [g["block_max_norm"] for g in grp],
                     byte_aligned, chunk_docs,
+                    pos_payloads=(
+                        [g["positions"] for g in grp]
+                        if man.store_positions else None
+                    ),
                 ))
         _write_chunkfiles(chunks, tmp_out)
     os.replace(tmp_out, out_dir)

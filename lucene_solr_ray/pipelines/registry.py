@@ -68,7 +68,9 @@ def _doc_index(sf_dir: str):
     from ..index import IndexManifest, build_index
     from ..search.searcher import IndexSearcher
 
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:simple".encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:simple:pos".encode()
+    ).hexdigest()[:12]
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     out = f"/tmp/lsr_qidx/{key}"
@@ -76,7 +78,7 @@ def _doc_index(sf_dir: str):
     if not os.path.exists(os.path.join(out, "manifest.json")):
         os.makedirs(out, exist_ok=True)
         build_index(src, out, text_field="text", analyzer="simple",
-                    rows_per_partition=50_000)
+                    rows_per_partition=50_000, store_positions=True)
     import pyarrow.parquet as pq
 
     doc_ids = pq.read_table(src, columns=["doc_id"])["doc_id"].to_numpy()
@@ -192,6 +194,37 @@ def q_ft_phrase_count(sf_dir: str) -> pa.Table:
     ds = _docs_ds(sf_dir, ["text"]).map_batches(f, batch_format="pyarrow")
     total = sum(r["n"] for r in ds.take_all())
     return pa.table({"phrase_docs": pa.array([total], pa.int64())})
+
+
+def q_ft_phrase_search(sf_dir: str) -> pa.Table:
+    """Index-based exact phrase match (ExactPhraseScorer over the
+    positional index): docs containing the phrase "hash join" with the
+    phrase frequency."""
+    from ..search.query import PhraseQuery
+
+    s, doc_map = _doc_index(sf_dir)
+    docs, scores = s._score_phrase(PhraseQuery(("hash", "join")))
+    # recompute phrase freq for output (scores are BM25; freq is the
+    # SQL-comparable quantity)
+    freqs = []
+    for d in docs:
+        datas = [s.reader.postings_with_positions(t)
+                 for t in ("hash", "join")]
+        import numpy as _np
+
+        (d0, t0, p0), (d1, t1, p1) = datas
+        c0 = _np.concatenate(([0], _np.cumsum(t0)))
+        c1 = _np.concatenate(([0], _np.cumsum(t1)))
+        j0 = int(_np.searchsorted(d0, d))
+        j1 = int(_np.searchsorted(d1, d))
+        a = _np.cumsum(p0[c0[j0]:c0[j0 + 1]].astype(_np.int64))
+        b = _np.cumsum(p1[c1[j1]:c1[j1 + 1]].astype(_np.int64))
+        freqs.append(int(_np.intersect1d(a, b - 1).size))
+    order = np.argsort(docs)
+    return pa.table({
+        "doc_id": pa.array(doc_map[docs[order]], pa.int64()),
+        "phrase_tf": pa.array(np.asarray(freqs, np.int64)[order]),
+    })
 
 
 def q_ft_prefix_count(sf_dir: str) -> pa.Table:
@@ -519,6 +552,7 @@ QUERIES = {
     "ft_bool_or": q_ft_bool_or,
     "ft_bool_and": q_ft_bool_and,
     "ft_phrase_count": q_ft_phrase_count,
+    "ft_phrase_search": q_ft_phrase_search,
     "ft_prefix_count": q_ft_prefix_count,
     "facet_lang": q_facet_lang,
     "facet_source_top10": q_facet_source_top10,
@@ -561,6 +595,13 @@ ORDER BY doc_id
     "ft_phrase_count": """
 SELECT count(*)::BIGINT AS phrase_docs FROM documents
 WHERE regexp_matches(text, '\\bhash join\\b')
+""",
+    "ft_phrase_search": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\bhash join\\b')) AS BIGINT)
+         AS phrase_tf
+FROM documents WHERE regexp_matches(text, '\\bhash join\\b')
+ORDER BY doc_id
 """,
     "ft_prefix_count": f"""
 WITH {_TOKENS}

@@ -13,6 +13,7 @@ from .query import (
     WildcardQuery,
     parse_query,
 )
+from .distributed import search_sharded
 from .searcher import IndexSearcher
 from .topk import merge_shard_topk, top_k
 
@@ -20,5 +21,5 @@ __all__ = [
     "BooleanQuery", "ConstantScoreQuery", "FuzzyQuery", "IndexSearcher",
     "MatchAllDocsQuery", "PhraseQuery", "PrefixQuery", "Query", "RegexpQuery",
     "TermQuery", "TermRangeQuery", "WildcardQuery", "bm25",
-    "merge_shard_topk", "parse_query", "top_k",
+    "merge_shard_topk", "parse_query", "search_sharded", "top_k",
 ]

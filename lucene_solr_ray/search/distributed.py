@@ -1,0 +1,177 @@
+"""Doc-sharded distributed search: scatter/gather with global statistics.
+
+The Ray Data restatement of Solr's two-stage distributed query
+(``QueryComponent.java:662-714`` STAGE_EXECUTE_QUERY scatter +
+``mergeIds`` k-way merge) and Lucene's parallel leaf slices
+(``IndexSearcher.java:88-92,232-236``):
+
+1. **stats pass** — per-shard term statistics for the query terms (cheap
+   term-dict lookups) are summed into GLOBAL (df, maxDoc, sumTotalTermFreq)
+   and broadcast, so every shard scores exactly as a single Lucene index
+   would (no per-shard-IDF drift — the BaseDistributedSearchTestCase
+   equivalence requirement);
+2. **scoring pass** — a Dataset of shard descriptors -> ``map_batches``
+   over shard scorers (each loads only its partitions' segments + norms)
+   -> per-shard top-k tables;
+3. **merge** — ``TopDocs.merge`` tie semantics (score desc, lower
+   shardIndex, in-shard order — ``TopDocs.java:94-113``), with shardIndex
+   = deterministic partition-group id, never actor arrival order.
+
+Rank identity vs the single-process searcher is asserted in tests at two
+parallelism levels (the control-vs-sharded strategy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..index.build import IndexManifest
+from .query import (
+    BooleanQuery,
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+from .topk import merge_shard_topk
+
+
+def query_terms(q: Query) -> set[str]:
+    """All literal terms a query scores with (for the stats pass)."""
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for _, sub in q.clauses:
+            out |= query_terms(sub)
+        return out
+    if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery,
+                      TermRangeQuery, FuzzyQuery)):
+        return set()  # constant-score rewrites don't use df
+    return set()
+
+
+def plan_shards(manifest: IndexManifest, num_shards: int) -> list[dict]:
+    """Deterministic contiguous partition groups -> shard descriptors."""
+    pids = [r["partition_id"] for r in manifest.partitions]
+    num_shards = max(1, min(num_shards, len(pids)))
+    per = (len(pids) + num_shards - 1) // num_shards
+    return [
+        {"shard_id": i, "partition_ids": pids[i * per : (i + 1) * per]}
+        for i in range((len(pids) + per - 1) // per)
+    ]
+
+
+def _shard_searcher(index_dir: str, pids: list[int], stats: dict,
+                    precise: bool):
+    from .readers import NormsReader, SegmentsReader
+    from .searcher import IndexSearcher
+
+    man = IndexManifest.load(index_dir)
+    by_pid = {r["partition_id"]: r for r in man.partitions}
+    lo = min(by_pid[p]["doc_base"] for p in pids)
+    hi = max(by_pid[p]["doc_base"] + by_pid[p]["rows"] for p in pids)
+    stats = dict(stats, doc_range=(lo, hi))
+    return IndexSearcher(
+        index_dir, precise=precise,
+        reader=SegmentsReader(index_dir, partition_ids=pids),
+        norms=NormsReader(index_dir, man.max_doc, partition_ids=pids),
+        global_stats=stats,
+    )
+
+
+def search_sharded(
+    index_dir: str,
+    queries: list[Query],
+    k: int = 10,
+    *,
+    num_shards: int = 8,
+    precise: bool = False,
+) -> pa.Table:
+    """Returns (query_id, rank, doc_id, score) — rank-identical to the
+    single-process searcher over the same index."""
+    import ray
+    import ray.data as rd
+
+    man = IndexManifest.load(index_dir)
+    shards = plan_shards(man, num_shards)
+    terms = sorted(set().union(*(query_terms(q) for q in queries)) or set())
+
+    # ---- stats pass: per-shard df for the query terms, summed globally
+    def shard_stats(batch: dict) -> dict:
+        from .readers import SegmentsReader
+
+        out = []
+        for pids in batch["partition_ids"]:
+            r = SegmentsReader(index_dir, partition_ids=list(pids))
+            dfs = r.doc_freqs(terms) if terms else {}
+            out.append([dfs.get(t, 0) for t in terms])
+        return {"dfs": np.array(out, np.int64)}
+
+    df_global = np.zeros(len(terms), np.int64)
+    if terms:
+        for row in (
+            rd.from_items(shards).map_batches(shard_stats).take_all()
+        ):
+            df_global += np.asarray(row["dfs"], np.int64)
+    stats = {
+        "max_doc": man.max_doc,
+        "sum_ttf": man.sum_total_term_freq,
+        "df": dict(zip(terms, df_global.tolist())),
+    }
+    stats_ref = ray.put(stats)
+    q_ref = ray.put(queries)
+
+    # ---- scoring pass: per-shard top-k
+    def shard_search(batch: dict) -> dict:
+        st = ray.get(stats_ref)
+        qs = ray.get(q_ref)
+        rows = {"query_id": [], "shard_id": [], "hit": [], "doc_id": [],
+                "score": []}
+        for sid, pids in zip(batch["shard_id"], batch["partition_ids"]):
+            s = _shard_searcher(index_dir, list(pids), st, precise)
+            for qi, q in enumerate(qs):
+                t = s.search(q, k=k)
+                n = t.num_rows
+                rows["query_id"].extend([qi] * n)
+                rows["shard_id"].extend([int(sid)] * n)
+                rows["hit"].extend(range(n))
+                rows["doc_id"].extend(t["doc_id"].to_pylist())
+                rows["score"].extend(t["score"].to_pylist())
+        return {k2: np.asarray(v) for k2, v in rows.items()}
+
+    parts = rd.from_items(shards).map_batches(shard_search).take_all()
+
+    # ---- TopDocs.merge per query
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    dtype = np.float64 if precise else np.float32
+    for qi in range(len(queries)):
+        shard_results = []
+        for row in parts:
+            m = np.asarray(row["query_id"]) == qi
+            if not m.any():
+                continue
+            shard_results.append((
+                int(np.asarray(row["shard_id"])[m][0]),
+                np.asarray(row["doc_id"])[m],
+                np.asarray(row["score"])[m].astype(dtype),
+            ))
+        shard_results.sort(key=lambda x: x[0])
+        docs, scores = merge_shard_topk(shard_results, k)
+        out["query_id"].extend([qi] * docs.size)
+        out["rank"].extend(range(1, docs.size + 1))
+        out["doc_id"].extend(docs.tolist())
+        out["score"].extend(scores.tolist())
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int32()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "score": pa.array(np.asarray(out["score"], dtype)),
+    })

@@ -30,17 +30,25 @@ import numpy as np
 import pyarrow.dataset as pads
 
 from ..codec import decode_postings
+from ..codec.postings import decode_values
 
 
 class NormsReader:
-    def __init__(self, index_dir: str, max_doc: int):
+    def __init__(self, index_dir: str, max_doc: int,
+                 partition_ids: list[int] | None = None):
         import pyarrow.parquet as pq
 
         self.norm = np.empty(max_doc, np.uint8)
         self.length = np.empty(max_doc, np.int32)
         d = os.path.join(index_dir, "norms")
+        want = (
+            None if partition_ids is None
+            else {f"part-{p:05d}.parquet" for p in partition_ids}
+        )
         for f in sorted(os.listdir(d)):
             if not f.endswith(".parquet"):
+                continue
+            if want is not None and f not in want:
                 continue
             t = pq.read_table(
                 os.path.join(d, f), columns=["doc_id", "length", "norm"]
@@ -73,6 +81,7 @@ class Chunk:
     block_last: np.ndarray
     block_max_tf: np.ndarray
     block_max_norm: np.ndarray
+    positions: memoryview | bytes = b""
 
 
 class TermDictReader:
@@ -92,6 +101,9 @@ class TermDictReader:
 
     def _payload(self, row: int) -> memoryview:
         raise NotImplementedError
+
+    def _pos_payload(self, row: int):
+        return b""
 
     def _finish_init(self, terms, chunk_order, df, ttf, start_doc,
                      block_last, block_max_tf, block_max_norm):
@@ -134,6 +146,7 @@ class TermDictReader:
                 block_last=np.asarray(self.block_last[r], np.int64),
                 block_max_tf=np.asarray(self.block_max_tf[r], np.int32),
                 block_max_norm=np.asarray(self.block_max_norm[r], np.uint8),
+                positions=self._pos_payload(r),
             )
             for r in rows
         ]
@@ -157,6 +170,42 @@ class TermDictReader:
             order = np.argsort(docs, kind="stable")
             out = (docs[order], tfs[order])
         self._cache.put(("p", term), out)
+        return out
+
+    def postings_with_positions(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids asc, tfs, positions) — positions is the flattened
+        prox-delta stream aligned with postings (tf values per posting);
+        requires a positional index (store_positions=True at build)."""
+        hit = self._cache.get(("pp", term))
+        if hit is not None:
+            return hit
+        rows = self._term_rows(term)
+        if len(rows) == 0:
+            e = np.empty(0, np.int64)
+            out = (e, e.astype(np.int32), np.empty(0, np.uint32))
+        else:
+            docs_l, tfs_l, pos_l = [], [], []
+            for r in rows:
+                d, f = decode_postings(self._payload(r))
+                docs_l.append(d)
+                tfs_l.append(f)
+                pos_l.append(decode_values(self._pos_payload(r)))
+            docs = np.concatenate(docs_l)
+            tfs = np.concatenate(tfs_l)
+            pos = np.concatenate(pos_l)
+            if len(rows) > 1:
+                order = np.argsort(docs, kind="stable")
+                if not np.array_equal(order, np.arange(docs.size)):
+                    # gather per-posting position runs into doc order
+                    cum = np.concatenate(([0], np.cumsum(tfs)))
+                    pos = np.concatenate(
+                        [pos[cum[i]:cum[i + 1]] for i in order.tolist()]
+                    )
+                    docs, tfs = docs[order], tfs[order]
+            out = (docs, tfs, pos)
+        self._cache.put(("pp", term), out)
         return out
 
     def unique_terms(self) -> np.ndarray:
@@ -195,6 +244,11 @@ class MergedReader(TermDictReader):
         self._files = tbl["payload_file"].to_pylist()
         self._offsets = tbl["offset"].to_numpy()
         self._lengths = tbl["length"].to_numpy()
+        if "pos_offset" in tbl.schema.names:
+            self._pos_offsets = tbl["pos_offset"].to_numpy()
+            self._pos_lengths = tbl["pos_length"].to_numpy()
+        else:
+            self._pos_offsets = None
         self._finish_init(
             tbl["term"].to_pylist(),
             tbl["chunk_id"].to_numpy(),
@@ -221,6 +275,14 @@ class MergedReader(TermDictReader):
         ln = int(self._lengths[orig])
         return self._mmap(self._files[orig])[off : off + ln]
 
+    def _pos_payload(self, row: int):
+        if self._pos_offsets is None:
+            return b""
+        orig = int(self._row_order[row])
+        off = int(self._pos_offsets[orig])
+        ln = int(self._pos_lengths[orig])
+        return self._mmap(self._files[orig])[off : off + ln]
+
 
 class SegmentsReader(TermDictReader):
     """In-memory view over per-partition segment tables (pre-merge)."""
@@ -238,6 +300,10 @@ class SegmentsReader(TermDictReader):
             files = [f for f in files if os.path.basename(f) in want]
         tbl = pads.dataset(files, format="parquet").to_table()
         self._payloads = tbl["postings"].to_pylist()
+        self._pos = (
+            tbl["positions"].to_pylist()
+            if "positions" in tbl.schema.names else None
+        )
         self._finish_init(
             tbl["term"].to_pylist(),
             tbl["pid"].to_numpy(),
@@ -251,3 +317,8 @@ class SegmentsReader(TermDictReader):
 
     def _payload(self, row: int) -> memoryview:
         return memoryview(self._payloads[int(self._row_order[row])])
+
+    def _pos_payload(self, row: int):
+        if self._pos is None:
+            return b""
+        return self._pos[int(self._row_order[row])]

@@ -76,28 +76,51 @@ def _levenshtein_within(a: str, b: str, k: int) -> bool:
 
 
 class IndexSearcher:
-    def __init__(self, index_dir: str, precise: bool = False):
+    def __init__(self, index_dir: str, precise: bool = False, *,
+                 reader=None, norms=None, global_stats: dict | None = None):
+        """``global_stats`` (optional): {"max_doc", "sum_ttf", "df": {term:
+        df}} — injected by the doc-sharded distributed path so every shard
+        scores with GLOBAL collection statistics (exactly what a single
+        Lucene index's Weight would see; Solr's distributed-IDF problem
+        solved by a stats pre-pass instead of per-shard stats)."""
         self.manifest = IndexManifest.load(index_dir)
-        self.max_doc = self.manifest.max_doc
-        self.avgdl = self.manifest.avgdl
-        self.norms = NormsReader(index_dir, self.max_doc)
-        if os.path.isdir(os.path.join(index_dir, "merged")):
+        self._stats = global_stats
+        if global_stats is not None:
+            self.max_doc = int(global_stats["max_doc"])
+            sum_ttf = int(global_stats["sum_ttf"])
+            self.avgdl = (
+                float(np.float32(sum_ttf / float(self.max_doc)))
+                if sum_ttf > 0 else 1.0
+            )
+        else:
+            self.max_doc = self.manifest.max_doc
+            self.avgdl = self.manifest.avgdl
+        self.norms = norms if norms is not None else NormsReader(
+            index_dir, self.manifest.max_doc
+        )
+        if reader is not None:
+            self.reader = reader
+        elif os.path.isdir(os.path.join(index_dir, "merged")):
             self.reader = MergedReader(index_dir)
         else:
             self.reader = SegmentsReader(index_dir)
         self.precise = precise
         if precise:
             # float64 avgdl without the float32 cast, exact lengths
+            sum_ttf = (
+                int(self._stats["sum_ttf"]) if self._stats is not None
+                else self.manifest.sum_total_term_freq
+            )
             self.avgdl_precise = (
-                self.manifest.sum_total_term_freq / float(self.max_doc)
-                if self.manifest.sum_total_term_freq > 0
-                else 1.0
+                sum_ttf / float(self.max_doc) if sum_ttf > 0 else 1.0
             )
         else:
             self._cache = bm25.norm_cache(self.avgdl)
 
     # ---- stats (CollectionStatistics / TermStatistics analogues) ----
     def doc_freq(self, term: str) -> int:
+        if self._stats is not None and "df" in self._stats:
+            return int(self._stats["df"].get(term, 0))
         return self.reader.doc_freqs([term])[term]
 
     # ---- scoring ----
@@ -158,9 +181,13 @@ class IndexSearcher:
         if isinstance(q, TermQuery):
             return self._score_term(q.term)
         if isinstance(q, MatchAllDocsQuery):
+            lo, hi = (
+                self._stats.get("doc_range", (0, self.max_doc))
+                if self._stats is not None else (0, self.max_doc)
+            )
             return (
-                np.arange(self.max_doc, dtype=np.int64),
-                np.ones(self.max_doc, dtype),
+                np.arange(lo, hi, dtype=np.int64),
+                np.ones(hi - lo, dtype),
             )
         if isinstance(q, ConstantScoreQuery):
             docs = self._docs_only(q.query)
@@ -182,11 +209,75 @@ class IndexSearcher:
             return self._score_bool(q)
         raise TypeError(f"unsupported query: {q}")
 
-    def _score_phrase(self, q: PhraseQuery):
-        raise NotImplementedError(
-            "positions are not stored in this index build "
-            "(store_positions=False); phrase queries need them"
+    def _score_phrase(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:
+        """ExactPhraseScorer (search/ExactPhraseScorer.java): candidate docs
+        = positions-conjunction; phraseFreq = number of aligned position
+        runs; idf = SUM of the terms' idfs (BM25Similarity.idfExplain for
+        TermStatistics[], BM25Similarity.java:173-186); score =
+        idf_sum*(k1+1)*freq/(freq+norm)."""
+        dtype = np.float64 if self.precise else np.float32
+        if not self.manifest.store_positions:
+            raise NotImplementedError(
+                "phrase queries need a positional index "
+                "(build_index(store_positions=True))"
+            )
+        if q.slop != 0:
+            raise NotImplementedError(
+                "sloppy phrases (SloppyPhraseScorer) not implemented"
+            )
+        terms = list(q.terms)
+        datas = [self.reader.postings_with_positions(t) for t in terms]
+        if any(d[0].size == 0 for d in datas):
+            return np.empty(0, np.int64), np.empty(0, dtype)
+        cand = datas[0][0]
+        for docs, _, _ in datas[1:]:
+            cand = np.intersect1d(cand, docs, assume_unique=True)
+        if cand.size == 0:
+            return cand, np.empty(0, dtype)
+        # per-term lookup helpers: posting index + position-run boundaries
+        lookups = []
+        for docs, tfs, pos in datas:
+            cum = np.concatenate(([0], np.cumsum(tfs)))
+            idx = np.searchsorted(docs, cand)
+            lookups.append((idx, cum, pos))
+        freqs = np.zeros(cand.size, np.int64)
+        for ci in range(cand.size):
+            idx0, cum0, pos0 = lookups[0]
+            j = int(idx0[ci])
+            match = np.cumsum(pos0[cum0[j]:cum0[j + 1]].astype(np.int64))
+            for off in range(1, len(terms)):
+                idxi, cumi, posi = lookups[off]
+                j = int(idxi[ci])
+                p = np.cumsum(posi[cumi[j]:cumi[j + 1]].astype(np.int64))
+                match = np.intersect1d(match, p - off, assume_unique=True)
+                if match.size == 0:
+                    break
+            freqs[ci] = match.size
+        keep = freqs > 0
+        cand, freqs = cand[keep], freqs[keep]
+        if cand.size == 0:
+            return cand, np.empty(0, dtype)
+        if self.precise:
+            idf_sum = sum(
+                float(np.log(1 + (self.max_doc - self.doc_freq(t) + 0.5)
+                             / (self.doc_freq(t) + 0.5)))
+                for t in terms
+            )
+            tf = freqs.astype(np.float64)
+            dl = self.norms.length[cand].astype(np.float64)
+            scores = (
+                idf_sum * (bm25.K1 + 1.0) * tf
+                / (tf + bm25.K1 * ((1 - bm25.B)
+                                   + bm25.B * dl / self.avgdl_precise))
+            )
+            return cand, scores
+        idf_sum = np.float32(0.0)
+        for t in terms:  # float32 accumulation, reference order
+            idf_sum = idf_sum + bm25.idf(self.doc_freq(t), self.max_doc)
+        scores = bm25.score_postings(
+            freqs, self.norms.norm[cand], idf_sum, self._cache
         )
+        return cand, scores
 
     def _score_bool(self, q: BooleanQuery) -> tuple[np.ndarray, np.ndarray]:
         from .query import FILTER, MUST, MUST_NOT, SHOULD

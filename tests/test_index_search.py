@@ -184,6 +184,39 @@ def test_merged_index_identical_results(index_dir, searcher, oracle,
     assert merged.doc_freq("return") == oracle.df["return"]
 
 
+def test_sharded_search_rank_identity(index_dir, searcher, ray_session):
+    """Control-vs-sharded equivalence at two parallelism levels (the
+    BaseDistributedSearchTestCase analogue): doc-sharded scatter/gather
+    with global stats must match the single-process searcher exactly."""
+    from lucene_solr_ray.search import (
+        BooleanQuery,
+        MatchAllDocsQuery,
+        PrefixQuery,
+        search_sharded,
+    )
+
+    queries = [
+        TermQuery("return"),
+        TermQuery("zzz_not_a_term"),
+        BooleanQuery.build(should=[TermQuery("return"), TermQuery("quick"),
+                                   TermQuery("def")]),
+        BooleanQuery.build(must=[TermQuery("return"), TermQuery("def")],
+                           must_not=[TermQuery("quick")]),
+        MatchAllDocsQuery(),
+        PrefixQuery("get"),
+    ]
+    want = [searcher.search(q, k=15).to_pydict() for q in queries]
+    for num_shards in (2, 6):
+        got = search_sharded(index_dir, queries, k=15,
+                             num_shards=num_shards).to_pydict()
+        for qi, w in enumerate(want):
+            m = [i for i, q in enumerate(got["query_id"]) if q == qi]
+            assert [got["doc_id"][i] for i in m] == w["doc_id"], (
+                num_shards, qi)
+            assert [got["score"][i] for i in m] == w["score"], (
+                num_shards, qi)
+
+
 def test_resume_skips_and_is_deterministic(corpus_dir, index_dir,
                                            tmp_path_factory, ray_session):
     import pyarrow.dataset as pads

@@ -1,0 +1,102 @@
+"""Positional index + ExactPhraseScorer correctness.
+
+Phrase semantics per ``search/ExactPhraseScorer.java``: positions
+conjunction with offset alignment, phraseFreq = number of aligned starts,
+idf = sum of term idfs (``BM25Similarity.java:173-186``). Checked against a
+brute-force positional oracle over the same analyzer output, pre- and
+post-merge.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.analysis import get_analyzer
+from lucene_solr_ray.index import build_index, merge_index
+from lucene_solr_ray.search import IndexSearcher, PhraseQuery
+from lucene_solr_ray.sources import generate_table
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def pos_index(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("pcorpus")
+    tbl = generate_table(N_DOCS, seed=7)
+    pq.write_table(tbl, str(d / "c.parquet"), row_group_size=100)
+    out = str(tmp_path_factory.mktemp("pindex"))
+    build_index(str(d), out, rows_per_partition=100, store_positions=True)
+    texts = tbl["content"].to_pylist()
+    return out, texts
+
+
+def brute_phrase(texts, terms):
+    """(doc, freq) via per-doc position scan on the same analyzer."""
+    ana = get_analyzer("standard")
+    out = []
+    for i, t in enumerate(texts):
+        toks, pos = ana.tokens_with_positions(t)
+        by_term = {}
+        for tok, p in zip(toks, pos):
+            by_term.setdefault(tok, []).append(p)
+        if any(term not in by_term for term in terms):
+            continue
+        starts = set(by_term[terms[0]])
+        for off, term in enumerate(terms[1:], 1):
+            starts &= {p - off for p in by_term[term]}
+        if starts:
+            out.append((i, len(starts)))
+    return out
+
+
+PHRASES = [
+    ("return", "0"),          # from 'return 0' style lines? may be rare
+    ("the", "quick"),         # stopwords removed -> never matches
+    ("quick", "brown"),       # comment bigram
+    ("brown", "fox"),
+]
+
+
+@pytest.mark.parametrize("terms", PHRASES)
+def test_phrase_matches_brute_force(pos_index, terms):
+    idx, texts = pos_index
+    s = IndexSearcher(idx)
+    docs, scores = s._score_phrase(PhraseQuery(tuple(terms)))
+    want = brute_phrase(texts, list(terms))
+    assert docs.tolist() == [d for d, _ in want]
+    # freq check via score round-trip: recompute expected scores
+    if want:
+        from lucene_solr_ray.codec import NORM_TABLE
+        from lucene_solr_ray.search import bm25
+
+        idf_sum = np.float32(0.0)
+        for t in terms:
+            idf_sum = idf_sum + bm25.idf(s.doc_freq(t), s.max_doc)
+        freqs = np.array([f for _, f in want], np.int64)
+        exp = bm25.score_postings(freqs, s.norms.norm[docs], idf_sum,
+                                  s._cache)
+        np.testing.assert_array_equal(scores, exp)
+
+
+def test_phrase_search_api_and_empty(pos_index):
+    idx, texts = pos_index
+    s = IndexSearcher(idx)
+    t = s.search(PhraseQuery(("zzz", "qqq")), k=5)
+    assert t.num_rows == 0
+    with pytest.raises(NotImplementedError):
+        s.search(PhraseQuery(("quick", "brown"), slop=2), k=5)
+
+
+def test_phrase_identical_after_merge(pos_index, ray_session):
+    idx, texts = pos_index
+    before = IndexSearcher(idx)
+    q = PhraseQuery(("quick", "brown"))
+    want = before.search(q, k=50).to_pydict()
+    merge_index(idx, hot_df_threshold=40, salt_group_size=2, chunk_docs=128)
+    after = IndexSearcher(idx)
+    got = after.search(q, k=50).to_pydict()
+    assert got == want
+    # multi-term positional data survives chunk splitting + salting
+    q2 = PhraseQuery(("brown", "fox"))
+    assert (after.search(q2, k=50).to_pydict()
+            == before.search(q2, k=50).to_pydict())
