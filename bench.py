@@ -102,6 +102,14 @@ def run_bench() -> dict:
             lat.append(time.perf_counter() - tq0)
     timings["query_p50"] = float(np.percentile(lat, 50))
     timings["query_p99"] = float(np.percentile(lat, 99))
+    # block-max pruned path (cold decode per query — fresh searcher)
+    s2 = IndexSearcher(idx_dir)
+    lat2 = []
+    for q in qs:
+        tq0 = time.perf_counter()
+        s2.search(q, k=10, prune=True)
+        lat2.append(time.perf_counter() - tq0)
+    timings["query_p50_pruned_cold"] = float(np.percentile(lat2, 50))
     t3 = time.perf_counter()
     timings["query_mix"] = t3 - t2
 

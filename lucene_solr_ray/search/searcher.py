@@ -322,10 +322,40 @@ class IndexSearcher:
             np.add.at(acc, pos[ok], scores[ok].astype(np.float64))
         return cand, acc.astype(dtype)
 
+    def _wand_terms(self, q: Query) -> list[str] | None:
+        """Terms list when q is a pure OR-of-TermQuery (the shape block-max
+        pruning applies to); None otherwise."""
+        from .query import SHOULD
+
+        if isinstance(q, TermQuery):
+            return [q.term]
+        if isinstance(q, BooleanQuery) and q.min_should_match <= 1:
+            terms = []
+            for occur, sub in q.clauses:
+                if occur != SHOULD or not isinstance(sub, TermQuery):
+                    return None
+                terms.append(sub.term)
+            return terms or None
+        return None
+
     # ---- public API ----
     def search(
-        self, q: Query, k: int = 10, after: tuple[float, int] | None = None
+        self, q: Query, k: int = 10, after: tuple[float, int] | None = None,
+        prune: bool = False,
     ) -> pa.Table:
+        """``prune=True`` enables block-max top-k pruning (wand.py) for
+        disjunctive term queries — rank- and score-identical to the
+        exhaustive path, just skipping provably sub-threshold blocks."""
+        if (prune and not self.precise and after is None
+                and (terms := self._wand_terms(q)) is not None):
+            from .wand import wand_or_topk
+
+            d, s = wand_or_topk(self, terms, k)
+            return pa.table({
+                "rank": pa.array(np.arange(1, d.size + 1, dtype=np.int32)),
+                "doc_id": pa.array(d),
+                "score": pa.array(s),
+            })
         docs, scores = self._score(q)
         d, s = top_k(docs, scores, k, after=after)
         return pa.table({
