@@ -501,6 +501,40 @@ def q_ann_cosine_top5(sf_dir: str) -> pa.Table:
     })
 
 
+def q_suggest_prefix(sf_dir: str) -> pa.Table:
+    from ..search.extras import suggest_prefix
+
+    s, _ = _doc_index(sf_dir)
+    return suggest_prefix(s, "s", n=10)
+
+
+def q_spellcheck(sf_dir: str) -> pa.Table:
+    from ..search.extras import spellcheck
+
+    s, _ = _doc_index(sf_dir)
+    return spellcheck(s, "tabel", max_edits=2, n=10)
+
+
+def q_mlt_top10(sf_dir: str) -> pa.Table:
+    """MoreLikeThis: docs most similar to doc 0 (rows-only check)."""
+    import pyarrow.parquet as pq
+
+    from ..search.extras import more_like_this
+
+    s, doc_map = _doc_index(sf_dir)
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    text = src["text"][0].as_py()
+    q = more_like_this(s, text, min_term_freq=1, min_doc_freq=2,
+                       analyzer="simple")
+    t = s.search(q, k=11)
+    return pa.table({
+        "rank": t["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
 # ---- rows-only (non-SQL-expressible) entries ----
 
 def q_lang_id(sf_dir: str) -> pa.Table:
@@ -566,6 +600,9 @@ QUERIES = {
     "events_window": q_events_window,
     "quality_tokens": q_quality_tokens,
     "ann_cosine_top5": q_ann_cosine_top5,
+    "suggest_prefix": q_suggest_prefix,
+    "spellcheck": q_spellcheck,
+    "mlt_top10": q_mlt_top10,
     "lang_id": q_lang_id,
     "simhash": q_simhash,
     "minhash_candidates": q_minhash_candidates,
@@ -669,6 +706,17 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
          AS stop_tokens,
        count(DISTINCT term)::BIGINT AS distinct_tokens
 FROM tokens_all GROUP BY doc_id ORDER BY doc_id
+""",
+    "suggest_prefix": f"""
+WITH {_TOKENS}
+SELECT term, count(*)::BIGINT AS ttf FROM tokens WHERE term LIKE 's%'
+GROUP BY term ORDER BY ttf DESC, term LIMIT 10
+""",
+    "spellcheck": f"""
+WITH {_TOKENS}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tokens
+WHERE levenshtein(term, 'tabel') <= 2
+GROUP BY term ORDER BY df DESC, term LIMIT 10
 """,
     "ann_cosine_top5": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

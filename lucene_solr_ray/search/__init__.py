@@ -1,7 +1,16 @@
 from . import bm25
+from .extras import (
+    highlight,
+    more_like_this,
+    rescore,
+    spellcheck,
+    suggest_prefix,
+)
 from .query import (
     BooleanQuery,
+    BoostQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     PhraseQuery,
@@ -18,8 +27,10 @@ from .searcher import IndexSearcher
 from .topk import merge_shard_topk, top_k
 
 __all__ = [
-    "BooleanQuery", "ConstantScoreQuery", "FuzzyQuery", "IndexSearcher",
+    "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
+    "DisjunctionMaxQuery", "FuzzyQuery", "IndexSearcher",
     "MatchAllDocsQuery", "PhraseQuery", "PrefixQuery", "Query", "RegexpQuery",
     "TermQuery", "TermRangeQuery", "WildcardQuery", "bm25",
-    "merge_shard_topk", "parse_query", "search_sharded", "top_k",
+    "highlight", "merge_shard_topk", "more_like_this", "parse_query",
+    "rescore", "search_sharded", "spellcheck", "suggest_prefix", "top_k",
 ]

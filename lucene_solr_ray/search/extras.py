@@ -1,0 +1,150 @@
+"""Secondary search operators (SURVEY.md §2.5/2.6/2.12 coverage):
+
+- :func:`rescore` — ``search/QueryRescorer.java``: re-rank a first-pass
+  top-window by combining first/second-pass scores.
+- :func:`more_like_this` — ``lucene/queries/.../mlt/MoreLikeThis.java``:
+  select the highest tf-idf terms of a source text, build an OR query.
+- :func:`suggest_prefix` — AnalyzingSuggester-lite
+  (``suggest/.../analyzing/AnalyzingSuggester.java``): dictionary prefix
+  scan ranked by collection frequency.
+- :func:`spellcheck` — DirectSpellChecker analogue
+  (``suggest/.../DirectSpellChecker.java``): dictionary terms within edit
+  distance, ranked by df.
+- :func:`highlight` — a simple unified-highlighter analogue
+  (``lucene/highlighter``): best window around query-term hits with
+  <em> markup (offsets via re-analysis, as Lucene does for non-stored
+  offsets).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from . import bm25
+from .query import BooleanQuery, Query, TermQuery
+from .searcher import IndexSearcher, _levenshtein_within
+
+
+def rescore(
+    searcher: IndexSearcher,
+    first_pass: pa.Table,
+    q: Query,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    window: int | None = None,
+) -> pa.Table:
+    """QueryRescorer.rescore: combined = w1*first + w2*second (second = 0
+    for window docs the rescore query doesn't match); docs outside the
+    window keep their order below the window."""
+    docs = np.asarray(first_pass["doc_id"].to_pylist(), np.int64)
+    scores = np.asarray(first_pass["score"].to_pylist(), np.float64)
+    n = docs.size if window is None else min(window, docs.size)
+    r_docs, r_scores = searcher._score(q)
+    pos = np.searchsorted(r_docs, docs[:n]) if r_docs.size else None
+    second = np.zeros(n, np.float64)
+    if r_docs.size:
+        ok = (pos < r_docs.size) & (
+            r_docs[np.minimum(pos, r_docs.size - 1)] == docs[:n]
+        )
+        second[ok] = r_scores[pos[ok]].astype(np.float64)
+    combined = query_weight * scores[:n] + rescore_query_weight * second
+    order = np.lexsort((docs[:n], -combined))
+    out_docs = np.concatenate([docs[:n][order], docs[n:]])
+    out_scores = np.concatenate([combined[order], scores[n:]])
+    return pa.table({
+        "rank": pa.array(np.arange(1, out_docs.size + 1, dtype=np.int32)),
+        "doc_id": pa.array(out_docs),
+        "score": pa.array(out_scores.astype(np.float32)),
+    })
+
+
+def more_like_this(
+    searcher: IndexSearcher,
+    text: str,
+    *,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    analyzer: str | None = None,
+) -> Query:
+    """Build the MLT query: top tf*idf terms of ``text``
+    (MoreLikeThis.java defaults: maxQueryTerms=25, minTermFreq=2,
+    minDocFreq=5)."""
+    from collections import Counter
+
+    from ..analysis import get_analyzer
+
+    ana = get_analyzer(analyzer or searcher.manifest.analyzer)
+    tf = Counter(ana.tokens(text))
+    scored = []
+    for term, f in tf.items():
+        if f < min_term_freq:
+            continue
+        df = searcher.doc_freq(term)
+        if df < min_doc_freq:
+            continue
+        scored.append((float(f) * float(bm25.idf(df, searcher.max_doc)),
+                       term))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    terms = [t for _, t in scored[:max_query_terms]]
+    if not terms:
+        return BooleanQuery.build()
+    return BooleanQuery.build(should=[TermQuery(t) for t in terms])
+
+
+def suggest_prefix(searcher: IndexSearcher, prefix: str,
+                   n: int = 10) -> pa.Table:
+    """Prefix suggestions ranked by total term frequency desc, term asc."""
+    terms = searcher.reader.terms_in_range(
+        prefix, prefix + "\U0010FFFF", True, True
+    )
+    ttfs = np.array(
+        [searcher.reader.total_term_freq(t) for t in terms], np.int64
+    )
+    order = np.lexsort((np.asarray(terms, object), -ttfs))[:n]
+    return pa.table({
+        "term": pa.array([terms[i] for i in order], pa.string()),
+        "ttf": pa.array(ttfs[order]),
+    })
+
+
+def spellcheck(searcher: IndexSearcher, word: str, *, max_edits: int = 2,
+               n: int = 10) -> pa.Table:
+    """Correction candidates within ``max_edits``, ranked df desc, term
+    asc (DirectSpellChecker's docFreq ordering)."""
+    cands = searcher.reader.terms_matching(
+        lambda t: _levenshtein_within(word, t, max_edits)
+    )
+    dfs = np.array([searcher.doc_freq(t) for t in cands], np.int64)
+    order = np.lexsort((np.asarray(cands, object), -dfs))[:n]
+    return pa.table({
+        "term": pa.array([cands[i] for i in order], pa.string()),
+        "df": pa.array(dfs[order]),
+    })
+
+
+def highlight(text: str, terms: list[str], *, window_chars: int = 120,
+              pre: str = "<em>", post: str = "</em>",
+              lowercase: bool = True) -> str:
+    """Best-window snippet with highlighted terms (token-boundary regex)."""
+    if not terms:
+        return text[:window_chars]
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b",
+        re.IGNORECASE if lowercase else 0,
+    )
+    hits = [m.start() for m in pat.finditer(text)]
+    if not hits:
+        return text[:window_chars]
+    # window with the most hits
+    best_start, best_cnt = hits[0], 1
+    for h in hits:
+        cnt = sum(1 for x in hits if h <= x < h + window_chars)
+        if cnt > best_cnt:
+            best_start, best_cnt = h, cnt
+    lo = max(0, best_start - 10)
+    snippet = text[lo : lo + window_chars]
+    return pat.sub(lambda m: f"{pre}{m.group(0)}{post}", snippet)

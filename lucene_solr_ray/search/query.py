@@ -62,6 +62,24 @@ class MatchAllDocsQuery(Query):
 
 
 @dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """score = max(sub) + tie_breaker * (sum(sub) - max(sub))
+    (search/DisjunctionMaxScorer.java)."""
+
+    queries: tuple
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    """Query-time boost: sub-scores multiplied by ``boost`` (the
+    topLevelBoost fold-in of Weight.normalize)."""
+
+    query: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     query: Query
     score: float = 1.0

@@ -207,6 +207,25 @@ class IndexSearcher:
             return self._score_phrase(q)
         if isinstance(q, BooleanQuery):
             return self._score_bool(q)
+        from .query import BoostQuery, DisjunctionMaxQuery
+
+        if isinstance(q, BoostQuery):
+            docs, scores = self._score(q.query)
+            return docs, (scores * dtype(q.boost)).astype(dtype)
+        if isinstance(q, DisjunctionMaxQuery):
+            # max + tie_breaker * (sum - max) (DisjunctionMaxScorer.java)
+            subs = [self._score(sub) for sub in q.queries]
+            if not subs:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            union = np.unique(np.concatenate([d for d, _ in subs]))
+            mx = np.zeros(union.size, np.float64)
+            sm = np.zeros(union.size, np.float64)
+            for docs, scores in subs:
+                pos = np.searchsorted(union, docs)
+                np.maximum.at(mx, pos, scores.astype(np.float64))
+                np.add.at(sm, pos, scores.astype(np.float64))
+            out = mx + float(q.tie_breaker) * (sm - mx)
+            return union, out.astype(dtype)
         raise TypeError(f"unsupported query: {q}")
 
     def _score_phrase(self, q: PhraseQuery) -> tuple[np.ndarray, np.ndarray]:

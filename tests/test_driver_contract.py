@@ -63,6 +63,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "facet_source_top10", "stats_nchars", "range_facet_nchars",
         "group_top2_per_lang", "sort_export_top50", "join_semi", "join_agg",
         "dedup_exact", "events_window", "quality_tokens", "ann_cosine_top5",
+        "ft_phrase_search", "suggest_prefix", "spellcheck",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):
@@ -77,7 +78,8 @@ def test_query_matches_oracle(contract, duck, name):
                                   check_exact=True, obj=name)
 
 
-@pytest.mark.parametrize("name", ["lang_id", "simhash", "minhash_candidates"])
+@pytest.mark.parametrize("name", ["lang_id", "simhash",
+                                  "minhash_candidates", "mlt_top10"])
 def test_rows_only_queries_run(contract, name):
     queries, _ = contract
     df = _to_df(queries[name](SF_DIR))

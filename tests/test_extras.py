@@ -1,0 +1,99 @@
+"""Secondary operators: DisMax, boost, rescorer, MLT, suggest, spellcheck,
+highlighter."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import build_index
+from lucene_solr_ray.search import (
+    BooleanQuery,
+    BoostQuery,
+    DisjunctionMaxQuery,
+    IndexSearcher,
+    TermQuery,
+    highlight,
+    more_like_this,
+    rescore,
+    spellcheck,
+    suggest_prefix,
+)
+from lucene_solr_ray.sources import generate_table
+
+
+@pytest.fixture(scope="module")
+def xidx(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("xcorpus")
+    tbl = generate_table(300, seed=5)
+    pq.write_table(tbl, str(d / "c.parquet"), row_group_size=100)
+    out = str(tmp_path_factory.mktemp("xindex"))
+    build_index(str(d), out, rows_per_partition=100)
+    return out, tbl["content"].to_pylist()
+
+
+def test_dismax_semantics(xidx):
+    idx, _ = xidx
+    s = IndexSearcher(idx)
+    qa, qb = TermQuery("return"), TermQuery("def")
+    da, sa = s._score(qa)
+    db, sb = s._score(qb)
+    union = np.unique(np.concatenate([da, db]))
+    a = np.zeros(union.size)
+    b = np.zeros(union.size)
+    a[np.searchsorted(union, da)] = sa
+    b[np.searchsorted(union, db)] = sb
+    # tie_breaker 0 -> pure max
+    d0, s0 = s._score(DisjunctionMaxQuery((qa, qb), 0.0))
+    np.testing.assert_allclose(s0, np.maximum(a, b), rtol=1e-6)
+    # tie_breaker 1 -> sum
+    d1, s1 = s._score(DisjunctionMaxQuery((qa, qb), 1.0))
+    np.testing.assert_allclose(s1, a + b, rtol=1e-6)
+
+
+def test_boost_scales_scores(xidx):
+    idx, _ = xidx
+    s = IndexSearcher(idx)
+    d0, s0 = s._score(TermQuery("return"))
+    d1, s1 = s._score(BoostQuery(TermQuery("return"), 2.0))
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_allclose(s1, s0 * np.float32(2.0), rtol=1e-7)
+
+
+def test_rescorer_reorders_window(xidx):
+    idx, _ = xidx
+    s = IndexSearcher(idx)
+    first = s.search(TermQuery("return"), k=20)
+    out = rescore(s, first, TermQuery("def"), 1.0, 5.0, window=10)
+    assert out.num_rows == first.num_rows
+    assert set(out["doc_id"].to_pylist()) == set(first["doc_id"].to_pylist())
+    # docs matching the rescore query rise within the window
+    d_def = set(s._score(TermQuery("def"))[0].tolist())
+    top = out["doc_id"].to_pylist()[:3]
+    if d_def & set(first["doc_id"].to_pylist()[:10]):
+        assert any(d in d_def for d in top)
+
+
+def test_more_like_this_finds_self_similar(xidx):
+    idx, texts = xidx
+    s = IndexSearcher(idx)
+    q = more_like_this(s, texts[5], min_term_freq=1, min_doc_freq=2)
+    t = s.search(q, k=5)
+    assert 5 in t["doc_id"].to_pylist()  # the source doc itself ranks high
+
+
+def test_suggest_and_spellcheck(xidx):
+    idx, _ = xidx
+    s = IndexSearcher(idx)
+    sug = suggest_prefix(s, "re", n=5).to_pydict()
+    assert sug["term"], "prefix 're' should suggest (return...)"
+    assert all(t.startswith("re") for t in sug["term"])
+    assert sug["ttf"] == sorted(sug["ttf"], reverse=True)
+    sp = spellcheck(s, "retorn", max_edits=1, n=5).to_pydict()
+    assert "return" in sp["term"]
+
+
+def test_highlight_window():
+    text = "alpha beta the return value of return is gamma delta " * 3
+    h = highlight(text, ["return", "value"], window_chars=60)
+    assert "<em>return</em>" in h and len(h) < 200
+    assert highlight("no hits here", ["zzz"]) == "no hits here"
