@@ -565,6 +565,29 @@ def q_simhash(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_media_image_stats(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing demo: synthetic binary image corpus -> actor-
+    pool decode/feature stage -> aggregate (rows-only; media payloads are
+    deterministic fakes, see stages/multimodal.py)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import ImageStats, synth_media_table
+
+    imgs = synth_media_table(200, seed=42, kind="image")
+    out = (
+        rd.from_arrow(imgs)
+        .map_batches(ImageStats, batch_size=32, concurrency=2,
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table({
+        "n_images": pa.array([len(out)], pa.int64()),
+        "avg_width": pa.array(_round4([out["width"].mean()]), pa.float64()),
+        "avg_mean_px": pa.array(_round4([out["mean_px"].mean()]),
+                                pa.float64()),
+    })
+
+
 def q_minhash_candidates(sf_dir: str) -> pa.Table:
     from ..stages.dedup import minhash_lsh_candidates
 
@@ -606,6 +629,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "simhash": q_simhash,
     "minhash_candidates": q_minhash_candidates,
+    "media_image_stats": q_media_image_stats,
 }
 
 ORACLE_SQL = {

@@ -79,7 +79,8 @@ def test_query_matches_oracle(contract, duck, name):
 
 
 @pytest.mark.parametrize("name", ["lang_id", "simhash",
-                                  "minhash_candidates", "mlt_top10"])
+                                  "minhash_candidates", "mlt_top10",
+                                  "media_image_stats"])
 def test_rows_only_queries_run(contract, name):
     queries, _ = contract
     df = _to_df(queries[name](SF_DIR))

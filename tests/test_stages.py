@@ -1,0 +1,184 @@
+"""Training-data pipeline stages: dedup (exact + MinHash-LSH), langid,
+simhash, TextProfileSignature, ANN (brute force vs LSH recall), multimodal
+binary plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from lucene_solr_ray.stages.ann import brute_force_topk, hyperplane_buckets
+from lucene_solr_ray.stages.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+)
+from lucene_solr_ray.stages.multimodal import (
+    AudioFeatures,
+    FrameSample,
+    ImageEmbed,
+    ImageResize,
+    ImageStats,
+    synth_media_table,
+)
+from lucene_solr_ray.stages.textstats import (
+    lang_id_batch,
+    simhash64_batch,
+    text_profile_signature_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(ray_session):
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "the forest chasing rabbits all day long without rest").split()
+    docs = []
+    rng = np.random.default_rng(4)
+    for i in range(30):
+        words = list(base)
+        if i % 3 == 1:  # near-dup: swap two words
+            a, b = rng.integers(0, len(words), 2)
+            words[a], words[b] = words[b], words[a]
+        elif i % 3 == 2:  # distinct
+            words = [f"w{i}_{j}" for j in range(20)]
+        docs.append(" ".join(words))
+    return pa.table({
+        "doc_id": pa.array(np.arange(30, dtype=np.int64)),
+        "text": pa.array(docs, pa.string()),
+    })
+
+
+def test_exact_dedup(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b", "a b", "c", "a b"], pa.string()),
+    })
+    out = exact_dedup(rd.from_arrow(t), "text", "doc_id").to_pandas()
+    assert len(out) == 2
+    row = out[out["dup_count"] == 3].iloc[0]
+    assert row["keep_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs, ray_session):
+    ds = rd.from_arrow(near_dup_docs)
+    pairs = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=64,
+                                   bands=16).to_pandas()
+    cand = set(zip(pairs["id_a"], pairs["id_b"]))
+    # docs 0,3,6,... are identical copies of base -> must be candidates
+    assert (0, 3) in cand or (3, 0) in cand
+    # verify jaccard on candidates
+    texts = dict(zip(near_dup_docs["doc_id"].to_pylist(),
+                     near_dup_docs["text"].to_pylist()))
+    verified = jaccard_pairs(texts, list(cand)[:50])
+    assert any(j == 1.0 for _, _, j in verified)
+    # distinct docs shouldn't pair with base docs at high jaccard
+    for a, b, j in verified:
+        if a % 3 == 2 or b % 3 == 2:
+            assert j < 0.5
+
+
+def test_langid_on_stopword_profiles():
+    t = pa.table({"text": pa.array([
+        "the cat and the dog are in a house for a while",
+        "der hund und die katze sind nicht in ein haus",
+        "le chat et le chien est dans un jardin pour la vie",
+        "el gato y el perro es un animal en la casa",
+        "这是一个中文句子",
+        "",
+    ])})
+    out = lang_id_batch(t)["lang_pred"].to_pylist()
+    assert out == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_simhash_near_dups_close():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a + "extra word"
+    c = "completely different content about databases and indexes " * 5
+    t = pa.table({"text": pa.array([a, b, c])})
+    h = simhash64_batch(t)["simhash"].to_pylist()
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+
+
+def test_text_profile_signature_quantizes():
+    a = "x " * 100 + "rare"
+    b = "x " * 100 + "raretwo"  # low-freq terms quantized away
+    t = pa.table({"text": pa.array([a, b])})
+    out = text_profile_signature_batch(t, quant_rate=0.5)
+    sigs = out["signature"].to_pylist()
+    assert sigs[0] == sigs[1]
+
+
+def test_ann_lsh_recall_vs_brute_force(ray_session):
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    exact = brute_force_topk(ds, vecs[:3].astype(np.float64), k=10)
+    bucketed, planes = hyperplane_buckets(rd.from_arrow(t), n_bits=4)
+    bt = bucketed.to_pandas()
+    assert "bucket" in bt.columns and bt["bucket"].nunique() > 1
+    # probing the query's own bucket must contain some true neighbors
+    qb = (vecs[0] @ planes.T > 0)
+    qbucket = sum(1 << i for i in range(4) if qb[i])
+    in_bucket = set(bt[bt["bucket"] == qbucket]["vec_id"])
+    top = [v for q, v in zip(exact["query_id"].to_pylist(),
+                             exact["vec_id"].to_pylist()) if q == 0]
+    assert in_bucket & set(top)
+
+
+def test_multimodal_pipeline(ray_session):
+    imgs = synth_media_table(40, kind="image")
+    stats = (
+        rd.from_arrow(imgs)
+        .map_batches(ImageStats, batch_size=16, concurrency=2,
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert len(stats) == 40
+    assert (stats["width"] >= 8).all() and (stats["mean_px"] < 256).all()
+
+    resized = (
+        rd.from_arrow(imgs)
+        .map_batches(ImageResize, batch_size=16, concurrency=2,
+                     fn_constructor_kwargs={"target": 8},
+                     batch_format="pyarrow")
+        .map_batches(ImageStats, batch_size=16, batch_format="pyarrow",
+                     concurrency=2)
+        .to_pandas()
+    )
+    assert (resized["width"] == 8).all() and (resized["height"] == 8).all()
+
+    vids = synth_media_table(5, kind="video")
+    frames = (
+        rd.from_arrow(vids)
+        .map_batches(FrameSample, batch_size=4,
+                     fn_constructor_kwargs={"every": 2},
+                     batch_format="pyarrow", concurrency=2)
+        .map_batches(ImageStats, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    assert len(frames) > 5  # one row per sampled frame
+
+    auds = synth_media_table(10, kind="audio")
+    feats = (
+        rd.from_arrow(auds)
+        .map_batches(AudioFeatures, batch_format="pyarrow",
+                     concurrency=2)
+        .to_pandas()
+    )
+    assert (feats["duration_s"] > 0).all() and (feats["rms"] > 0).all()
+
+    with pytest.raises(NotImplementedError):
+        ImageEmbed()(imgs.slice(0, 2))
+
+
+def test_media_determinism():
+    a = synth_media_table(10, seed=1)
+    b = synth_media_table(10, seed=1)
+    assert a.equals(b)
