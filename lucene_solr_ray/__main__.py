@@ -1,0 +1,116 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+    ray job submit -- python -m lucene_solr_ray build --input /data/corpus \
+        --out /data/index --positions
+    python -m lucene_solr_ray merge --index /data/index
+    python -m lucene_solr_ray search --index /data/index -q "hashKey +return" -k 10
+    python -m lucene_solr_ray gen-corpus --out /tmp/corpus --docs 50000
+
+Owns the Ray session (guarded init; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lucene_solr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build a SPIMI index from parquet")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--text-field", default="content")
+    b.add_argument("--analyzer", default="standard")
+    b.add_argument("--rows-per-partition", type=int, default=20_000)
+    b.add_argument("--positions", action="store_true")
+    b.add_argument("--no-merge", action="store_true")
+
+    m = sub.add_parser("merge", help="merge segments into the global index")
+    m.add_argument("--index", required=True)
+    m.add_argument("--hot-df-threshold", type=int, default=100_000)
+    m.add_argument("--salt-group-size", type=int, default=64)
+
+    s = sub.add_parser("search", help="run a query")
+    s.add_argument("--index", required=True)
+    s.add_argument("-q", "--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--prune", action="store_true")
+    s.add_argument("--shards", type=int, default=0,
+                   help="doc-sharded distributed search with N shards")
+
+    g = sub.add_parser("gen-corpus", help="deterministic synthetic corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--docs", type=int, default=50_000)
+    g.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "build":
+        _ray_session()
+        from .index import build_index, merge_index
+
+        man = build_index(
+            args.input, args.out, text_field=args.text_field,
+            analyzer=args.analyzer,
+            rows_per_partition=args.rows_per_partition,
+            store_positions=args.positions,
+        )
+        out = {"max_doc": man.max_doc, "partitions": man.num_partitions,
+               "sum_ttf": man.sum_total_term_freq}
+        if not args.no_merge:
+            merge_index(args.out)
+            out["merged"] = True
+        print(json.dumps(out))
+    elif args.cmd == "merge":
+        _ray_session()
+        from .index import merge_index
+
+        merge_index(args.index, hot_df_threshold=args.hot_df_threshold,
+                    salt_group_size=args.salt_group_size)
+        print(json.dumps({"merged": True}))
+    elif args.cmd == "search":
+        _ray_session()
+        from .analysis import get_analyzer
+        from .index import IndexManifest
+        from .search import IndexSearcher, parse_query, search_sharded
+
+        man = IndexManifest.load(args.index)
+        q = parse_query(args.query, get_analyzer(man.analyzer))
+        if args.shards:
+            t = search_sharded(args.index, [q], k=args.k,
+                               num_shards=args.shards)
+        else:
+            t = IndexSearcher(args.index).search(q, k=args.k,
+                                                 prune=args.prune)
+        for row in t.to_pylist():
+            print(json.dumps(row))
+    elif args.cmd == "gen-corpus":
+        _ray_session()
+        from .sources import write_corpus
+
+        write_corpus(args.out, args.docs, seed=args.seed)
+        print(json.dumps({"out": args.out, "docs": args.docs}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
