@@ -501,6 +501,127 @@ def q_ann_cosine_top5(sf_dir: str) -> pa.Table:
     })
 
 
+def q_facet_on_query(sf_dir: str) -> pa.Table:
+    """SimpleFacets over a search result set (SimpleFacets.java:108):
+    lang counts among docs matching TermQuery('table')."""
+    import pyarrow.parquet as pq
+
+    from ..search.query import TermQuery
+
+    s, doc_map = _doc_index(sf_dir)
+    docs, _ = s._score(TermQuery("table"))
+    hits = set(doc_map[docs].tolist())
+    langs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "lang"])
+    import collections
+
+    cnt = collections.Counter(
+        lg for d, lg in zip(langs["doc_id"].to_pylist(),
+                            langs["lang"].to_pylist())
+        if d in hits
+    )
+    rows = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "cnt": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def q_group_search_top2(sf_dir: str) -> pa.Table:
+    """GroupingSearch (grouping/GroupingSearch.java:53): top-2 docs per
+    lang for TermQuery('table'), BM25-precise scores."""
+    import pyarrow.parquet as pq
+
+    from ..search.query import TermQuery
+
+    s, doc_map = _doc_index(sf_dir)
+    docs, scores = s._score(TermQuery("table"))
+    real = doc_map[docs]
+    langs_t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "lang"])
+    lang_of = dict(zip(langs_t["doc_id"].to_pylist(),
+                       langs_t["lang"].to_pylist()))
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "lang": [lang_of[d] for d in real.tolist()],
+        "doc_id": real,
+        "score": _round4(scores),
+        "_s": scores,
+    }).sort_values(["lang", "_s", "doc_id"],
+                   ascending=[True, False, True])
+    df["rn"] = df.groupby("lang").cumcount() + 1
+    df = df[df["rn"] <= 2]
+    return pa.table({
+        "lang": pa.array(df["lang"].tolist(), pa.string()),
+        "rn": pa.array(df["rn"].to_numpy(), pa.int64()),
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "score": pa.array(df["score"].to_numpy(), pa.float64()),
+    })
+
+
+def q_events_sliding_window(sf_dir: str) -> pa.Table:
+    """Sliding window (2h window, 1h slide): each event lands in two
+    windows — the streaming-expressions window analogue over a batch log."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        hour = us // 3_600_000_000
+        et = b["event_type"].to_pylist()
+        return pa.table({
+            "event_type": pa.array(et + et, pa.string()),
+            "window_start": pa.array(
+                np.concatenate([hour, hour - 1]), pa.int64()
+            ),
+        })
+
+    out = (
+        ev.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas().sort_values(["event_type", "window_start"])
+    )
+    return pa.table({
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "window_start": pa.array(out["window_start"].to_numpy(), pa.int64()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+    })
+
+
+def q_unique_stream(sf_dir: str) -> pa.Table:
+    """UniqueStream (solrj/.../io/UniqueStream.java:32): first event per
+    user in ts order (sorted-stream dedup as groupby-min)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+        })
+
+    out = (
+        ev.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("ts_us", alias_name="first_ts_us"),
+                   Count(alias_name="n_events"))
+        .to_pandas().sort_values("user_id")
+    )
+    return pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+        "first_ts_us": pa.array(out["first_ts_us"].to_numpy(), pa.int64()),
+        "n_events": pa.array(out["n_events"].to_numpy(), pa.int64()),
+    })
+
+
 def q_suggest_prefix(sf_dir: str) -> pa.Table:
     from ..search.extras import suggest_prefix
 
@@ -623,6 +744,10 @@ QUERIES = {
     "events_window": q_events_window,
     "quality_tokens": q_quality_tokens,
     "ann_cosine_top5": q_ann_cosine_top5,
+    "facet_on_query": q_facet_on_query,
+    "group_search_top2": q_group_search_top2,
+    "events_sliding_window": q_events_sliding_window,
+    "unique_stream": q_unique_stream,
     "suggest_prefix": q_suggest_prefix,
     "spellcheck": q_spellcheck,
     "mlt_top10": q_mlt_top10,
@@ -730,6 +855,50 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
          AS stop_tokens,
        count(DISTINCT term)::BIGINT AS distinct_tokens
 FROM tokens_all GROUP BY doc_id ORDER BY doc_id
+""",
+    "facet_on_query": f"""
+WITH {_TOKENS}
+SELECT d.lang, count(*)::BIGINT AS cnt FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tokens WHERE term = 'table')
+GROUP BY d.lang ORDER BY cnt DESC, d.lang
+""",
+    "group_search_top2": f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tokens
+        WHERE term = 'table' GROUP BY doc_id),
+ dfx AS (SELECT count(*)::DOUBLE AS df FROM tf),
+ scored AS (
+   SELECT tf.doc_id,
+          ln(1 + (stats.n - dfx.df + 0.5)/(dfx.df + 0.5)) * 2.2 * tf.tf
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sumdl/stats.n)))
+          AS s
+   FROM tf, dfx, stats JOIN dl ON dl.doc_id = tf.doc_id),
+ ranked AS (
+   SELECT d.lang, scored.doc_id, scored.s,
+          row_number() OVER (PARTITION BY d.lang
+                             ORDER BY scored.s DESC, scored.doc_id) AS rn
+   FROM scored JOIN documents d ON d.doc_id = scored.doc_id)
+SELECT lang, rn::BIGINT AS rn, doc_id,
+       floor(s*10000 + 0.5)/10000 AS score
+FROM ranked WHERE rn <= 2 ORDER BY lang, rn
+""",
+    "events_sliding_window": """
+WITH w AS (
+  SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) AS window_start
+  FROM events
+  UNION ALL
+  SELECT event_type, CAST(floor(epoch(ts)/3600) AS BIGINT) - 1
+  FROM events)
+SELECT event_type, window_start, count(*)::BIGINT AS cnt
+FROM w GROUP BY event_type, window_start ORDER BY event_type, window_start
+""",
+    "unique_stream": """
+SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS first_ts_us,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
 """,
     "suggest_prefix": f"""
 WITH {_TOKENS}
