@@ -1,8 +1,11 @@
 from .build import IndexManifest, build_index, build_segment, plan_partitions
+from .check import check_index, fetch_docs
 from .merge import merge_index
 
 __all__ = [
     "IndexManifest",
+    "check_index",
+    "fetch_docs",
     "build_index",
     "build_segment",
     "merge_index",

