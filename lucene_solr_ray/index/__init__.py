@@ -1,6 +1,7 @@
 from .build import IndexManifest, build_index, build_segment, plan_partitions
 from .check import check_index, fetch_docs
 from .merge import merge_index
+from .multifield import build_multi_index
 
 __all__ = [
     "IndexManifest",
@@ -8,6 +9,7 @@ __all__ = [
     "fetch_docs",
     "build_index",
     "build_segment",
+    "build_multi_index",
     "merge_index",
     "plan_partitions",
 ]

@@ -1,0 +1,72 @@
+"""Multi-field indexes: one sub-index per field, shared doc-id space.
+
+Lucene documents carry many typed fields (``document/Document.java:41-43``,
+``FieldType`` knobs); postings are per-(field, term). Here each field gets
+its own sub-index under ``out_dir/fields/<name>`` built from the SAME
+partition plan, so ``doc_id`` is identical across fields and cross-field
+boolean queries compose on doc-id arrays with no joins — the per-field
+postings-format layout (``codecs/perfield/PerFieldPostingsFormat.java``)
+expressed as directories.
+
+Field config mirrors FieldType: ``{"content": {"analyzer": "standard",
+"positions": True}, "lang": {"analyzer": "keyword"}}`` — a ``keyword``
+analyzer indexes the raw value as one token (StringField semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ..analysis import Analyzer, register_analyzer
+from .build import IndexManifest, build_index
+from .merge import merge_index
+
+MULTI_MANIFEST = "multi_manifest.json"
+
+
+class KeywordAnalyzer(Analyzer):
+    """Whole value as a single un-tokenized term (StringField /
+    KeywordAnalyzer semantics)."""
+
+    name = "keyword"
+
+    def tokens(self, text: str) -> list[str]:
+        return [text] if text else []
+
+
+register_analyzer("keyword", KeywordAnalyzer())
+
+
+def build_multi_index(
+    source: str,
+    out_dir: str,
+    fields: dict[str, dict],
+    *,
+    rows_per_partition: int = 20_000,
+    merge: bool = True,
+    **kw,
+) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    manifests = {}
+    for fname, cfg in fields.items():
+        fdir = os.path.join(out_dir, "fields", fname)
+        os.makedirs(fdir, exist_ok=True)
+        man = build_index(
+            source, fdir, text_field=cfg.get("source_column", fname),
+            analyzer=cfg.get("analyzer", "standard"),
+            store_positions=cfg.get("positions", False),
+            rows_per_partition=rows_per_partition, **kw,
+        )
+        if merge:
+            merge_index(fdir)
+        manifests[fname] = {"dir": f"fields/{fname}",
+                            "analyzer": man.analyzer,
+                            "max_doc": man.max_doc}
+    top = {"fields": manifests,
+           "default_field": next(iter(fields))}
+    tmp = os.path.join(out_dir, MULTI_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(top, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, MULTI_MANIFEST))
+    return top

@@ -13,6 +13,7 @@ from .query import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
+    FieldedQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -23,12 +24,14 @@ from .query import (
     parse_query,
 )
 from .distributed import SearcherActor, search_many, search_sharded
+from .multifield import MultiFieldSearcher
 from .searcher import IndexSearcher
 from .topk import merge_shard_topk, top_k
 
 __all__ = [
     "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
-    "DisjunctionMaxQuery", "FuzzyQuery", "IndexSearcher",
+    "DisjunctionMaxQuery", "FieldedQuery", "FuzzyQuery", "IndexSearcher",
+    "MultiFieldSearcher",
     "MatchAllDocsQuery", "PhraseQuery", "PrefixQuery", "Query", "RegexpQuery",
     "TermQuery", "TermRangeQuery", "WildcardQuery", "bm25",
     "highlight", "merge_shard_topk", "more_like_this", "parse_query",

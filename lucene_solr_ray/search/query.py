@@ -71,6 +71,15 @@ class DisjunctionMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class FieldedQuery(Query):
+    """Route a sub-query to a named field of a multi-field index (the
+    ``field:term`` syntax of the classic QueryParser)."""
+
+    field: str
+    query: "Query"
+
+
+@dataclass(frozen=True)
 class BoostQuery(Query):
     """Query-time boost: sub-scores multiplied by ``boost`` (the
     topLevelBoost fold-in of Weight.normalize)."""

@@ -75,6 +75,31 @@ def _levenshtein_within(a: str, b: str, k: int) -> bool:
     return prev[-1] <= k
 
 
+def _sloppy_freq(lookups, ci: int, slop: int) -> float:
+    """Sloppy phrase matching (``search/SloppyPhraseScorer.java`` family /
+    the classic window-merge algorithm): offset-adjusted positions per term;
+    advance the minimum cursor; each window with span <= slop contributes
+    ``1/(1+span)`` (``BM25Similarity.sloppyFreq``, BM25Similarity.java:70-72).
+    Repeated-term interaction is simplified vs the reference (documented)."""
+    adj = []
+    for off, (idx, cum, pos) in enumerate(lookups):
+        j = int(idx[ci])
+        p = np.cumsum(pos[cum[j]:cum[j + 1]].astype(np.int64)) - off
+        adj.append(p)
+    ptr = [0] * len(adj)
+    freq = 0.0
+    while True:
+        cur = [a[p] for a, p in zip(adj, ptr)]
+        mn = min(cur)
+        mx = max(cur)
+        if mx - mn <= slop:
+            freq += 1.0 / (1 + (mx - mn))
+        mi = cur.index(mn)
+        ptr[mi] += 1
+        if ptr[mi] >= adj[mi].size:
+            return freq
+
+
 class IndexSearcher:
     def __init__(self, index_dir: str, precise: bool = False, *,
                  reader=None, norms=None, global_stats: dict | None = None):
@@ -240,10 +265,6 @@ class IndexSearcher:
                 "phrase queries need a positional index "
                 "(build_index(store_positions=True))"
             )
-        if q.slop != 0:
-            raise NotImplementedError(
-                "sloppy phrases (SloppyPhraseScorer) not implemented"
-            )
         terms = list(q.terms)
         datas = [self.reader.postings_with_positions(t) for t in terms]
         if any(d[0].size == 0 for d in datas):
@@ -259,19 +280,23 @@ class IndexSearcher:
             cum = np.concatenate(([0], np.cumsum(tfs)))
             idx = np.searchsorted(docs, cand)
             lookups.append((idx, cum, pos))
-        freqs = np.zeros(cand.size, np.int64)
+        freqs = np.zeros(cand.size, np.float64)
         for ci in range(cand.size):
-            idx0, cum0, pos0 = lookups[0]
-            j = int(idx0[ci])
-            match = np.cumsum(pos0[cum0[j]:cum0[j + 1]].astype(np.int64))
-            for off in range(1, len(terms)):
-                idxi, cumi, posi = lookups[off]
-                j = int(idxi[ci])
-                p = np.cumsum(posi[cumi[j]:cumi[j + 1]].astype(np.int64))
-                match = np.intersect1d(match, p - off, assume_unique=True)
-                if match.size == 0:
-                    break
-            freqs[ci] = match.size
+            if q.slop == 0:
+                idx0, cum0, pos0 = lookups[0]
+                j = int(idx0[ci])
+                match = np.cumsum(pos0[cum0[j]:cum0[j + 1]].astype(np.int64))
+                for off in range(1, len(terms)):
+                    idxi, cumi, posi = lookups[off]
+                    j = int(idxi[ci])
+                    p = np.cumsum(posi[cumi[j]:cumi[j + 1]].astype(np.int64))
+                    match = np.intersect1d(match, p - off,
+                                           assume_unique=True)
+                    if match.size == 0:
+                        break
+                freqs[ci] = match.size
+            else:
+                freqs[ci] = _sloppy_freq(lookups, ci, q.slop)
         keep = freqs > 0
         cand, freqs = cand[keep], freqs[keep]
         if cand.size == 0:

@@ -1,0 +1,73 @@
+"""Multi-field index: per-field sub-indexes, shared doc-id space,
+cross-field boolean queries, keyword fields."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import build_multi_index
+from lucene_solr_ray.search import (
+    BooleanQuery,
+    FieldedQuery,
+    MultiFieldSearcher,
+    PrefixQuery,
+    TermQuery,
+)
+from lucene_solr_ray.sources import generate_table
+
+
+@pytest.fixture(scope="module")
+def midx(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("mcorpus")
+    tbl = generate_table(300, seed=13)
+    pq.write_table(tbl, str(d / "c.parquet"), row_group_size=100)
+    out = str(tmp_path_factory.mktemp("mindex"))
+    build_multi_index(str(d), out, {
+        "content": {"analyzer": "standard"},
+        "lang": {"analyzer": "keyword"},
+        "path": {"analyzer": "simple_nostop"},
+    }, rows_per_partition=100)
+    return out, tbl
+
+
+def test_keyword_field_exact_match(midx):
+    out, tbl = midx
+    s = MultiFieldSearcher(out)
+    langs = tbl["lang"].to_pylist()
+    want = sorted(i for i, v in enumerate(langs) if v == "python")
+    q = FieldedQuery("lang", TermQuery("python"))
+    docs, _ = s._score(q)
+    assert docs.tolist() == want
+
+
+def test_cross_field_boolean(midx):
+    out, tbl = midx
+    s = MultiFieldSearcher(out)
+    q = BooleanQuery.build(
+        must=[TermQuery("return"),
+              FieldedQuery("lang", TermQuery("java"))],
+    )
+    docs, scores = s._score(q)
+    langs = tbl["lang"].to_pylist()
+    content_docs = set(s._score(TermQuery("return"))[0].tolist())
+    want = sorted(d for d in content_docs if langs[d] == "java")
+    assert docs.tolist() == want
+    # cross-field score = content BM25 + keyword-field BM25 contribution
+    assert (scores > 0).all()
+
+
+def test_path_field_prefix(midx):
+    out, tbl = midx
+    s = MultiFieldSearcher(out)
+    docs, _ = s._score(FieldedQuery("path", TermQuery("pkg7")))
+    paths = tbl["path"].to_pylist()
+    want = sorted(i for i, p in enumerate(paths) if "pkg7/" in p)
+    assert docs.tolist() == want
+
+
+def test_default_field_unchanged(midx):
+    out, _ = midx
+    s = MultiFieldSearcher(out)
+    t = s.search(TermQuery("return"), k=5)
+    assert t.num_rows > 0  # default field = content, full machinery works
+    t2 = s.search(PrefixQuery("get"), k=5)
+    assert t2.num_rows > 0

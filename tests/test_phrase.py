@@ -83,8 +83,47 @@ def test_phrase_search_api_and_empty(pos_index):
     s = IndexSearcher(idx)
     t = s.search(PhraseQuery(("zzz", "qqq")), k=5)
     assert t.num_rows == 0
-    with pytest.raises(NotImplementedError):
-        s.search(PhraseQuery(("quick", "brown"), slop=2), k=5)
+
+
+def test_sloppy_phrase(pos_index, tmp_path_factory, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from lucene_solr_ray.index import build_index
+
+    docs = [
+        "alpha beta gamma",        # exact "alpha gamma"? no (gap 2)
+        "alpha gamma",             # exact match
+        "alpha xx gamma",          # slop 1: span 1 after offset adjust
+        "gamma alpha",             # reversed: slop 2 window
+        "alpha xx yy zz gamma",    # needs slop 3
+    ]
+    d = tmp_path_factory.mktemp("sloppy")
+    tbl = pa.table({
+        "repo": pa.array(["r"] * 5), "path": pa.array(["p"] * 5),
+        "commit": pa.array(["c"] * 5), "lang": pa.array(["txt"] * 5),
+        "content": pa.array(docs),
+    })
+    pq2.write_table(tbl, str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("sloppyidx"))
+    build_index(str(d), out, rows_per_partition=10, store_positions=True)
+    s = IndexSearcher(out)
+
+    def hits(slop):
+        t = s.search(PhraseQuery(("alpha", "gamma"), slop=slop), k=10)
+        return t["doc_id"].to_pylist()
+
+    assert hits(0) == [1]
+    assert set(hits(1)) == {0, 1, 2}          # "beta"/"xx" gap = span 1
+    assert set(hits(2)) >= {0, 1, 2, 3}       # reversed within slop 2
+    assert set(hits(3)) == {0, 1, 2, 3, 4}
+    # monotone superset property
+    for k in range(3):
+        assert set(hits(k)) <= set(hits(k + 1))
+    # sloppyFreq: exact match scores higher than slop-1 match of same doc len
+    t = s.search(PhraseQuery(("alpha", "gamma"), slop=1), k=10).to_pydict()
+    by = dict(zip(t["doc_id"], t["score"]))
+    assert by[1] > by[2]
 
 
 def test_phrase_identical_after_merge(pos_index, ray_session):
