@@ -236,6 +236,60 @@ def q_ft_prefix_count(sf_dir: str) -> pa.Table:
     })
 
 
+def q_numeric_range(sf_dir: str) -> pa.Table:
+    """NumericRangeQuery -> columnar docvalues predicate (SURVEY §2.5:
+    trie decomposition replaced by an Arrow compute filter)."""
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["n_chars"], 200),
+                    pc.less(b["n_chars"], 300))
+        return b.filter(m).select(["doc_id", "n_chars"])
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id")
+    )
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "n_chars": pa.array(out["n_chars"].to_numpy(), pa.int64()),
+    })
+
+
+def q_ann_lsh_top5(sf_dir: str) -> pa.Table:
+    """LSH-bucketed ANN (scale path): hyperplane buckets + probe the
+    query's bucket; rows-only (approximate by construction)."""
+    import ray.data as rd
+
+    from ..stages.ann import brute_force_topk, hyperplane_buckets
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    bucketed, planes = hyperplane_buckets(ds, n_bits=6)
+    bt = bucketed.to_pandas()
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(path, filters=[("vec_id", "=", 0)])
+    qv = np.array(q["embedding"].to_pylist(), np.float64)
+    qb = (qv[0] @ planes.T > 0)
+    qbucket = sum(1 << i for i in range(planes.shape[0]) if qb[i])
+    probe = bt[bt["bucket"] == qbucket]
+    if len(probe) < 2:
+        probe = bt  # fall back to full scan for tiny buckets
+    sub = rd.from_pandas(probe[["vec_id", "embedding"]])
+    t = brute_force_topk(sub, qv, k=6, round_decimals=3)
+    rows = [
+        (v, s) for qd, v, s in zip(t["query_id"].to_pylist(),
+                                   t["vec_id"].to_pylist(),
+                                   t["score"].to_pylist())
+        if qd == 0 and v != 0
+    ][:5]
+    return pa.table({
+        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "vec_id": pa.array([v for v, _ in rows], pa.int64()),
+        "score": pa.array([s for _, s in rows], pa.float64()),
+    })
+
+
 def q_facet_lang(sf_dir: str) -> pa.Table:
     out = (
         _docs_ds(sf_dir, ["lang"]).groupby("lang").count().to_pandas()
@@ -732,6 +786,8 @@ QUERIES = {
     "ft_phrase_count": q_ft_phrase_count,
     "ft_phrase_search": q_ft_phrase_search,
     "ft_prefix_count": q_ft_prefix_count,
+    "numeric_range": q_numeric_range,
+    "ann_lsh_top5": q_ann_lsh_top5,
     "facet_lang": q_facet_lang,
     "facet_source_top10": q_facet_source_top10,
     "stats_nchars": q_stats_nchars,
@@ -793,6 +849,10 @@ ORDER BY doc_id
 WITH {_TOKENS}
 SELECT count(DISTINCT doc_id)::BIGINT AS prefix_docs FROM tokens
 WHERE term LIKE 'val%'
+""",
+    "numeric_range": """
+SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents
+WHERE n_chars >= 200 AND n_chars < 300 ORDER BY doc_id
 """,
     "facet_lang": """
 SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang

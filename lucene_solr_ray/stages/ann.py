@@ -17,9 +17,15 @@ import pyarrow as pa
 
 def _to_matrix(col) -> np.ndarray:
     arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    n = len(arr)
-    return flat.reshape(n, -1)
+    try:
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(arr), -1)
+    except AttributeError:
+        # Ray tensor-extension arrays (from_pandas of ndarray cells) or
+        # other list-likes: fall back to a materializing conversion
+        return np.asarray(
+            [np.asarray(x, np.float64) for x in arr.to_pylist()], np.float64
+        )
 
 
 def brute_force_topk(
