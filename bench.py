@@ -133,6 +133,11 @@ def run_bench() -> dict:
 
     shutil.rmtree(idx_dir, ignore_errors=True)
     docs_per_sec = man.max_doc / timings["index_build"]
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(CORPUS_DIR, f))
+        for f in os.listdir(CORPUS_DIR)
+    )
+    gb_per_sec = corpus_bytes / 1e9 / timings["index_build"]
     headline = (
         timings["index_build"] + timings["segment_merge"]
         + timings["query_mix"]
@@ -146,6 +151,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bench_docs": man.max_doc,
         "index_docs_per_sec": round(docs_per_sec, 1),
+        "index_gb_per_sec": round(gb_per_sec, 4),
     }
     ray.shutdown()
     return result

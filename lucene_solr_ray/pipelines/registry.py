@@ -236,6 +236,87 @@ def q_ft_prefix_count(sf_dir: str) -> pa.Table:
     })
 
 
+def q_agg_pricing_summary(sf_dir: str) -> pa.Table:
+    """Generic analytics demo (the JSON Facet API aggregate shape,
+    SURVEY §2.7) on lineitem: partial per-batch combine would apply at
+    scale; here a direct grouped aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    out = (
+        li.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="cnt"),
+        )
+        .to_pandas().sort_values(["l_returnflag", "l_linestatus"])
+    )
+    return pa.table({
+        "l_returnflag": pa.array(out["l_returnflag"].tolist(), pa.string()),
+        "l_linestatus": pa.array(out["l_linestatus"].tolist(), pa.string()),
+        "sum_qty": pa.array(_round4(out["sum_qty"].to_numpy()), pa.float64()),
+        "sum_price": pa.array(_round4(out["sum_price"].to_numpy()),
+                              pa.float64()),
+        "avg_disc": pa.array(_round4(out["avg_disc"].to_numpy()),
+                             pa.float64()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+    })
+
+
+def q_join_orders_revenue(sf_dir: str) -> pa.Table:
+    """Large-side join demo: lineitem joined to orders via broadcast of the
+    (small-at-this-scale) orders key->priority map, then grouped revenue.
+    At 100 TB the orders side would be bucket-hash-joined instead; the
+    broadcast threshold is the documented switch."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).to_pandas()
+    keys = orders["o_orderkey"].to_numpy()
+    order_sort = np.argsort(keys)
+    lut = ray.put((keys[order_sort],
+                   orders["o_orderpriority"].to_numpy()[order_sort]))
+
+    def join(b: pa.Table) -> pa.Table:
+        k, prio = ray.get(lut)
+        ok_ids = b["l_orderkey"].to_numpy()
+        pos = np.searchsorted(k, ok_ids)
+        ok = (pos < k.size) & (k[np.minimum(pos, k.size - 1)] == ok_ids)
+        rev = (b["l_extendedprice"].to_numpy()
+               * (1.0 - b["l_discount"].to_numpy()))
+        return pa.table({
+            "o_orderpriority": pa.array(prio[pos[ok]].tolist(), pa.string()),
+            "revenue": pa.array(rev[ok]),
+        })
+
+    out = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(join, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas().sort_values("o_orderpriority")
+    )
+    return pa.table({
+        "o_orderpriority": pa.array(out["o_orderpriority"].tolist(),
+                                    pa.string()),
+        "revenue": pa.array(_round4(out["revenue"].to_numpy()), pa.float64()),
+    })
+
+
 def q_numeric_range(sf_dir: str) -> pa.Table:
     """NumericRangeQuery -> columnar docvalues predicate (SURVEY §2.5:
     trie decomposition replaced by an Arrow compute filter)."""
@@ -787,6 +868,8 @@ QUERIES = {
     "ft_phrase_search": q_ft_phrase_search,
     "ft_prefix_count": q_ft_prefix_count,
     "numeric_range": q_numeric_range,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_orders_revenue": q_join_orders_revenue,
     "ann_lsh_top5": q_ann_lsh_top5,
     "facet_lang": q_facet_lang,
     "facet_source_top10": q_facet_source_top10,
@@ -853,6 +936,22 @@ WHERE term LIKE 'val%'
     "numeric_range": """
 SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents
 WHERE n_chars >= 200 AND n_chars < 300 ORDER BY doc_id
+""",
+    "agg_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       floor(sum(l_quantity)*10000 + 0.5)/10000 AS sum_qty,
+       floor(sum(l_extendedprice)*10000 + 0.5)/10000 AS sum_price,
+       floor(avg(l_discount)*10000 + 0.5)/10000 AS avg_disc,
+       count(*)::BIGINT AS cnt
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "join_orders_revenue": """
+SELECT o.o_orderpriority,
+       floor(sum(l.l_extendedprice * (1 - l.l_discount))*10000 + 0.5)/10000
+         AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """,
     "facet_lang": """
 SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY lang

@@ -123,13 +123,15 @@ class FuzzyQuery(Query):
     max_edits: int = 2  # LevenshteinAutomata supports <=2 (FuzzyQuery.java)
 
 
-def parse_query(text: str, analyzer, default_op: str = "OR") -> Query:
+def parse_query(text: str, analyzer, default_op: str = "OR",
+                fields: set | None = None) -> Query:
     """QueryParser-lite: whitespace clauses, ``+``=MUST, ``-``=MUST_NOT,
-    ``"..."``=phrase; each clause analyzed by ``analyzer``. Stopword-only
-    clauses vanish (StopFilter semantics)."""
+    ``"..."``=phrase, ``field:term`` routes to a named field when ``fields``
+    names it; each clause analyzed by ``analyzer``. Stopword-only clauses
+    vanish (StopFilter semantics)."""
     import re as _re
 
-    tokens = _re.findall(r'[+-]?"[^"]*"|\S+', text)
+    tokens = _re.findall(r'[+-]?(?:\w+:)?"[^"]*"|\S+', text)
     should, must, must_not = [], [], []
     for raw in tokens:
         occur = SHOULD if default_op == "OR" else MUST
@@ -137,6 +139,10 @@ def parse_query(text: str, analyzer, default_op: str = "OR") -> Query:
             occur, raw = MUST, raw[1:]
         elif raw.startswith("-"):
             occur, raw = MUST_NOT, raw[1:]
+        field = None
+        m = _re.match(r"(\w+):(.+)", raw)
+        if m and fields and m.group(1) in fields:
+            field, raw = m.group(1), m.group(2)
         if raw.startswith('"') and raw.endswith('"'):
             terms = tuple(analyzer.tokens(raw[1:-1]))
             if not terms:
@@ -151,6 +157,8 @@ def parse_query(text: str, analyzer, default_op: str = "OR") -> Query:
                 if len(terms) == 1
                 else PhraseQuery(terms)  # classic QP: multi-token clause
             )
+        if field is not None:
+            q = FieldedQuery(field, q)
         (must if occur == MUST else must_not if occur == MUST_NOT else should
          ).append(q)
     if len(should) == 1 and not must and not must_not:

@@ -65,7 +65,8 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "dedup_exact", "events_window", "quality_tokens", "ann_cosine_top5",
         "ft_phrase_search", "suggest_prefix", "spellcheck",
         "facet_on_query", "group_search_top2", "events_sliding_window",
-        "unique_stream", "numeric_range",
+        "unique_stream", "numeric_range", "agg_pricing_summary",
+        "join_orders_revenue",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):

@@ -71,3 +71,23 @@ def test_default_field_unchanged(midx):
     assert t.num_rows > 0  # default field = content, full machinery works
     t2 = s.search(PrefixQuery("get"), k=5)
     assert t2.num_rows > 0
+
+
+def test_fielded_query_parsing(midx):
+    from lucene_solr_ray.analysis import get_analyzer
+    from lucene_solr_ray.search import parse_query
+
+    out, tbl = midx
+    s = MultiFieldSearcher(out)
+    q = parse_query("+return +lang:java", get_analyzer("standard"),
+                    fields={"lang", "path"})
+    docs, _ = s._score(q)
+    langs = tbl["lang"].to_pylist()
+    content_docs = set(s._score(TermQuery("return"))[0].tolist())
+    assert docs.tolist() == sorted(
+        d for d in content_docs if langs[d] == "java"
+    )
+    # unknown prefix stays a plain term (e.g. "foo:bar" w/o fields param)
+    q2 = parse_query("lang:java", get_analyzer("standard"))
+    from lucene_solr_ray.search import FieldedQuery
+    assert not isinstance(q2, FieldedQuery)
