@@ -140,6 +140,84 @@ def encode_postings(
     return b"".join(out), block_last, block_maxtf
 
 
+_WIDTH_CODE = {1: 253, 2: 254, 4: 255}
+
+
+def encode_postings_batch(
+    docs_flat: np.ndarray,
+    tfs_flat: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> list[bytes]:
+    """Vectorized encoder for many SINGLE-BLOCK terms at once (df <= 128,
+    byte-aligned widths) — the per-term payloads are assembled from three
+    width-class blobs, avoiding per-term numpy call overhead. Byte format
+    is identical to :func:`encode_postings` with ``byte_aligned=True``
+    except the all-equal (bpv=0) case is not used (BEST_SPEED tradeoff)."""
+    docs_flat = np.asarray(docs_flat, np.int64)
+    n_terms = starts.size
+    counts = ends - starts
+    # deltas: first of each term = absolute doc id
+    deltas = np.empty(docs_flat.size, np.uint32)
+    if docs_flat.size:
+        deltas[0] = docs_flat[0]
+        np.subtract(docs_flat[1:], docs_flat[:-1], out=deltas[1:],
+                    casting="unsafe")
+        deltas[starts] = docs_flat[starts]
+    tfm1 = (np.asarray(tfs_flat, np.int64) - 1).astype(np.uint32)
+
+    def widths(vals: np.ndarray) -> np.ndarray:
+        mx = np.maximum.reduceat(vals, starts)
+        w = np.full(n_terms, 4, np.int8)
+        w[mx < 0x10000] = 2
+        w[mx < 0x100] = 1
+        return w
+
+    dw = widths(deltas)
+    tw = widths(tfm1)
+
+    # per-width-class blobs + per-term byte offsets into them
+    def class_blobs(vals: np.ndarray, w: np.ndarray):
+        blobs, offs = {}, {}
+        for width, dtype in ((1, np.uint8), (2, "<u2"), (4, "<u4")):
+            m = w == width
+            if not m.any():
+                continue
+            sel_counts = counts[m]
+            # gather member values: build a take-index for member postings
+            idx = np.concatenate([
+                np.arange(s, e) for s, e in
+                zip(starts[m].tolist(), ends[m].tolist())
+            ]) if m.any() else np.empty(0, np.int64)
+            blobs[width] = vals[idx].astype(dtype).tobytes()
+            term_off = np.zeros(sel_counts.size + 1, np.int64)
+            np.cumsum(sel_counts * width, out=term_off[1:])
+            offs[width] = (np.flatnonzero(m), term_off)
+        return blobs, offs
+
+    d_blobs, d_offs = class_blobs(deltas, dw)
+    t_blobs, t_offs = class_blobs(tfm1, tw)
+    headers = counts.astype("<u4").tobytes()
+
+    d_slice = [None] * n_terms
+    for width, (members, term_off) in d_offs.items():
+        blob = d_blobs[width]
+        code = bytes([_WIDTH_CODE[width]])
+        for k, ti in enumerate(members.tolist()):
+            d_slice[ti] = code + blob[term_off[k]:term_off[k + 1]]
+    t_slice = [None] * n_terms
+    for width, (members, term_off) in t_offs.items():
+        blob = t_blobs[width]
+        code = bytes([_WIDTH_CODE[width]])
+        for k, ti in enumerate(members.tolist()):
+            t_slice[ti] = code + blob[term_off[k]:term_off[k + 1]]
+
+    return [
+        headers[4 * i : 4 * i + 4] + d_slice[i] + t_slice[i]
+        for i in range(n_terms)
+    ]
+
+
 def decode_postings(payload: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
     """Decode a full posting list -> (doc_ids:int64[], tfs:int32[])."""
     buf = memoryview(payload).cast("B")  # unsigned view (arrow buffers are 'b')

@@ -264,8 +264,22 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         s_arr["b2"] = 0
         s_arr["t"] = a_tf[s_idx] - 1
         singles_blob = s_arr.tobytes()
+    # 2 <= df <= 128 batch path: vectorized single-block encode for the
+    # remaining Zipf body (byte-aligned widths, see encode_postings_batch)
+    small_payloads: dict[int, bytes] = {}
+    if starts.size and byte_aligned:
+        small_mask = (df_arr >= 2) & (df_arr <= BLOCK_SIZE)
+        sm_idx = np.flatnonzero(small_mask)
+        if sm_idx.size:
+            from ..codec.postings import encode_postings_batch
+
+            plist = encode_postings_batch(
+                a_doc_g, a_tf, starts[sm_idx], ends[sm_idx]
+            )
+            small_payloads = dict(zip(sm_idx.tolist(), plist))
+
     j = 0  # index into singles
-    for s, e in zip(starts.tolist(), ends.tolist()):
+    for ti, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
         if store_positions:
             flat = (
                 pos_sorted[s] if e - s == 1
@@ -281,8 +295,17 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
             bl_maxtf.append([int(a_tf[s])])
             bl_maxnorm.append([int(norm_bytes[a_doc[s]])])
             continue
-        d = a_doc_g[s:e]
         t = a_tf[s:e]
+        sp = small_payloads.get(ti)
+        if sp is not None:
+            payloads.append(sp)
+            dfs.append(e - s)
+            ttfs.append(int(t.sum()))
+            bl_last.append([int(a_doc_g[e - 1])])
+            bl_maxtf.append([int(t.max())])
+            bl_maxnorm.append([int(norm_bytes[a_doc[s:e]].max())])
+            continue
+        d = a_doc_g[s:e]
         payload, last, maxtf = encode_postings(d, t, byte_aligned=byte_aligned)
         payloads.append(payload)
         dfs.append(e - s)
