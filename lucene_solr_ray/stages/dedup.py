@@ -134,18 +134,107 @@ def minhash_lsh_candidates(
     )
     banded = sigs.map_batches(to_bands, batch_format="pyarrow")
 
-    def bucket_pairs(group):
-        import pandas as pd
+    # pair expansion WITHOUT per-group UDF dispatch: sort on the bucket key,
+    # expand interior groups vectorized inside map_batches, pass boundary
+    # rows (<=2 groups/block) to a tiny driver-side final step — the same
+    # pattern as the segment merge. Buckets larger than max_bucket emit
+    # only the pairs against their smallest id (a star, not a clique):
+    # enough to connect the component without O(g^2) blowup on degenerate
+    # all-identical buckets.
+    max_bucket = 128
 
-        ids = sorted(group[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        pairs = [(a, c) for j, a in enumerate(ids) for c in ids[j + 1 :]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "boundary_band": pa.array([], pa.int32()),
+                             "boundary_hash": pa.array([], pa.string()),
+                             "boundary_id": pa.array([], pa.int64())})
+        bands = batch["band"].to_numpy()
+        hashes = np.asarray(batch["band_hash"].to_pylist(), object)
+        ids = batch[id_col].to_numpy()
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = (bands[1:] != bands[:-1]) | (hashes[1:] != hashes[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        a_l, b_l = [], []
+        bb, bh, bi = [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if s == 0 or e == n:  # boundary group -> pass through
+                bb.extend([int(bands[i]) for i in range(s, e)])
+                bh.extend([hashes[i] for i in range(s, e)])
+                bi.extend([int(ids[i]) for i in range(s, e)])
+                continue
+            g = np.sort(ids[s:e])
+            if g.size < 2:
+                continue
+            if g.size > max_bucket:
+                a_l.append(np.full(g.size - 1, g[0]))
+                b_l.append(g[1:])
+            else:
+                iu = np.triu_indices(g.size, k=1)
+                a_l.append(g[iu[0]])
+                b_l.append(g[iu[1]])
+        a = np.concatenate(a_l) if a_l else np.empty(0, np.int64)
+        b = np.concatenate(b_l) if b_l else np.empty(0, np.int64)
+        pad = np.full(a.size, -1, np.int64)
+        return pa.table({
+            "id_a": pa.array(np.concatenate([a, np.full(len(bi), -1)])),
+            "id_b": pa.array(np.concatenate([b, np.full(len(bi), -1)])),
+            "boundary_band": pa.array(
+                np.concatenate([pad[:a.size] * 0 - 1,
+                                np.asarray(bb, np.int64)]).astype(np.int32)
+            ),
+            "boundary_hash": pa.array(
+                [""] * a.size + [str(x) for x in bh], pa.string()
+            ),
+            "boundary_id": pa.array(
+                np.concatenate([pad, np.asarray(bi, np.int64)])
+            ),
+        })
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    tagged = (
+        banded.sort(["band", "band_hash"])
+        .map_batches(expand, batch_format="pyarrow", batch_size=None)
+        .materialize()  # consumed twice below; pair rows stay distributed
     )
+    boundary = tagged.map_batches(
+        lambda t: t.filter(pc_.less(t["id_a"], 0)),
+        batch_format="pyarrow",
+    ).take_all()  # <= 2 groups per sorted block — provably small
+    buckets: dict[tuple, list[int]] = {}
+    for r in boundary:
+        buckets.setdefault(
+            (int(r["boundary_band"]), r["boundary_hash"]), []
+        ).append(int(r["boundary_id"]))
+    extra: set[tuple[int, int]] = set()
+    for g in buckets.values():
+        g = sorted(set(g))
+        if len(g) < 2:
+            continue
+        if len(g) > max_bucket:
+            extra.update((g[0], x) for x in g[1:])
+        else:
+            extra.update(
+                (g[i], g[j]) for i in range(len(g))
+                for j in range(i + 1, len(g))
+            )
+    pairs = tagged.map_batches(
+        lambda t: t.filter(pc_.greater_equal(t["id_a"], 0)).select(
+            ["id_a", "id_b"]
+        ),
+        batch_format="pyarrow",
+    )
+    if extra:
+        pairs = pairs.union(rd.from_items([
+            {"id_a": a, "id_b": b} for a, b in sorted(extra)
+        ]))
+    # dedupe pairs seen in multiple bands
     return pairs.groupby(["id_a", "id_b"]).count()
 
 
