@@ -417,6 +417,36 @@ def q_stats_nchars(sf_dir: str) -> pa.Table:
     })
 
 
+def q_stats_percentiles(sf_dir: str) -> pa.Table:
+    """StatsComponent percentiles — exact distributed quantile_cont
+    (t-digest is the unbounded-cardinality scale path, stages/sketches.py)."""
+    from ..stages.sketches import percentiles_exact
+
+    ps = percentiles_exact(
+        _docs_ds(sf_dir, ["n_chars"]), "n_chars", [0.25, 0.5, 0.75, 0.99]
+    )
+    return pa.table({
+        "p25": pa.array(_round4([ps[0.25]]), pa.float64()),
+        "p50": pa.array(_round4([ps[0.5]]), pa.float64()),
+        "p75": pa.array(_round4([ps[0.75]]), pa.float64()),
+        "p99": pa.array(_round4([ps[0.99]]), pa.float64()),
+    })
+
+
+def q_hll_users(sf_dir: str) -> pa.Table:
+    """HLL cardinality of events.user_id (approx; rows-only — pytest
+    asserts tolerance vs exact)."""
+    import ray.data as rd
+
+    from ..stages.sketches import hll_cardinality
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    est = hll_cardinality(ev, "user_id")
+    return pa.table({"estimated_users": pa.array([int(round(est))],
+                                                 pa.int64())})
+
+
 def q_range_facet_nchars(sf_dir: str) -> pa.Table:
     def bucketize(b: pa.Table) -> pa.Table:
         nc = b["n_chars"].to_numpy()
@@ -874,6 +904,8 @@ QUERIES = {
     "facet_lang": q_facet_lang,
     "facet_source_top10": q_facet_source_top10,
     "stats_nchars": q_stats_nchars,
+    "stats_percentiles": q_stats_percentiles,
+    "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
     "group_top2_per_lang": q_group_top2_per_lang,
     "sort_export_top50": q_sort_export_top50,
@@ -966,6 +998,13 @@ SELECT count(*)::BIGINT AS n, min(n_chars)::BIGINT AS min_nc,
        max(n_chars)::BIGINT AS max_nc, sum(n_chars)::BIGINT AS sum_nc,
        floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_nc,
        floor(stddev_samp(n_chars)*10000 + 0.5)/10000 AS std_nc
+FROM documents
+""",
+    "stats_percentiles": """
+SELECT floor(quantile_cont(n_chars, 0.25)*10000 + 0.5)/10000 AS p25,
+       floor(quantile_cont(n_chars, 0.5)*10000 + 0.5)/10000 AS p50,
+       floor(quantile_cont(n_chars, 0.75)*10000 + 0.5)/10000 AS p75,
+       floor(quantile_cont(n_chars, 0.99)*10000 + 0.5)/10000 AS p99
 FROM documents
 """,
     "range_facet_nchars": """

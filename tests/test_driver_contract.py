@@ -66,7 +66,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "ft_phrase_search", "suggest_prefix", "spellcheck",
         "facet_on_query", "group_search_top2", "events_sliding_window",
         "unique_stream", "numeric_range", "agg_pricing_summary",
-        "join_orders_revenue",
+        "join_orders_revenue", "stats_percentiles",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):
@@ -83,7 +83,8 @@ def test_query_matches_oracle(contract, duck, name):
 
 @pytest.mark.parametrize("name", ["lang_id", "simhash",
                                   "minhash_candidates", "mlt_top10",
-                                  "media_image_stats", "ann_lsh_top5"])
+                                  "media_image_stats", "ann_lsh_top5",
+                                  "hll_users"])
 def test_rows_only_queries_run(contract, name):
     queries, _ = contract
     df = _to_df(queries[name](SF_DIR))

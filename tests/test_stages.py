@@ -182,3 +182,36 @@ def test_media_determinism():
     a = synth_media_table(10, seed=1)
     b = synth_media_table(10, seed=1)
     assert a.equals(b)
+
+
+def test_hll_within_tolerance(ray_session):
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.sketches import HLL, hll_cardinality
+
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, 5000, 20000)
+    exact = len(np.unique(vals))
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)}))
+    est = hll_cardinality(ds, "v", p=12)
+    assert abs(est - exact) / exact < 0.05
+    # merge associativity: split sketches == one sketch
+    h1, h2, h3 = HLL(), HLL(), HLL()
+    h1.add_values(vals[:7000].tolist())
+    h2.add_values(vals[7000:].tolist())
+    h3.add_values(vals.tolist())
+    assert h1.merge(h2).estimate() == h3.estimate()
+
+
+def test_percentiles_exact_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.sketches import percentiles_exact
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1000, 5000)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)}))
+    got = percentiles_exact(ds, "v", [0.25, 0.5, 0.9])
+    for q, v in got.items():
+        assert v == pytest.approx(np.percentile(vals, q * 100,
+                                                method="linear"))
