@@ -232,6 +232,18 @@ class IndexSearcher:
             return self._score_phrase(q)
         if isinstance(q, BooleanQuery):
             return self._score_bool(q)
+        from .spans import SpanQuery, score_spans
+
+        if isinstance(q, SpanQuery):
+            if self.precise:
+                raise NotImplementedError(
+                    "span queries run in float32 (Lucene-faithful) mode"
+                )
+            if not self.manifest.store_positions:
+                raise NotImplementedError(
+                    "span queries need a positional index"
+                )
+            return score_spans(self, q)
         from .query import BoostQuery, DisjunctionMaxQuery
 
         if isinstance(q, BoostQuery):
