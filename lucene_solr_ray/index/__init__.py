@@ -2,6 +2,7 @@ from .build import IndexManifest, build_index, build_segment, plan_partitions
 from .check import check_index, fetch_docs
 from .merge import merge_index
 from .multifield import build_multi_index
+from .sorted_build import build_sorted_index, early_terminated_topk
 
 __all__ = [
     "IndexManifest",
@@ -10,6 +11,8 @@ __all__ = [
     "build_index",
     "build_segment",
     "build_multi_index",
+    "build_sorted_index",
+    "early_terminated_topk",
     "merge_index",
     "plan_partitions",
 ]

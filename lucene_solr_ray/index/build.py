@@ -58,6 +58,7 @@ class IndexManifest:
     merged_shards: int = 0
     byte_aligned: bool = True
     store_positions: bool = False
+    sort_by: str | None = None
 
     @property
     def avgdl(self) -> float:

@@ -118,8 +118,8 @@ def check_index(index_dir: str, *, sample_terms: int | None = None,
     return report
 
 
-def fetch_docs(index_dir: str, corpus_source: str, doc_ids: list[int],
-               columns: list[str] | None = None):
+def fetch_docs(index_dir: str, corpus_source: str | None = None,
+               doc_ids: list[int] = (), columns: list[str] | None = None):
     """Stored-fields fetch: doc_id -> source parquet row (the 2-phase
     query's STAGE_GET_FIELDS, ``QueryComponent.java:662+``; the stored
     fields ARE the source parquet — SURVEY.md §1.4)."""

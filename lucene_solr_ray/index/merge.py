@@ -38,6 +38,11 @@ so readers decode chunks independently and in parallel.
 
 File names are deterministic functions of content (first term/chunk + row
 count), so task retries are idempotent (write tmp + rename).
+
+Restart semantics: the segment BUILD is the checkpointed long phase; the
+merge is a single bounded shuffle written to ``merged.tmp`` and published
+atomically — a crash mid-merge restarts the merge only, never the build
+(the ``addIndexes``-restart tradeoff of the reference's mtree merge).
 """
 
 from __future__ import annotations

@@ -5,6 +5,7 @@ from .extras import (
     rescore,
     spellcheck,
     suggest_prefix,
+    term_vector,
 )
 from .query import (
     BooleanQuery,
@@ -36,5 +37,5 @@ __all__ = [
     "TermQuery", "TermRangeQuery", "WildcardQuery", "bm25",
     "highlight", "merge_shard_topk", "more_like_this", "parse_query",
     "rescore", "search_many", "search_sharded", "SearcherActor",
-    "spellcheck", "suggest_prefix", "top_k",
+    "spellcheck", "suggest_prefix", "term_vector", "top_k",
 ]

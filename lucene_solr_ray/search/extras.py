@@ -148,3 +148,24 @@ def highlight(text: str, terms: list[str], *, window_chars: int = 120,
     lo = max(0, best_start - 10)
     snippet = text[lo : lo + window_chars]
     return pat.sub(lambda m: f"{pre}{m.group(0)}{post}", snippet)
+
+
+def term_vector(text: str, analyzer) -> "pa.Table":
+    """TermVectorComponent analogue (``solr/.../component/
+    TermVectorComponent.java``): per-doc term vector (term, tf, positions)
+    by re-analysis — Lucene stores these at index time when
+    ``storeTermVectors`` is set; re-analysis of the stored field is the
+    equivalent for our always-stored source rows."""
+    from collections import defaultdict
+
+    toks, pos = analyzer.tokens_with_positions(text)
+    acc: dict = defaultdict(list)
+    for t, p in zip(toks, pos):
+        acc[t].append(p)
+    terms = sorted(acc)
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "tf": pa.array([len(acc[t]) for t in terms], pa.int64()),
+        "positions": pa.array([acc[t] for t in terms],
+                              pa.list_(pa.int64())),
+    })

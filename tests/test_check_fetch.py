@@ -67,3 +67,27 @@ def test_search_many_actor_pool(cidx):
         want = s.search(parse_query(qt, ana), k=5).to_pydict()
         m = [i for i, q in enumerate(out["query_id"]) if q == qid]
         assert [out["doc_id"][i] for i in m] == want["doc_id"], qt
+
+
+def test_sorted_index_early_termination(tmp_path_factory, ray_session):
+    import pyarrow as pa
+
+    from lucene_solr_ray.index.sorted_build import (
+        build_sorted_index,
+        early_terminated_topk,
+    )
+
+    d = tmp_path_factory.mktemp("sortcorpus")
+    tbl = generate_table(400, seed=21)
+    pq.write_table(tbl, str(d / "c.parquet"), row_group_size=100)
+    out = str(tmp_path_factory.mktemp("sortidx"))
+    man = build_sorted_index(str(d), out, "path", rows_per_partition=100)
+    assert man.sort_by == "path:asc"
+    top = early_terminated_topk(out, 20, columns=["path"])
+    want = sorted(tbl["path"].to_pylist())[:20]
+    assert top["path"].to_pylist() == want
+    # the index itself is consistent (doc ids are sort-order)
+    from lucene_solr_ray.index import check_index
+
+    rep = check_index(out, sample_terms=100)
+    assert rep["ok"]
