@@ -113,6 +113,17 @@ def run_bench() -> dict:
     t3 = time.perf_counter()
     timings["query_mix"] = t3 - t2
 
+    # actor-pool query throughput (SearcherActor serving), outside the
+    # latency window; large batch so pool startup amortizes
+    from lucene_solr_ray.search import search_many
+
+    many = [f"{a} {b}" for a in ("return", "def", "hashKey", "getMap")
+            for b in ("value", "scan", "merge", "block", "token")]
+    reps = 50
+    tq0 = time.perf_counter()
+    search_many(idx_dir, many * reps, k=10, concurrency=min(8, NUM_CPUS))
+    timings["serve_qps"] = len(many) * reps / (time.perf_counter() - tq0)
+
     # secondary pipelines over the driver tables
     from lucene_solr_ray.pipelines.registry import (
         q_ann_cosine_top5,

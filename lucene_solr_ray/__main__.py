@@ -54,6 +54,10 @@ def main(argv=None) -> int:
     s.add_argument("--shards", type=int, default=0,
                    help="doc-sharded distributed search with N shards")
 
+    c = sub.add_parser("check", help="CheckIndex-style validation")
+    c.add_argument("--index", required=True)
+    c.add_argument("--sample-terms", type=int, default=2000)
+
     g = sub.add_parser("gen-corpus", help="deterministic synthetic corpus")
     g.add_argument("--out", required=True)
     g.add_argument("--docs", type=int, default=50_000)
@@ -100,6 +104,12 @@ def main(argv=None) -> int:
                                                  prune=args.prune)
         for row in t.to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "check":
+        from .index import check_index
+
+        rep = check_index(args.index, sample_terms=args.sample_terms,
+                          strict=False)
+        print(json.dumps(rep))
     elif args.cmd == "gen-corpus":
         _ray_session()
         from .sources import write_corpus
