@@ -135,3 +135,17 @@ def test_simple_regex_analyzer_matches_duckdb():
 
 def test_registry_reuse():
     assert get_analyzer("standard") is get_analyzer("standard")
+
+
+def test_format_extend_absorbed_into_tokens():
+    # WB4: Extend (combining marks) and Format (e.g. ZWNJ) chars are
+    # absorbed into the token and kept in its text, as JFlex's
+    # [Format Extend]* suffixes do
+    t = tokenize("café con")  # e + combining acute
+    assert t == ["café", "con"]
+    t2 = tokenize("ab‌cd")  # ZWNJ between letters (Extend)
+    assert t2 == ["ab‌cd"]
+
+
+def test_fullwidth_digits_and_nl():
+    assert tokenize("ＡＢ12 Ⅻ") == ["ＡＢ12", "Ⅻ"]  # fullwidth + Nl roman
