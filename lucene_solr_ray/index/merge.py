@@ -388,7 +388,10 @@ def merge_index(
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    nparts = max(8, min(total_rows // 75_000 + 1, ncpu * 4))
+    # ~150k rows per merge task, capped at 2 tasks/CPU: the all-to-all
+    # exchange cost grows ~quadratically in partition count (object count),
+    # and measured sort wall at 10M rows was 6.7s@64 parts vs 18.6s@128
+    nparts = max(8, min(total_rows // 150_000 + 1, ncpu * 2))
     boundary = (
         rd.read_parquet(seg_dir)
         .map_batches(add_salt, batch_format="pyarrow")

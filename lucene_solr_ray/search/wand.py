@@ -88,6 +88,16 @@ class _TermCursor:
             out.append(np.flatnonzero((last >= lo) & (first <= hi)))
         return out
 
+    def blocks_containing(self, cands: np.ndarray) -> list[np.ndarray]:
+        """Block indices per chunk that could contain any candidate doc —
+        searchsorted of candidates against block_last (the skip-list
+        targeted-advance, vectorized over the whole candidate set)."""
+        out = []
+        for c in self.chunks:
+            b = np.searchsorted(c.block_last, cands)
+            out.append(np.unique(b[b < c.block_last.size]))
+        return out
+
     def blocks_above(self, theta: float, rest: float) -> list[np.ndarray]:
         return [
             np.flatnonzero(ub + np.float32(rest) >= np.float32(theta))
@@ -131,13 +141,41 @@ def wand_or_topk(searcher, terms: list[str], k: int):
         theta = 0.0
 
     total_ub = float(np.sum([float(c.ub_max) for c in cursors]))
-    # candidate generation with block skipping
+    # MaxScore term partition (Turtle & Flood): the maximal low-impact
+    # suffix whose summed upper bounds stay below theta is NON-ESSENTIAL —
+    # a doc appearing only in those lists is bounded below theta, so
+    # candidates come from the essential terms alone; non-essential terms
+    # contribute score by lookup on the candidate set.
+    by_ub = sorted(cursors, key=lambda c: float(c.ub_max))
+    cum = 0.0
+    essential = set()
+    for i, c in enumerate(by_ub):
+        if theta > 0 and cum + float(c.ub_max) < theta:
+            cum += float(c.ub_max)
+        else:
+            essential = {id(x) for x in by_ub[i:]}
+            break
+    if not essential:  # float-edge safety: never prune every term
+        essential = {id(x) for x in cursors}
+    # candidate generation with per-block skipping inside essential terms;
+    # when a term's kept fraction is high, the cached full decode (reader
+    # LRU) beats block-targeted re-decode
     cand_parts = []
-    for i, c in enumerate(cursors):
+    for c in cursors:
+        if id(c) not in essential:
+            continue
         rest = total_ub - float(c.ub_max)
         keep = c.blocks_above(theta, rest)
-        d, _ = c.decode_selected(keep)
+        kept = sum(int(k.size) for k in keep)
+        total = sum(int(u.size) for u in c.block_ub)
+        if total and kept / total > 0.5:
+            d, _ = reader.postings(c.term)
+        else:
+            d, _ = c.decode_selected(keep)
         cand_parts.append(d)
+    if not cand_parts:
+        e = np.empty(0, np.int64)
+        return e, e.astype(np.float32)
     cand = np.unique(np.concatenate(cand_parts))
     if cand.size == 0:
         e = np.empty(0, np.int64)
@@ -146,10 +184,16 @@ def wand_or_topk(searcher, terms: list[str], k: int):
     # exact scoring of candidates: block-targeted decode per term,
     # float64 clause accumulation (identical to the exhaustive path)
     acc = np.zeros(cand.size, np.float64)
-    lo, hi = int(cand[0]), int(cand[-1])
     for c in in_order:
-        keep = c.blocks_overlapping(lo, hi)
-        d, f = c.decode_selected(keep)
+        keep = c.blocks_containing(cand)
+        kept = sum(int(k.size) for k in keep)
+        total = sum(int(u.size) for u in c.block_ub)
+        if ("p", c.term) in reader._cache or (
+            total and kept / total > 0.5
+        ):
+            d, f = reader.postings(c.term)  # cached / mostly-needed
+        else:
+            d, f = c.decode_selected(keep)
         if d.size == 0:
             continue
         scores = bm25.score_postings(
