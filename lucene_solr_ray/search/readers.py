@@ -36,8 +36,6 @@ from ..codec.postings import decode_values
 class NormsReader:
     def __init__(self, index_dir: str, max_doc: int,
                  partition_ids: list[int] | None = None):
-        import pyarrow.parquet as pq
-
         self.norm = np.empty(max_doc, np.uint8)
         self.length = np.empty(max_doc, np.int32)
         d = os.path.join(index_dir, "norms")
@@ -45,17 +43,17 @@ class NormsReader:
             None if partition_ids is None
             else {f"part-{p:05d}.parquet" for p in partition_ids}
         )
-        for f in sorted(os.listdir(d)):
-            if not f.endswith(".parquet"):
-                continue
-            if want is not None and f not in want:
-                continue
-            t = pq.read_table(
-                os.path.join(d, f), columns=["doc_id", "length", "norm"]
-            )
-            ids = t["doc_id"].to_numpy()
-            self.norm[ids] = t["norm"].to_numpy()
-            self.length[ids] = t["length"].to_numpy()
+        files = [
+            os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".parquet") and (want is None or f in want)
+        ]
+        # one multi-threaded dataset read instead of per-file loops
+        t = pads.dataset(files, format="parquet").to_table(
+            columns=["doc_id", "length", "norm"]
+        )
+        ids = t["doc_id"].to_numpy()
+        self.norm[ids] = t["norm"].to_numpy()
+        self.length[ids] = t["length"].to_numpy()
 
 
 class _LRU(OrderedDict):
@@ -106,7 +104,10 @@ class TermDictReader:
         return b""
 
     def _finish_init(self, terms, chunk_order, df, ttf, start_doc,
-                     block_last, block_max_tf, block_max_norm):
+                     block_last_col, block_max_tf_col, block_max_norm_col):
+        """``*_col`` are pyarrow list columns kept as (offsets, values)
+        numpy pairs — no per-row Python list materialization (5+ s at
+        10^6-row term dicts)."""
         terms = np.asarray(terms, dtype=object)
         order = np.lexsort((chunk_order, terms))
         self.terms = terms[order]
@@ -114,10 +115,19 @@ class TermDictReader:
         self.df = np.asarray(df, np.int64)[order]
         self.ttf = np.asarray(ttf, np.int64)[order]
         self.start_doc = np.asarray(start_doc, np.int64)[order]
-        self.block_last = [block_last[i] for i in order]
-        self.block_max_tf = [block_max_tf[i] for i in order]
-        self.block_max_norm = [block_max_norm[i] for i in order]
+        self._blk = {}
+        for name, col in (("last", block_last_col),
+                          ("maxtf", block_max_tf_col),
+                          ("maxnorm", block_max_norm_col)):
+            arr = col.combine_chunks() if hasattr(col, "combine_chunks") \
+                else col
+            self._blk[name] = (arr.offsets.to_numpy(), arr.values.to_numpy())
         self._row_order = order  # maps sorted pos -> original row
+
+    def blk(self, name: str, row: int) -> np.ndarray:
+        off, vals = self._blk[name]
+        orig = int(self._row_order[row])
+        return vals[off[orig]:off[orig + 1]]
 
     def _term_rows(self, term: str) -> range:
         lo = np.searchsorted(self.terms, term, side="left")
@@ -143,9 +153,9 @@ class TermDictReader:
                 df=int(self.df[r]),
                 ttf=int(self.ttf[r]),
                 start_doc=int(self.start_doc[r]),
-                block_last=np.asarray(self.block_last[r], np.int64),
-                block_max_tf=np.asarray(self.block_max_tf[r], np.int32),
-                block_max_norm=np.asarray(self.block_max_norm[r], np.uint8),
+                block_last=self.blk("last", r).astype(np.int64),
+                block_max_tf=self.blk("maxtf", r).astype(np.int32),
+                block_max_norm=self.blk("maxnorm", r).astype(np.uint8),
                 positions=self._pos_payload(r),
             )
             for r in rows
@@ -241,7 +251,9 @@ class MergedReader(TermDictReader):
             if f.startswith("terms-") and f.endswith(".parquet")
         )
         tbl = pads.dataset(tfiles, format="parquet").to_table()
-        self._files = tbl["payload_file"].to_pylist()
+        fdict = tbl["payload_file"].combine_chunks().dictionary_encode()
+        self._file_names = fdict.dictionary.to_pylist()
+        self._file_idx = fdict.indices.to_numpy()
         self._offsets = tbl["offset"].to_numpy()
         self._lengths = tbl["length"].to_numpy()
         if "pos_offset" in tbl.schema.names:
@@ -255,9 +267,9 @@ class MergedReader(TermDictReader):
             tbl["df"].to_numpy(),
             tbl["ttf"].to_numpy(),
             tbl["start_doc"].to_numpy(),
-            tbl["block_last"].to_pylist(),
-            tbl["block_max_tf"].to_pylist(),
-            tbl["block_max_norm"].to_pylist(),
+            tbl["block_last"],
+            tbl["block_max_tf"],
+            tbl["block_max_norm"],
         )
         self._mmaps: dict[str, memoryview] = {}
 
@@ -273,7 +285,8 @@ class MergedReader(TermDictReader):
         orig = int(self._row_order[row])
         off = int(self._offsets[orig])
         ln = int(self._lengths[orig])
-        return self._mmap(self._files[orig])[off : off + ln]
+        fname = self._file_names[self._file_idx[orig]]
+        return self._mmap(fname)[off : off + ln]
 
     def _pos_payload(self, row: int):
         if self._pos_offsets is None:
@@ -281,7 +294,8 @@ class MergedReader(TermDictReader):
         orig = int(self._row_order[row])
         off = int(self._pos_offsets[orig])
         ln = int(self._pos_lengths[orig])
-        return self._mmap(self._files[orig])[off : off + ln]
+        fname = self._file_names[self._file_idx[orig]]
+        return self._mmap(fname)[off : off + ln]
 
 
 class SegmentsReader(TermDictReader):
@@ -310,9 +324,9 @@ class SegmentsReader(TermDictReader):
             tbl["df"].to_numpy(),
             tbl["ttf"].to_numpy(),
             np.zeros(tbl.num_rows, np.int64),
-            tbl["block_last"].to_pylist(),
-            tbl["block_max_tf"].to_pylist(),
-            tbl["block_max_norm"].to_pylist(),
+            tbl["block_last"],
+            tbl["block_max_tf"],
+            tbl["block_max_norm"],
         )
 
     def _payload(self, row: int) -> memoryview:
