@@ -417,6 +417,31 @@ def q_stats_nchars(sf_dir: str) -> pa.Table:
     })
 
 
+def q_pivot_facet(sf_dir: str) -> pa.Table:
+    """Pivot (hierarchical) facets with rollup totals
+    (``solr/.../PivotFacetProcessor.java``): counts per (lang, source),
+    per lang, and grand total — one grouped aggregate per level, unioned
+    (the facet tree flattened; NULL = rollup level)."""
+    from ray.data.aggregate import Count
+
+    import pandas as pd
+
+    ds = _docs_ds(sf_dir, ["lang", "source"])
+    lvl2 = (ds.groupby(["lang", "source"])
+            .aggregate(Count(alias_name="cnt")).to_pandas())
+    lvl1 = lvl2.groupby("lang", as_index=False)["cnt"].sum()
+    lvl1["source"] = None
+    total = pd.DataFrame({"lang": [None], "source": [None],
+                          "cnt": [int(lvl2["cnt"].sum())]})
+    out = pd.concat([lvl2, lvl1, total], ignore_index=True)
+    out = out.sort_values(["lang", "source"], na_position="first")
+    return pa.table({
+        "lang": pa.array(out["lang"].tolist(), pa.string()),
+        "source": pa.array(out["source"].tolist(), pa.string()),
+        "cnt": pa.array(out["cnt"].to_numpy(np.int64)),
+    })
+
+
 def q_stats_percentiles(sf_dir: str) -> pa.Table:
     """StatsComponent percentiles — exact distributed quantile_cont
     (t-digest is the unbounded-cardinality scale path, stages/sketches.py)."""
@@ -904,6 +929,7 @@ QUERIES = {
     "facet_lang": q_facet_lang,
     "facet_source_top10": q_facet_source_top10,
     "stats_nchars": q_stats_nchars,
+    "pivot_facet": q_pivot_facet,
     "stats_percentiles": q_stats_percentiles,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
@@ -999,6 +1025,11 @@ SELECT count(*)::BIGINT AS n, min(n_chars)::BIGINT AS min_nc,
        floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_nc,
        floor(stddev_samp(n_chars)*10000 + 0.5)/10000 AS std_nc
 FROM documents
+""",
+    "pivot_facet": """
+SELECT lang, source, count(*)::BIGINT AS cnt FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST
 """,
     "stats_percentiles": """
 SELECT floor(quantile_cont(n_chars, 0.25)*10000 + 0.5)/10000 AS p25,

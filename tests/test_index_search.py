@@ -238,3 +238,21 @@ def test_resume_skips_and_is_deterministic(corpus_dir, index_dir,
     b2 = pads.dataset(os.path.join(out2, "segments")).to_table()
     assert b.sort_by([("term", "ascending"), ("pid", "ascending")]).equals(
         b2.sort_by([("term", "ascending"), ("pid", "ascending")]))
+
+
+def test_build_deterministic_across_parallelism(corpus_dir,
+                                                tmp_path_factory,
+                                                ray_session):
+    """Parallelism-independence (FIXTURES §4): the same corpus built with
+    concurrency 1 and with the default pool yields byte-identical segment
+    content (pure function of partition plan, not scheduling)."""
+    import pyarrow.dataset as pads
+
+    out1 = str(tmp_path_factory.mktemp("par1"))
+    build_index(corpus_dir, out1, rows_per_partition=100, concurrency=1)
+    out2 = str(tmp_path_factory.mktemp("par8"))
+    build_index(corpus_dir, out2, rows_per_partition=100, concurrency=8)
+    a = pads.dataset(os.path.join(out1, "segments")).to_table()
+    b = pads.dataset(os.path.join(out2, "segments")).to_table()
+    key = [("term", "ascending"), ("pid", "ascending")]
+    assert a.sort_by(key).equals(b.sort_by(key))
