@@ -123,6 +123,9 @@ class IndexSearcher:
         self.norms = norms if norms is not None else NormsReader(
             index_dir, self.manifest.max_doc
         )
+        from .readers import _LRU
+
+        self._result_cache = _LRU(256)
         if reader is not None:
             self.reader = reader
         elif os.path.isdir(os.path.join(index_dir, "merged")):
@@ -401,24 +404,35 @@ class IndexSearcher:
     ) -> pa.Table:
         """``prune=True`` enables block-max top-k pruning (wand.py) for
         disjunctive term queries — rank- and score-identical to the
-        exhaustive path, just skipping provably sub-threshold blocks."""
+        exhaustive path, just skipping provably sub-threshold blocks.
+
+        Results are cached per (query, k, after, prune) — the Solr
+        queryResultCache analogue (``solr/.../search/FastLRUCache.java``);
+        the index is immutable so there is no invalidation."""
+        try:
+            key = ("qr", q, k, after, prune)
+            hit = self._result_cache.get(key)
+        except TypeError:  # unhashable custom query
+            key = None
+            hit = None
+        if hit is not None:
+            return hit
         if (prune and not self.precise and after is None
                 and (terms := self._wand_terms(q)) is not None):
             from .wand import wand_or_topk
 
             d, s = wand_or_topk(self, terms, k)
-            return pa.table({
-                "rank": pa.array(np.arange(1, d.size + 1, dtype=np.int32)),
-                "doc_id": pa.array(d),
-                "score": pa.array(s),
-            })
-        docs, scores = self._score(q)
-        d, s = top_k(docs, scores, k, after=after)
-        return pa.table({
+        else:
+            docs, scores = self._score(q)
+            d, s = top_k(docs, scores, k, after=after)
+        out = pa.table({
             "rank": pa.array(np.arange(1, d.size + 1, dtype=np.int32)),
             "doc_id": pa.array(d),
             "score": pa.array(s),
         })
+        if key is not None:
+            self._result_cache.put(key, out)
+        return out
 
     def count(self, q: Query) -> int:
         return int(self._docs_only(q).size)

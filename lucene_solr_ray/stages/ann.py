@@ -90,6 +90,77 @@ def brute_force_topk(
     })
 
 
+def ivf_build(
+    ds, *, vec_col: str = "embedding", n_centroids: int = 16,
+    iters: int = 8, sample_frac: float = 0.5, seed: int = 13,
+):
+    """IVF coarse quantizer: k-means-lite centroids from a sample
+    (driver-side numpy — centroids are tiny), then a map_batches assign
+    stage. Returns (assigned_ds with a 'centroid' column, centroids).
+
+    At 100 TB the assigned dataset is written partitioned by centroid so a
+    query scans only its probed partitions."""
+    import ray
+
+    sample = ds.random_sample(sample_frac, seed=seed)
+    mats = [
+        _to_matrix(b[vec_col])
+        for b in sample.iter_batches(batch_format="pyarrow")
+    ]
+    x = np.concatenate(mats)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(0)
+    c_ref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cc = ray.get(c_ref)
+        m = _to_matrix(batch[vec_col])
+        d2 = ((m[:, None, :] - cc[None, :, :]) ** 2).sum(-1)
+        return batch.append_column(
+            "centroid", pa.array(d2.argmin(1).astype(np.int32))
+        )
+
+    return ds.map_batches(assign_batch, batch_format="pyarrow"), cent
+
+
+def ivf_topk(
+    assigned_ds, centroids: np.ndarray, query_vecs: np.ndarray,
+    k: int = 10, *, nprobe: int = 4, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Probe the ``nprobe`` nearest centroids per query; brute-force cosine
+    inside the probed cells only (the IVF-Flat search path)."""
+    import pyarrow.compute as pc
+
+    q = np.asarray(query_vecs, np.float64)
+    d2 = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probes = np.argsort(d2, axis=1)[:, :nprobe]
+    out = []
+    for qi in range(q.shape[0]):
+        cells = [int(c) for c in probes[qi]]
+        sub = assigned_ds.map_batches(
+            lambda t, cells=cells: t.filter(
+                pc.is_in(t["centroid"], value_set=pa.array(cells))
+            ),
+            batch_format="pyarrow",
+        )
+        t = brute_force_topk(sub, q[qi : qi + 1], k=k, vec_col=vec_col,
+                             id_col=id_col)
+        t = t.set_column(
+            t.schema.get_field_index("query_id"), "query_id",
+            pa.array([qi] * t.num_rows, pa.int64()),
+        )
+        out.append(t)
+    return pa.concat_tables(out)
+
+
 def hyperplane_buckets(
     ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
     n_bits: int = 8, seed: int = 11, dim: int | None = None,

@@ -97,3 +97,15 @@ def test_highlight_window():
     h = highlight(text, ["return", "value"], window_chars=60)
     assert "<em>return</em>" in h and len(h) < 200
     assert highlight("no hits here", ["zzz"]) == "no hits here"
+
+
+def test_query_result_cache(xidx):
+    idx, _ = xidx
+    s = IndexSearcher(idx)
+    q = TermQuery("return")
+    a = s.search(q, k=7)
+    assert ("qr", q, 7, None, False) in s._result_cache
+    b = s.search(q, k=7)
+    assert a is b  # cache hit returns the same table object
+    c = s.search(q, k=8)
+    assert c is not a

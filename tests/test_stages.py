@@ -215,3 +215,33 @@ def test_percentiles_exact_matches_numpy(ray_session):
     for q, v in got.items():
         assert v == pytest.approx(np.percentile(vals, q * 100,
                                                 method="linear"))
+
+
+def test_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.ann import brute_force_topk, ivf_build, ivf_topk
+
+    rng = np.random.default_rng(9)
+    # gaussian mixture so IVF cells are meaningful
+    centers = rng.standard_normal((8, 24)) * 4
+    vecs = np.concatenate([
+        centers[i % 8] + rng.standard_normal(24) * 0.5
+        for i in range(400)
+    ]).reshape(400, 24).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    assigned, cents = ivf_build(ds, n_centroids=8, iters=6)
+    assigned = assigned.materialize()
+    q = vecs[:3].astype(np.float64)
+    exact = brute_force_topk(ds, q, k=10)
+    approx = ivf_topk(assigned, cents, q, k=10, nprobe=3)
+    for qi in range(3):
+        e = {v for qq, v in zip(exact["query_id"].to_pylist(),
+                                exact["vec_id"].to_pylist()) if qq == qi}
+        a = {v for qq, v in zip(approx["query_id"].to_pylist(),
+                                approx["vec_id"].to_pylist()) if qq == qi}
+        assert len(e & a) / len(e) >= 0.7, f"recall too low for q{qi}"
