@@ -80,12 +80,23 @@ def check_index(index_dir: str, *, sample_terms: int | None = None,
                 if json.load(f)["sha256_rollup"] != sha_roll:
                     err(f"part {pid}: checkpoint sha256 rollup mismatch")
 
+        pos_col = (
+            seg["positions"].to_pylist() if man.store_positions
+            and "positions" in seg.schema.names else None
+        )
         idx = np.arange(len(terms))
         if sample_terms and len(terms) > sample_terms:
             rng = np.random.default_rng(pid)
             idx = np.sort(rng.choice(len(terms), sample_terms, replace=False))
         for i in idx.tolist():
             d, f = decode_postings(payloads[i])
+            if pos_col is not None:
+                from ..codec.postings import decode_values
+
+                pv = decode_values(pos_col[i])
+                if pv.size != int(f.sum()):
+                    err(f"part {pid} term {terms[i]!r}: positions stream "
+                        f"length {pv.size} != ttf {int(f.sum())}")
             if d.size != dfs[i]:
                 err(f"part {pid} term {terms[i]!r}: df {dfs[i]} != decoded "
                     f"{d.size}")
