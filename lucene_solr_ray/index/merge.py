@@ -259,6 +259,119 @@ class _BatchView:
 REENCODE_MAX_DOCS = 4096
 
 
+def _chunks_to_table(chunks: list[dict], payload_name: str,
+                     off0: int, pos_off0: int):
+    """Compact-chunk dicts -> (terms sub-table, payload bytes list,
+    positions bytes list); offsets are absolute in the output file."""
+    offs, lens, pos_offs, pos_lens = [], [], [], []
+    pos = off0
+    for c in chunks:
+        offs.append(pos)
+        lens.append(len(c["payload"]))
+        pos += lens[-1]
+    ppos = pos_off0
+    for c in chunks:
+        pl = c.get("positions", b"")
+        pos_offs.append(ppos)
+        pos_lens.append(len(pl))
+        ppos += len(pl)
+    tbl = pa.table({
+        "term": pa.array([c["term"] for c in chunks], pa.string()),
+        "chunk_id": pa.array([c["chunk_id"] for c in chunks], pa.int64()),
+        "df": pa.array([c["df"] for c in chunks], pa.int32()),
+        "ttf": pa.array([c["ttf"] for c in chunks], pa.int64()),
+        "start_doc": pa.array([c["start_doc"] for c in chunks], pa.int64()),
+        "payload_file": pa.array([payload_name] * len(chunks), pa.string()),
+        "offset": pa.array(offs, pa.int64()),
+        "length": pa.array(lens, pa.int64()),
+        "pos_offset": pa.array(pos_offs, pa.int64()),
+        "pos_length": pa.array(pos_lens, pa.int64()),
+        "block_last": pa.array([np.asarray(c["block_last"]).tolist()
+                                for c in chunks], pa.list_(pa.int64())),
+        "block_max_tf": pa.array([np.asarray(c["block_max_tf"]).tolist()
+                                  for c in chunks], pa.list_(pa.int32())),
+        "block_max_norm": pa.array([np.asarray(c["block_max_norm"]).tolist()
+                                    for c in chunks], pa.list_(pa.uint8())),
+    })
+    return tbl, [c["payload"] for c in chunks], \
+        [c.get("positions", b"") for c in chunks]
+
+
+def _write_task_output(pt_cols, chunks: list[dict], out_dir: str) -> None:
+    """Write one payload .bin + terms .parquet for a merge task combining
+    the vectorized passthrough columns and the compacted chunk dicts.
+    Layout: [pt payloads][compact payloads][pt positions][compact
+    positions]; content-deterministic name (idempotent retries)."""
+    pt_n = len(pt_cols["_payloads"]) if pt_cols else 0
+    if pt_n == 0 and not chunks:
+        return
+    first_term = (
+        pt_cols["term"][0].as_py() if pt_n else chunks[0]["term"]
+    )
+    name = hashlib.sha1(
+        f"{first_term}:{pt_n}:{len(chunks)}".encode()
+    ).hexdigest()[:16]
+    payload_name = f"payload-{name}.bin"
+
+    pt_len = pt_cols["_lengths"] if pt_n else np.empty(0, np.int64)
+    pt_off = np.zeros(pt_n, np.int64)
+    if pt_n:
+        np.cumsum(pt_len[:-1], out=pt_off[1:])
+    c_base = int(pt_len.sum())
+    c_lens = np.array([len(c["payload"]) for c in chunks], np.int64)
+    pos_base = c_base + int(c_lens.sum())
+    pt_pos_len = pt_cols["_pos_lengths"] if pt_n else np.empty(0, np.int64)
+    pt_pos_off = np.full(pt_n, pos_base, np.int64)
+    if pt_n:
+        pt_pos_off[1:] += np.cumsum(pt_pos_len[:-1])
+    c_pos_base = pos_base + int(pt_pos_len.sum())
+
+    tables = []
+    if pt_n:
+        tables.append(pa.table({
+            "term": pt_cols["term"],
+            "chunk_id": pt_cols["chunk_id"],
+            "df": pt_cols["df"],
+            "ttf": pt_cols["ttf"],
+            "start_doc": pt_cols["start_doc"],
+            "payload_file": pa.array([payload_name] * pt_n, pa.string()),
+            "offset": pa.array(pt_off),
+            "length": pa.array(pt_len),
+            "pos_offset": pa.array(pt_pos_off),
+            "pos_length": pa.array(pt_pos_len),
+            "block_last": pt_cols["block_last"].cast(pa.list_(pa.int64())),
+            "block_max_tf": pt_cols["block_max_tf"].cast(
+                pa.list_(pa.int32())),
+            "block_max_norm": pt_cols["block_max_norm"].cast(
+                pa.list_(pa.uint8())),
+        }))
+    if chunks:
+        ctbl, _, _ = _chunks_to_table(chunks, payload_name, c_base,
+                                      c_pos_base)
+        tables.append(ctbl)
+    out_tbl = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+
+    ppath = os.path.join(out_dir, payload_name)
+    with open(ppath + ".tmp", "wb") as f:
+        if pt_n:
+            for mv in pt_cols["_payloads"]:
+                f.write(mv)
+        for c in chunks:
+            f.write(c["payload"])
+        if pt_n and pt_cols["_positions"] is not None:
+            for mv in pt_cols["_positions"]:
+                if len(mv):
+                    f.write(mv)
+        for c in chunks:
+            pl = c.get("positions", b"")
+            if len(pl):
+                f.write(pl)
+    os.replace(ppath + ".tmp", ppath)
+    tpath = os.path.join(out_dir, f"terms-{name}.parquet")
+    pq.write_table(out_tbl, tpath + ".tmp")
+    os.replace(tpath + ".tmp", tpath)
+
+
 def _merge_group_view(
     v: _BatchView, s: int, e: int, byte_aligned: bool, chunk_docs: int
 ) -> list[dict]:
@@ -316,12 +429,48 @@ def _merge_group_view(
     return out
 
 
+def _first_docs_vectorized(v: _BatchView, rows: np.ndarray) -> np.ndarray:
+    """Vectorized ``first_doc`` over many payloads (byte-aligned formats;
+    bit-packed rows fall back to the scalar reader)."""
+    data = np.frombuffer(v._p_data, np.uint8)
+    off = np.asarray(v._p_off[rows], np.int64)
+    bpv = data[off + 4]
+    out = np.zeros(rows.size, np.int64)
+    m = bpv == 253
+    out[m] = data[off[m] + 5]
+    m = bpv == 254
+    out[m] = data[off[m] + 5] | (data[off[m] + 6].astype(np.int64) << 8)
+    m = (bpv == 255) | (bpv == 0)
+    o = off[m] + 5
+    out[m] = (
+        data[o].astype(np.int64)
+        | (data[o + 1].astype(np.int64) << 8)
+        | (data[o + 2].astype(np.int64) << 16)
+        | (data[o + 3].astype(np.int64) << 24)
+    )
+    rest = np.flatnonzero((bpv >= 1) & (bpv <= 32))
+    for k in rest.tolist():
+        out[k] = first_doc(v.payload(int(rows[k])))
+    return out
+
+
 def _merge_batch(
     batch: pa.Table, out_dir: str, byte_aligned: bool, chunk_docs: int,
     use_positions: bool = True,
 ) -> pa.Table:
     """Merge all interior (term, salt) groups of a sorted batch; return the
-    boundary rows (first & last key of the block) unmerged."""
+    boundary rows (first & last key of the block) unmerged.
+
+    Row classes:
+    - PASSTHROUGH (single-row groups + members of groups above
+      REENCODE_MAX_DOCS): handled fully vectorized — arrow ``take`` for
+      term/df/ttf/block metadata, numpy for offsets/first-doc/chunk ids,
+      no per-row Python objects;
+    - COMPACT (small fragmented multi-row groups): decode+re-encode via
+      the per-group Python path (few rows);
+    - BOUNDARY (first/last key of the block): passed through to the
+      driver-side final stage.
+    """
     n = batch.num_rows
     if n == 0:
         return batch
@@ -332,17 +481,67 @@ def _merge_batch(
         change[1:] = (v.terms[1:] != v.terms[:-1]) | (
             v.salts[1:] != v.salts[:-1]
         )
+    group_id = np.cumsum(change) - 1
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
+    g_size = ends - starts
+    g_df = np.add.reduceat(v.dfs.astype(np.int64), starts)
+    interior = np.ones(starts.size, bool)
+    interior[0] = False
+    interior[-1] = False
+    pt_group = interior & ((g_size == 1) | (g_df > REENCODE_MAX_DOCS))
+    cp_group = interior & (g_size > 1) & (g_df <= REENCODE_MAX_DOCS)
+
+    # per-row rank by pid within its group (chunk_id sequencing)
+    order = np.lexsort((v.pids, group_id))
+    seq = np.arange(n, dtype=np.int64)
+    gs = group_id[order]
+    first = np.ones(n, bool)
+    first[1:] = gs[1:] != gs[:-1]
+    base = np.maximum.accumulate(np.where(first, seq, 0))
+    rank_of = np.empty(n, np.int64)
+    rank_of[order] = seq - base
+
+    pt_rows = np.flatnonzero(pt_group[group_id])
+    pt_cols = None
+    if pt_rows.size:
+        pt_idx = pa.array(pt_rows)
+        lengths = (v._p_off[pt_rows + 1] - v._p_off[pt_rows]).astype(np.int64)
+        if v.has_positions:
+            pos_lengths = (
+                v._q_off[pt_rows + 1] - v._q_off[pt_rows]
+            ).astype(np.int64)
+        else:
+            pos_lengths = np.zeros(pt_rows.size, np.int64)
+        pt_cols = {
+            "term": batch["term"].take(pt_idx),
+            "chunk_id": pa.array(
+                v.salts[pt_rows].astype(np.int64) * SALT_STRIDE
+                + rank_of[pt_rows]
+            ),
+            "df": pa.array(v.dfs[pt_rows].astype(np.int32)),
+            "ttf": pa.array(v.ttfs[pt_rows].astype(np.int64)),
+            "start_doc": pa.array(_first_docs_vectorized(v, pt_rows)),
+            "block_last": batch["block_last"].take(pt_idx),
+            "block_max_tf": batch["block_max_tf"].take(pt_idx),
+            "block_max_norm": batch["block_max_norm"].take(pt_idx),
+            "_lengths": lengths,
+            "_pos_lengths": pos_lengths,
+            "_payloads": [v.payload(int(r)) for r in pt_rows],
+            "_positions": (
+                [v.pos_payload(int(r)) for r in pt_rows]
+                if v.has_positions else None
+            ),
+        }
+
     chunks: list[dict] = []
-    boundary_idx: list[int] = []
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        if s == 0 or e == n:  # touches block boundary -> pass through
-            boundary_idx.extend(range(s, e))
-            continue
-        chunks.extend(_merge_group_view(v, s, e, byte_aligned, chunk_docs))
-    _write_chunkfiles(chunks, out_dir)
-    return batch.take(pa.array(boundary_idx, pa.int64()))
+    for g in np.flatnonzero(cp_group).tolist():
+        chunks.extend(_merge_group_view(
+            v, int(starts[g]), int(ends[g]), byte_aligned, chunk_docs
+        ))
+    _write_task_output(pt_cols, chunks, out_dir)
+    boundary_idx = np.flatnonzero(~interior[group_id])
+    return batch.take(pa.array(boundary_idx))
 
 
 def merge_index(
