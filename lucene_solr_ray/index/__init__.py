@@ -1,5 +1,6 @@
 from .build import IndexManifest, build_index, build_segment, plan_partitions
 from .check import check_index, fetch_docs
+from .deletes import LiveDocs, delete_by_query, delete_docs
 from .merge import merge_index
 from .multifield import build_multi_index
 from .sorted_build import build_sorted_index, early_terminated_topk
@@ -7,6 +8,9 @@ from .sorted_build import build_sorted_index, early_terminated_topk
 __all__ = [
     "IndexManifest",
     "check_index",
+    "LiveDocs",
+    "delete_by_query",
+    "delete_docs",
     "fetch_docs",
     "build_index",
     "build_segment",

@@ -102,7 +102,8 @@ def _sloppy_freq(lookups, ci: int, slop: int) -> float:
 
 class IndexSearcher:
     def __init__(self, index_dir: str, precise: bool = False, *,
-                 reader=None, norms=None, global_stats: dict | None = None):
+                 reader=None, norms=None, global_stats: dict | None = None,
+                 apply_deletes: bool = True):
         """``global_stats`` (optional): {"max_doc", "sum_ttf", "df": {term:
         df}} — injected by the doc-sharded distributed path so every shard
         scores with GLOBAL collection statistics (exactly what a single
@@ -126,6 +127,14 @@ class IndexSearcher:
         from .readers import _LRU
 
         self._result_cache = _LRU(256)
+        self.live_docs = None
+        if apply_deletes:
+            import os as _os
+
+            if _os.path.isdir(_os.path.join(index_dir, "deletes")):
+                from ..index.deletes import LiveDocs
+
+                self.live_docs = LiveDocs(index_dir, self.manifest.max_doc)
         if reader is not None:
             self.reader = reader
         elif os.path.isdir(os.path.join(index_dir, "merged")):
@@ -154,6 +163,9 @@ class IndexSearcher:
     # ---- scoring ----
     def _score_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         docs, tfs = self.reader.postings(term)
+        if self.live_docs is not None and docs.size:
+            keep = self.live_docs.mask[docs]
+            docs, tfs = docs[keep], tfs[keep]
         if docs.size == 0:
             return docs, np.empty(0, np.float32)
         df = self.doc_freq(term)
@@ -213,10 +225,10 @@ class IndexSearcher:
                 self._stats.get("doc_range", (0, self.max_doc))
                 if self._stats is not None else (0, self.max_doc)
             )
-            return (
-                np.arange(lo, hi, dtype=np.int64),
-                np.ones(hi - lo, dtype),
-            )
+            docs = np.arange(lo, hi, dtype=np.int64)
+            if self.live_docs is not None:
+                docs = docs[self.live_docs.mask[docs]]
+            return docs, np.ones(docs.size, dtype)
         if isinstance(q, ConstantScoreQuery):
             docs = self._docs_only(q.query)
             return docs, np.full(docs.size, dtype(q.score))
@@ -230,6 +242,8 @@ class IndexSearcher:
                 return np.empty(0, np.int64), np.empty(0, dtype)
             all_docs = [self.reader.postings(t)[0] for t in terms]
             docs = np.unique(np.concatenate(all_docs))
+            if self.live_docs is not None and docs.size:
+                docs = docs[self.live_docs.mask[docs]]
             return docs, np.ones(docs.size, dtype)
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q)
@@ -287,6 +301,8 @@ class IndexSearcher:
         cand = datas[0][0]
         for docs, _, _ in datas[1:]:
             cand = np.intersect1d(cand, docs, assume_unique=True)
+        if self.live_docs is not None and cand.size:
+            cand = cand[self.live_docs.mask[cand]]
         if cand.size == 0:
             return cand, np.empty(0, dtype)
         # per-term lookup helpers: posting index + position-run boundaries
@@ -371,6 +387,8 @@ class IndexSearcher:
 
         for docs, _ in must_not:
             cand = cand[~np.isin(cand, docs, assume_unique=True)]
+        if cand.size == 0:
+            return cand, np.empty(0, dtype)
 
         # sum scoring clauses in float64, cast (double-accumulate contract)
         acc = np.zeros(cand.size, np.float64)

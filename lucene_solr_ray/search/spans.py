@@ -180,6 +180,8 @@ def score_spans(searcher, q: SpanQuery):
     cand = np.unique(np.concatenate([
         datas[t][0] for t in score_terms if datas[t][0].size
     ]))
+    if getattr(searcher, "live_docs", None) is not None and cand.size:
+        cand = cand[searcher.live_docs.mask[cand]]
     lookups = {}
     for t in terms:
         docs, tfs, pos = datas[t]

@@ -91,3 +91,45 @@ def test_sorted_index_early_termination(tmp_path_factory, ray_session):
 
     rep = check_index(out, sample_terms=100)
     assert rep["ok"]
+
+
+def test_delete_by_query_liv_semantics(cidx, tmp_path):
+    import shutil
+
+    from lucene_solr_ray.index import delete_by_query
+    from lucene_solr_ray.search import (
+        BooleanQuery,
+        MatchAllDocsQuery,
+        PhraseQuery,
+        TermQuery,
+    )
+
+    idx, _, _ = cidx
+    d = str(tmp_path / "delidx")
+    shutil.copytree(idx, d)
+    before = IndexSearcher(d)
+    victims = set(before._score(TermQuery("quick"))[0].tolist())
+    assert victims
+    n = delete_by_query(d, TermQuery("quick"))
+    assert n == len(victims)
+    after = IndexSearcher(d)
+    assert after.live_docs.num_deleted == len(victims)
+    # deleted docs vanish from every query shape
+    assert after.search(TermQuery("quick"), k=100).num_rows == 0
+    t = after.search(TermQuery("return"), k=1000).to_pydict()
+    assert not (set(t["doc_id"]) & victims)
+    assert after.count(MatchAllDocsQuery()) == before.count(
+        MatchAllDocsQuery()) - len(victims)
+    q = BooleanQuery.build(must=[TermQuery("return")],
+                           must_not=[TermQuery("def")])
+    assert not (set(after.search(q, k=1000)["doc_id"].to_pylist())
+                & victims)
+    # stats retain deleted docs until rebuild (Lucene pre-merge behavior)
+    assert after.max_doc == before.max_doc
+    # a second generation appends
+    delete_by_query(d, TermQuery("brown"))
+    s3 = IndexSearcher(d)
+    assert s3.live_docs.generations == 2
+    # opting out sees the docs again
+    raw = IndexSearcher(d, apply_deletes=False)
+    assert raw.search(TermQuery("quick"), k=100).num_rows > 0
