@@ -178,9 +178,18 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     seg_path = os.path.join(out_dir, "segments", f"part-{pid:05d}.parquet")
     norm_path = os.path.join(out_dir, "norms", f"part-{pid:05d}.parquet")
     ckpt_path = os.path.join(out_dir, "_checkpoints", f"part-{pid:05d}.json")
+    # input fingerprint: a checkpoint is valid only for the SAME input
+    # slice at the same doc_base — a changed/grown corpus file invalidates
+    # exactly the partitions it touches (incremental rebuild semantics)
+    fingerprint = [
+        os.path.getsize(part["file"]), part["rows"], doc_base,
+        list(part["row_groups"]),
+    ]
     if os.path.exists(ckpt_path):
         with open(ckpt_path) as f:
-            return json.load(f)
+            row = json.load(f)
+        if row.get("input_fingerprint") == fingerprint:
+            return row
 
     pf = pq.ParquetFile(part["file"])
     vocab: dict[str, int] = {}
@@ -352,6 +361,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     sha_roll = hashlib.sha256(b"".join(sha_parts)).hexdigest()
     row = {
         "partition_id": pid,
+        "input_fingerprint": fingerprint,
         "file": part["file"],
         "row_groups": part["row_groups"],
         "doc_base": doc_base,

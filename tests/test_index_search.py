@@ -256,3 +256,30 @@ def test_build_deterministic_across_parallelism(corpus_dir,
     b = pads.dataset(os.path.join(out2, "segments")).to_table()
     key = [("term", "ascending"), ("pid", "ascending")]
     assert a.sort_by(key).equals(b.sort_by(key))
+
+
+def test_checkpoint_invalidated_by_changed_input(tmp_path_factory,
+                                                 ray_session):
+    """A checkpoint only resumes for the SAME input slice: appending docs
+    to the corpus rebuilds the partitions whose plan changed (incremental
+    rebuild), never serves stale segments."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    d = tmp_path_factory.mktemp("growing")
+    tbl = generate_table(200, seed=33)
+    pq.write_table(tbl, str(d / "c.parquet"), row_group_size=100)
+    out = str(tmp_path_factory.mktemp("gidx"))
+    build_index(str(d), out, rows_per_partition=100)
+    man1 = IndexManifest.load(out)
+    assert man1.max_doc == 200
+    # grow the corpus file (same name, more rows)
+    tbl2 = generate_table(300, seed=33)
+    pq.write_table(tbl2, str(d / "c.parquet"), row_group_size=100)
+    build_index(str(d), out, rows_per_partition=100)
+    man2 = IndexManifest.load(out)
+    assert man2.max_doc == 300 and man2.num_partitions == 3
+    norms = pads.dataset(os.path.join(out, "norms")).to_table()
+    assert norms.num_rows == 300
+    s = IndexSearcher(out)
+    assert s.count(MatchAllDocsQuery()) == 300
