@@ -434,6 +434,14 @@ def build_index(
     out = ds.map_batches(fn, batch_size=1, **kw)
     rows = [json.loads(r["manifest_row"]) for r in out.take_all()]
     rows.sort(key=lambda r: r["partition_id"])
+    # a (re)build invalidates any previously merged view: segments are the
+    # source of truth; merged must be rebuilt from them (merge_index)
+    merged_dir = os.path.join(out_dir, "merged")
+    stale_merged = os.path.isdir(merged_dir)
+    if stale_merged:
+        import shutil as _shutil
+
+        _shutil.rmtree(merged_dir)
     man = IndexManifest(
         index_dir=out_dir,
         field=text_field,

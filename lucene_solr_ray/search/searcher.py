@@ -137,7 +137,9 @@ class IndexSearcher:
                 self.live_docs = LiveDocs(index_dir, self.manifest.max_doc)
         if reader is not None:
             self.reader = reader
-        elif os.path.isdir(os.path.join(index_dir, "merged")):
+        elif self.manifest.merged and os.path.isdir(
+            os.path.join(index_dir, "merged")
+        ):
             self.reader = MergedReader(index_dir)
         else:
             self.reader = SegmentsReader(index_dir)

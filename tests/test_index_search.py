@@ -283,3 +283,29 @@ def test_checkpoint_invalidated_by_changed_input(tmp_path_factory,
     assert norms.num_rows == 300
     s = IndexSearcher(out)
     assert s.count(MatchAllDocsQuery()) == 300
+
+
+def test_rebuild_invalidates_merged_view(tmp_path_factory, ray_session):
+    import pyarrow.dataset as pads
+
+    from lucene_solr_ray.search.readers import MergedReader, SegmentsReader
+
+    d = tmp_path_factory.mktemp("remcorpus")
+    pq.write_table(generate_table(150, seed=44), str(d / "c.parquet"),
+                   row_group_size=50)
+    out = str(tmp_path_factory.mktemp("remidx"))
+    build_index(str(d), out, rows_per_partition=50)
+    merge_index(out)
+    assert isinstance(IndexSearcher(out).reader, MergedReader)
+    # corpus grows -> rebuild drops the stale merged view
+    pq.write_table(generate_table(250, seed=44), str(d / "c.parquet"),
+                   row_group_size=50)
+    build_index(str(d), out, rows_per_partition=50)
+    s = IndexSearcher(out)
+    assert isinstance(s.reader, SegmentsReader)
+    assert s.count(MatchAllDocsQuery()) == 250
+    # re-merge restores the merged view over the new contents
+    merge_index(out)
+    s2 = IndexSearcher(out)
+    assert isinstance(s2.reader, MergedReader)
+    assert s2.count(MatchAllDocsQuery()) == 250
