@@ -19,7 +19,7 @@ import json
 import os
 
 from ..analysis import Analyzer, register_analyzer
-from .build import IndexManifest, build_index
+from .build import build_index
 from .merge import merge_index
 
 MULTI_MANIFEST = "multi_manifest.json"

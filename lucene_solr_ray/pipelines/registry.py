@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..analysis import ENGLISH_STOP_WORDS, get_analyzer
+from ..analysis import ENGLISH_STOP_WORDS
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
 
@@ -65,7 +65,7 @@ _SEARCHERS: dict = {}
 def _doc_index(sf_dir: str):
     """Build (once) a simple-analyzer index over documents.text and return
     (searcher_precise, doc_id_map). Cached on disk + in process."""
-    from ..index import IndexManifest, build_index
+    from ..index import build_index
     from ..search.searcher import IndexSearcher
 
     key = hashlib.md5(

@@ -20,7 +20,7 @@ plus :func:`parse_query`, a QueryParser-lite for ``a b``, ``+a -b``,
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 SHOULD, MUST, MUST_NOT, FILTER = "SHOULD", "MUST", "MUST_NOT", "FILTER"
 

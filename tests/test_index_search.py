@@ -309,3 +309,25 @@ def test_rebuild_invalidates_merged_view(tmp_path_factory, ray_session):
     s2 = IndexSearcher(out)
     assert isinstance(s2.reader, MergedReader)
     assert s2.count(MatchAllDocsQuery()) == 250
+
+
+def test_roll_forward_ingest_new_files(tmp_path_factory, ray_session):
+    """Appending NEW corpus files (names sorting after existing ones)
+    reuses every existing checkpoint and builds only the new partitions —
+    the addDocument/roll-forward ingest path."""
+    import json
+
+    d = tmp_path_factory.mktemp("rollcorpus")
+    pq.write_table(generate_table(100, seed=55), str(d / "a.parquet"),
+                   row_group_size=50)
+    out = str(tmp_path_factory.mktemp("rollidx"))
+    build_index(str(d), out, rows_per_partition=50)
+    ck = os.path.join(out, "_checkpoints", "part-00000.json")
+    mtime_before = os.path.getmtime(ck)
+    # new file, later in sort order
+    pq.write_table(generate_table(100, seed=56), str(d / "b.parquet"),
+                   row_group_size=50)
+    build_index(str(d), out, rows_per_partition=50)
+    man = IndexManifest.load(out)
+    assert man.max_doc == 200 and man.num_partitions == 4
+    assert os.path.getmtime(ck) == mtime_before  # old partition untouched
