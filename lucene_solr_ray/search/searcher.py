@@ -375,6 +375,19 @@ class IndexSearcher:
         else:
             if not should:
                 return np.empty(0, np.int64), np.empty(0, dtype)
+            total = sum(d.size for d, _ in should)
+            if (q.min_should_match <= 1 and not must_not
+                    and self.max_doc <= 4_000_000 and total > 16_384):
+                # dense-accumulator disjunction (BooleanScorer's bucket
+                # window, taken to one window over maxDoc): no sort/unique,
+                # identical float64 clause-order additions
+                acc = np.zeros(self.max_doc, np.float64)
+                hit = np.zeros(self.max_doc, bool)
+                for docs, scores in should:
+                    acc[docs] += scores.astype(np.float64)
+                    hit[docs] = True
+                cand = np.flatnonzero(hit)
+                return cand, acc[cand].astype(dtype)
             cand = np.unique(np.concatenate([d for d, _ in should]))
 
         msm = q.min_should_match
