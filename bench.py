@@ -96,6 +96,7 @@ def run_bench() -> dict:
         s.search(q, k=10)  # warm postings cache
     lat = []
     for _ in range(5):
+        s._result_cache.clear()  # measure scoring, not result-cache hits
         for q in qs:
             tq0 = time.perf_counter()
             s.search(q, k=10)
