@@ -417,6 +417,33 @@ def q_stats_nchars(sf_dir: str) -> pa.Table:
     })
 
 
+def q_geo_radius(sf_dir: str) -> pa.Table:
+    """Spatial: geodist + radius filter (the {!geofilt}/geodist surface,
+    lucene/spatial + ValueSourceParser hsin). Coordinates are synthesized
+    deterministically from user_id (no external data) identically in the
+    SQL oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.geo import haversine_km
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    users = (
+        ev.groupby("user_id").aggregate(Count(alias_name="n")).to_pandas()
+    )
+    uid = users["user_id"].to_numpy(np.int64)
+    lat = (uid * 37 % 18000) / 100.0 - 90.0
+    lon = (uid * 73 % 36000) / 100.0 - 180.0
+    d = haversine_km(lat, lon, 10.0, 20.0)
+    keep = d <= 3000.0
+    order = np.argsort(uid[keep])
+    return pa.table({
+        "user_id": pa.array(uid[keep][order]),
+        "dist_km": pa.array(_round4(d[keep][order]), pa.float64()),
+    })
+
+
 def q_pivot_facet(sf_dir: str) -> pa.Table:
     """Pivot (hierarchical) facets with rollup totals
     (``solr/.../PivotFacetProcessor.java``): counts per (lang, source),
@@ -929,6 +956,7 @@ QUERIES = {
     "facet_lang": q_facet_lang,
     "facet_source_top10": q_facet_source_top10,
     "stats_nchars": q_stats_nchars,
+    "geo_radius": q_geo_radius,
     "pivot_facet": q_pivot_facet,
     "stats_percentiles": q_stats_percentiles,
     "hll_users": q_hll_users,
@@ -1025,6 +1053,20 @@ SELECT count(*)::BIGINT AS n, min(n_chars)::BIGINT AS min_nc,
        floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_nc,
        floor(stddev_samp(n_chars)*10000 + 0.5)/10000 AS std_nc
 FROM documents
+""",
+    "geo_radius": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+ pts AS (SELECT user_id,
+                (user_id * 37 % 18000)/100.0 - 90.0 AS lat,
+                (user_id * 73 % 36000)/100.0 - 180.0 AS lon FROM u),
+ d AS (SELECT user_id,
+         2 * 6371.0087714 * asin(sqrt(
+           pow(sin(radians(10.0 - lat)/2), 2)
+           + cos(radians(lat)) * cos(radians(10.0))
+             * pow(sin(radians(20.0 - lon)/2), 2))) AS dist
+       FROM pts)
+SELECT user_id, floor(dist*10000 + 0.5)/10000 AS dist_km FROM d
+WHERE dist <= 3000.0 ORDER BY user_id
 """,
     "pivot_facet": """
 SELECT lang, source, count(*)::BIGINT AS cnt FROM documents

@@ -245,3 +245,14 @@ def test_ivf_recall(ray_session):
         a = {v for qq, v in zip(approx["query_id"].to_pylist(),
                                 approx["vec_id"].to_pylist()) if qq == qi}
         assert len(e & a) / len(e) >= 0.7, f"recall too low for q{qi}"
+
+
+def test_geo_functions():
+    from lucene_solr_ray.stages.geo import geohash_encode, haversine_km
+
+    # London -> Paris ~ 343-344 km (known value)
+    d = float(haversine_km(51.5074, -0.1278, 48.8566, 2.3522))
+    assert 340 < d < 350
+    assert float(haversine_km(10, 20, 10, 20)) == 0.0
+    # canonical geohash test vector
+    assert geohash_encode(57.64911, 10.40744, 11) == "u4pruydqqvj"
