@@ -839,6 +839,32 @@ def q_unique_stream(sf_dir: str) -> pa.Table:
     })
 
 
+def q_rescore_top20(sf_dir: str) -> pa.Table:
+    """QueryRescorer: first-pass BM25 for 'table' (top 20), combined with
+    2x the BM25 score of 'join' on that window (QueryRescorer.java
+    combine)."""
+    from ..search.query import TermQuery
+
+    s, doc_map = _doc_index(sf_dir)
+    docs_a, scores_a = s._score(TermQuery("table"))
+    order = np.lexsort((docs_a, -scores_a))[:20]
+    w_docs, w_a = docs_a[order], scores_a[order]
+    docs_b, scores_b = s._score(TermQuery("join"))
+    pos = np.searchsorted(docs_b, w_docs)
+    second = np.zeros(w_docs.size, np.float64)
+    ok = (pos < docs_b.size) & (
+        docs_b[np.minimum(pos, max(docs_b.size - 1, 0))] == w_docs
+    )
+    second[ok] = scores_b[pos[ok]]
+    combined = w_a + 2.0 * second
+    out = np.lexsort((w_docs, -combined))
+    return pa.table({
+        "rank": pa.array(np.arange(1, out.size + 1), pa.int64()),
+        "doc_id": pa.array(doc_map[w_docs[out]], pa.int64()),
+        "score": pa.array(_round4(combined[out]), pa.float64()),
+    })
+
+
 def q_suggest_prefix(sf_dir: str) -> pa.Table:
     from ..search.extras import suggest_prefix
 
@@ -973,6 +999,7 @@ QUERIES = {
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
     "unique_stream": q_unique_stream,
+    "rescore_top20": q_rescore_top20,
     "suggest_prefix": q_suggest_prefix,
     "spellcheck": q_spellcheck,
     "mlt_top10": q_mlt_top10,
@@ -1170,6 +1197,32 @@ FROM w GROUP BY event_type, window_start ORDER BY event_type, window_start
 SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS first_ts_us,
        count(*)::BIGINT AS n_events
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+    "rescore_top20": f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ tfa AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tokens
+         WHERE term = 'table' GROUP BY doc_id),
+ dfa AS (SELECT count(*)::DOUBLE AS df FROM tfa),
+ sa AS (SELECT tfa.doc_id,
+          ln(1 + (stats.n - dfa.df + 0.5)/(dfa.df + 0.5)) * 2.2 * tfa.tf
+          / (tfa.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/(stats.sumdl/stats.n))) AS s
+        FROM tfa, dfa, stats JOIN dl ON dl.doc_id = tfa.doc_id),
+ win AS (SELECT doc_id, s FROM sa ORDER BY s DESC, doc_id LIMIT 20),
+ tfb AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tokens
+         WHERE term = 'join' GROUP BY doc_id),
+ dfb AS (SELECT count(*)::DOUBLE AS df FROM tfb),
+ sb AS (SELECT tfb.doc_id,
+          ln(1 + (stats.n - dfb.df + 0.5)/(dfb.df + 0.5)) * 2.2 * tfb.tf
+          / (tfb.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/(stats.sumdl/stats.n))) AS s
+        FROM tfb, dfb, stats JOIN dl ON dl.doc_id = tfb.doc_id),
+ comb AS (SELECT win.doc_id, win.s + 2.0 * coalesce(sb.s, 0) AS c
+          FROM win LEFT JOIN sb ON sb.doc_id = win.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, floor(c*10000 + 0.5)/10000 AS score
+FROM comb ORDER BY c DESC, doc_id
 """,
     "suggest_prefix": f"""
 WITH {_TOKENS}
