@@ -417,6 +417,41 @@ def q_stats_nchars(sf_dir: str) -> pa.Table:
     })
 
 
+def q_json_field_facet(sf_dir: str) -> pa.Table:
+    """Schemaless JSON-field extraction + facet (the Solr schemaless /
+    JSON-facet path: parse an embedded JSON field inside map_batches,
+    bucket, count)."""
+    import json as _json
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["props", "value"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        ks = np.array(
+            [int(_json.loads(p)["k"]) for p in b["props"].to_pylist()],
+            np.int64,
+        )
+        return pa.table({
+            "k_bucket": pa.array((ks // 10) * 10),
+            "value": b["value"],
+        })
+
+    out = (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby("k_bucket")
+        .aggregate(Count(alias_name="cnt"), Mean("value", alias_name="avg_v"))
+        .to_pandas().sort_values("k_bucket")
+    )
+    return pa.table({
+        "k_bucket": pa.array(out["k_bucket"].to_numpy(np.int64)),
+        "cnt": pa.array(out["cnt"].to_numpy(np.int64)),
+        "avg_v": pa.array(_round4(out["avg_v"].to_numpy()), pa.float64()),
+    })
+
+
 def q_geo_radius(sf_dir: str) -> pa.Table:
     """Spatial: geodist + radius filter (the {!geofilt}/geodist surface,
     lucene/spatial + ValueSourceParser hsin). Coordinates are synthesized
@@ -982,6 +1017,7 @@ QUERIES = {
     "facet_lang": q_facet_lang,
     "facet_source_top10": q_facet_source_top10,
     "stats_nchars": q_stats_nchars,
+    "json_field_facet": q_json_field_facet,
     "geo_radius": q_geo_radius,
     "pivot_facet": q_pivot_facet,
     "stats_percentiles": q_stats_percentiles,
@@ -1080,6 +1116,13 @@ SELECT count(*)::BIGINT AS n, min(n_chars)::BIGINT AS min_nc,
        floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_nc,
        floor(stddev_samp(n_chars)*10000 + 0.5)/10000 AS std_nc
 FROM documents
+""",
+    "json_field_facet": """
+SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 * 10)
+         AS k_bucket,
+       count(*)::BIGINT AS cnt,
+       floor(avg(value)*10000 + 0.5)/10000 AS avg_v
+FROM events GROUP BY k_bucket ORDER BY k_bucket
 """,
     "geo_radius": """
 WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -26,13 +26,13 @@ from .query import (
 )
 from .distributed import SearcherActor, search_many, search_sharded
 from .multifield import MultiFieldSearcher
-from .searcher import IndexSearcher
+from .searcher import IndexSearcher, SearcherManager
 from .topk import merge_shard_topk, top_k
 
 __all__ = [
     "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
     "DisjunctionMaxQuery", "FieldedQuery", "FuzzyQuery", "IndexSearcher",
-    "MultiFieldSearcher",
+    "MultiFieldSearcher", "SearcherManager",
     "MatchAllDocsQuery", "PhraseQuery", "PrefixQuery", "Query", "RegexpQuery",
     "TermQuery", "TermRangeQuery", "WildcardQuery", "bm25",
     "highlight", "merge_shard_topk", "more_like_this", "parse_query",

@@ -469,3 +469,39 @@ class IndexSearcher:
 
     def count(self, q: Query) -> int:
         return int(self._docs_only(q).size)
+
+
+class SearcherManager:
+    """SearcherManager / DirectoryReader.openIfChanged analogue
+    (``search/SearcherManager.java``, ``index/DirectoryReader.java:122-202``):
+    hands out the current searcher and swaps in a fresh one when the
+    manifest generation (mtime + merged flag + delete generations) changed —
+    the batch-rebuild notion of near-real-time reopen."""
+
+    def __init__(self, index_dir: str, **kw):
+        self.index_dir = index_dir
+        self._kw = kw
+        self._version = None
+        self._searcher = None
+        self.maybe_refresh()
+
+    def _current_version(self):
+        import os as _os
+
+        man = _os.path.join(self.index_dir, "manifest.json")
+        v = [_os.path.getmtime(man)]
+        deld = _os.path.join(self.index_dir, "deletes")
+        if _os.path.isdir(deld):
+            v.append(tuple(sorted(_os.listdir(deld))))
+        return tuple(v)
+
+    def maybe_refresh(self) -> bool:
+        v = self._current_version()
+        if v != self._version:
+            self._searcher = IndexSearcher(self.index_dir, **self._kw)
+            self._version = v
+            return True
+        return False
+
+    def acquire(self) -> "IndexSearcher":
+        return self._searcher

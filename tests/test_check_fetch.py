@@ -133,3 +133,25 @@ def test_delete_by_query_liv_semantics(cidx, tmp_path):
     # opting out sees the docs again
     raw = IndexSearcher(d, apply_deletes=False)
     assert raw.search(TermQuery("quick"), k=100).num_rows > 0
+
+
+def test_searcher_manager_reopen(cidx, tmp_path):
+    import shutil
+    import time as _time
+
+    from lucene_solr_ray.index import delete_by_query
+    from lucene_solr_ray.search import SearcherManager, TermQuery
+
+    idx, _, _ = cidx
+    d = str(tmp_path / "nrt")
+    shutil.copytree(idx, d)
+    mgr = SearcherManager(d)
+    s1 = mgr.acquire()
+    n_before = s1.search(TermQuery("quick"), k=100).num_rows
+    assert n_before > 0
+    assert mgr.maybe_refresh() is False  # nothing changed
+    delete_by_query(d, TermQuery("quick"))
+    assert mgr.maybe_refresh() is True   # delete generation visible
+    s2 = mgr.acquire()
+    assert s2 is not s1
+    assert s2.search(TermQuery("quick"), k=100).num_rows == 0

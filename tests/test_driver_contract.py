@@ -67,7 +67,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "facet_on_query", "group_search_top2", "events_sliding_window",
         "unique_stream", "numeric_range", "agg_pricing_summary",
         "join_orders_revenue", "stats_percentiles", "pivot_facet",
-        "geo_radius", "rescore_top20",
+        "geo_radius", "rescore_top20", "json_field_facet",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):
