@@ -1,4 +1,6 @@
 from .analyzers import (
+    NGramAnalyzer,
+    ShingleAnalyzer,
     ENGLISH_STOP_WORDS,
     Analyzer,
     SimpleRegexAnalyzer,
@@ -12,6 +14,8 @@ from .tokenizer import simple_lowercase, tokenize, tokenize_with_positions
 __all__ = [
     "ENGLISH_STOP_WORDS",
     "Analyzer",
+    "NGramAnalyzer",
+    "ShingleAnalyzer",
     "SimpleRegexAnalyzer",
     "StandardAnalyzer",
     "WhitespaceAnalyzer",

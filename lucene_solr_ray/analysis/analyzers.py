@@ -213,6 +213,10 @@ def get_analyzer(name: str) -> Analyzer:
             _REGISTRY[name] = SimpleRegexAnalyzer(stop_words=())
         elif name == "whitespace":
             _REGISTRY[name] = WhitespaceAnalyzer()
+        elif name == "ngram":
+            _REGISTRY[name] = NGramAnalyzer()
+        elif name == "shingle":
+            _REGISTRY[name] = ShingleAnalyzer()
         else:
             raise KeyError(f"unknown analyzer: {name}")
     return _REGISTRY[name]
@@ -222,3 +226,48 @@ def register_analyzer(name: str, analyzer: Analyzer) -> None:
     """Extension hook — the TokenizerFactory/AnalyzerFactory SPI analogue
     (``lucene/analysis/common/.../util/TokenizerFactory.java``)."""
     _REGISTRY[name] = analyzer
+
+
+class NGramAnalyzer(Analyzer):
+    """Character n-grams per token (``lucene/analysis/common/.../ngram/
+    NGramTokenFilter.java``): grams of length [min_gram, max_gram] emitted
+    in order per source token (used for substring/fuzzy-ish matching)."""
+
+    name = "ngram"
+
+    def __init__(self, min_gram: int = 2, max_gram: int = 3,
+                 base: str = "simple_nostop"):
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.base = get_analyzer(base)
+
+    def tokens(self, text: str) -> list[str]:
+        out = []
+        for tok in self.base.tokens(text):
+            for n in range(self.min_gram, self.max_gram + 1):
+                for i in range(len(tok) - n + 1):
+                    out.append(tok[i : i + n])
+        return out
+
+
+class ShingleAnalyzer(Analyzer):
+    """Word shingles (``lucene/analysis/common/.../shingle/
+    ShingleFilter.java``): token n-grams joined by a separator; unigrams
+    optionally kept (outputUnigrams)."""
+
+    name = "shingle"
+
+    def __init__(self, shingle_size: int = 2, output_unigrams: bool = True,
+                 sep: str = " ", base: str = "standard"):
+        self.shingle_size = shingle_size
+        self.output_unigrams = output_unigrams
+        self.sep = sep
+        self.base = get_analyzer(base)
+
+    def tokens(self, text: str) -> list[str]:
+        toks = self.base.tokens(text)
+        out = list(toks) if self.output_unigrams else []
+        n = self.shingle_size
+        for i in range(len(toks) - n + 1):
+            out.append(self.sep.join(toks[i : i + n]))
+        return out

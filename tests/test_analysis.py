@@ -149,3 +149,19 @@ def test_format_extend_absorbed_into_tokens():
 
 def test_fullwidth_digits_and_nl():
     assert tokenize("ＡＢ12 Ⅻ") == ["ＡＢ12", "Ⅻ"]  # fullwidth + Nl roman
+
+
+def test_ngram_and_shingle_analyzers():
+    from lucene_solr_ray.analysis import NGramAnalyzer, ShingleAnalyzer
+
+    ng = NGramAnalyzer(2, 3)
+    assert ng.tokens("abcd") == ["ab", "bc", "cd", "abc", "bcd"]
+    sh = ShingleAnalyzer(2)
+    assert sh.tokens("quick brown fox") == [
+        "quick", "brown", "fox", "quick brown", "brown fox",
+    ]
+    sh2 = ShingleAnalyzer(2, output_unigrams=False)
+    assert sh2.tokens("quick brown fox") == ["quick brown", "brown fox"]
+    # an index built with the shingle analyzer answers "phrase-ish" terms
+    from lucene_solr_ray.analysis import get_analyzer
+    assert get_analyzer("ngram") is get_analyzer("ngram")
