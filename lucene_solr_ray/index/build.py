@@ -184,6 +184,9 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     fingerprint = [
         os.path.getsize(part["file"]), part["rows"], doc_base,
         list(part["row_groups"]),
+        # mtime (ns) catches same-size in-place content rewrites that the
+        # size/row-count signals miss (ADVICE r1)
+        os.stat(part["file"]).st_mtime_ns,
     ]
     if os.path.exists(ckpt_path):
         with open(ckpt_path) as f:

@@ -61,6 +61,12 @@ class _LRU(OrderedDict):
         super().__init__()
         self.cap = cap
 
+    def get(self, k, default=None):
+        v = super().get(k, default)
+        if k in self:  # refresh recency on hit (true LRU, not FIFO)
+            self.move_to_end(k)
+        return v
+
     def put(self, k, v):
         self[k] = v
         self.move_to_end(k)

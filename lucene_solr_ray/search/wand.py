@@ -112,6 +112,12 @@ def wand_or_topk(searcher, terms: list[str], k: int):
 
     reader = searcher.reader
     cache = searcher._cache
+    # deletes: block upper bounds computed over blocks that still contain
+    # deleted docs remain VALID (over-estimates never cause false pruning),
+    # so it is sufficient to mask the theta seed and the candidate set —
+    # exactly the exhaustive path's live-docs filtering (ADVICE r1: the
+    # pruned path previously resurrected deleted docs).
+    live = searcher.live_docs.mask if searcher.live_docs is not None else None
     cursors = []
     for t in terms:
         df = searcher.doc_freq(t)
@@ -131,6 +137,9 @@ def wand_or_topk(searcher, terms: list[str], k: int):
     in_order = list(cursors)
     cursors.sort(key=lambda c: -float(c.ub_max))
     seed_docs, seed_tfs = reader.postings(cursors[0].term)
+    if live is not None and seed_docs.size:
+        keep = live[seed_docs]
+        seed_docs, seed_tfs = seed_docs[keep], seed_tfs[keep]
     seed_scores = bm25.score_postings(
         seed_tfs, searcher.norms.norm[seed_docs], cursors[0].idf, cache,
     )
@@ -177,6 +186,8 @@ def wand_or_topk(searcher, terms: list[str], k: int):
         e = np.empty(0, np.int64)
         return e, e.astype(np.float32)
     cand = np.unique(np.concatenate(cand_parts))
+    if live is not None and cand.size:
+        cand = cand[live[cand]]
     if cand.size == 0:
         e = np.empty(0, np.int64)
         return e, e.astype(np.float32)

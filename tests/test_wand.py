@@ -69,3 +69,29 @@ def test_wand_actually_prunes(widx):
         arr.size for arr in c.blocks_above(float(c.ub_max) * 0.999, 0.0)
     )
     assert kept < total_blocks or total_blocks <= 1
+
+
+def test_wand_respects_deletes(tmp_path_factory, ray_session):
+    """prune=True must not resurrect deleted docs (ADVICE r1, high)."""
+    from lucene_solr_ray.index.deletes import delete_docs
+    from lucene_solr_ray.sources import generate_table
+
+    d = tmp_path_factory.mktemp("wdel_corpus")
+    tbl = generate_table(400, seed=11)
+    pq.write_table(tbl, str(d / "c.parquet"), row_group_size=100)
+    out = str(tmp_path_factory.mktemp("wdel_index"))
+    build_index(str(d), out, rows_per_partition=100)
+    merge_index(out, hot_df_threshold=100, salt_group_size=2, chunk_docs=256)
+
+    s0 = IndexSearcher(out)
+    q = BooleanQuery.build(should=[TermQuery("return"), TermQuery("def")])
+    base = s0.search(q, k=10, prune=True)
+    assert base.num_rows > 0
+    # delete the current top-3 docs, reopen, re-run both paths
+    delete_docs(out, np.asarray(base["doc_id"].to_pylist()[:3]))
+    s = IndexSearcher(out)
+    gone = set(base["doc_id"].to_pylist()[:3])
+    pruned = s.search(q, k=10, prune=True)
+    exhaustive = s.search(q, k=10, prune=False)
+    assert not (set(pruned["doc_id"].to_pylist()) & gone)
+    assert pruned.to_pydict() == exhaustive.to_pydict()
