@@ -237,6 +237,82 @@ def decode_postings(payload: bytes | memoryview) -> tuple[np.ndarray, np.ndarray
     return doc_ids, (tfm1 + 1).astype(np.int32)
 
 
+def decode_postings_batch(
+    buf: np.ndarray,
+    offs: np.ndarray,
+    dfs: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode of MANY single-block byte-aligned payloads packed
+    in one uint8 buffer (the merge-compaction hot path: the Zipf tail is
+    millions of tiny lists; per-list Python decode dominated merge wall
+    time). ``offs[i]`` is payload i's start, ``dfs[i]`` its posting count
+    (must equal the stored header; all rows must have df <= BLOCK_SIZE and
+    width codes in {0, 253, 254, 255} — the byte-aligned encoder's output).
+
+    Returns ``(docs_flat:int64, tfs_flat:int32)`` concatenated in row
+    order; row i occupies ``[cum_dfs[i], cum_dfs[i+1])``.
+    """
+    offs = np.asarray(offs, np.int64)
+    dfs = np.asarray(dfs, np.int64)
+    n_rows = offs.size
+    total = int(dfs.sum())
+    out_starts = np.zeros(n_rows, np.int64)
+    np.cumsum(dfs[:-1], out=out_starts[1:])
+    deltas = np.empty(total, np.int64)
+    tfm1 = np.empty(total, np.int64)
+
+    def _gather_stream(data_start: np.ndarray, codes: np.ndarray,
+                       out: np.ndarray) -> np.ndarray:
+        """Decode one stream (deltas or tf-1) for all rows; returns each
+        row's byte length (header+payload) so the caller can locate the
+        next stream."""
+        stream_len = np.empty(n_rows, np.int64)
+        for code, width in ((0, 0), (253, 1), (254, 2), (255, 4)):
+            m = codes == code
+            if not m.any():
+                continue
+            ds = data_start[m] + 1  # skip the code byte
+            cnt = dfs[m]
+            if code == 0:  # all-equal: one little-endian u4 value per row
+                val = (buf[ds].astype(np.int64)
+                       | (buf[ds + 1].astype(np.int64) << 8)
+                       | (buf[ds + 2].astype(np.int64) << 16)
+                       | (buf[ds + 3].astype(np.int64) << 24))
+                stream_len[m] = 5
+                dst = np.repeat(out_starts[m], cnt) + _intra(cnt)
+                out[dst] = np.repeat(val, cnt)
+                continue
+            stream_len[m] = 1 + cnt * width
+            intra = _intra(cnt)
+            src = np.repeat(ds, cnt) + intra * width
+            dst = np.repeat(out_starts[m], cnt) + intra
+            v = buf[src].astype(np.int64)
+            for b in range(1, width):
+                v |= buf[src + b].astype(np.int64) << (8 * b)
+            out[dst] = v
+        return stream_len
+
+    d_start = offs + 4
+    d_len = _gather_stream(d_start, buf[d_start], deltas)
+    t_start = d_start + d_len
+    _gather_stream(t_start, buf[t_start], tfm1)
+
+    # segmented cumsum: deltas -> absolute docs per row (first delta of a
+    # row is its absolute first doc id)
+    cs = np.cumsum(deltas)
+    base = cs[out_starts] - deltas[out_starts]
+    docs = cs - np.repeat(base, dfs)
+    return docs, (tfm1 + 1).astype(np.int32)
+
+
+def _intra(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for the given segment counts."""
+    total = int(counts.sum())
+    starts = np.zeros(counts.size, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
 def decode_block(
     payload: bytes | memoryview,
     block_offsets: np.ndarray,

@@ -44,6 +44,10 @@ from ..codec import BLOCK_SIZE, encode_norm, encode_postings
 
 MANIFEST = "manifest.json"
 
+# bump when the on-disk segment/merged layout changes (cache-key component
+# for /tmp index caches; readers of one version never see another's files)
+FORMAT_VERSION = 2
+
 
 @dataclass
 class IndexManifest:
@@ -176,6 +180,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     pid = part["partition_id"]
     doc_base = part["doc_base"]
     seg_path = os.path.join(out_dir, "segments", f"part-{pid:05d}.parquet")
+    bin_path = os.path.join(out_dir, "segments", f"part-{pid:05d}.bin")
     norm_path = os.path.join(out_dir, "norms", f"part-{pid:05d}.parquet")
     ckpt_path = os.path.join(out_dir, "_checkpoints", f"part-{pid:05d}.json")
     # input fingerprint: a checkpoint is valid only for the SAME input
@@ -254,7 +259,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     else:
         starts = ends = np.empty(0, np.int64)
 
-    payloads, dfs, ttfs = [], [], []
+    payloads, dfs, ttfs, start_docs = [], [], [], []
     pos_payloads: list = []
     bl_last, bl_maxtf, bl_maxnorm = [], [], []
     a_doc_g = a_doc + doc_base if tids else None
@@ -293,6 +298,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
 
     j = 0  # index into singles
     for ti, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+        start_docs.append(int(a_doc_g[s]))
         if store_positions:
             flat = (
                 pos_sorted[s] if e - s == 1
@@ -334,19 +340,47 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     os.makedirs(os.path.dirname(norm_path), exist_ok=True)
     os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
 
+    # payload sidecar: raw posting (then position) bytes concatenated into a
+    # flat mmap-able .bin — segments are ALREADY in final read format, so
+    # the merge can be metadata-only (chunks referenced in place; the .doc
+    # file written once at flush, exactly Lucene's "segments are immutable,
+    # merges mostly re-point" economics). Layout:
+    #     [payload_0 .. payload_n][pos_0 .. pos_n]
+    lens = np.fromiter((len(p) for p in payloads), np.int64,
+                       count=len(payloads))
+    offs = np.zeros(lens.size, np.int64)
+    if lens.size:
+        np.cumsum(lens[:-1], out=offs[1:])
+    pos_base = int(lens.sum())
+    if store_positions:
+        pos_lens = np.fromiter((len(p) for p in pos_payloads), np.int64,
+                               count=len(pos_payloads))
+    else:
+        pos_lens = np.zeros(lens.size, np.int64)
+    pos_offs = np.full(lens.size, pos_base, np.int64)
+    if lens.size:
+        pos_offs[1:] += np.cumsum(pos_lens[:-1])
+    with open(bin_path + ".tmp", "wb") as f:
+        for p in payloads:
+            f.write(p)
+        if store_positions:
+            for p in pos_payloads:
+                f.write(p)
+    os.replace(bin_path + ".tmp", bin_path)
+
     seg_tbl = pa.table({
         "term": pa.array(terms_sorted, pa.string()),
         "pid": pa.array(np.full(len(terms_sorted), pid, np.int32)),
         "df": pa.array(np.asarray(dfs, np.int32)),
         "ttf": pa.array(np.asarray(ttfs, np.int64)),
-        "postings": pa.array(payloads, pa.large_binary()),
+        "start_doc": pa.array(np.asarray(start_docs, np.int64)),
+        "offset": pa.array(offs),
+        "length": pa.array(lens),
+        "pos_offset": pa.array(pos_offs),
+        "pos_length": pa.array(pos_lens),
         "block_last": pa.array(bl_last, pa.list_(pa.int64())),
         "block_max_tf": pa.array(bl_maxtf, pa.list_(pa.int32())),
         "block_max_norm": pa.array(bl_maxnorm, pa.list_(pa.uint8())),
-        "positions": pa.array(
-            pos_payloads if store_positions else [b""] * len(payloads),
-            pa.large_binary(),
-        ),
     })
     pq.write_table(seg_tbl, seg_path + ".tmp")
     os.replace(seg_path + ".tmp", seg_path)

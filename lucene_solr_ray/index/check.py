@@ -56,7 +56,19 @@ def check_index(index_dir: str, *, sample_terms: int | None = None,
             err(f"part {pid}: terms not sorted")
         dfs = seg["df"].to_numpy()
         ttfs = seg["ttf"].to_numpy()
-        payloads = seg["postings"].to_pylist()
+        # payloads live in the .bin sidecar, referenced by (offset, length)
+        from ..search.readers import mmap_file
+
+        bin_mv = mmap_file(os.path.join(
+            index_dir, "segments", f"part-{pid:05d}.bin"))
+        p_off = seg["offset"].to_numpy()
+        p_len = seg["length"].to_numpy()
+        q_off = seg["pos_offset"].to_numpy()
+        q_len = seg["pos_length"].to_numpy()
+        payloads = [
+            bin_mv[int(o):int(o) + int(ln)]
+            for o, ln in zip(p_off, p_len)
+        ]
         b_last = seg["block_last"].to_pylist()
         b_maxtf = seg["block_max_tf"].to_pylist()
 
@@ -81,8 +93,9 @@ def check_index(index_dir: str, *, sample_terms: int | None = None,
                     err(f"part {pid}: checkpoint sha256 rollup mismatch")
 
         pos_col = (
-            seg["positions"].to_pylist() if man.store_positions
-            and "positions" in seg.schema.names else None
+            [bin_mv[int(o):int(o) + int(ln)]
+             for o, ln in zip(q_off, q_len)]
+            if man.store_positions else None
         )
         idx = np.arange(len(terms))
         if sample_terms and len(terms) > sample_terms:

@@ -1,48 +1,48 @@
-"""Segment merge: sort-shuffle on (term, salt) into a global mmap-able index.
+"""Segment merge: a METADATA-ONLY groupby-term exchange into a global index.
 
 The Ray Data restatement of ``SegmentMerger.merge`` + the MapReduce tool's
 tree merge (``SegmentMerger.java:83-127``,
-``solr/contrib/map-reduce/.../TreeMergeOutputFormat.java:100-138``): postings
-rows from all per-partition segments are range-shuffled on ``(term, salt)``
-(``Dataset.sort`` — the groupby-term exchange expressed as one sort pass),
-concatenated in partition order (doc-id ranges are disjoint and ascending by
-partition id: doc_base was applied at build, so no docID remap is needed),
-re-encoded, and written as:
+``solr/contrib/map-reduce/.../TreeMergeOutputFormat.java:100-138``) — with
+the economics Lucene actually has: segment payload files are immutable and
+the merge mostly RE-POINTS at them instead of rewriting bytes.
 
-- ``merged/payload-<name>.bin`` — concatenated posting payloads, memory-
-  mapped by scorers (the ``.doc`` file analogue);
-- ``merged/terms-<name>.parquet`` — the term dictionary: (term, chunk_id,
-  df, ttf, start_doc, payload_file, offset, length, block metadata) — the
-  ``.tim/.tip`` analogue, small enough to hold in RAM per shard actor.
+Input: per-partition term-dict rows ``(term, pid, df, ttf, start_doc,
+offset, length, pos_offset, pos_length, block metadata)`` referencing the
+build's ``segments/part-N.bin`` payload sidecars. The merge range-shuffles
+ONLY these small metadata rows on ``(term, salt)`` (``Dataset.sort`` — the
+groupby-term exchange expressed as one sort pass) and emits the global term
+dictionary:
 
-**Vectorized group merge without per-group UDF overhead:** after the sort,
-each map_batches task merges every (term, salt) group that is *interior* to
-its block; groups touching a block boundary (at most 2 per block, and salted
-hot terms keep groups small) pass through to a tiny final stage merged
-driver-side. This avoids ``map_groups``'s per-group Python dispatch, which
-dominates wall time at high term cardinality.
+- **passthrough** (single-source terms + any group whose total df exceeds
+  ``REENCODE_MAX_DOCS``): the output row references the segment ``.bin``
+  in place (``payload_file = "segments/part-N.bin"``) — zero payload bytes
+  move. This is the TieredMergePolicy "don't rewrite big segments" analogue.
+- **compaction** (small groups fragmented across several segments — the
+  Zipf tail, e.g. a df=3 term spread over 3 partitions): the merge task
+  reads just those payload slices from the mmap'd segment bins, decodes,
+  concatenates in pid order, re-encodes, and writes a compact
+  ``merged/payload-<name>.bin``. This bounds per-term chunk counts as the
+  partition count grows (10^7 partitions at 10^12 rows would otherwise give
+  every rare term 10^7 14-byte chunks).
 
-Skew handling (north rule):
+Output, per merge task: one ``merged/terms-<name>.parquet`` (the
+``.tim/.tip`` analogue — small enough to hold in RAM per shard actor) and,
+only if the task compacted anything, one ``merged/payload-<name>.bin``.
 
-- **salting**: terms whose global df exceeds ``hot_df_threshold`` get
-  ``salt = pid // salt_group_size`` so one reducer never materializes a
-  stopword-like term's entire posting list; salt groups cover disjoint
-  ascending doc ranges, so chunks re-concatenate in doc order at read time
-  (chunk_id carries the salt in its high bits).
-- **posting-list splitting**: merged lists are emitted in chunk rows of at
-  most ``chunk_docs`` postings — a term may span many rows/files (the
-  analogue of Lucene's block/skip structure at file granularity).
+Skew handling (north rule): a stopword-like term's metadata rows are salted
+(``salt = pid // salt_group_size``) so one reducer never collects all of a
+hot term's rows; big groups pass through per-row as independent chunks, so
+no reducer ever materializes a hot term's full posting list either way —
+posting-list *splitting* is inherited from the build (chunks = per-partition
+lists, first delta absolute, so readers decode chunks independently and in
+parallel; ``chunk_id`` carries the salt in its high bits and readers restore
+global doc order at read time).
 
-Each chunk payload is self-contained (first delta = absolute first doc id),
-so readers decode chunks independently and in parallel.
-
-File names are deterministic functions of content (first term/chunk + row
-count), so task retries are idempotent (write tmp + rename).
-
-Restart semantics: the segment BUILD is the checkpointed long phase; the
-merge is a single bounded shuffle written to ``merged.tmp`` and published
-atomically — a crash mid-merge restarts the merge only, never the build
-(the ``addIndexes``-restart tradeoff of the reference's mtree merge).
+File names are deterministic functions of content (first term + row counts),
+so task retries are idempotent (write tmp + rename). Restart semantics: the
+segment BUILD is the checkpointed long phase; the merge is one bounded
+metadata shuffle written to ``merged.tmp`` and published atomically — a
+crash mid-merge restarts the merge only, never the build.
 """
 
 from __future__ import annotations
@@ -56,11 +56,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..codec import BLOCK_SIZE, decode_postings, encode_postings
-from ..codec.postings import decode_values, encode_values, first_doc
+from ..codec.postings import decode_values, encode_values
 from .build import IndexManifest
 
-DEFAULT_CHUNK_DOCS = BLOCK_SIZE * 512  # 64k postings per chunk row
+DEFAULT_CHUNK_DOCS = BLOCK_SIZE * 512  # 64k postings per compacted chunk row
 SALT_STRIDE = 1 << 20  # chunk_id = salt * SALT_STRIDE + local chunk index
+
+# groups with more postings than this pass through as independent chunks
+# instead of decode+re-encode (readers merge chunks at read time)
+REENCODE_MAX_DOCS = 4096
 
 _TERMS_SCHEMA = pa.schema({
     "term": pa.string(),
@@ -71,332 +75,93 @@ _TERMS_SCHEMA = pa.schema({
     "payload_file": pa.string(),
     "offset": pa.int64(),
     "length": pa.int64(),
+    "pos_offset": pa.int64(),
+    "pos_length": pa.int64(),
     "block_last": pa.list_(pa.int64()),
     "block_max_tf": pa.list_(pa.int32()),
     "block_max_norm": pa.list_(pa.uint8()),
 })
 
 
-def _merge_rows(
-    term: str,
-    salt: int,
-    payloads: list,
-    pids: np.ndarray,
-    max_norms: list,
-    byte_aligned: bool,
-    chunk_docs: int,
-    pos_payloads: list | None = None,
-) -> list[dict]:
-    """Merge one (term, salt) group's rows -> list of chunk dicts
-    (decode + concat in pid order + re-encode; driver-side boundary path)."""
-    order = np.argsort(pids, kind="stable")
-    docs_l, tfs_l, pos_l = [], [], []
-    max_norm = 0
-    for i in order:
-        d, f = decode_postings(payloads[i])
-        docs_l.append(d)
-        tfs_l.append(f)
-        if pos_payloads is not None and len(pos_payloads[i]):
-            pos_l.append(decode_values(pos_payloads[i]))
-        if len(max_norms[i]):
-            max_norm = max(max_norm, int(max(max_norms[i])))
-    docs = np.concatenate(docs_l) if len(docs_l) > 1 else docs_l[0]
-    tfs = np.concatenate(tfs_l) if len(tfs_l) > 1 else tfs_l[0]
-    pos_flat = np.concatenate(pos_l) if pos_l else None
-    tf_cum = (
-        np.concatenate(([0], np.cumsum(tfs))) if pos_flat is not None
-        else None
-    )
-    out = []
-    n = docs.size
-    for c in range((n + chunk_docs - 1) // chunk_docs):
-        lo, hi = c * chunk_docs, min((c + 1) * chunk_docs, n)
-        payload, last, maxtf = encode_postings(
-            docs[lo:hi], tfs[lo:hi], byte_aligned=byte_aligned
-        )
-        out.append({
-            "term": term,
-            "chunk_id": salt * SALT_STRIDE + c,
-            "df": hi - lo,
-            "ttf": int(tfs[lo:hi].sum()),
-            "start_doc": int(docs[lo]),
-            "payload": payload,
-            "positions": (
-                encode_values(pos_flat[tf_cum[lo]:tf_cum[hi]], byte_aligned)
-                if pos_flat is not None else b""
-            ),
-            "block_last": last.tolist(),
-            "block_max_tf": maxtf.tolist(),
-            "block_max_norm": [max_norm] * last.size,
-        })
-    return out
+def _seg_bin_name(pid: int) -> str:
+    return f"segments/part-{pid:05d}.bin"
 
 
-def _write_chunkfiles(chunks: list[dict], out_dir: str) -> None:
-    """Write a payload .bin + terms .parquet pair, atomically, with a
-    content-deterministic name (idempotent under task retry)."""
-    if not chunks:
-        return
-    name = hashlib.sha1(
-        f"{chunks[0]['term']}:{chunks[0]['chunk_id']}:{len(chunks)}".encode()
-    ).hexdigest()[:16]
-    payload_name = f"payload-{name}.bin"
-    offsets, lengths = [], []
-    pos = 0
-    for c in chunks:
-        offsets.append(pos)
-        lengths.append(len(c["payload"]))
-        pos += lengths[-1]
-    pos_offsets, pos_lengths = [], []
-    for c in chunks:
-        pl = c.get("positions", b"")
-        pos_offsets.append(pos)
-        pos_lengths.append(len(pl))
-        pos += len(pl)
-    tbl = pa.table({
-        "term": pa.array([c["term"] for c in chunks], pa.string()),
-        "chunk_id": pa.array([c["chunk_id"] for c in chunks], pa.int64()),
-        "df": pa.array([c["df"] for c in chunks], pa.int32()),
-        "ttf": pa.array([c["ttf"] for c in chunks], pa.int64()),
-        "start_doc": pa.array([c["start_doc"] for c in chunks], pa.int64()),
-        "payload_file": pa.array([payload_name] * len(chunks), pa.string()),
-        "offset": pa.array(offsets, pa.int64()),
-        "length": pa.array(lengths, pa.int64()),
-        "pos_offset": pa.array(pos_offsets, pa.int64()),
-        "pos_length": pa.array(pos_lengths, pa.int64()),
-        "block_last": pa.array([c["block_last"] for c in chunks],
-                               pa.list_(pa.int64())),
-        "block_max_tf": pa.array([c["block_max_tf"] for c in chunks],
-                                 pa.list_(pa.int32())),
-        "block_max_norm": pa.array([c["block_max_norm"] for c in chunks],
-                                   pa.list_(pa.uint8())),
-    })
-    ppath = os.path.join(out_dir, payload_name)
-    with open(ppath + ".tmp", "wb") as f:
-        for c in chunks:
-            f.write(c["payload"])
-        for c in chunks:
-            pl = c.get("positions", b"")
-            if len(pl):
-                f.write(pl)
-    os.replace(ppath + ".tmp", ppath)
-    tpath = os.path.join(out_dir, f"terms-{name}.parquet")
-    pq.write_table(tbl, tpath + ".tmp")
-    os.replace(tpath + ".tmp", tpath)
+# per-process mmap cache for segment payload bins (merge tasks + the driver
+# boundary pass read compaction slices through this)
+_MMAPS: dict[str, memoryview] = {}
 
 
-class _BatchView:
-    """Zero-copy-ish columnar view of a sorted segment-rows batch: list
-    columns exposed as (offsets, values) numpy pairs, payloads as
-    memoryview slices of the binary column's data buffer — no per-row
-    ``to_pylist`` materialization."""
+def _mmap(path: str) -> memoryview:
+    # key on file identity, not just path: a rebuild os.replace()s the bin,
+    # and long-lived worker processes must not serve the old inode's bytes
+    st = os.stat(path)
+    key = (path, st.st_ino, st.st_size, st.st_mtime_ns)
+    mv = _MMAPS.get(key)
+    if mv is None:
+        from ..search.readers import mmap_file
 
-    def __init__(self, batch: pa.Table, use_positions: bool = True):
-        self.terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        mv = mmap_file(path)
+        _MMAPS[key] = mv
+    return mv
+
+
+class _MetaView:
+    """Columnar view of a sorted term-metadata batch (numpy columns +
+    (offsets, values) pairs for the list columns — no per-row pylist)."""
+
+    def __init__(self, batch: pa.Table):
+        self.term_col = batch["term"].combine_chunks()
         self.salts = batch["salt"].to_numpy()
         self.pids = batch["pid"].to_numpy()
         self.dfs = batch["df"].to_numpy()
         self.ttfs = batch["ttf"].to_numpy()
-        p = batch["postings"].combine_chunks()
-        off_dtype = (
-            np.int64 if pa.types.is_large_binary(p.type) else np.int32
-        )
-        self._p_off = np.frombuffer(p.buffers()[1], off_dtype)[
-            p.offset : p.offset + len(p) + 1
-        ]
-        self._p_data = memoryview(p.buffers()[2])
-        self.has_positions = (
-            use_positions and "positions" in batch.schema.names
-        )
-        if self.has_positions:
-            q = batch["positions"].combine_chunks()
-            qd = (np.int64 if pa.types.is_large_binary(q.type) else np.int32)
-            self._q_off = np.frombuffer(q.buffers()[1], qd)[
-                q.offset : q.offset + len(q) + 1
-            ]
-            self._q_data = memoryview(q.buffers()[2]) if q.buffers()[2] \
-                else memoryview(b"")
+        self.start_docs = batch["start_doc"].to_numpy()
+        self.offsets = batch["offset"].to_numpy()
+        self.lengths = batch["length"].to_numpy()
+        self.pos_offsets = batch["pos_offset"].to_numpy()
+        self.pos_lengths = batch["pos_length"].to_numpy()
         self._lists = {}
         for name in ("block_last", "block_max_tf", "block_max_norm"):
             arr = batch[name].combine_chunks()
-            # ListArray.offsets/.values already account for the array
-            # offset in pyarrow (offsets is an Int32Array view)
-            off = arr.offsets.to_numpy()
-            vals = arr.values.to_numpy()
-            self._lists[name] = (off, vals)
+            self._lists[name] = (arr.offsets.to_numpy(),
+                                 arr.values.to_numpy())
 
-    def payload(self, i: int) -> memoryview:
-        return self._p_data[self._p_off[i]:self._p_off[i + 1]]
-
-    def pos_payload(self, i: int) -> memoryview:
-        if not self.has_positions:
-            return memoryview(b"")
-        return self._q_data[self._q_off[i]:self._q_off[i + 1]]
+    def term(self, i: int) -> str:
+        return self.term_col[int(i)].as_py()
 
     def lst(self, name: str, i: int) -> np.ndarray:
         off, vals = self._lists[name]
         return vals[off[i]:off[i + 1]]
 
-    def row_chunk(self, i: int, term: str, chunk_id: int) -> dict:
-        return {
-            "term": term,
-            "chunk_id": chunk_id,
-            "df": int(self.dfs[i]),
-            "ttf": int(self.ttfs[i]),
-            "start_doc": first_doc(self.payload(i)),
-            "payload": self.payload(i),
-            "positions": self.pos_payload(i),
-            "block_last": self.lst("block_last", i),
-            "block_max_tf": self.lst("block_max_tf", i),
-            "block_max_norm": self.lst("block_max_norm", i),
-        }
+
+def _payload_slice(index_dir: str, pid: int, off: int, ln: int) -> memoryview:
+    mv = _mmap(os.path.join(index_dir, _seg_bin_name(pid)))
+    return mv[off : off + ln]
 
 
-# groups with more postings than this pass their rows through as
-# independent chunks instead of decode+re-encode — the TieredMergePolicy
-# "don't rewrite big segments" analogue (readers merge chunks at read time)
-REENCODE_MAX_DOCS = 4096
-
-
-def _chunks_to_table(chunks: list[dict], payload_name: str,
-                     off0: int, pos_off0: int):
-    """Compact-chunk dicts -> (terms sub-table, payload bytes list,
-    positions bytes list); offsets are absolute in the output file."""
-    offs, lens, pos_offs, pos_lens = [], [], [], []
-    pos = off0
-    for c in chunks:
-        offs.append(pos)
-        lens.append(len(c["payload"]))
-        pos += lens[-1]
-    ppos = pos_off0
-    for c in chunks:
-        pl = c.get("positions", b"")
-        pos_offs.append(ppos)
-        pos_lens.append(len(pl))
-        ppos += len(pl)
-    tbl = pa.table({
-        "term": pa.array([c["term"] for c in chunks], pa.string()),
-        "chunk_id": pa.array([c["chunk_id"] for c in chunks], pa.int64()),
-        "df": pa.array([c["df"] for c in chunks], pa.int32()),
-        "ttf": pa.array([c["ttf"] for c in chunks], pa.int64()),
-        "start_doc": pa.array([c["start_doc"] for c in chunks], pa.int64()),
-        "payload_file": pa.array([payload_name] * len(chunks), pa.string()),
-        "offset": pa.array(offs, pa.int64()),
-        "length": pa.array(lens, pa.int64()),
-        "pos_offset": pa.array(pos_offs, pa.int64()),
-        "pos_length": pa.array(pos_lens, pa.int64()),
-        "block_last": pa.array([np.asarray(c["block_last"]).tolist()
-                                for c in chunks], pa.list_(pa.int64())),
-        "block_max_tf": pa.array([np.asarray(c["block_max_tf"]).tolist()
-                                  for c in chunks], pa.list_(pa.int32())),
-        "block_max_norm": pa.array([np.asarray(c["block_max_norm"]).tolist()
-                                    for c in chunks], pa.list_(pa.uint8())),
-    })
-    return tbl, [c["payload"] for c in chunks], \
-        [c.get("positions", b"") for c in chunks]
-
-
-def _write_task_output(pt_cols, chunks: list[dict], out_dir: str) -> None:
-    """Write one payload .bin + terms .parquet for a merge task combining
-    the vectorized passthrough columns and the compacted chunk dicts.
-    Layout: [pt payloads][compact payloads][pt positions][compact
-    positions]; content-deterministic name (idempotent retries)."""
-    pt_n = len(pt_cols["_payloads"]) if pt_cols else 0
-    if pt_n == 0 and not chunks:
-        return
-    first_term = (
-        pt_cols["term"][0].as_py() if pt_n else chunks[0]["term"]
-    )
-    name = hashlib.sha1(
-        f"{first_term}:{pt_n}:{len(chunks)}".encode()
-    ).hexdigest()[:16]
-    payload_name = f"payload-{name}.bin"
-
-    pt_len = pt_cols["_lengths"] if pt_n else np.empty(0, np.int64)
-    pt_off = np.zeros(pt_n, np.int64)
-    if pt_n:
-        np.cumsum(pt_len[:-1], out=pt_off[1:])
-    c_base = int(pt_len.sum())
-    c_lens = np.array([len(c["payload"]) for c in chunks], np.int64)
-    pos_base = c_base + int(c_lens.sum())
-    pt_pos_len = pt_cols["_pos_lengths"] if pt_n else np.empty(0, np.int64)
-    pt_pos_off = np.full(pt_n, pos_base, np.int64)
-    if pt_n:
-        pt_pos_off[1:] += np.cumsum(pt_pos_len[:-1])
-    c_pos_base = pos_base + int(pt_pos_len.sum())
-
-    tables = []
-    if pt_n:
-        tables.append(pa.table({
-            "term": pt_cols["term"],
-            "chunk_id": pt_cols["chunk_id"],
-            "df": pt_cols["df"],
-            "ttf": pt_cols["ttf"],
-            "start_doc": pt_cols["start_doc"],
-            "payload_file": pa.array([payload_name] * pt_n, pa.string()),
-            "offset": pa.array(pt_off),
-            "length": pa.array(pt_len),
-            "pos_offset": pa.array(pt_pos_off),
-            "pos_length": pa.array(pt_pos_len),
-            "block_last": pt_cols["block_last"].cast(pa.list_(pa.int64())),
-            "block_max_tf": pt_cols["block_max_tf"].cast(
-                pa.list_(pa.int32())),
-            "block_max_norm": pt_cols["block_max_norm"].cast(
-                pa.list_(pa.uint8())),
-        }))
-    if chunks:
-        ctbl, _, _ = _chunks_to_table(chunks, payload_name, c_base,
-                                      c_pos_base)
-        tables.append(ctbl)
-    out_tbl = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-
-    ppath = os.path.join(out_dir, payload_name)
-    with open(ppath + ".tmp", "wb") as f:
-        if pt_n:
-            for mv in pt_cols["_payloads"]:
-                f.write(mv)
-        for c in chunks:
-            f.write(c["payload"])
-        if pt_n and pt_cols["_positions"] is not None:
-            for mv in pt_cols["_positions"]:
-                if len(mv):
-                    f.write(mv)
-        for c in chunks:
-            pl = c.get("positions", b"")
-            if len(pl):
-                f.write(pl)
-    os.replace(ppath + ".tmp", ppath)
-    tpath = os.path.join(out_dir, f"terms-{name}.parquet")
-    pq.write_table(out_tbl, tpath + ".tmp")
-    os.replace(tpath + ".tmp", tpath)
-
-
-def _merge_group_view(
-    v: _BatchView, s: int, e: int, byte_aligned: bool, chunk_docs: int
+def _compact_group(
+    v: _MetaView, rows: np.ndarray, index_dir: str, byte_aligned: bool,
+    chunk_docs: int, use_positions: bool,
 ) -> list[dict]:
-    term = v.terms[s]
-    salt = int(v.salts[s])
-    if e - s == 1:  # single source row: always passthrough
-        return [v.row_chunk(s, term, salt * SALT_STRIDE)]
-    total_df = int(v.dfs[s:e].sum())
-    order = s + np.argsort(v.pids[s:e], kind="stable")
-    if total_df > REENCODE_MAX_DOCS:
-        # large group: keep each row as its own chunk (no re-encode);
-        # chunk ids follow pid order within the salt
-        return [
-            v.row_chunk(int(i), term, salt * SALT_STRIDE + k)
-            for k, i in enumerate(order)
-        ]
-    # small fragmented group: compact into one (or few) chunk(s)
+    """Decode a small fragmented group's payload slices from the segment
+    bins, concat in pid order, re-encode into compact chunk dicts."""
+    term = v.term(rows[0])
+    salt = int(v.salts[rows[0]])
+    order = rows[np.argsort(v.pids[rows], kind="stable")]
     docs_l, tfs_l, pos_l = [], [], []
     max_norm = 0
-    for i in order:
-        d, f = decode_postings(v.payload(int(i)))
+    for i in order.tolist():
+        pl = _payload_slice(index_dir, int(v.pids[i]),
+                            int(v.offsets[i]), int(v.lengths[i]))
+        d, f = decode_postings(pl)
         docs_l.append(d)
         tfs_l.append(f)
-        if v.has_positions:
-            pos_l.append(decode_values(v.pos_payload(int(i))))
-        mn = v.lst("block_max_norm", int(i))
+        if use_positions:
+            pp = _payload_slice(index_dir, int(v.pids[i]),
+                                int(v.pos_offsets[i]), int(v.pos_lengths[i]))
+            pos_l.append(decode_values(pp))
+        mn = v.lst("block_max_norm", i)
         if mn.size:
             max_norm = max(max_norm, int(mn.max()))
     docs = np.concatenate(docs_l)
@@ -428,58 +193,213 @@ def _merge_group_view(
     return out
 
 
-def _first_docs_vectorized(v: _BatchView, rows: np.ndarray) -> np.ndarray:
-    """Vectorized ``first_doc`` over many payloads (byte-aligned formats;
-    bit-packed rows fall back to the scalar reader)."""
-    data = np.frombuffer(v._p_data, np.uint8)
-    off = np.asarray(v._p_off[rows], np.int64)
-    bpv = data[off + 4]
-    out = np.zeros(rows.size, np.int64)
-    m = bpv == 253
-    out[m] = data[off[m] + 5]
-    m = bpv == 254
-    out[m] = data[off[m] + 5] | (data[off[m] + 6].astype(np.int64) << 8)
-    m = (bpv == 255) | (bpv == 0)
-    o = off[m] + 5
-    out[m] = (
-        data[o].astype(np.int64)
-        | (data[o + 1].astype(np.int64) << 8)
-        | (data[o + 2].astype(np.int64) << 16)
-        | (data[o + 3].astype(np.int64) << 24)
-    )
-    rest = np.flatnonzero((bpv >= 1) & (bpv <= 32))
-    for k in rest.tolist():
-        out[k] = first_doc(v.payload(int(rows[k])))
+def _compact_groups_vectorized(
+    v: _MetaView, group_id: np.ndarray, cp_group: np.ndarray,
+    index_dir: str, chunk_docs: int,
+) -> list[dict]:
+    """Compact ALL small fragmented groups of a sorted batch in one
+    vectorized pass (byte-aligned, no-positions indexes): gather the
+    payload byte slices per source segment with fancy indexing, decode all
+    single-block rows at once (``decode_postings_batch``), then re-encode
+    per group. Replaces the per-row Python decode that dominated merge
+    wall time (the Zipf tail is ~98% of term-dict rows)."""
+    from ..codec.postings import _intra, decode_postings_batch
+
+    rows = np.flatnonzero(cp_group[group_id])
+    if rows.size == 0:
+        return []
+    order = np.lexsort((v.pids[rows], group_id[rows]))
+    rows = rows[order]
+    gids = group_id[rows]
+    lens = v.lengths[rows].astype(np.int64)
+    dfs = v.dfs[rows].astype(np.int64)
+    offs = v.offsets[rows].astype(np.int64)
+    pids = v.pids[rows]
+
+    # gather payload bytes (headers included) into one flat buffer laid
+    # out in (group, pid) order — one fancy-index per distinct source bin
+    flat = np.empty(int(lens.sum()), np.uint8)
+    dst0 = np.zeros(rows.size, np.int64)
+    np.cumsum(lens[:-1], out=dst0[1:])
+    for pid in np.unique(pids).tolist():
+        m = pids == pid
+        seg = np.frombuffer(
+            _mmap(os.path.join(index_dir, _seg_bin_name(int(pid)))),
+            np.uint8,
+        )
+        il = _intra(lens[m])
+        flat[np.repeat(dst0[m], lens[m]) + il] = \
+            seg[np.repeat(offs[m], lens[m]) + il]
+
+    # decode: single-block rows in one vectorized call, rare multi-block
+    # rows scalar
+    total_df = int(dfs.sum())
+    docs = np.empty(total_df, np.int64)
+    tfs = np.empty(total_df, np.int32)
+    out0 = np.zeros(rows.size, np.int64)
+    np.cumsum(dfs[:-1], out=out0[1:])
+    small = dfs <= BLOCK_SIZE
+    if small.any():
+        d_s, t_s = decode_postings_batch(flat, dst0[small], dfs[small])
+        dsti = np.repeat(out0[small], dfs[small]) + _intra(dfs[small])
+        docs[dsti] = d_s
+        tfs[dsti] = t_s
+    for i in np.flatnonzero(~small).tolist():
+        d, f = decode_postings(flat[dst0[i]:dst0[i] + int(lens[i])])
+        docs[out0[i]:out0[i] + dfs[i]] = d
+        tfs[out0[i]:out0[i] + dfs[i]] = f
+
+    # per-row -> per-group max norm byte (upper bound; df>0 rows always
+    # have at least one block entry, so reduceat segments are non-empty)
+    boff, bvals = v._lists["block_max_norm"]
+    if boff[-1] > 0:
+        row_max_all = np.maximum.reduceat(bvals, boff[:-1])
+    else:
+        row_max_all = np.zeros(boff.size - 1, bvals.dtype)
+    g_change = np.ones(rows.size, bool)
+    g_change[1:] = gids[1:] != gids[:-1]
+    g_starts = np.flatnonzero(g_change)
+    g_ends = np.append(g_starts[1:], rows.size)
+    g_norm = np.maximum.reduceat(row_max_all[rows], g_starts)
+    g_ttf = np.add.reduceat(v.ttfs[rows].astype(np.int64), g_starts)
+
+    out: list[dict] = []
+    for k, (s, e) in enumerate(zip(g_starts.tolist(), g_ends.tolist())):
+        term = v.term(rows[s])
+        salt = int(v.salts[rows[s]])
+        lo0 = int(out0[s])
+        hi0 = int(out0[e - 1] + dfs[e - 1])
+        gd = docs[lo0:hi0]
+        gt = tfs[lo0:hi0]
+        max_norm = int(g_norm[k])
+        for c in range((gd.size + chunk_docs - 1) // chunk_docs):
+            lo, hi = c * chunk_docs, min((c + 1) * chunk_docs, gd.size)
+            payload, last, maxtf = encode_postings(
+                gd[lo:hi], gt[lo:hi], byte_aligned=True
+            )
+            out.append({
+                "term": term,
+                "chunk_id": salt * SALT_STRIDE + c,
+                "df": hi - lo,
+                "ttf": int(g_ttf[k]) if hi - lo == gd.size
+                else int(gt[lo:hi].sum()),
+                "start_doc": int(gd[lo]),
+                "payload": payload,
+                "positions": b"",
+                "block_last": last,
+                "block_max_tf": maxtf,
+                "block_max_norm": np.full(last.size, max_norm, np.uint8),
+            })
     return out
 
 
-def _merge_batch(
-    batch: pa.Table, out_dir: str, byte_aligned: bool, chunk_docs: int,
-    use_positions: bool = True,
-) -> pa.Table:
-    """Merge all interior (term, salt) groups of a sorted batch; return the
-    boundary rows (first & last key of the block) unmerged.
+def _chunks_to_table(chunks: list[dict], payload_name: str) -> pa.Table:
+    """Compacted chunk dicts -> terms sub-table; offsets are laid out
+    [payloads...][positions...] within the compact file."""
+    lens = np.array([len(c["payload"]) for c in chunks], np.int64)
+    offs = np.zeros(lens.size, np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    pos_base = int(lens.sum())
+    pos_lens = np.array([len(c["positions"]) for c in chunks], np.int64)
+    pos_offs = np.full(lens.size, pos_base, np.int64)
+    pos_offs[1:] += np.cumsum(pos_lens[:-1])
+    return pa.table({
+        "term": pa.array([c["term"] for c in chunks], pa.string()),
+        "chunk_id": pa.array([c["chunk_id"] for c in chunks], pa.int64()),
+        "df": pa.array([c["df"] for c in chunks], pa.int32()),
+        "ttf": pa.array([c["ttf"] for c in chunks], pa.int64()),
+        "start_doc": pa.array([c["start_doc"] for c in chunks], pa.int64()),
+        "payload_file": pa.array([payload_name] * len(chunks), pa.string()),
+        "offset": pa.array(offs),
+        "length": pa.array(lens),
+        "pos_offset": pa.array(pos_offs),
+        "pos_length": pa.array(pos_lens),
+        "block_last": pa.array([np.asarray(c["block_last"]).tolist()
+                                for c in chunks], pa.list_(pa.int64())),
+        "block_max_tf": pa.array([np.asarray(c["block_max_tf"]).tolist()
+                                  for c in chunks], pa.list_(pa.int32())),
+        "block_max_norm": pa.array([np.asarray(c["block_max_norm"]).tolist()
+                                    for c in chunks], pa.list_(pa.uint8())),
+    })
 
-    Row classes:
-    - PASSTHROUGH (single-row groups + members of groups above
-      REENCODE_MAX_DOCS): handled fully vectorized — arrow ``take`` for
-      term/df/ttf/block metadata, numpy for offsets/first-doc/chunk ids,
-      no per-row Python objects;
-    - COMPACT (small fragmented multi-row groups): decode+re-encode via
-      the per-group Python path (few rows);
-    - BOUNDARY (first/last key of the block): passed through to the
-      driver-side final stage.
-    """
+
+def _write_compact_bin(chunks: list[dict], path: str) -> None:
+    with open(path + ".tmp", "wb") as f:
+        for c in chunks:
+            f.write(c["payload"])
+        for c in chunks:
+            if len(c["positions"]):
+                f.write(c["positions"])
+    os.replace(path + ".tmp", path)
+
+
+def _passthrough_table(batch: pa.Table, v: _MetaView, rows: np.ndarray,
+                       rank_of: np.ndarray) -> pa.Table:
+    """Vectorized reference rows: the output chunk points at the source
+    segment bin — term/df/ttf/offsets taken columnar, payload_file built
+    via a dictionary over the (few) distinct pids."""
+    idx = pa.array(rows)
+    uq, inv = np.unique(v.pids[rows], return_inverse=True)
+    names = pa.array([_seg_bin_name(int(p)) for p in uq.tolist()],
+                     pa.string())
+    payload_file = pa.DictionaryArray.from_arrays(
+        pa.array(inv.astype(np.int32)), names
+    ).cast(pa.string())
+    return pa.table({
+        "term": batch["term"].take(idx),
+        "chunk_id": pa.array(
+            v.salts[rows].astype(np.int64) * SALT_STRIDE + rank_of[rows]
+        ),
+        "df": pa.array(v.dfs[rows].astype(np.int32)),
+        "ttf": pa.array(v.ttfs[rows].astype(np.int64)),
+        "start_doc": pa.array(v.start_docs[rows].astype(np.int64)),
+        "payload_file": payload_file,
+        "offset": pa.array(v.offsets[rows].astype(np.int64)),
+        "length": pa.array(v.lengths[rows].astype(np.int64)),
+        "pos_offset": pa.array(v.pos_offsets[rows].astype(np.int64)),
+        "pos_length": pa.array(v.pos_lengths[rows].astype(np.int64)),
+        "block_last": batch["block_last"].take(idx).combine_chunks().cast(
+            pa.list_(pa.int64())),
+        "block_max_tf": batch["block_max_tf"].take(idx).combine_chunks()
+        .cast(pa.list_(pa.int32())),
+        "block_max_norm": batch["block_max_norm"].take(idx).combine_chunks()
+        .cast(pa.list_(pa.uint8())),
+    })
+
+
+def _write_terms_file(tables: list[pa.Table], out_dir: str,
+                      name: str) -> None:
+    tables = [
+        t.select(_TERMS_SCHEMA.names).cast(_TERMS_SCHEMA)
+        for t in tables if t.num_rows
+    ]
+    if not tables:
+        return
+    tbl = pa.concat_tables(tables)
+    tpath = os.path.join(out_dir, f"terms-{name}.parquet")
+    pq.write_table(tbl, tpath + ".tmp")
+    os.replace(tpath + ".tmp", tpath)
+
+
+def _merge_batch(
+    batch: pa.Table, index_dir: str, out_dir: str, byte_aligned: bool,
+    chunk_docs: int, use_positions: bool,
+) -> pa.Table:
+    """Merge all interior (term, salt) groups of a sorted metadata batch;
+    return the boundary rows (first & last key of the block) unmerged."""
     n = batch.num_rows
     if n == 0:
         return batch
-    v = _BatchView(batch, use_positions=use_positions)
+    v = _MetaView(batch)
     change = np.empty(n, bool)
     change[0] = True
     if n > 1:
-        change[1:] = (v.terms[1:] != v.terms[:-1]) | (
-            v.salts[1:] != v.salts[:-1]
-        )
+        import pyarrow.compute as pc
+
+        term_neq = pc.not_equal(
+            v.term_col.slice(1), v.term_col.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        change[1:] = term_neq | (v.salts[1:] != v.salts[:-1])
     group_id = np.cumsum(change) - 1
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
@@ -501,44 +421,30 @@ def _merge_batch(
     rank_of = np.empty(n, np.int64)
     rank_of[order] = seq - base
 
+    tables = []
     pt_rows = np.flatnonzero(pt_group[group_id])
-    pt_cols = None
     if pt_rows.size:
-        pt_idx = pa.array(pt_rows)
-        lengths = (v._p_off[pt_rows + 1] - v._p_off[pt_rows]).astype(np.int64)
-        if v.has_positions:
-            pos_lengths = (
-                v._q_off[pt_rows + 1] - v._q_off[pt_rows]
-            ).astype(np.int64)
-        else:
-            pos_lengths = np.zeros(pt_rows.size, np.int64)
-        pt_cols = {
-            "term": batch["term"].take(pt_idx),
-            "chunk_id": pa.array(
-                v.salts[pt_rows].astype(np.int64) * SALT_STRIDE
-                + rank_of[pt_rows]
-            ),
-            "df": pa.array(v.dfs[pt_rows].astype(np.int32)),
-            "ttf": pa.array(v.ttfs[pt_rows].astype(np.int64)),
-            "start_doc": pa.array(_first_docs_vectorized(v, pt_rows)),
-            "block_last": batch["block_last"].take(pt_idx),
-            "block_max_tf": batch["block_max_tf"].take(pt_idx),
-            "block_max_norm": batch["block_max_norm"].take(pt_idx),
-            "_lengths": lengths,
-            "_pos_lengths": pos_lengths,
-            "_payloads": [v.payload(int(r)) for r in pt_rows],
-            "_positions": (
-                [v.pos_payload(int(r)) for r in pt_rows]
-                if v.has_positions else None
-            ),
-        }
+        tables.append(_passthrough_table(batch, v, pt_rows, rank_of))
 
-    chunks: list[dict] = []
-    for g in np.flatnonzero(cp_group).tolist():
-        chunks.extend(_merge_group_view(
-            v, int(starts[g]), int(ends[g]), byte_aligned, chunk_docs
-        ))
-    _write_task_output(pt_cols, chunks, out_dir)
+    if byte_aligned and not use_positions:
+        chunks = _compact_groups_vectorized(
+            v, group_id, cp_group, index_dir, chunk_docs
+        )
+    else:  # bit-packed or positional indexes: per-group scalar path
+        chunks = []
+        for g in np.flatnonzero(cp_group).tolist():
+            chunks.extend(_compact_group(
+                v, np.arange(starts[g], ends[g]), index_dir, byte_aligned,
+                chunk_docs, use_positions,
+            ))
+    name = hashlib.sha1(
+        f"{v.term(0)}:{n}:{pt_rows.size}:{len(chunks)}".encode()
+    ).hexdigest()[:16]
+    if chunks:
+        payload_name = f"payload-{name}.bin"
+        _write_compact_bin(chunks, os.path.join(out_dir, payload_name))
+        tables.append(_chunks_to_table(chunks, payload_name))
+    _write_terms_file(tables, out_dir, name)
     boundary_idx = np.flatnonzero(~interior[group_id])
     return batch.take(pa.array(boundary_idx))
 
@@ -550,7 +456,8 @@ def merge_index(
     salt_group_size: int = 64,
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
 ) -> IndexManifest:
-    """Shuffle-merge all segments into ``index_dir/merged``."""
+    """Metadata-shuffle-merge all segments into ``index_dir/merged``."""
+    import ray
     import ray.data as rd
 
     man = IndexManifest.load(index_dir)
@@ -558,17 +465,19 @@ def merge_index(
     out_dir = os.path.join(index_dir, "merged")
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
-    os.makedirs(out_dir + ".tmp", exist_ok=True)
+    # clear any stale staging dir from a crashed/differently-parameterized
+    # prior merge — leftover terms files would double-count postings
+    shutil.rmtree(out_dir + ".tmp", ignore_errors=True)
+    os.makedirs(out_dir + ".tmp")
 
     # Local salting — NO global pre-pass: a row salts itself when its own
     # per-partition df meets the necessary condition for the term to be
     # globally hot (df_row >= threshold/nparts; if every row is below that
     # cut, sum(df) < threshold). Rows of one term may disagree (some salt 0,
     # some pid//G); that's safe because readers restore doc order after
-    # concatenating chunks — chunks always partition the term's doc set
-    # (readers.py TermDictReader.postings).
-    nparts = max(1, man.num_partitions)
-    cut = max(1, hot_df_threshold // nparts)
+    # concatenating chunks — chunks always partition the term's doc set.
+    nparts_src = max(1, man.num_partitions)
+    cut = max(1, hot_df_threshold // nparts_src)
     gsize = salt_group_size
 
     def add_salt(batch: pa.Table) -> pa.Table:
@@ -578,67 +487,138 @@ def merge_index(
         return batch.append_column("salt", pa.array(salt))
 
     byte_aligned = man.byte_aligned
+    use_positions = man.store_positions
     tmp_out = out_dir + ".tmp"
-    # size merge tasks at ~75k term rows each: fewer boundary groups and
-    # file pairs than CPU-count-driven default splitting, while keeping the
-    # sort exchange wide enough to use the cluster
     total_rows = sum(r.get("num_terms", 0) for r in man.partitions) or 1
-    import ray
-
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    # ~150k rows per merge task, capped at 2 tasks/CPU: the all-to-all
-    # exchange cost grows ~quadratically in partition count (object count),
-    # and measured sort wall at 10M rows was 6.7s@64 parts vs 18.6s@128
-    nparts = max(8, min(total_rows // 150_000 + 1, ncpu * 2))
+    # metadata rows are small (~100 B each); size tasks at ~100k rows,
+    # capped at 2/CPU — the all-to-all exchange cost grows ~quadratically
+    # in partition count (object count)
+    nparts = max(8, min(total_rows // 100_000 + 1, ncpu * 2))
+    seg_files = sorted(
+        os.path.join(seg_dir, f) for f in os.listdir(seg_dir)
+        if f.endswith(".parquet")
+    )
     boundary = (
-        rd.read_parquet(seg_dir)
-        .map_batches(add_salt, batch_format="pyarrow")
-        .repartition(nparts)
+        # read directly into ~nparts blocks: the sort's all-to-all then
+        # exchanges nparts^2 objects instead of paying a separate
+        # repartition pass first
+        rd.read_parquet(seg_files, override_num_blocks=nparts)
+        .map_batches(add_salt, batch_format="pyarrow", batch_size=None)
         .sort(["term", "salt"])
         .map_batches(
-            lambda b: _merge_batch(b, tmp_out, byte_aligned, chunk_docs,
-                                   use_positions=man.store_positions),
+            lambda b: _merge_batch(b, index_dir, tmp_out, byte_aligned,
+                                   chunk_docs, use_positions),
             batch_format="pyarrow",
             batch_size=None,
         )
         .take_all()
     )
     # final stage: merge the (small) boundary groups driver-side; big
-    # groups (salted hot terms) pass through row-per-chunk like interiors
+    # groups pass through row-per-chunk like interiors
     if boundary:
-        rows: dict[tuple, dict] = {}
+        groups: dict[tuple, list] = {}
         for r in boundary:
-            rows.setdefault((r["term"], int(r["salt"])), []).append(r)
+            groups.setdefault((r["term"], int(r["salt"])), []).append(r)
+        tables: list[pa.Table] = []
         chunks: list[dict] = []
-        for (term, salt), grp in sorted(rows.items()):
+        pt_rows: list[dict] = []
+        for (term, salt), grp in sorted(groups.items()):
             grp.sort(key=lambda g: int(g["pid"]))
-            if sum(int(g["df"]) for g in grp) > REENCODE_MAX_DOCS:
+            if len(grp) > 1 and sum(int(g["df"]) for g in grp) \
+                    <= REENCODE_MAX_DOCS:
+                # compact driver-side from the segment bins
+                docs_l, tfs_l, pos_l = [], [], []
+                max_norm = 0
+                for g in grp:
+                    pl = _payload_slice(index_dir, int(g["pid"]),
+                                        int(g["offset"]), int(g["length"]))
+                    d, f = decode_postings(pl)
+                    docs_l.append(d)
+                    tfs_l.append(f)
+                    if use_positions:
+                        pp = _payload_slice(
+                            index_dir, int(g["pid"]),
+                            int(g["pos_offset"]), int(g["pos_length"]))
+                        pos_l.append(decode_values(pp))
+                    bn = np.asarray(g["block_max_norm"])
+                    if bn.size:
+                        max_norm = max(max_norm, int(bn.max()))
+                docs = np.concatenate(docs_l)
+                tfs = np.concatenate(tfs_l)
+                payload, last, maxtf = encode_postings(
+                    docs, tfs, byte_aligned=byte_aligned)
+                chunks.append({
+                    "term": term,
+                    "chunk_id": salt * SALT_STRIDE,
+                    "df": int(docs.size),
+                    "ttf": int(tfs.sum()),
+                    "start_doc": int(docs[0]),
+                    "payload": payload,
+                    "positions": (
+                        encode_values(np.concatenate(pos_l), byte_aligned)
+                        if pos_l else b""
+                    ),
+                    "block_last": last,
+                    "block_max_tf": maxtf,
+                    "block_max_norm": np.full(last.size, max_norm, np.uint8),
+                })
+            else:
                 for k, g in enumerate(grp):
-                    chunks.append({
+                    pt_rows.append({
                         "term": term,
                         "chunk_id": salt * SALT_STRIDE + k,
                         "df": int(g["df"]),
                         "ttf": int(g["ttf"]),
-                        "start_doc": first_doc(g["postings"]),
-                        "payload": g["postings"],
-                        "positions": g.get("positions", b""),
-                        "block_last": g["block_last"],
-                        "block_max_tf": g["block_max_tf"],
-                        "block_max_norm": g["block_max_norm"],
+                        "start_doc": int(g["start_doc"]),
+                        "payload_file": _seg_bin_name(int(g["pid"])),
+                        "offset": int(g["offset"]),
+                        "length": int(g["length"]),
+                        "pos_offset": int(g["pos_offset"]),
+                        "pos_length": int(g["pos_length"]),
+                        "block_last": np.asarray(g["block_last"]).tolist(),
+                        "block_max_tf": np.asarray(
+                            g["block_max_tf"]).tolist(),
+                        "block_max_norm": np.asarray(
+                            g["block_max_norm"]).tolist(),
                     })
-            else:
-                chunks.extend(_merge_rows(
-                    term, salt,
-                    [g["postings"] for g in grp],
-                    np.arange(len(grp)),
-                    [g["block_max_norm"] for g in grp],
-                    byte_aligned, chunk_docs,
-                    pos_payloads=(
-                        [g["positions"] for g in grp]
-                        if man.store_positions else None
-                    ),
-                ))
-        _write_chunkfiles(chunks, tmp_out)
+        name = hashlib.sha1(
+            f"boundary:{len(pt_rows)}:{len(chunks)}".encode()
+        ).hexdigest()[:16]
+        if chunks:
+            payload_name = f"payload-{name}.bin"
+            _write_compact_bin(chunks, os.path.join(tmp_out, payload_name))
+            tables.append(_chunks_to_table(chunks, payload_name))
+        if pt_rows:
+            tables.append(pa.table({
+                "term": pa.array([r["term"] for r in pt_rows], pa.string()),
+                "chunk_id": pa.array([r["chunk_id"] for r in pt_rows],
+                                     pa.int64()),
+                "df": pa.array([r["df"] for r in pt_rows], pa.int32()),
+                "ttf": pa.array([r["ttf"] for r in pt_rows], pa.int64()),
+                "start_doc": pa.array([r["start_doc"] for r in pt_rows],
+                                      pa.int64()),
+                "payload_file": pa.array([r["payload_file"] for r in pt_rows],
+                                         pa.string()),
+                "offset": pa.array([r["offset"] for r in pt_rows],
+                                   pa.int64()),
+                "length": pa.array([r["length"] for r in pt_rows],
+                                   pa.int64()),
+                "pos_offset": pa.array([r["pos_offset"] for r in pt_rows],
+                                       pa.int64()),
+                "pos_length": pa.array([r["pos_length"] for r in pt_rows],
+                                       pa.int64()),
+                "block_last": pa.array([r["block_last"] for r in pt_rows],
+                                       pa.list_(pa.int64())),
+                "block_max_tf": pa.array(
+                    [r["block_max_tf"] for r in pt_rows],
+                    pa.list_(pa.int32())),
+                "block_max_norm": pa.array(
+                    [r["block_max_norm"] for r in pt_rows],
+                    pa.list_(pa.uint8())),
+            }))
+        if tables:
+            _write_terms_file(tables, tmp_out, name)
     os.replace(tmp_out, out_dir)
     man.merged = True
     man.save()

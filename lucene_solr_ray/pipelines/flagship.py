@@ -17,6 +17,7 @@ import pyarrow as pa
 
 from ..analysis import get_analyzer
 from ..index import build_index, merge_index
+from ..index.build import FORMAT_VERSION
 from ..search import IndexSearcher, parse_query
 
 FLAGSHIP_QUERIES = [
@@ -27,7 +28,7 @@ FLAGSHIP_QUERIES = [
 
 def _flagship_index(sf_dir: str, merged: bool = True) -> str:
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:standard:flagship".encode()
+        f"{os.path.abspath(sf_dir)}:standard:flagship:v{FORMAT_VERSION}".encode()
     ).hexdigest()[:12]
     out = f"/tmp/lsr_qidx/{key}"
     src = os.path.join(sf_dir, "documents.parquet")

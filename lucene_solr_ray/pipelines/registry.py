@@ -59,6 +59,8 @@ def _docs_ds(sf_dir: str, columns=None):
 # fulltext index over the documents table (cached per sf_dir)
 # --------------------------------------------------------------------------
 
+from ..index.build import FORMAT_VERSION as _FMT
+
 _SEARCHERS: dict = {}
 
 
@@ -69,7 +71,7 @@ def _doc_index(sf_dir: str):
     from ..search.searcher import IndexSearcher
 
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:simple:pos".encode()
+        f"{os.path.abspath(sf_dir)}:simple:pos:v{_FMT}".encode()
     ).hexdigest()[:12]
     if key in _SEARCHERS:
         return _SEARCHERS[key]

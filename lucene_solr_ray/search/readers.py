@@ -33,6 +33,14 @@ from ..codec import decode_postings
 from ..codec.postings import decode_values
 
 
+def mmap_file(path: str) -> memoryview:
+    """Read-only mmap of a payload .bin (empty files -> empty view)."""
+    if os.path.getsize(path) == 0:
+        return memoryview(b"")
+    with open(path, "rb") as f:
+        return memoryview(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
+
+
 class NormsReader:
     def __init__(self, index_dir: str, max_doc: int,
                  partition_ids: list[int] | None = None):
@@ -247,7 +255,51 @@ class TermDictReader:
         return list(u[lo:hi])
 
 
-class MergedReader(TermDictReader):
+class _BinPayloads:
+    """Per-row payload refs into lazily-mmap'd .bin files (shared by the
+    merged and per-segment readers — payload bytes never live in RAM)."""
+
+    def _set_payload_refs(self, file_paths, file_idx, offsets, lengths,
+                          pos_offsets, pos_lengths):
+        self._file_paths = list(file_paths)  # absolute paths
+        self._file_idx = np.asarray(file_idx)
+        self._offsets = np.asarray(offsets, np.int64)
+        self._lengths = np.asarray(lengths, np.int64)
+        self._pos_offsets = (
+            np.asarray(pos_offsets, np.int64) if pos_offsets is not None
+            else None
+        )
+        self._pos_lengths = (
+            np.asarray(pos_lengths, np.int64) if pos_lengths is not None
+            else None
+        )
+        self._mmaps: list = [None] * len(self._file_paths)
+
+    def _mmap(self, fi: int) -> memoryview:
+        mv = self._mmaps[fi]
+        if mv is None:
+            mv = mmap_file(self._file_paths[fi])
+            self._mmaps[fi] = mv
+        return mv
+
+    def _payload(self, row: int) -> memoryview:
+        orig = int(self._row_order[row])
+        off = int(self._offsets[orig])
+        return self._mmap(int(self._file_idx[orig]))[
+            off : off + int(self._lengths[orig])
+        ]
+
+    def _pos_payload(self, row: int):
+        if self._pos_offsets is None:
+            return b""
+        orig = int(self._row_order[row])
+        off = int(self._pos_offsets[orig])
+        return self._mmap(int(self._file_idx[orig]))[
+            off : off + int(self._pos_lengths[orig])
+        ]
+
+
+class MergedReader(_BinPayloads, TermDictReader):
     def __init__(self, index_dir: str, **kw):
         super().__init__(**kw)
         d = os.path.join(index_dir, "merged")
@@ -258,15 +310,21 @@ class MergedReader(TermDictReader):
         )
         tbl = pads.dataset(tfiles, format="parquet").to_table()
         fdict = tbl["payload_file"].combine_chunks().dictionary_encode()
-        self._file_names = fdict.dictionary.to_pylist()
-        self._file_idx = fdict.indices.to_numpy()
-        self._offsets = tbl["offset"].to_numpy()
-        self._lengths = tbl["length"].to_numpy()
-        if "pos_offset" in tbl.schema.names:
-            self._pos_offsets = tbl["pos_offset"].to_numpy()
-            self._pos_lengths = tbl["pos_length"].to_numpy()
-        else:
-            self._pos_offsets = None
+        # payload_file with a "/" is index_dir-relative (a segment .bin
+        # referenced in place by the metadata-only merge); a bare name
+        # lives in merged/ (a compacted chunk file)
+        paths = [
+            os.path.join(index_dir, f) if "/" in f else os.path.join(d, f)
+            for f in fdict.dictionary.to_pylist()
+        ]
+        self._set_payload_refs(
+            paths, fdict.indices.to_numpy(),
+            tbl["offset"].to_numpy(), tbl["length"].to_numpy(),
+            tbl["pos_offset"].to_numpy()
+            if "pos_offset" in tbl.schema.names else None,
+            tbl["pos_length"].to_numpy()
+            if "pos_offset" in tbl.schema.names else None,
+        )
         self._finish_init(
             tbl["term"].to_pylist(),
             tbl["chunk_id"].to_numpy(),
@@ -277,35 +335,12 @@ class MergedReader(TermDictReader):
             tbl["block_max_tf"],
             tbl["block_max_norm"],
         )
-        self._mmaps: dict[str, memoryview] = {}
-
-    def _mmap(self, fname: str) -> memoryview:
-        mv = self._mmaps.get(fname)
-        if mv is None:
-            with open(os.path.join(self.dir, fname), "rb") as f:
-                mv = memoryview(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
-            self._mmaps[fname] = mv
-        return mv
-
-    def _payload(self, row: int) -> memoryview:
-        orig = int(self._row_order[row])
-        off = int(self._offsets[orig])
-        ln = int(self._lengths[orig])
-        fname = self._file_names[self._file_idx[orig]]
-        return self._mmap(fname)[off : off + ln]
-
-    def _pos_payload(self, row: int):
-        if self._pos_offsets is None:
-            return b""
-        orig = int(self._row_order[row])
-        off = int(self._pos_offsets[orig])
-        ln = int(self._pos_lengths[orig])
-        fname = self._file_names[self._file_idx[orig]]
-        return self._mmap(fname)[off : off + ln]
 
 
-class SegmentsReader(TermDictReader):
-    """In-memory view over per-partition segment tables (pre-merge)."""
+class SegmentsReader(_BinPayloads, TermDictReader):
+    """Pre-merge view over per-partition segment term dicts; payloads are
+    mmap'd from the per-partition .bin sidecars (a MultiReader over
+    leaves)."""
 
     def __init__(self, index_dir: str, partition_ids: list[int] | None = None,
                  **kw):
@@ -319,26 +354,21 @@ class SegmentsReader(TermDictReader):
             want = {f"part-{p:05d}.parquet" for p in partition_ids}
             files = [f for f in files if os.path.basename(f) in want]
         tbl = pads.dataset(files, format="parquet").to_table()
-        self._payloads = tbl["postings"].to_pylist()
-        self._pos = (
-            tbl["positions"].to_pylist()
-            if "positions" in tbl.schema.names else None
+        pids = tbl["pid"].to_numpy()
+        uq, inv = np.unique(pids, return_inverse=True)
+        self._set_payload_refs(
+            [os.path.join(d, f"part-{p:05d}.bin") for p in uq.tolist()],
+            inv,
+            tbl["offset"].to_numpy(), tbl["length"].to_numpy(),
+            tbl["pos_offset"].to_numpy(), tbl["pos_length"].to_numpy(),
         )
         self._finish_init(
             tbl["term"].to_pylist(),
-            tbl["pid"].to_numpy(),
+            pids,
             tbl["df"].to_numpy(),
             tbl["ttf"].to_numpy(),
-            np.zeros(tbl.num_rows, np.int64),
+            tbl["start_doc"].to_numpy(),
             tbl["block_last"],
             tbl["block_max_tf"],
             tbl["block_max_norm"],
         )
-
-    def _payload(self, row: int) -> memoryview:
-        return memoryview(self._payloads[int(self._row_order[row])])
-
-    def _pos_payload(self, row: int):
-        if self._pos is None:
-            return b""
-        return self._pos[int(self._row_order[row])]

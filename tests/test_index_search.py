@@ -61,6 +61,16 @@ def searcher(index_dir):
     return IndexSearcher(index_dir)
 
 
+
+def _seg_table(d):
+    import os as _os
+
+    import pyarrow.dataset as pads
+
+    files = sorted(_os.path.join(d, f) for f in _os.listdir(d)
+                   if f.endswith(".parquet"))
+    return pads.dataset(files, format="parquet").to_table()
+
 def test_manifest_and_stats(index_dir, oracle):
     man = IndexManifest.load(index_dir)
     assert man.max_doc == N_DOCS
@@ -224,8 +234,8 @@ def test_resume_skips_and_is_deterministic(corpus_dir, index_dir,
     # fresh build in a new dir -> identical segment tables
     out2 = str(tmp_path_factory.mktemp("index2"))
     build_index(corpus_dir, out2, rows_per_partition=100)
-    a = pads.dataset(os.path.join(index_dir, "segments")).to_table()
-    b = pads.dataset(os.path.join(out2, "segments")).to_table()
+    a = _seg_table(os.path.join(index_dir, "segments"))
+    b = _seg_table(os.path.join(out2, "segments"))
     assert a.sort_by([("term", "ascending"), ("pid", "ascending")]).equals(
         b.sort_by([("term", "ascending"), ("pid", "ascending")]))
     # delete half the outputs+checkpoints, rebuild, byte-identical content
@@ -235,7 +245,7 @@ def test_resume_skips_and_is_deterministic(corpus_dir, index_dir,
         os.remove(os.path.join(out2, "_checkpoints", c))
         os.remove(os.path.join(out2, "segments", f"part-{pid}.parquet"))
     build_index(corpus_dir, out2, rows_per_partition=100)
-    b2 = pads.dataset(os.path.join(out2, "segments")).to_table()
+    b2 = _seg_table(os.path.join(out2, "segments"))
     assert b.sort_by([("term", "ascending"), ("pid", "ascending")]).equals(
         b2.sort_by([("term", "ascending"), ("pid", "ascending")]))
 
@@ -252,8 +262,8 @@ def test_build_deterministic_across_parallelism(corpus_dir,
     build_index(corpus_dir, out1, rows_per_partition=100, concurrency=1)
     out2 = str(tmp_path_factory.mktemp("par8"))
     build_index(corpus_dir, out2, rows_per_partition=100, concurrency=8)
-    a = pads.dataset(os.path.join(out1, "segments")).to_table()
-    b = pads.dataset(os.path.join(out2, "segments")).to_table()
+    a = _seg_table(os.path.join(out1, "segments"))
+    b = _seg_table(os.path.join(out2, "segments"))
     key = [("term", "ascending"), ("pid", "ascending")]
     assert a.sort_by(key).equals(b.sort_by(key))
 
