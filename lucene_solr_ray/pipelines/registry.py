@@ -345,21 +345,30 @@ def q_ann_lsh_top5(sf_dir: str) -> pa.Table:
 
     from ..stages.ann import brute_force_topk, hyperplane_buckets
 
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     bucketed, planes = hyperplane_buckets(ds, n_bits=6)
-    bt = bucketed.to_pandas()
-    import pyarrow.parquet as pq
-
     q = pq.read_table(path, filters=[("vec_id", "=", 0)])
     qv = np.array(q["embedding"].to_pylist(), np.float64)
     qb = (qv[0] @ planes.T > 0)
     qbucket = sum(1 << i for i in range(planes.shape[0]) if qb[i])
-    probe = bt[bt["bucket"] == qbucket]
-    if len(probe) < 2:
-        probe = bt  # fall back to full scan for tiny buckets
-    sub = rd.from_pandas(probe[["vec_id", "embedding"]])
-    t = brute_force_topk(sub, qv, k=6, round_decimals=3)
+    # probe the query's bucket INSIDE map_batches (never materialize the
+    # bucketed table on the driver — r1 VERDICT scale-killer #1)
+    probe = bucketed.map_batches(
+        lambda t: t.filter(pc.equal(t["bucket"], qbucket)).select(
+            ["vec_id", "embedding"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # small: one bucket of ~N/2^bits vectors
+    if probe.count() < 2:  # tiny bucket -> full scan fallback
+        probe = bucketed.map_batches(
+            lambda t: t.select(["vec_id", "embedding"]),
+            batch_format="pyarrow",
+        )
+    t = brute_force_topk(probe, qv, k=6, round_decimals=3)
     rows = [
         (v, s) for qd, v, s in zip(t["query_id"].to_pylist(),
                                    t["vec_id"].to_pylist(),
@@ -755,6 +764,59 @@ def q_ann_cosine_top5(sf_dir: str) -> pa.Table:
     })
 
 
+def q_ann_ivf_top5(sf_dir: str) -> pa.Table:
+    """IVF-Flat over a centroid-partitioned parquet layout (ivf_write +
+    ivf_topk): probing ALL centroids makes it exact, so the
+    partition-pruned read path is SQL-oracle-checked end-to-end;
+    approximate recall (nprobe < n_centroids) is covered by
+    tests/test_stages.py::test_ivf_recall."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.ann import ivf_build, ivf_topk, ivf_write
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_cent = 8
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:ivf{n_cent}:v{_FMT}".encode()
+    ).hexdigest()[:12]
+    out_dir = f"/tmp/lsr_qidx/ivf-{key}"
+    cent_path = out_dir + ".centroids.npy"
+    if not (os.path.isdir(out_dir) and os.path.exists(cent_path)):
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        assigned, cents = ivf_build(ds, n_centroids=n_cent, iters=6)
+        import shutil
+
+        shutil.rmtree(out_dir + ".tmp", ignore_errors=True)
+        ivf_write(assigned, out_dir + ".tmp")
+        np.save(cent_path, cents)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(out_dir + ".tmp", out_dir)
+    cents = np.load(cent_path)
+    head = pq.read_table(path, filters=[("vec_id", "in", [0, 1, 2])])
+    qv = np.array(head["embedding"].to_pylist(), np.float64)
+    qids = head["vec_id"].to_numpy()
+    t = ivf_topk(out_dir, cents, qv, k=6, nprobe=n_cent, round_decimals=3)
+    out = {"query_id": [], "rank": [], "vec_id": [], "score": []}
+    tt = t.to_pydict()
+    for qi, real in enumerate(qids):
+        rows = [
+            (v, s) for q, v, s in zip(tt["query_id"], tt["vec_id"],
+                                      tt["score"])
+            if q == qi and v != real
+        ][:5]
+        out["query_id"].extend([int(real)] * len(rows))
+        out["rank"].extend(range(1, len(rows) + 1))
+        out["vec_id"].extend(v for v, _ in rows)
+        out["score"].extend(s for _, s in rows)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+    })
+
+
 def q_facet_on_query(sf_dir: str) -> pa.Table:
     """SimpleFacets over a search result set (SimpleFacets.java:108):
     lang counts among docs matching TermQuery('table')."""
@@ -1033,6 +1095,7 @@ QUERIES = {
     "events_window": q_events_window,
     "quality_tokens": q_quality_tokens,
     "ann_cosine_top5": q_ann_cosine_top5,
+    "ann_ivf_top5": q_ann_ivf_top5,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1281,6 +1344,20 @@ WHERE levenshtein(term, 'tabel') <= 2
 GROUP BY term ORDER BY df DESC, term LIMIT 10
 """,
     "ann_cosine_top5": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+ scored AS (
+   SELECT q.qid AS query_id, e.vec_id,
+          CAST(list_cosine_similarity(q.qv, e.embedding) AS DOUBLE) AS s
+   FROM embeddings e, q WHERE e.vec_id <> q.qid)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY s DESC, vec_id) AS BIGINT) AS rank,
+       vec_id, floor(s*1000 + 0.5)/1000 AS score
+FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+    # IVF with nprobe = n_centroids is exact -> identical oracle to the
+    # brute-force cosine entry
+    "ann_ivf_top5": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
            WHERE vec_id IN (0, 1, 2)),
  scored AS (

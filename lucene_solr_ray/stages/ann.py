@@ -68,12 +68,19 @@ def brute_force_topk(
         })
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    return _merge_local_topk(parts, k, id_col, round_decimals)
+
+
+def _merge_local_topk(parts: list[dict], k: int, id_col: str,
+                      round_decimals: int) -> pa.Table:
+    """Driver-side reduction of per-batch top-k partials (tiny: k rows per
+    query per batch) — the TopDocs.merge pattern applied to ANN."""
     qid = np.array([r["query_id"] for r in parts])
     vid = np.array([r[id_col] for r in parts])
     sc = np.array([r["score"] for r in parts])
     rows = {"query_id": [], "rank": [], id_col: [], "score": []}
     for qi in np.unique(qid):
-        m = qid == qi
+        m = (qid == qi) & np.isfinite(sc)
         order = np.lexsort((vid[m], -sc[m]))[:k]
         rows["query_id"].extend([int(qi)] * len(order))
         rows["rank"].extend(range(1, len(order) + 1))
@@ -130,35 +137,89 @@ def ivf_build(
     return ds.map_batches(assign_batch, batch_format="pyarrow"), cent
 
 
+def ivf_write(assigned_ds, path: str) -> None:
+    """Write the assigned dataset hive-partitioned by centroid — the scale
+    path: a query then READS only its probed cells' partitions (row groups
+    for other centroids never leave storage)."""
+    assigned_ds.write_parquet(path, partition_cols=["centroid"])
+
+
+def _int_col(col) -> np.ndarray:
+    """Centroid column -> int64 (hive partition columns may read back as
+    dictionary<string>)."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
+    return arr.cast(pa.int64()).to_numpy()
+
+
 def ivf_topk(
-    assigned_ds, centroids: np.ndarray, query_vecs: np.ndarray,
+    assigned_path: str, centroids: np.ndarray, query_vecs: np.ndarray,
     k: int = 10, *, nprobe: int = 4, vec_col: str = "embedding",
-    id_col: str = "vec_id",
+    id_col: str = "vec_id", round_decimals: int = 4,
 ) -> pa.Table:
-    """Probe the ``nprobe`` nearest centroids per query; brute-force cosine
-    inside the probed cells only (the IVF-Flat search path)."""
-    import pyarrow.compute as pc
+    """IVF-Flat search over an :func:`ivf_write` layout: ONE pass over the
+    union of all queries' probed cells (partition-pruned read via a
+    pyarrow filter expression — non-probed partitions are never scanned),
+    scoring each query only against rows in its own probe set."""
+    import ray
+    import ray.data as rd
 
     q = np.asarray(query_vecs, np.float64)
     d2 = ((q[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
     probes = np.argsort(d2, axis=1)[:, :nprobe]
-    out = []
-    for qi in range(q.shape[0]):
-        cells = [int(c) for c in probes[qi]]
-        sub = assigned_ds.map_batches(
-            lambda t, cells=cells: t.filter(
-                pc.is_in(t["centroid"], value_set=pa.array(cells))
+    nq, ncent = q.shape[0], centroids.shape[0]
+    allowed = np.zeros((nq, ncent), bool)
+    allowed[np.arange(nq)[:, None], probes] = True
+    cells = [int(c) for c in np.unique(probes)]
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    q_ref = ray.put((qn, allowed))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm, allow = ray.get(q_ref)
+        m = _to_matrix(batch[vec_col])
+        ids = batch[id_col].to_numpy()
+        cent = _int_col(batch["centroid"])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = qm @ mn.T  # (nq, nbatch)
+        sims = np.where(allow[:, cent], sims, -np.inf)
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            s = sims[qi]
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_id.append(ids[idx])
+            out_s.append(s[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+    # explicit partition pruning: ONLY the probed cells' directories are
+    # ever opened (the non-probed partitions never leave storage)
+    import os
+
+    subs = []
+    for c in cells:
+        d = os.path.join(assigned_path, f"centroid={c}")
+        if not os.path.isdir(d):
+            continue
+        subs.append(rd.read_parquet(d).map_batches(
+            lambda t, c=c: (
+                t.drop_columns(["centroid"])
+                if "centroid" in t.column_names else t
+            ).append_column(
+                "centroid", pa.array(np.full(t.num_rows, c, np.int64))
             ),
             batch_format="pyarrow",
-        )
-        t = brute_force_topk(sub, q[qi : qi + 1], k=k, vec_col=vec_col,
-                             id_col=id_col)
-        t = t.set_column(
-            t.schema.get_field_index("query_id"), "query_id",
-            pa.array([qi] * t.num_rows, pa.int64()),
-        )
-        out.append(t)
-    return pa.concat_tables(out)
+        ))
+    if not subs:
+        return _merge_local_topk([], k, id_col, round_decimals)
+    ds = subs[0].union(*subs[1:]) if len(subs) > 1 else subs[0]
+    parts = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    return _merge_local_topk(parts, k, id_col, round_decimals)
 
 
 def hyperplane_buckets(

@@ -65,34 +65,86 @@ def _minhash_params(num_perm: int, seed: int = 7):
     return a, b
 
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _poly_rows(m: np.ndarray) -> np.ndarray:
+    """Row-wise polynomial mix of a (n, k) uint64 matrix -> (n,) uint64."""
+    out = np.zeros(m.shape[0], np.uint64)
+    for j in range(m.shape[1]):
+        out = out * _MIX + m[:, j]
+    return out
+
+
 def minhash_batch(
     batch: pa.Table, text_col: str, id_col: str, *, num_perm: int = 64,
     shingle_k: int = 3, analyzer: str = "simple",
 ) -> pa.Table:
-    """(id, minhash:list<uint64>) per row — one pass, vectorized per doc."""
+    """(id, minhash:list<uint64>) per row — fully vectorized over the
+    batch's flat token stream: one vectorized string hash for all tokens
+    (pandas hash_array), a rolling polynomial k-gram hash for shingles
+    (no per-shingle hashlib calls — the r1 bench's slowest stage), and a
+    per-permutation segmented min (np.minimum.reduceat)."""
+    import pandas as pd
+
     from ..analysis import get_analyzer
 
     ana = get_analyzer(analyzer + "_nostop")
     a, b = _minhash_params(num_perm)
-    ids = batch[id_col].to_pylist()
-    sigs = []
-    for t in batch[text_col].to_pylist():
-        sh = _shingles(ana.tokens(t or ""), shingle_k)
-        if not sh:
-            sigs.append(np.full(num_perm, _M61, np.uint64).tolist())
-            continue
-        hv = np.fromiter(
-            (int.from_bytes(
-                hashlib.blake2b(s, digest_size=8).digest(), "little"
-            ) & _M61 for s in sh),
-            np.uint64, count=len(sh),
-        )
-        # (a*h + b) mod 2^61-1, min over shingles, per permutation
-        vals = (hv[None, :] * a[:, None] + b[:, None]) % _M61
-        sigs.append(vals.min(axis=1).tolist())
+    texts = [t or "" for t in batch[text_col].to_pylist()]
+    n_docs = len(texts)
+    sig = np.full((n_docs, num_perm), _M61, np.uint64)
+    tokens, doc_idx, _pos = ana.tokens_batch(texts)
+    if tokens:
+        th = pd.util.hash_array(np.asarray(tokens, dtype=object))
+        doc_idx = np.asarray(doc_idx, np.int64)
+        n = th.size
+        k = shingle_k
+        # rolling k-gram hash over the flat stream; grams crossing a doc
+        # boundary are masked out
+        if n >= k:
+            g = np.zeros(n - k + 1, np.uint64)
+            for j in range(k):
+                g = g * _MIX + th[j : n - k + 1 + j]
+            gdoc = doc_idx[: n - k + 1]
+            ok = doc_idx[k - 1 :] == gdoc
+            g, gdoc = g[ok], gdoc[ok]
+        else:
+            g = np.empty(0, np.uint64)
+            gdoc = np.empty(0, np.int64)
+        # docs shorter than k tokens: one shingle over all their tokens
+        counts = np.bincount(doc_idx, minlength=n_docs)
+        short = np.flatnonzero((counts > 0) & (counts < k))
+        if short.size:
+            starts_all = np.zeros(n_docs, np.int64)
+            np.cumsum(counts[:-1], out=starts_all[1:])
+            g_short = np.zeros(short.size, np.uint64)
+            for si, d in enumerate(short.tolist()):
+                s0 = starts_all[d]
+                acc = np.uint64(0)
+                for t in th[s0 : s0 + counts[d]]:
+                    acc = acc * _MIX + t
+                g_short[si] = acc
+            g = np.concatenate([g, g_short])
+            gdoc = np.concatenate([gdoc, short])
+        if g.size:
+            g = g & np.uint64(_M61)  # 61-bit domain (matches perm math)
+            # set semantics: unique (doc, gram) pairs, grouped by doc
+            order = np.lexsort((g, gdoc))
+            g, gdoc = g[order], gdoc[order]
+            keep = np.ones(g.size, bool)
+            keep[1:] = (g[1:] != g[:-1]) | (gdoc[1:] != gdoc[:-1])
+            g, gdoc = g[keep], gdoc[keep]
+            starts = np.flatnonzero(
+                np.concatenate(([True], gdoc[1:] != gdoc[:-1]))
+            )
+            present = gdoc[starts]
+            for p in range(num_perm):  # vectorized inner, memory-bounded
+                v = (g * a[p] + b[p]) % _M61
+                sig[present, p] = np.minimum.reduceat(v, starts)
     return pa.table({
-        id_col: pa.array(ids),
-        "minhash": pa.array(sigs, pa.list_(pa.uint64())),
+        id_col: batch[id_col],
+        "minhash": pa.array(sig.tolist(), pa.list_(pa.uint64())),
     })
 
 
@@ -108,23 +160,20 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        sigs = batch["minhash"].to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, sig in zip(ids, sigs):
-            arr = np.asarray(sig, np.uint64)
-            for band in range(bands):
-                chunk = arr[band * rows_per_band : (band + 1) * rows_per_band]
-                h = hashlib.blake2b(
-                    chunk.tobytes(), digest_size=8
-                ).hexdigest()
-                out_id.append(i)
-                out_band.append(band)
-                out_hash.append(h)
+        ids = batch[id_col].to_numpy()
+        col = batch["minhash"].combine_chunks()
+        m = col.values.to_numpy().reshape(ids.size, num_perm)
+        # one polynomial band hash per (row, band), fully vectorized
+        bh = np.empty((ids.size, bands), np.uint64)
+        for band in range(bands):
+            bh[:, band] = _poly_rows(
+                m[:, band * rows_per_band : (band + 1) * rows_per_band]
+            )
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), ids.size)
         return pa.table({
-            id_col: pa.array(out_id),
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band": pa.array(band_ids),
+            "band_hash": pa.array(bh.reshape(-1)),
         })
 
     sigs = ds.map_batches(
@@ -149,10 +198,10 @@ def minhash_lsh_candidates(
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "boundary_band": pa.array([], pa.int32()),
-                             "boundary_hash": pa.array([], pa.string()),
+                             "boundary_hash": pa.array([], pa.uint64()),
                              "boundary_id": pa.array([], pa.int64())})
         bands = batch["band"].to_numpy()
-        hashes = np.asarray(batch["band_hash"].to_pylist(), object)
+        hashes = batch["band_hash"].to_numpy()
         ids = batch[id_col].to_numpy()
         change = np.empty(n, bool)
         change[0] = True
@@ -187,9 +236,10 @@ def minhash_lsh_candidates(
                 np.concatenate([pad[:a.size] * 0 - 1,
                                 np.asarray(bb, np.int64)]).astype(np.int32)
             ),
-            "boundary_hash": pa.array(
-                [""] * a.size + [str(x) for x in bh], pa.string()
-            ),
+            "boundary_hash": pa.array(np.concatenate([
+                np.zeros(a.size, np.uint64),
+                np.asarray(bh, np.uint64),
+            ])),
             "boundary_id": pa.array(
                 np.concatenate([pad, np.asarray(bi, np.int64)])
             ),
@@ -210,7 +260,7 @@ def minhash_lsh_candidates(
     buckets: dict[tuple, list[int]] = {}
     for r in boundary:
         buckets.setdefault(
-            (int(r["boundary_band"]), r["boundary_hash"]), []
+            (int(r["boundary_band"]), int(r["boundary_hash"])), []
         ).append(int(r["boundary_id"]))
     extra: set[tuple[int, int]] = set()
     for g in buckets.values():

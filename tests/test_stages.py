@@ -217,10 +217,15 @@ def test_percentiles_exact_matches_numpy(ray_session):
                                                 method="linear"))
 
 
-def test_ivf_recall(ray_session):
+def test_ivf_recall(ray_session, tmp_path):
     import ray.data as rd
 
-    from lucene_solr_ray.stages.ann import brute_force_topk, ivf_build, ivf_topk
+    from lucene_solr_ray.stages.ann import (
+        brute_force_topk,
+        ivf_build,
+        ivf_topk,
+        ivf_write,
+    )
 
     rng = np.random.default_rng(9)
     # gaussian mixture so IVF cells are meaningful
@@ -235,10 +240,15 @@ def test_ivf_recall(ray_session):
     })
     ds = rd.from_arrow(t)
     assigned, cents = ivf_build(ds, n_centroids=8, iters=6)
-    assigned = assigned.materialize()
+    ivf_path = str(tmp_path / "ivf")
+    ivf_write(assigned, ivf_path)
+    import os
+
+    # partition-pruned layout exists (hive dirs per centroid)
+    assert any(d.startswith("centroid=") for d in os.listdir(ivf_path))
     q = vecs[:3].astype(np.float64)
     exact = brute_force_topk(ds, q, k=10)
-    approx = ivf_topk(assigned, cents, q, k=10, nprobe=3)
+    approx = ivf_topk(ivf_path, cents, q, k=10, nprobe=3)
     for qi in range(3):
         e = {v for qq, v in zip(exact["query_id"].to_pylist(),
                                 exact["vec_id"].to_pylist()) if qq == qi}
