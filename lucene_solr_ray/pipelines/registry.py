@@ -817,6 +817,26 @@ def q_ann_ivf_top5(sf_dir: str) -> pa.Table:
     })
 
 
+def q_qp_classic(sf_dir: str) -> pa.Table:
+    """Full classic QueryParser end-to-end: ``(table^2 OR vector) AND
+    -join AND [wa TO wz]`` — nested parens, boost, NOT, inclusive term
+    range — parsed by ClassicQueryParser (queryparser/.../QueryParser.jj)
+    and scored by the precise BM25 searcher; SQL oracle mirrors clause
+    algebra (range is a constant-score MUST, +1.0)."""
+    from ..analysis import get_analyzer
+    from ..search.query import parse_query
+
+    s, doc_map = _doc_index(sf_dir)
+    q = parse_query("(table^2 OR vector) AND -join AND [wa TO wz]",
+                    get_analyzer("simple"))
+    t = s.search(q, k=10)
+    return pa.table({
+        "rank": t["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
 def q_facet_on_query(sf_dir: str) -> pa.Table:
     """SimpleFacets over a search result set (SimpleFacets.java:108):
     lang counts among docs matching TermQuery('table')."""
@@ -1096,6 +1116,7 @@ QUERIES = {
     "quality_tokens": q_quality_tokens,
     "ann_cosine_top5": q_ann_cosine_top5,
     "ann_ivf_top5": q_ann_ivf_top5,
+    "qp_classic": q_qp_classic,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1354,6 +1375,36 @@ SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
          ORDER BY s DESC, vec_id) AS BIGINT) AS rank,
        vec_id, floor(s*1000 + 0.5)/1000 AS score
 FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+    # (table^2 OR vector) AND -join AND [wa TO wz]: boosted BM25 sum over
+    # the group's terms + 1.0 for the constant-score range MUST clause,
+    # candidates restricted to range matches and join-free docs
+    "qp_classic": f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokens
+        WHERE term IN ('table', 'vector') GROUP BY doc_id, term),
+ dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+ range_docs AS (SELECT DISTINCT doc_id FROM tokens
+                WHERE term >= 'wa' AND term <= 'wz'),
+ join_docs AS (SELECT DISTINCT doc_id FROM tokens WHERE term = 'join'),
+ cand AS (SELECT DISTINCT doc_id FROM tf
+          WHERE doc_id IN (SELECT doc_id FROM range_docs)
+            AND doc_id NOT IN (SELECT doc_id FROM join_docs)),
+ scored0 AS (
+   SELECT tf.doc_id,
+          (CASE WHEN tf.term = 'table' THEN 2.0 ELSE 1.0 END)
+          * ln(1 + (stats.n - dfx.df + 0.5)/(dfx.df + 0.5)) * 2.2 * tf.tf
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sumdl/stats.n)))
+          AS s
+   FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats
+   WHERE tf.doc_id IN (SELECT doc_id FROM cand)),
+ scored AS (SELECT doc_id, sum(s) + 1.0 AS s FROM scored0 GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, floor(s*10000 + 0.5)/10000 AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 10
 """,
     # IVF with nprobe = n_centroids is exact -> identical oracle to the
     # brute-force cosine entry

@@ -125,42 +125,11 @@ class FuzzyQuery(Query):
 
 def parse_query(text: str, analyzer, default_op: str = "OR",
                 fields: set | None = None) -> Query:
-    """QueryParser-lite: whitespace clauses, ``+``=MUST, ``-``=MUST_NOT,
-    ``"..."``=phrase, ``field:term`` routes to a named field when ``fields``
-    names it; each clause analyzed by ``analyzer``. Stopword-only clauses
-    vanish (StopFilter semantics)."""
-    import re as _re
+    """Parse the full classic QueryParser grammar (parens, AND/OR/NOT,
+    boosts, fuzzy, ranges, wildcards, phrase slop, field routing) — see
+    :mod:`.queryparser`."""
+    from .queryparser import ClassicQueryParser
 
-    tokens = _re.findall(r'[+-]?(?:\w+:)?"[^"]*"|\S+', text)
-    should, must, must_not = [], [], []
-    for raw in tokens:
-        occur = SHOULD if default_op == "OR" else MUST
-        if raw.startswith("+"):
-            occur, raw = MUST, raw[1:]
-        elif raw.startswith("-"):
-            occur, raw = MUST_NOT, raw[1:]
-        field = None
-        m = _re.match(r"(\w+):(.+)", raw)
-        if m and fields and m.group(1) in fields:
-            field, raw = m.group(1), m.group(2)
-        if raw.startswith('"') and raw.endswith('"'):
-            terms = tuple(analyzer.tokens(raw[1:-1]))
-            if not terms:
-                continue
-            q: Query = PhraseQuery(terms)
-        else:
-            terms = tuple(analyzer.tokens(raw))
-            if not terms:
-                continue
-            q = (
-                TermQuery(terms[0])
-                if len(terms) == 1
-                else PhraseQuery(terms)  # classic QP: multi-token clause
-            )
-        if field is not None:
-            q = FieldedQuery(field, q)
-        (must if occur == MUST else must_not if occur == MUST_NOT else should
-         ).append(q)
-    if len(should) == 1 and not must and not must_not:
-        return should[0]
-    return BooleanQuery.build(should=should, must=must, must_not=must_not)
+    return ClassicQueryParser(
+        analyzer, default_op=default_op, fields=fields
+    ).parse(text)

@@ -1,0 +1,282 @@
+"""Classic QueryParser: the full Lucene query syntax.
+
+A recursive-descent restatement of the classic grammar
+(``lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/
+QueryParser.jj`` (314 lines) + ``QueryParserBase.java`` ``addClause``
+semantics):
+
+- ``a b`` / ``+a -b`` / ``NOT a`` — modifiers
+- ``a AND b``, ``a OR b``, ``a && b``, ``a || b`` — conjunctions with the
+  classic retroactive-occur behavior (``AND`` promotes the previous clause
+  to MUST; with a default-AND parser, ``OR`` demotes it to SHOULD)
+- ``(a OR b) AND c`` — grouping, arbitrarily nested
+- ``term^2`` / ``(...)^3`` / ``"phrase"^0.5`` — boosts (BoostQuery)
+- ``term~`` / ``term~1`` — fuzzy (FuzzyQuery, max 2 edits)
+- ``"a b c"`` / ``"a b"~2`` — phrase with optional slop
+- ``[a TO b]`` / ``{a TO b}`` — term range, inclusive/exclusive, ``*`` as
+  an open end (TermRangeQuery)
+- ``pre*`` / ``w?ld*card`` — prefix/wildcard (never analyzed, lowercased —
+  ``lowercase_expanded_terms``)
+- ``/regex/`` — RegexpQuery
+- ``field:term`` / ``field:(...)`` — field routing (FieldedQuery) when the
+  parser was given a field set; with no field set the prefix is dropped
+  (single-field index: everything is the default field)
+- ``\\`` escapes any special character
+- clauses whose analysis yields no tokens (stopword-only) vanish
+  (StopFilter semantics)
+
+Multi-token analysis of a single bare clause produces a PhraseQuery, the
+classic parser's default graph behavior for non-quoted multi-token text.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .query import (
+    SHOULD, MUST, MUST_NOT,
+    BooleanQuery,
+    BoostQuery,
+    FieldedQuery,
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+_NUM = r"\d+(?:\.\d+)?"
+_PHRASE = re.compile(r'"((?:[^"\\]|\\.)*)"(?:~(\d+))?(?:\^(' + _NUM + r"))?")
+_RANGE = re.compile(
+    r"([\[{])\s*([^\s\]}]+)\s+TO\s+([^\s\]}]+)\s*([\]}])"
+    r"(?:\^(" + _NUM + r"))?",
+    re.IGNORECASE,
+)
+_FIELD = re.compile(r"((?:[^\s:\\()\[\]{}\"]|\\.)+):")
+_ATOM = re.compile(r"((?:[^\s\\()\[\]{}\"^~]|\\.)+)")
+_BOOST = re.compile(r"\^(" + _NUM + r")")
+_FUZZY = re.compile(r"~(" + _NUM + r")?")
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+class ClassicQueryParser:
+    """``ClassicQueryParser(analyzer).parse("(a OR b) AND -c^2")``."""
+
+    def __init__(self, analyzer, *, default_op: str = "OR",
+                 fields: set | None = None):
+        self.analyzer = analyzer
+        self.default_op = default_op.upper()
+        self.fields = fields
+
+    # ---- lexer ----
+    def _lex(self, text: str) -> list[tuple]:
+        toks: list[tuple] = []
+        i, n = 0, len(text)
+        while i < n:
+            c = text[i]
+            if c.isspace():
+                i += 1
+                continue
+            if c == "(":
+                toks.append(("LPAREN",))
+                i += 1
+                continue
+            if c == ")":
+                toks.append(("RPAREN",))
+                i += 1
+                m = _BOOST.match(text, i)
+                if m:
+                    toks.append(("BOOST", float(m.group(1))))
+                    i = m.end()
+                continue
+            if c == '"':
+                m = _PHRASE.match(text, i)
+                if not m:
+                    raise ValueError(f"unterminated phrase at {i}: {text!r}")
+                toks.append(("PHRASE", _unescape(m.group(1)),
+                             int(m.group(2)) if m.group(2) else 0,
+                             float(m.group(3)) if m.group(3) else None))
+                i = m.end()
+                continue
+            if c in "[{":
+                m = _RANGE.match(text, i)
+                if not m:
+                    raise ValueError(f"bad range at {i}: {text!r}")
+                toks.append(("RANGE", m.group(2), m.group(3),
+                             m.group(1) == "[", m.group(4) == "]",
+                             float(m.group(5)) if m.group(5) else None))
+                i = m.end()
+                continue
+            if c == "+" or c == "-":
+                toks.append(("MOD", c))
+                i += 1
+                continue
+            m = _FIELD.match(text, i)
+            if m:
+                toks.append(("FIELD", _unescape(m.group(1))))
+                i = m.end()
+                continue
+            m = _ATOM.match(text, i)
+            if m:
+                word = m.group(1)
+                i = m.end()
+                if word in ("AND", "&&"):
+                    toks.append(("CONJ", "AND"))
+                    continue
+                if word in ("OR", "||"):
+                    toks.append(("CONJ", "OR"))
+                    continue
+                if word == "NOT" or word == "!":
+                    toks.append(("MOD", "-"))
+                    continue
+                fuzzy = None
+                boost = None
+                while i < n and text[i] in "~^":
+                    if text[i] == "~":
+                        fm = _FUZZY.match(text, i)
+                        fuzzy = fm.group(1) if fm.group(1) else ""
+                        i = fm.end()
+                    else:
+                        bm = _BOOST.match(text, i)
+                        if not bm:
+                            break
+                        boost = float(bm.group(1))
+                        i = bm.end()
+                toks.append(("TERM", word, fuzzy, boost))
+                continue
+            raise ValueError(f"unexpected character {c!r} at {i}: {text!r}")
+        return toks
+
+    # ---- parser ----
+    def parse(self, text: str) -> Query:
+        self._toks = self._lex(text)
+        self._i = 0
+        q = self._query()
+        if self._peek() is not None:
+            raise ValueError(f"unbalanced ')' in {text!r}")
+        if q is None:
+            return BooleanQuery((), 0)
+        return q
+
+    def _peek(self):
+        return self._toks[self._i] if self._i < len(self._toks) else None
+
+    def _next(self):
+        t = self._peek()
+        self._i += 1
+        return t
+
+    def _query(self) -> Query | None:
+        # QueryParserBase.addClause occur resolution
+        clauses: list[list] = []  # [occur, query]
+        conj = None
+        mod = None
+        while True:
+            t = self._peek()
+            if t is None or t[0] == "RPAREN":
+                break
+            if t[0] == "CONJ":
+                conj = t[1]
+                self._next()
+                continue
+            if t[0] == "MOD":
+                mod = t[1]
+                self._next()
+                continue
+            q = self._clause()
+            if q is not None:
+                if clauses:
+                    # retroactive occur on the PREVIOUS clause
+                    if conj == "AND" and clauses[-1][0] == SHOULD:
+                        clauses[-1][0] = MUST
+                    if (self.default_op == "AND" and conj == "OR"
+                            and clauses[-1][0] == MUST):
+                        clauses[-1][0] = SHOULD
+                required = (mod == "+") or (
+                    mod is None
+                    and (conj == "AND"
+                         or (self.default_op == "AND" and conj != "OR"))
+                )
+                occur = (MUST_NOT if mod == "-"
+                         else MUST if required else SHOULD)
+                clauses.append([occur, q])
+            conj = None
+            mod = None
+        if not clauses:
+            return None
+        if len(clauses) == 1 and clauses[0][0] == SHOULD:
+            return clauses[0][1]
+        return BooleanQuery(tuple((o, q) for o, q in clauses), 0)
+
+    def _clause(self) -> Query | None:
+        field = None
+        t = self._peek()
+        if t[0] == "FIELD":
+            field = t[1]
+            self._next()
+            t = self._peek()
+            if t is None:
+                raise ValueError("dangling field prefix")
+        q: Query | None
+        boost = None
+        if t[0] == "LPAREN":
+            self._next()
+            q = self._query()
+            t2 = self._next()
+            if t2 is None or t2[0] != "RPAREN":
+                raise ValueError("missing ')'")
+            nxt = self._peek()
+            if nxt is not None and nxt[0] == "BOOST":
+                boost = nxt[1]
+                self._next()
+        elif t[0] == "PHRASE":
+            self._next()
+            terms = tuple(self.analyzer.tokens(t[1]))
+            q = PhraseQuery(terms, slop=t[2]) if terms else None
+            boost = t[3]
+        elif t[0] == "RANGE":
+            self._next()
+            lo = None if t[1] == "*" else _unescape(t[1]).lower()
+            hi = None if t[2] == "*" else _unescape(t[2]).lower()
+            q = TermRangeQuery(lo, hi, t[3], t[4])
+            boost = t[5]
+        elif t[0] == "TERM":
+            self._next()
+            q = self._term_query(t[1], t[2])
+            boost = t[3]
+        else:
+            raise ValueError(f"unexpected token {t}")
+        if q is None:
+            return None
+        if boost is not None:
+            q = BoostQuery(q, boost)
+        if field is not None and self.fields is not None:
+            q = FieldedQuery(field, q)
+        return q
+
+    def _term_query(self, word: str, fuzzy: str | None) -> Query | None:
+        if len(word) > 2 and word.startswith("/") and word.endswith("/"):
+            return RegexpQuery(word[1:-1])
+        if fuzzy is not None:
+            edits = 2
+            if fuzzy:
+                f = float(fuzzy)
+                # old-style float similarity maps to max edits; ints pass
+                edits = int(f) if f >= 1 else 2
+            return FuzzyQuery(_unescape(word).lower(), min(edits, 2))
+        if "*" in word or "?" in word:
+            pat = word.lower()
+            if (pat.endswith("*") and "?" not in pat
+                    and "*" not in pat[:-1]):
+                return PrefixQuery(_unescape(pat[:-1]))
+            return WildcardQuery(pat)  # escapes kept: analyzed per-char
+        terms = tuple(self.analyzer.tokens(_unescape(word)))
+        if not terms:
+            return None
+        return TermQuery(terms[0]) if len(terms) == 1 else PhraseQuery(terms)
