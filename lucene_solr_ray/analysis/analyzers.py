@@ -218,7 +218,10 @@ def get_analyzer(name: str) -> Analyzer:
         elif name == "shingle":
             _REGISTRY[name] = ShingleAnalyzer()
         else:
-            raise KeyError(f"unknown analyzer: {name}")
+            from . import filters  # noqa: F401  registers english/code
+
+            if name not in _REGISTRY:
+                raise KeyError(f"unknown analyzer: {name}")
     return _REGISTRY[name]
 
 

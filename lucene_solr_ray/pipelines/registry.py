@@ -837,6 +837,49 @@ def q_qp_classic(sf_dir: str) -> pa.Table:
     })
 
 
+def q_wdf_brand_subtoken(sf_dir: str) -> pa.Table:
+    """WordDelimiterFilter end-to-end (miscellaneous/
+    WordDelimiterFilter.java:86): index part.p_brand with the 'code'
+    analyzer — 'Brand#17' emits sub-tokens (brand, 17) — then search the
+    numeric sub-token. Oracle reproduces the split with
+    regexp_extract_all('[a-z]+|[0-9]+')."""
+    import pyarrow.parquet as pq
+
+    from ..index import build_index
+    from ..search.query import TermQuery
+    from ..search.searcher import IndexSearcher
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:code:p_brand:v{_FMT}".encode()
+    ).hexdigest()[:12]
+    out = f"/tmp/lsr_qidx/{key}"
+    src = os.path.join(sf_dir, "part.parquet")
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        os.makedirs(out, exist_ok=True)
+        build_index(src, out, text_field="p_brand", analyzer="code",
+                    rows_per_partition=50_000)
+    s = IndexSearcher(out)
+    docs = s._docs_only(TermQuery("17"))
+    keys = pq.read_table(src, columns=["p_partkey"])["p_partkey"].to_numpy()
+    hit = np.sort(keys[docs])[:20]
+    return pa.table({"p_partkey": pa.array(hit, pa.int64())})
+
+
+def q_ft_sorted_search(sf_dir: str) -> pa.Table:
+    """Sort-by-field on query hits (TopFieldCollector / Solr ``sort=``):
+    docs matching 'table' ordered by n_chars DESC, doc_id ASC, top 10 —
+    through the searcher, not a Dataset sort."""
+    from ..search.query import TermQuery
+
+    s, doc_map = _doc_index(sf_dir)
+    t = s.search_by_field(TermQuery("table"), 10, "n_chars")
+    return pa.table({
+        "rank": t["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "n_chars": t["n_chars"].cast(pa.int64()),
+    })
+
+
 def q_facet_on_query(sf_dir: str) -> pa.Table:
     """SimpleFacets over a search result set (SimpleFacets.java:108):
     lang counts among docs matching TermQuery('table')."""
@@ -1117,6 +1160,8 @@ QUERIES = {
     "ann_cosine_top5": q_ann_cosine_top5,
     "ann_ivf_top5": q_ann_ivf_top5,
     "qp_classic": q_qp_classic,
+    "wdf_brand_subtoken": q_wdf_brand_subtoken,
+    "ft_sorted_search": q_ft_sorted_search,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1375,6 +1420,21 @@ SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
          ORDER BY s DESC, vec_id) AS BIGINT) AS rank,
        vec_id, floor(s*1000 + 0.5)/1000 AS score
 FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
+""",
+    "ft_sorted_search": f"""
+WITH {_TOKENS},
+ cand AS (SELECT DISTINCT doc_id FROM tokens WHERE term = 'table')
+SELECT CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS BIGINT)
+         AS rank,
+       d.doc_id, d.n_chars::BIGINT AS n_chars
+FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cand)
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+""",
+    "wdf_brand_subtoken": """
+SELECT p_partkey FROM part
+WHERE list_contains(regexp_extract_all(lower(p_brand), '[a-z]+|[0-9]+'),
+                    '17')
+ORDER BY p_partkey LIMIT 20
 """,
     # (table^2 OR vector) AND -join AND [wa TO wz]: boosted BM25 sum over
     # the group's terms + 1.0 for the constant-score range MUST clause,

@@ -137,6 +137,86 @@ def search_many(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def search_by_field_sharded(
+    index_dir: str, q: Query, k: int, field: str, *,
+    num_shards: int = 8, descending: bool = True,
+) -> pa.Table:
+    """Sharded TopFieldCollector: each shard returns its local top-k by
+    the docvalues field (reading ONLY its partitions' column slices), the
+    driver merges with the same (value, doc id asc) order — rank-identical
+    to the single-process ``search_by_field`` because doc ids are global
+    (no shardIndex tie-break needed, unlike TopFieldDocs.merge)."""
+    import ray
+    import ray.data as rd
+
+    man = IndexManifest.load(index_dir)
+    shards = plan_shards(man, num_shards)
+    stats = {"max_doc": man.max_doc, "sum_ttf": man.sum_total_term_freq,
+             "df": {}}
+    terms = sorted(query_terms(q))
+    if terms:
+        # df pre-pass so shard scorers see global stats (scores unused for
+        # the field sort, but _docs_only runs the scorer machinery)
+        def shard_stats(batch: dict) -> dict:
+            from .readers import SegmentsReader
+
+            out = []
+            for pids in batch["partition_ids"]:
+                r = SegmentsReader(index_dir, partition_ids=list(pids))
+                dfs = r.doc_freqs(terms)
+                out.append([dfs.get(t, 0) for t in terms])
+            return {"dfs": np.asarray(out, np.int64)}
+
+        df_global = np.zeros(len(terms), np.int64)
+        for row in rd.from_items(shards).map_batches(shard_stats).take_all():
+            df_global += np.asarray(row["dfs"], np.int64)
+        stats["df"] = dict(zip(terms, df_global.tolist()))
+    stats_ref = ray.put(stats)
+    q_ref = ray.put(q)
+
+    def shard_task(batch: dict) -> dict:
+        import pyarrow.parquet as pq
+
+        st = ray.get(stats_ref)
+        qq = ray.get(q_ref)
+        out = {"doc_id": [], "val": []}
+        by_pid = {r["partition_id"]: r for r in
+                  IndexManifest.load(index_dir).partitions}
+        for pids in batch["partition_ids"]:
+            pids = list(pids)
+            s = _shard_searcher(index_dir, pids, st, False)
+            docs = s._docs_only(qq)
+            lo = min(by_pid[p]["doc_base"] for p in pids)
+            vals_parts = []
+            for p in sorted(pids):
+                row = by_pid[p]
+                pf = pq.ParquetFile(row["file"])
+                for rg in row["row_groups"]:
+                    vals_parts.append(
+                        pf.read_row_group(rg, columns=[field])
+                        .column(field).to_numpy(zero_copy_only=False)
+                    )
+            vals = np.concatenate(vals_parts)
+            v = vals[docs - lo]
+            key = -v if descending else v
+            order = np.lexsort((docs, key))[:k]
+            out["doc_id"].extend(docs[order].tolist())
+            out["val"].extend(v[order].tolist())
+        return {k2: np.asarray(v2) for k2, v2 in out.items()}
+
+    parts = rd.from_items(shards).map_batches(shard_task).take_all()
+    docs = np.array([int(r["doc_id"]) for r in parts], np.int64)
+    vals = np.array([r["val"] for r in parts])
+    key = -vals if descending else vals
+    order = np.lexsort((docs, key))[:k]
+    d = docs[order]
+    return pa.table({
+        "rank": pa.array(np.arange(1, d.size + 1, dtype=np.int32)),
+        "doc_id": pa.array(d),
+        field: pa.array(vals[order]),
+    })
+
+
 def search_sharded(
     index_dir: str,
     queries: list[Query],

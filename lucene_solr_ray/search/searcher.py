@@ -470,6 +470,52 @@ class IndexSearcher:
     def count(self, q: Query) -> int:
         return int(self._docs_only(q).size)
 
+    # ---- sort-by-field (TopFieldCollector) ----
+    def docvalues(self, field: str) -> np.ndarray:
+        """Dense per-doc column values in doc-id order — the NumericDocValues
+        analogue; the source parquet columns ARE the docvalues store
+        (SURVEY §2.3). Cached per searcher."""
+        cache = getattr(self, "_docvalues", None)
+        if cache is None:
+            cache = self._docvalues = {}
+        v = cache.get(field)
+        if v is None:
+            import pyarrow.parquet as pq
+
+            parts = []
+            for p in self.manifest.partitions:
+                pf = pq.ParquetFile(p["file"])
+                for rg in p["row_groups"]:
+                    parts.append(
+                        pf.read_row_group(rg, columns=[field])
+                        .column(field).to_numpy(zero_copy_only=False)
+                    )
+            v = np.concatenate(parts)
+            cache[field] = v
+        return v
+
+    def search_by_field(
+        self, q: Query, k: int, field: str, *, descending: bool = True,
+        values: np.ndarray | None = None,
+    ) -> pa.Table:
+        """Top-k hits ordered by a docvalues field instead of score —
+        ``TopFieldCollector`` (search/TopFieldCollector.java, 705 LoC;
+        Solr ``sort=field desc``). Tie-break: ascending doc id (the
+        collector's docID tie-break; with global doc ids the sharded merge
+        needs no shardIndex disambiguation)."""
+        if values is None:
+            values = self.docvalues(field)
+        docs = self._docs_only(q)
+        v = values[docs]
+        key = -v if descending else v
+        order = np.lexsort((docs, key))[:k]
+        d = docs[order]
+        return pa.table({
+            "rank": pa.array(np.arange(1, d.size + 1, dtype=np.int32)),
+            "doc_id": pa.array(d),
+            field: pa.array(v[order]),
+        })
+
 
 class SearcherManager:
     """SearcherManager / DirectoryReader.openIfChanged analogue

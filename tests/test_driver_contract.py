@@ -68,7 +68,8 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "unique_stream", "numeric_range", "agg_pricing_summary",
         "join_orders_revenue", "stats_percentiles", "pivot_facet",
         "geo_radius", "rescore_top20", "json_field_facet",
-        "ann_ivf_top5", "qp_classic",
+        "ann_ivf_top5", "qp_classic", "wdf_brand_subtoken",
+        "ft_sorted_search",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):

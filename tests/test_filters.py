@@ -1,0 +1,96 @@
+"""WordDelimiterFilter + PorterStemFilter golden tests (mirroring
+``TestWordDelimiterFilter.java`` shapes and the published Porter (1980)
+vocabulary pairs that ``PorterStemmer.java`` implements)."""
+
+import pytest
+
+from lucene_solr_ray.analysis import get_analyzer
+from lucene_solr_ray.analysis.filters import porter_stem, word_delimiter_parts
+
+# ---- WordDelimiterFilter ----
+
+
+@pytest.mark.parametrize("token,parts", [
+    ("PowerShot", ["Power", "Shot"]),
+    ("powerShot", ["power", "Shot"]),
+    ("Power-Shot", ["Power", "Shot"]),
+    ("snake_case_name", ["snake", "case", "name"]),
+    ("XMLHttpRequest", ["XML", "Http", "Request"]),
+    ("j2se", ["j", "2", "se"]),
+    ("O'Neil", ["O", "Neil"]),
+    ("Brand#17", ["Brand", "17"]),
+    ("500-42", ["500", "42"]),
+    ("plain", ["plain"]),
+    ("---", []),
+])
+def test_word_delimiter_parts(token, parts):
+    assert word_delimiter_parts(token) == parts
+
+
+def test_preserve_original():
+    assert word_delimiter_parts("PowerShot", preserve_original=True) == [
+        "PowerShot", "Power", "Shot"]
+    assert word_delimiter_parts("plain", preserve_original=True) == ["plain"]
+
+
+def test_code_analyzer_positions():
+    ana = get_analyzer("code")
+    toks, pos = ana.tokens_with_positions("getFoo setBar_baz")
+    assert toks == ["get", "foo", "set", "bar", "baz"]
+    # sub-parts share the source token's position (posIncr-0 contract)
+    assert pos == [0, 0, 1, 1, 1]
+
+
+# ---- Porter stemmer: pairs from the published algorithm/vocabulary ----
+
+PORTER_PAIRS = [
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+    ("caress", "caress"), ("cats", "cat"),
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("bled", "bled"), ("motoring", "motor"), ("sing", "sing"),
+    ("conflated", "conflat"), ("troubled", "troubl"), ("sized", "size"),
+    ("hopping", "hop"), ("tanned", "tan"), ("falling", "fall"),
+    ("hissing", "hiss"), ("fizzed", "fizz"), ("failing", "fail"),
+    ("filing", "file"),
+    ("happy", "happi"), ("sky", "sky"),
+    ("relational", "relat"), ("conditional", "condit"),
+    ("rational", "ration"), ("valenci", "valenc"), ("hesitanci", "hesit"),
+    ("digitizer", "digit"), ("conformabli", "conform"),
+    ("radicalli", "radic"), ("differentli", "differ"), ("vileli", "vile"),
+    ("analogousli", "analog"), ("vietnamization", "vietnam"),
+    ("predication", "predic"), ("operator", "oper"),
+    ("feudalism", "feudal"), ("decisiveness", "decis"),
+    ("hopefulness", "hope"), ("callousness", "callous"),
+    ("formaliti", "formal"), ("sensitiviti", "sensit"),
+    ("sensibiliti", "sensibl"),
+    ("triplicate", "triplic"), ("formative", "form"),
+    ("formalize", "formal"),
+    # full-pipeline outputs (step 4 strips -ic after step 3): the official
+    # voc.txt/output.txt gives electr, not the step-3 illustration electric
+    ("electriciti", "electr"), ("electrical", "electr"),
+    ("hopeful", "hope"), ("goodness", "good"),
+    ("revival", "reviv"), ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("gyroscopic", "gyroscop"),
+    ("adjustable", "adjust"), ("defensible", "defens"),
+    ("irritant", "irrit"), ("replacement", "replac"),
+    ("adjustment", "adjust"), ("dependent", "depend"),
+    ("adoption", "adopt"), ("homologou", "homolog"),
+    ("communism", "commun"), ("activate", "activ"),
+    ("angulariti", "angular"), ("homologous", "homolog"),
+    ("effective", "effect"), ("bowdlerize", "bowdler"),
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controll", "control"), ("roll", "roll"),
+]
+
+
+@pytest.mark.parametrize("word,stem", PORTER_PAIRS)
+def test_porter_pairs(word, stem):
+    assert porter_stem(word) == stem
+
+
+def test_english_analyzer():
+    ana = get_analyzer("english")
+    assert ana.tokens("The cats were motoring happily") == [
+        "cat", "were", "motor", "happili"]
+    # possessive strip before stemming
+    assert ana.tokens("the dog's bones") == ["dog", "bone"]

@@ -1,0 +1,51 @@
+"""TopFieldCollector analogue: sort-by-field on query hits, single vs
+sharded rank identity, and a brute-force check."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import build_index
+from lucene_solr_ray.search import IndexSearcher, TermQuery
+from lucene_solr_ray.search.distributed import search_by_field_sharded
+
+
+@pytest.fixture(scope="module")
+def sidx(tmp_path_factory, ray_session, sf_dir):
+    out = str(tmp_path_factory.mktemp("sortidx"))
+    build_index(os.path.join(sf_dir, "documents.parquet"), out,
+                text_field="text", analyzer="simple",
+                rows_per_partition=100)
+    return out
+
+
+def test_search_by_field_brute_force(sidx, sf_dir):
+    s = IndexSearcher(sidx)
+    q = TermQuery("table")
+    t = s.search_by_field(q, 10, "n_chars")
+    docs = s._docs_only(q)
+    vals = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["n_chars"])["n_chars"].to_numpy()
+    order = np.lexsort((docs, -vals[docs]))[:10]
+    assert t["doc_id"].to_pylist() == docs[order].tolist()
+    assert t["n_chars"].to_pylist() == vals[docs][order].tolist()
+
+
+def test_search_by_field_ascending(sidx):
+    s = IndexSearcher(sidx)
+    t = s.search_by_field(TermQuery("table"), 5, "n_chars",
+                          descending=False)
+    v = t["n_chars"].to_pylist()
+    assert v == sorted(v)
+
+
+def test_sharded_rank_identity(sidx, ray_session):
+    s = IndexSearcher(sidx)
+    q = TermQuery("table")
+    want = s.search_by_field(q, 15, "n_chars").to_pydict()
+    for n in (2, 4):
+        got = search_by_field_sharded(sidx, q, 15, "n_chars",
+                                      num_shards=n).to_pydict()
+        assert got == want, n
