@@ -313,22 +313,53 @@ class IndexSearcher:
             cum = np.concatenate(([0], np.cumsum(tfs)))
             idx = np.searchsorted(docs, cand)
             lookups.append((idx, cum, pos))
-        freqs = np.zeros(cand.size, np.float64)
-        for ci in range(cand.size):
-            if q.slop == 0:
-                idx0, cum0, pos0 = lookups[0]
-                j = int(idx0[ci])
-                match = np.cumsum(pos0[cum0[j]:cum0[j + 1]].astype(np.int64))
-                for off in range(1, len(terms)):
-                    idxi, cumi, posi = lookups[off]
-                    j = int(idxi[ci])
-                    p = np.cumsum(posi[cumi[j]:cumi[j + 1]].astype(np.int64))
-                    match = np.intersect1d(match, p - off,
-                                           assume_unique=True)
-                    if match.size == 0:
-                        break
-                freqs[ci] = match.size
-            else:
+        if q.slop == 0:
+            # ONE flattened pass over all candidates (no per-doc Python
+            # loop): gather each term's position runs for every candidate,
+            # make positions absolute (segmented cumsum over the prox-delta
+            # stream), offset-align, and intersect via packed
+            # (candidate, position) int64 keys — the vectorized
+            # ExactPhraseScorer.
+            base_keys = base_ci = None
+            alive = None
+            max_pos = 1
+            gathered = []
+            for off, ((docs, tfs, pos), (idx, cum, _)) in enumerate(
+                zip(datas, lookups)
+            ):
+                counts = tfs[idx].astype(np.int64)
+                starts = cum[idx].astype(np.int64)
+                total = int(counts.sum())
+                seg0 = np.zeros(counts.size, np.int64)
+                np.cumsum(counts[:-1], out=seg0[1:])
+                intra = np.arange(total, dtype=np.int64) - np.repeat(
+                    seg0, counts)
+                flat_idx = np.repeat(starts, counts) + intra
+                deltas = pos[flat_idx].astype(np.int64)
+                # absolute positions: cumsum reset at each run start
+                cs = np.cumsum(deltas)
+                run_base = cs[seg0] - deltas[seg0]
+                p_abs = cs - np.repeat(run_base, counts)
+                ci = np.repeat(np.arange(counts.size, dtype=np.int64),
+                               counts)
+                gathered.append((ci, p_abs - off))
+                if p_abs.size:
+                    max_pos = max(max_pos, int(p_abs.max()) + 1)
+            stride = np.int64(max_pos + len(terms) + 1)
+            for off, (ci, p) in enumerate(gathered):
+                keys = ci * stride + p
+                if off == 0:
+                    base_keys, base_ci = keys, ci
+                    alive = np.ones(keys.size, bool)
+                else:
+                    alive &= np.isin(base_keys, keys, assume_unique=True)
+            freqs = np.bincount(
+                base_ci[alive], minlength=cand.size
+            ).astype(np.float64) if base_keys is not None else np.zeros(
+                cand.size, np.float64)
+        else:
+            freqs = np.zeros(cand.size, np.float64)
+            for ci in range(cand.size):
                 freqs[ci] = _sloppy_freq(lookups, ci, q.slop)
         keep = freqs > 0
         cand, freqs = cand[keep], freqs[keep]
