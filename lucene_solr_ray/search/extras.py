@@ -114,10 +114,11 @@ def suggest_prefix(searcher: IndexSearcher, prefix: str,
 def spellcheck(searcher: IndexSearcher, word: str, *, max_edits: int = 2,
                n: int = 10) -> pa.Table:
     """Correction candidates within ``max_edits``, ranked df desc, term
-    asc (DirectSpellChecker's docFreq ordering)."""
-    cands = searcher.reader.terms_matching(
-        lambda t: _levenshtein_within(word, t, max_edits)
-    )
+    asc (DirectSpellChecker's docFreq ordering); dictionary walk pruned
+    by the fuzzy candidate bounds (searcher.fuzzy_candidates)."""
+    from .searcher import fuzzy_candidates
+
+    cands, _ = fuzzy_candidates(searcher.reader, word, max_edits)
     dfs = np.array([searcher.doc_freq(t) for t in cands], np.int64)
     order = np.lexsort((np.asarray(cands, object), -dfs))[:n]
     return pa.table({

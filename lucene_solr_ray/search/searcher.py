@@ -75,6 +75,67 @@ def _levenshtein_within(a: str, b: str, k: int) -> bool:
     return prev[-1] <= k
 
 
+def fuzzy_candidates(reader, qterm: str, k: int) -> tuple[list[str], int]:
+    """Pruned fuzzy-term expansion — the LevenshteinAutomata role
+    (``util/automaton/LevenshteinAutomata.java``: restrict the dictionary
+    walk to terms that can be within k edits) done with two exact lower
+    bounds instead of a DFA intersection:
+
+    1. length band: ``|len(t) - len(q)| <= k``;
+    2. character-multiset bound: ``max(len_t, len_q) - |multiset(t) ∩
+       multiset(q)| <= k`` (every unmatched character costs an edit).
+
+    Both are necessary conditions, so output is IDENTICAL to the full
+    O(V) scan; only the survivors run the DP. The per-term (length,
+    char-histogram) table is built once per reader and cached.
+
+    Returns (matching terms, number of DP evaluations performed).
+    """
+    u = reader.unique_terms()
+    aux = getattr(reader, "_fuzzy_aux", None)
+    if aux is None:
+        lens = np.fromiter((len(t) for t in u), np.int32, count=u.size)
+        joined = "".join(u).encode("utf-8", "surrogatepass")
+        flat = np.frombuffer(joined, np.uint8)
+        # byte lengths may differ from char lengths for non-ASCII; bucket
+        # bytes (still a valid lower bound: shared bytes >= shared chars
+        # is NOT guaranteed for multi-byte chars, so only apply the
+        # histogram bound to pure-ASCII terms)
+        blens = np.fromiter(
+            (len(t.encode("utf-8", "surrogatepass")) for t in u),
+            np.int64, count=u.size)
+        is_ascii = blens == lens
+        codes = np.full(flat.size, 36, np.int64)
+        m = (flat >= 97) & (flat <= 122)
+        codes[m] = flat[m] - 97
+        m = (flat >= 48) & (flat <= 57)
+        codes[m] = flat[m] - 48 + 26
+        term_idx = np.repeat(np.arange(u.size, dtype=np.int64), blens)
+        counts = np.zeros((u.size, 37), np.uint16)
+        np.add.at(counts.reshape(-1), term_idx * 37 + codes, 1)
+        aux = reader._fuzzy_aux = (lens, counts, is_ascii)
+    lens, counts, is_ascii = aux
+    lq = len(qterm)
+    mask = np.abs(lens - lq) <= k
+    qb = qterm.encode("utf-8", "surrogatepass")
+    if len(qb) == lq:  # ASCII query: histogram bound applies
+        qf = np.frombuffer(qb, np.uint8)
+        qcodes = np.full(qf.size, 36, np.int64)
+        m = (qf >= 97) & (qf <= 122)
+        qcodes[m] = qf[m] - 97
+        m = (qf >= 48) & (qf <= 57)
+        qcodes[m] = qf[m] - 48 + 26
+        qcount = np.bincount(qcodes, minlength=37).astype(np.uint16)
+        inter = np.minimum(counts, qcount[None, :]).sum(
+            axis=1).astype(np.int64)
+        bound = np.maximum(lens, lq) - inter
+        mask &= (~is_ascii) | (bound <= k)
+    cands = u[mask]
+    out = [t for t in cands
+           if _levenshtein_within(qterm, t, k)]
+    return out, int(cands.size)
+
+
 def _sloppy_freq(lookups, ci: int, slop: int) -> float:
     """Sloppy phrase matching (``search/SloppyPhraseScorer.java`` family /
     the classic window-merge algorithm): offset-adjusted positions per term;
@@ -103,7 +164,7 @@ def _sloppy_freq(lookups, ci: int, slop: int) -> float:
 class IndexSearcher:
     def __init__(self, index_dir: str, precise: bool = False, *,
                  reader=None, norms=None, global_stats: dict | None = None,
-                 apply_deletes: bool = True):
+                 apply_deletes: bool = True, similarity=None):
         """``global_stats`` (optional): {"max_doc", "sum_ttf", "df": {term:
         df}} — injected by the doc-sharded distributed path so every shard
         scores with GLOBAL collection statistics (exactly what a single
@@ -143,6 +204,9 @@ class IndexSearcher:
             self.reader = MergedReader(index_dir)
         else:
             self.reader = SegmentsReader(index_dir)
+        # Similarity extension point (IndexSearcher.setSimilarity): None =
+        # the bit-faithful BM25 default; e.g. similarities.ClassicSimilarity
+        self.similarity = similarity
         self.precise = precise
         if precise:
             # float64 avgdl without the float32 cast, exact lengths
@@ -212,9 +276,8 @@ class IndexSearcher:
                 q.lower, q.upper, q.include_lower, q.include_upper
             )
         if isinstance(q, FuzzyQuery):
-            return r.terms_matching(
-                lambda t: _levenshtein_within(q.term, t, q.max_edits)
-            )
+            terms, _ = fuzzy_candidates(r, q.term, q.max_edits)
+            return terms
         raise TypeError(q)
 
     def _score(self, q: Query) -> tuple[np.ndarray, np.ndarray]:
@@ -481,6 +544,23 @@ class IndexSearcher:
             hit = None
         if hit is not None:
             return hit
+        if self.similarity is not None:
+            terms = self._wand_terms(q)
+            if terms is None:
+                raise NotImplementedError(
+                    f"similarity {self.similarity.name!r} supports term / "
+                    "OR-of-terms queries"
+                )
+            docs, scores = self.similarity.score_or(self, terms)
+            d, s = top_k(docs, scores.astype(np.float32), k, after=after)
+            out = pa.table({
+                "rank": pa.array(np.arange(1, d.size + 1, dtype=np.int32)),
+                "doc_id": pa.array(d),
+                "score": pa.array(s),
+            })
+            if key is not None:
+                self._result_cache.put(key, out)
+            return out
         if (prune and not self.precise and after is None
                 and (terms := self._wand_terms(q)) is not None):
             from .wand import wand_or_topk

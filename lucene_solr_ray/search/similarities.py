@@ -1,0 +1,76 @@
+"""Pluggable similarities beyond BM25 — the Similarity extension point.
+
+:class:`ClassicSimilarity` restates Lucene's TF-IDF scoring
+(``lucene/core/src/java/org/apache/lucene/search/similarities/
+ClassicSimilarity.java`` / ``TFIDFSimilarity.java``):
+
+- ``tf(freq) = sqrt(freq)``
+- ``idf(df, N) = log(N / (df + 1)) + 1``
+- ``lengthNorm = 1 / sqrt(fieldLength)`` — reconstructed from the shared
+  quantized norm byte (the same ``floatToByte315`` byte BM25 uses; the
+  decode table gives the quantized length back, so the classic norm is
+  ``1/sqrt(decoded_length)`` — byte-level faithful to the shared norms
+  file)
+- ``queryNorm = 1 / sqrt(sum of squared clause weights)``
+  (``TFIDFSimilarity.java`` queryNorm; weight = idf for boost-1 terms)
+- ``coord(overlap, maxOverlap) = overlap / maxOverlap`` for OR queries
+
+Per-term partial = ``tf(f) * idf^2 * lengthNorm`` (queryWeight *
+fieldWeight); final = ``queryNorm * coord * sum(partials)``.
+
+Scope: term and OR-of-terms queries (the TermQuery/BooleanQuery scorer
+pair the reference's TestSimilarity exercises); other query shapes raise.
+The BM25 default path is untouched (it stays bit-faithful).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..codec import NORM_TABLE
+
+
+class ClassicSimilarity:
+    name = "classic"
+
+    @staticmethod
+    def idf(df: int, num_docs: int) -> float:
+        return math.log(num_docs / (df + 1)) + 1.0
+
+    @staticmethod
+    def tf(freqs: np.ndarray) -> np.ndarray:
+        return np.sqrt(freqs.astype(np.float64))
+
+    def score_or(self, searcher, terms: list[str]):
+        """(docs asc, scores) for an OR-of-terms query, float64."""
+        n = searcher.max_doc
+        datas = []
+        idfs = []
+        for t in terms:
+            docs, tfs = searcher.reader.postings(t)
+            if searcher.live_docs is not None and docs.size:
+                keep = searcher.live_docs.mask[docs]
+                docs, tfs = docs[keep], tfs[keep]
+            df = searcher.doc_freq(t)
+            datas.append((docs, tfs))
+            idfs.append(self.idf(df, n) if df else 0.0)
+        qnorm_den = math.sqrt(sum(i * i for i in idfs)) or 1.0
+        qnorm = 1.0 / qnorm_den
+        union = np.unique(np.concatenate(
+            [d for d, _ in datas] or [np.empty(0, np.int64)]))
+        acc = np.zeros(union.size, np.float64)
+        overlap = np.zeros(union.size, np.int64)
+        inv_sqrt_len = 1.0 / np.sqrt(
+            NORM_TABLE.astype(np.float64))  # lengthNorm per norm byte
+        for (docs, tfs), i in zip(datas, idfs):
+            if docs.size == 0:
+                continue
+            pos = np.searchsorted(union, docs)
+            norm = inv_sqrt_len[searcher.norms.norm[docs]]
+            partial = self.tf(tfs) * (i * i) * norm
+            np.add.at(acc, pos, partial)
+            np.add.at(overlap, pos, 1)
+        coord = overlap / float(len(terms))
+        return union, (acc * qnorm * coord)

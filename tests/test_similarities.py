@@ -1,0 +1,100 @@
+"""ClassicSimilarity (TF-IDF) golden scores: hand-computed from the
+published formulas (TFIDFSimilarity.java docs) on a tiny controlled
+corpus — proves the Similarity extension point carries a non-BM25
+implementation end-to-end."""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.codec import NORM_TABLE, encode_norm
+from lucene_solr_ray.index import build_index
+from lucene_solr_ray.search import IndexSearcher, TermQuery
+from lucene_solr_ray.search.query import BooleanQuery
+from lucene_solr_ray.search.similarities import ClassicSimilarity
+
+DOCS = [
+    "apple banana apple",          # len 3, tf(apple)=2
+    "apple cherry",                # len 2
+    "banana cherry cherry date",   # len 4
+    "date elderberry",             # len 2
+]
+
+
+@pytest.fixture(scope="module")
+def cidx(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("cls_corpus")
+    pq.write_table(pa.table({"content": pa.array(DOCS)}),
+                   str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("cls_index"))
+    build_index(str(d), out, rows_per_partition=10)
+    return out
+
+
+def _expected_term(term, tf_by_doc, n_docs=4):
+    """queryNorm * coord(=1) * tf(f)*idf^2*lengthNorm, single term."""
+    df = len(tf_by_doc)
+    idf = math.log(n_docs / (df + 1)) + 1.0
+    qnorm = 1.0 / idf
+    out = {}
+    for doc, (tf, length) in tf_by_doc.items():
+        # quantized length via the shared norm byte (what the index stores)
+        qlen = float(NORM_TABLE[encode_norm(np.array([length]))[0]])
+        out[doc] = qnorm * math.sqrt(tf) * idf * idf / math.sqrt(qlen)
+    return out
+
+
+def test_classic_term_scores(cidx):
+    s = IndexSearcher(cidx, similarity=ClassicSimilarity())
+    t = s.search(TermQuery("apple"), k=10)
+    got = dict(zip(t["doc_id"].to_pylist(),
+                   [float(x) for x in t["score"].to_pylist()]))
+    want = _expected_term("apple", {0: (2, 3), 1: (1, 2)})
+    assert set(got) == set(want)
+    for doc in want:
+        assert got[doc] == pytest.approx(want[doc], rel=1e-6), doc
+    # tf(2) > tf(1) but doc1 is shorter: check actual order holds both ways
+    assert t.num_rows == 2
+
+
+def test_classic_or_coord_and_querynorm(cidx):
+    s = IndexSearcher(cidx, similarity=ClassicSimilarity())
+    t = s.search(BooleanQuery.build(
+        should=[TermQuery("banana"), TermQuery("date")]), k=10)
+    n = 4
+    idf_b = math.log(n / (2 + 1)) + 1.0
+    idf_d = math.log(n / (2 + 1)) + 1.0
+    qnorm = 1.0 / math.sqrt(idf_b ** 2 + idf_d ** 2)
+
+    def ln(length):
+        return 1.0 / math.sqrt(
+            float(NORM_TABLE[encode_norm(np.array([length]))[0]]))
+
+    want = {
+        0: qnorm * (idf_b ** 2) * ln(3) * (1 / 2),          # banana only
+        2: qnorm * ((idf_b ** 2) + (idf_d ** 2)) * ln(4),   # both, coord 1
+        3: qnorm * (idf_d ** 2) * ln(2) * (1 / 2),          # date only
+    }
+    got = dict(zip(t["doc_id"].to_pylist(),
+                   [float(x) for x in t["score"].to_pylist()]))
+    assert set(got) == set(want)
+    for doc in want:
+        assert got[doc] == pytest.approx(want[doc], rel=1e-6), doc
+
+
+def test_classic_rejects_unsupported_shapes(cidx):
+    s = IndexSearcher(cidx, similarity=ClassicSimilarity())
+    from lucene_solr_ray.search.query import PrefixQuery
+
+    with pytest.raises(NotImplementedError):
+        s.search(PrefixQuery("app"), k=5)
+
+
+def test_bm25_default_unchanged(cidx):
+    a = IndexSearcher(cidx).search(TermQuery("apple"), k=10)
+    b = IndexSearcher(cidx, similarity=None).search(TermQuery("apple"), k=10)
+    assert a.to_pydict() == b.to_pydict()
