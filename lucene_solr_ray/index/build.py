@@ -139,7 +139,10 @@ def _invert(
     """
     import pandas as pd
 
-    ana = get_analyzer(analyzer_name)
+    # analyzer_name may be a registered name OR a pickled Analyzer
+    # instance (custom chains, e.g. synonyms, travel to workers by value)
+    ana = (analyzer_name if not isinstance(analyzer_name, str)
+           else get_analyzer(analyzer_name))
     tokens, doc_idx, pos = ana.tokens_batch(texts)
     doc_len = np.bincount(doc_idx, minlength=len(texts)).astype(np.int32)
     if not tokens:
@@ -482,7 +485,8 @@ def build_index(
     man = IndexManifest(
         index_dir=out_dir,
         field=text_field,
-        analyzer=analyzer,
+        analyzer=(analyzer if isinstance(analyzer, str)
+                  else getattr(analyzer, "name", "custom")),
         max_doc=sum(r["rows"] for r in rows),
         sum_total_term_freq=sum(r["sum_len"] for r in rows),
         num_partitions=len(rows),

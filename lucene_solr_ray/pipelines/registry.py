@@ -881,6 +881,16 @@ def q_ft_sorted_search(sf_dir: str) -> pa.Table:
     })
 
 
+def q_taxonomy_facet(sf_dir: str) -> pa.Table:
+    """Hierarchical taxonomy facets over the lang/source path with an
+    ordinal map + rollup (FastTaxonomyFacetCounts.java:34)."""
+    from ..stages.taxonomy import taxonomy_counts
+
+    return taxonomy_counts(
+        _docs_ds(sf_dir, ["lang", "source"]), ["lang", "source"]
+    )
+
+
 def q_facet_on_query(sf_dir: str) -> pa.Table:
     """SimpleFacets over a search result set (SimpleFacets.java:108):
     lang counts among docs matching TermQuery('table')."""
@@ -1170,6 +1180,7 @@ QUERIES = {
     "qp_classic": q_qp_classic,
     "wdf_brand_subtoken": q_wdf_brand_subtoken,
     "ft_sorted_search": q_ft_sorted_search,
+    "taxonomy_facet": q_taxonomy_facet,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1437,6 +1448,17 @@ SELECT CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS BIGINT)
        d.doc_id, d.n_chars::BIGINT AS n_chars
 FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cand)
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+""",
+    "taxonomy_facet": """
+WITH leaf AS (SELECT lang, source, count(*)::BIGINT AS cnt
+              FROM documents GROUP BY lang, source),
+ l2 AS (SELECT lang || '/' || source AS path, 2::BIGINT AS level, cnt
+        FROM leaf),
+ l1 AS (SELECT lang AS path, 1::BIGINT AS level, sum(cnt)::BIGINT AS cnt
+        FROM leaf GROUP BY lang)
+SELECT path, level, cnt
+FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+ORDER BY cnt DESC, path
 """,
     "wdf_brand_subtoken": """
 SELECT p_partkey FROM part

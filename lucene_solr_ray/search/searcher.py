@@ -314,6 +314,17 @@ class IndexSearcher:
             return self._score_phrase(q)
         if isinstance(q, BooleanQuery):
             return self._score_bool(q)
+        from .blockjoin import (
+            ToChildBlockJoinQuery,
+            ToParentBlockJoinQuery,
+            score_to_child,
+            score_to_parent,
+        )
+
+        if isinstance(q, ToParentBlockJoinQuery):
+            return score_to_parent(self, q)
+        if isinstance(q, ToChildBlockJoinQuery):
+            return score_to_child(self, q)
         from .spans import SpanQuery, score_spans
 
         if isinstance(q, SpanQuery):

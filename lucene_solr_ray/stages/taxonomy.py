@@ -1,0 +1,93 @@
+"""Taxonomy facets: hierarchical counts via an ordinal map.
+
+Restates the facet module's taxonomy path (``lucene/facet/src/java/org/
+apache/lucene/facet/taxonomy/FastTaxonomyFacetCounts.java:34`` +
+``directory/DirectoryTaxonomyWriter.java``): category paths get dense
+ordinals with a parent[] array; counting increments the leaf ordinal and
+rolls up to ancestors through parent[], then ``getTopChildren`` reads a
+dimension's children ordered by count.
+
+Ray Data shape: the taxonomy (ordinal map) is TINY relative to the corpus
+(distinct category paths), so it is built from a distributed
+``groupby(path columns).count()`` — the corpus streams once, only
+(path, count) partials shuffle — and the ordinal rollup runs driver-side
+over the small counts array, exactly like the reference's in-RAM
+counts[ordinal] pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class TaxonomyOrdinalMap:
+    """path tuple -> dense ordinal, with parent[] for rollup
+    (DirectoryTaxonomyWriter's internal map; root = ordinal 0)."""
+
+    def __init__(self):
+        self.ordinal: dict[tuple, int] = {(): 0}
+        self.parent: list[int] = [-1]
+
+    def add(self, path: tuple) -> int:
+        o = self.ordinal.get(path)
+        if o is not None:
+            return o
+        parent_ord = self.add(path[:-1])
+        o = len(self.parent)
+        self.ordinal[path] = o
+        self.parent.append(parent_ord)
+        return o
+
+    def paths_in_order(self) -> list[tuple]:
+        return sorted(self.ordinal, key=self.ordinal.get)
+
+
+def taxonomy_counts(ds, dim_cols: list[str], *,
+                    sep: str = "/") -> pa.Table:
+    """Hierarchical facet counts over the path ``dim_cols[0]/dim_cols[1]/
+    ...``: one distributed leaf count + driver-side ordinal rollup.
+    Returns (path, level, cnt) for every node, count desc / path asc."""
+    leaf = ds.groupby(dim_cols).count().to_pandas()
+    tax = TaxonomyOrdinalMap()
+    counts = [0]
+    for _, row in leaf.iterrows():
+        path = tuple(str(row[c]) for c in dim_cols)
+        o = tax.add(path)
+        while len(counts) < len(tax.parent):
+            counts.append(0)
+        # rollup: leaf count propagates to every ancestor (root included)
+        c = int(row["count()"])
+        while o >= 0:
+            counts[o] += c
+            o = tax.parent[o]
+    rows = []
+    for path, o in tax.ordinal.items():
+        if not path:
+            continue  # root not reported (it's the total)
+        rows.append((sep.join(path), len(path), counts[o]))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return pa.table({
+        "path": pa.array([r[0] for r in rows], pa.string()),
+        "level": pa.array([r[1] for r in rows], pa.int64()),
+        "cnt": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def top_children(table: pa.Table, parent_path: str | None, k: int = 10,
+                 *, sep: str = "/") -> pa.Table:
+    """getTopChildren: direct children of ``parent_path`` (None = top
+    dimensions), count desc then path asc."""
+    level = 1 if parent_path is None else parent_path.count(sep) + 2
+    paths = table["path"].to_pylist()
+    keep = [
+        i for i, p in enumerate(paths)
+        if table["level"][i].as_py() == level
+        and (parent_path is None or p.startswith(parent_path + sep))
+    ]
+    sub = table.take(pa.array(keep))
+    order = np.lexsort((
+        np.asarray(sub["path"].to_pylist(), object),
+        -sub["cnt"].to_numpy(),
+    ))[:k]
+    return sub.take(pa.array(order))
