@@ -585,6 +585,61 @@ def q_group_top2_per_lang(sf_dir: str) -> pa.Table:
     })
 
 
+def q_expand_collapse(sf_dir: str) -> pa.Table:
+    """Collapse + Expand (solr/.../handler/component/ExpandComponent.java):
+    collapse documents on lang (head = max n_chars, tie doc_id asc); the
+    expand section returns the top-2 OTHER docs per collapsed group."""
+    import pandas as pd
+
+    def collapse_expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        head = g.head(1).copy()
+        head["kind"] = "collapsed"
+        head["rn"] = 0
+        exp = g.iloc[1:3].copy()
+        exp["kind"] = "expanded"
+        exp["rn"] = range(1, len(exp) + 1)
+        return pd.concat([head, exp])
+
+    out = (
+        _docs_ds(sf_dir, ["lang", "doc_id", "n_chars"])
+        .groupby("lang").map_groups(collapse_expand, batch_format="pandas")
+        .to_pandas().sort_values(["lang", "rn"])
+    )
+    return pa.table({
+        "lang": pa.array(out["lang"].tolist(), pa.string()),
+        "kind": pa.array(out["kind"].tolist(), pa.string()),
+        "rn": pa.array(out["rn"].to_numpy(), pa.int64()),
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "n_chars": pa.array(out["n_chars"].to_numpy(), pa.int64()),
+    })
+
+
+def q_sampled_facet_lang(sf_dir: str) -> pa.Table:
+    """RandomSamplingFacetsCollector (facet/.../sampling — sample the hit
+    set, facet the sample): deterministic multiplicative-hash sample at
+    rate 1/4 (reproducible in SQL, unlike an RNG), then lang counts over
+    the sample. At 100 TB this is the only affordable exact-looking facet
+    for exploratory queries."""
+    def sample(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy().astype(np.uint64)
+        keep = (d * np.uint64(2654435761)) % np.uint64(2**32) \
+            < np.uint64(2**30)
+        return b.filter(pa.array(keep)).select(["lang"])
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "lang"])
+        .map_batches(sample, batch_format="pyarrow")
+        .groupby("lang").count().to_pandas()
+        .rename(columns={"count()": "cnt"})
+        .sort_values(["cnt", "lang"], ascending=[False, True])
+    )
+    return pa.table({
+        "lang": pa.array(out["lang"].tolist(), pa.string()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+    })
+
+
 def q_sort_export_top50(sf_dir: str) -> pa.Table:
     out = (
         _docs_ds(sf_dir, ["doc_id", "n_chars"])
@@ -1181,6 +1236,8 @@ QUERIES = {
     "wdf_brand_subtoken": q_wdf_brand_subtoken,
     "ft_sorted_search": q_ft_sorted_search,
     "taxonomy_facet": q_taxonomy_facet,
+    "expand_collapse": q_expand_collapse,
+    "sampled_facet_lang": q_sampled_facet_lang,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1448,6 +1505,23 @@ SELECT CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS BIGINT)
        d.doc_id, d.n_chars::BIGINT AS n_chars
 FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cand)
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+""",
+    "sampled_facet_lang": """
+SELECT lang, count(*)::BIGINT AS cnt FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 1073741824
+GROUP BY lang ORDER BY cnt DESC, lang
+""",
+    "expand_collapse": """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents)
+SELECT lang,
+       CASE WHEN rnk = 1 THEN 'collapsed' ELSE 'expanded' END AS kind,
+       CAST(CASE WHEN rnk = 1 THEN 0 ELSE rnk - 1 END AS BIGINT) AS rn,
+       doc_id, n_chars
+FROM ranked WHERE rnk <= 3 ORDER BY lang, rn
 """,
     "taxonomy_facet": """
 WITH leaf AS (SELECT lang, source, count(*)::BIGINT AS cnt

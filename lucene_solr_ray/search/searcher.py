@@ -270,6 +270,31 @@ class IndexSearcher:
             return r.terms_matching(lambda t: bool(pat.match(t)))
         if isinstance(q, RegexpQuery):
             pat = re.compile(q.pattern + r"\Z")
+            # literal-prefix extraction narrows the dictionary scan to a
+            # sorted range (the CompiledAutomaton common-prefix walk,
+            # util/automaton/CompiledAutomaton.java) — a leading run of
+            # plain characters before any regex metachar
+            lit = []
+            i = 0
+            p = q.pattern
+            while i < len(p):
+                c = p[i]
+                if c == "\\" and i + 1 < len(p) and not p[i + 1].isalnum():
+                    lit.append(p[i + 1])
+                    i += 2
+                    continue
+                if c.isalnum():
+                    # a following quantifier makes this char optional
+                    if i + 1 < len(p) and p[i + 1] in "*?{|":
+                        break
+                    lit.append(c)
+                    i += 1
+                    continue
+                break
+            if lit:
+                pre = "".join(lit)
+                cand = r.terms_in_range(pre, pre + "\U0010FFFF", True, True)
+                return [t for t in cand if pat.match(t)]
             return r.terms_matching(lambda t: bool(pat.match(t)))
         if isinstance(q, TermRangeQuery):
             return r.terms_in_range(

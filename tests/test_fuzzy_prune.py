@@ -39,3 +39,17 @@ def test_fuzzy_query_uses_pruning(fidx):
     s = IndexSearcher(fidx)
     t = s.search(FuzzyQuery("retrun", 2), k=5)
     assert t.num_rows > 0  # 'return' within 2 edits
+
+
+def test_regexp_prefix_narrowing(fidx):
+    from lucene_solr_ray.search.query import RegexpQuery
+
+    s = IndexSearcher(fidx)
+    # literal prefix 'ret' narrows the scan; results identical to full scan
+    full = [t for t in s.reader.unique_terms()
+            if __import__("re").match(r"ret.*n\Z", t)]
+    got = s._rewrite_terms(RegexpQuery("ret.*n"))
+    assert got == full and "return" in got
+    # alternation at the head falls back to the full scan, same results
+    got2 = s._rewrite_terms(RegexpQuery("(return|def)"))
+    assert "return" in got2 and "def" in got2
