@@ -640,6 +640,99 @@ def q_sampled_facet_lang(sf_dir: str) -> pa.Table:
     })
 
 
+def q_embed_neardup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (sim >= 0.45): per-batch
+    matmul against the broadcast normalized matrix, upper-triangle only —
+    exact and streaming. At 100 TB the matrix doesn't broadcast; the
+    hyperplane-LSH bucketing (stages/ann.py) is the candidate generator
+    and this exact check runs per bucket."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.ann import _to_matrix
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids_all = full["vec_id"].to_numpy()
+    m = _to_matrix(full["embedding"])
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids_all, mn))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids_a, mat = ray.get(ref)
+        bm = _to_matrix(b["embedding"])
+        bids = b["vec_id"].to_numpy()
+        bn = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True),
+                             1e-30)
+        sims = bn @ mat.T  # (batch, all)
+        ii, jj = np.nonzero((sims >= 0.45) & (bids[:, None] < ids_a[None, :]))
+        return pa.table({
+            "id_a": pa.array(bids[ii], pa.int64()),
+            "id_b": pa.array(ids_a[jj], pa.int64()),
+            "sim": pa.array(np.floor(sims[ii, jj] * 1000 + 0.5) / 1000,
+                            pa.float64()),
+        })
+
+    out = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .to_pandas().sort_values(["id_a", "id_b"])
+    )
+    return pa.table({
+        "id_a": pa.array(out["id_a"].to_numpy(), pa.int64()),
+        "id_b": pa.array(out["id_b"].to_numpy(), pa.int64()),
+        "sim": pa.array(out["sim"].to_numpy(), pa.float64()),
+    })
+
+
+def q_ngram_jaccard(sf_dir: str) -> pa.Table:
+    """Word-bigram Jaccard similarity, top-5 pairs among the first 20 docs
+    (exact, SQL-checked). At scale the pair set comes from MinHash-LSH
+    candidates (minhash_lsh_candidates) and this verify runs inside
+    map_batches with a broadcast doc store — here the bounded pair set
+    keeps it oracle-exact."""
+    import ray.data as rd
+
+    from ..stages.dedup import _shingles
+    from ..analysis import get_analyzer
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=__import__("pyarrow").compute.field("doc_id") < 20,
+    )
+    ana = get_analyzer("simple_nostop")
+
+    def shingle_sets(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        sets = [sorted(_shingles(ana.tokens(t or ""), 2))
+                for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sh": pa.array([[s.decode() for s in x] for x in sets],
+                           pa.list_(pa.string())),
+        })
+
+    rows = ds.map_batches(shingle_sets, batch_format="pyarrow").take_all()
+    sets = {int(r["doc_id"]): set(r["sh"]) for r in rows}
+    pairs = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = len(sets[a] | sets[b])
+            j = (len(sets[a] & sets[b]) / u) if u else 0.0
+            pairs.append((a, b, np.floor(j * 1e4 + 0.5) / 1e4))
+    pairs.sort(key=lambda p: (-p[2], p[0], p[1]))
+    top = pairs[:5]
+    return pa.table({
+        "ia": pa.array([p[0] for p in top], pa.int64()),
+        "ib": pa.array([p[1] for p in top], pa.int64()),
+        "jac": pa.array([p[2] for p in top], pa.float64()),
+    })
+
+
 def q_sort_export_top50(sf_dir: str) -> pa.Table:
     out = (
         _docs_ds(sf_dir, ["doc_id", "n_chars"])
@@ -1238,6 +1331,8 @@ QUERIES = {
     "taxonomy_facet": q_taxonomy_facet,
     "expand_collapse": q_expand_collapse,
     "sampled_facet_lang": q_sampled_facet_lang,
+    "embed_neardup": q_embed_neardup,
+    "ngram_jaccard": q_ngram_jaccard,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1505,6 +1600,34 @@ SELECT CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS BIGINT)
        d.doc_id, d.n_chars::BIGINT AS n_chars
 FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cand)
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+""",
+    "ngram_jaccard": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents WHERE doc_id < 20),
+ sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
+  FROM toks),
+ pairs AS (
+  SELECT a.doc_id ia, b.doc_id ib,
+         len(list_intersect(a.g, b.g))::DOUBLE
+         / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE AS j
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+SELECT ia, ib, floor(j*10000+0.5)/10000 AS jac FROM pairs
+ORDER BY jac DESC, ia, ib LIMIT 5
+""",
+    "embed_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                  AS DOUBLE) * 1000 + 0.5) / 1000 AS sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)
+      >= 0.45
+ORDER BY id_a, id_b
 """,
     "sampled_facet_lang": """
 SELECT lang, count(*)::BIGINT AS cnt FROM documents

@@ -70,7 +70,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "geo_radius", "rescore_top20", "json_field_facet",
         "ann_ivf_top5", "qp_classic", "wdf_brand_subtoken",
         "ft_sorted_search", "taxonomy_facet", "expand_collapse",
-        "sampled_facet_lang",
+        "sampled_facet_lang", "embed_neardup", "ngram_jaccard",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):
