@@ -32,6 +32,50 @@ import numpy as np
 from ..codec import NORM_TABLE
 
 
+class LMDirichletSimilarity:
+    """Language-model similarity with Dirichlet smoothing
+    (``similarities/LMDirichletSimilarity.java``; Zhai & Lafferty 2001):
+
+    ``score = max(0, log(1 + tf / (mu * p(w|C))) + log(mu / (dl + mu)))``
+
+    with ``p(w|C) = totalTermFreq / sumTotalTermFreq`` (the collection
+    language model, ``LMSimilarity.DefaultCollectionModel``) and exact
+    doc lengths from the norms file. OR queries sum clause scores (no
+    coord/queryNorm — SimilarityBase returns 1 for both)."""
+
+    name = "lmdirichlet"
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = mu
+
+    def score_or(self, searcher, terms: list[str]):
+        sum_ttf = max(1, searcher.manifest.sum_total_term_freq)
+        mu = self.mu
+        parts = []
+        for t in terms:
+            docs, tfs = searcher.reader.postings(t)
+            if searcher.live_docs is not None and docs.size:
+                keep = searcher.live_docs.mask[docs]
+                docs, tfs = docs[keep], tfs[keep]
+            if docs.size == 0:
+                continue
+            p_c = searcher.reader.total_term_freq(t) / sum_ttf
+            if p_c <= 0:
+                continue
+            dl = searcher.norms.length[docs].astype(np.float64)
+            s = (np.log1p(tfs.astype(np.float64) / (mu * p_c))
+                 + np.log(mu / (dl + mu)))
+            parts.append((docs, np.maximum(s, 0.0)))
+        if not parts:
+            e = np.empty(0, np.int64)
+            return e, e.astype(np.float64)
+        union = np.unique(np.concatenate([d for d, _ in parts]))
+        acc = np.zeros(union.size, np.float64)
+        for docs, s in parts:
+            np.add.at(acc, np.searchsorted(union, docs), s)
+        return union, acc
+
+
 class ClassicSimilarity:
     name = "classic"
 

@@ -1,0 +1,86 @@
+"""Corpus loaders: Parquet / CSV / JSON-lines sources -> ray.data.Dataset.
+
+The Solr content-ingestion surface (``solr/core/src/java/org/apache/solr/
+handler/loader/`` — CSVLoader, JsonLoader; the DataImportHandler's
+flat-file entity processors) restated as Ray Data reads: each format
+streams as Arrow blocks, optionally renaming/selecting fields (the
+``fieldnames``/``f=`` mapping of Solr's loaders), so any downstream
+pipeline (indexing, dedup, stats) is source-agnostic.
+
+XML/Tika extraction is out of scope in this sandbox (no JVM/network);
+the loader registry raises a clear error for those formats.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def load_corpus(
+    path: str,
+    *,
+    fmt: str | None = None,
+    columns: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+):
+    """Read a corpus directory/file into a Dataset.
+
+    ``fmt`` in {"parquet", "csv", "json"} (json = newline-delimited);
+    inferred from the file extension when omitted. ``rename`` maps source
+    field names to index field names (Solr's ``fieldnames``/``f=`` map).
+    """
+    import ray.data as rd
+
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        if not ext and os.path.isdir(path):
+            names = os.listdir(path)
+            ext = next(
+                (os.path.splitext(n)[1].lstrip(".").lower() for n in names
+                 if "." in n), "")
+        fmt = {"jsonl": "json", "ndjson": "json"}.get(ext, ext)
+    if fmt == "parquet":
+        ds = rd.read_parquet(path, columns=columns)
+    elif fmt == "csv":
+        ds = rd.read_csv(path)
+        if columns:
+            ds = ds.select_columns(columns)
+    elif fmt == "json":
+        ds = rd.read_json(path)
+        if columns:
+            ds = ds.select_columns(columns)
+    elif fmt in ("xml", "tika", "pdf", "doc"):
+        raise NotImplementedError(
+            f"{fmt} extraction needs Tika/JVM — unavailable in this "
+            "environment (Solr's extraction contrib)"
+        )
+    else:
+        raise ValueError(f"unknown corpus format: {fmt!r}")
+    if rename:
+        import pyarrow as pa
+
+        def do_rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [rename.get(c, c) for c in b.column_names]
+            )
+
+        ds = ds.map_batches(do_rename, batch_format="pyarrow")
+    return ds
+
+
+def ingest_to_index(path: str, out_dir: str, *, fmt: str | None = None,
+                    text_field: str = "content",
+                    rename: dict[str, str] | None = None, **kw):
+    """Loader -> staging parquet -> build_index (CSV/JSON corpora are
+    staged as parquet so the partition planner gets row-group metadata)."""
+    from ..index import build_index
+
+    if fmt == "parquet" or (fmt is None and str(path).endswith("parquet")):
+        return build_index(path, out_dir, text_field=text_field, **kw)
+    ds = load_corpus(path, fmt=fmt, rename=rename)
+    staged = os.path.join(out_dir, "_staged_corpus")
+    if not os.path.isdir(staged):
+        tmp = staged + ".tmp"
+        ds.write_parquet(tmp)
+        os.replace(tmp, staged)
+    return build_index(staged, out_dir, text_field=text_field, **kw)

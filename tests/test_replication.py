@@ -1,0 +1,85 @@
+"""Replication (ReplicationHandler/SnapPuller analogue) + corpus loaders."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import build_index, merge_index
+from lucene_solr_ray.search import IndexSearcher, TermQuery
+from lucene_solr_ray.search.searcher import SearcherManager
+from lucene_solr_ray.sources import generate_table
+from lucene_solr_ray.state.replication import index_generation, replicate
+
+
+@pytest.fixture()
+def master(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("rep_corpus")
+    pq.write_table(generate_table(300, seed=21), str(d / "c.parquet"),
+                   row_group_size=100)
+    out = str(tmp_path_factory.mktemp("rep_master"))
+    build_index(str(d), out, rows_per_partition=100)
+    merge_index(out)
+    return out
+
+
+def test_replicate_then_identical_results(master, tmp_path_factory):
+    replica = str(tmp_path_factory.mktemp("rep_replica"))
+    r1 = replicate(master, replica)
+    assert not r1["up_to_date"] and r1["copied"] > 0
+    a = IndexSearcher(master).search(TermQuery("return"), k=10)
+    b = IndexSearcher(replica).search(TermQuery("return"), k=10)
+    assert a.to_pydict() == b.to_pydict()
+    # second pass is a no-op
+    r2 = replicate(master, replica)
+    assert r2["up_to_date"] and r2["copied"] == 0
+
+
+def test_replica_follows_master_updates(master, tmp_path_factory):
+    replica = str(tmp_path_factory.mktemp("rep_replica2"))
+    replicate(master, replica)
+    mgr = SearcherManager(replica)
+
+    from lucene_solr_ray.index.updates import update_documents
+
+    changed = pa.table({
+        "repo": pa.array(["r"]), "path": pa.array(["p"]),
+        "commit": pa.array(["c"]), "lang": pa.array(["py"]),
+        "content": pa.array(["replicated freshword content"]),
+    })
+    # master gains a delta segment (append; no matching key col -> use
+    # append via update on a non-existent key set is fine: delete 0)
+    from lucene_solr_ray.index.updates import append_segment
+
+    append_segment(master, changed)
+    r = replicate(master, replica)
+    assert not r["up_to_date"]
+    assert mgr.maybe_refresh()  # generation change seen
+    s = mgr.acquire()
+    assert s.count(TermQuery("freshword")) == 1
+
+
+def test_loaders_csv_json(tmp_path_factory, ray_session):
+    from lucene_solr_ray.sources.loaders import ingest_to_index, load_corpus
+
+    d = tmp_path_factory.mktemp("loader_src")
+    csv = d / "docs.csv"
+    csv.write_text("id,body\n1,alpha beta\n2,beta gamma\n")
+    jl = d / "docs.json"
+    jl.write_text('{"id": 3, "body": "gamma delta"}\n'
+                  '{"id": 4, "body": "delta epsilon"}\n')
+
+    ds = load_corpus(str(csv), rename={"body": "content"})
+    assert set(ds.schema().names) == {"id", "content"}
+    assert ds.count() == 2
+
+    out = str(tmp_path_factory.mktemp("loader_idx"))
+    ingest_to_index(str(jl), out, fmt="json",
+                    rename={"body": "content"}, rows_per_partition=10)
+    s = IndexSearcher(out)
+    assert s.count(TermQuery("delta")) == 2
+
+    with pytest.raises(NotImplementedError):
+        load_corpus("x.xml", fmt="xml")

@@ -98,3 +98,22 @@ def test_bm25_default_unchanged(cidx):
     a = IndexSearcher(cidx).search(TermQuery("apple"), k=10)
     b = IndexSearcher(cidx, similarity=None).search(TermQuery("apple"), k=10)
     assert a.to_pydict() == b.to_pydict()
+
+
+def test_lmdirichlet_golden(cidx):
+    from lucene_solr_ray.search.similarities import LMDirichletSimilarity
+
+    s = IndexSearcher(cidx, similarity=LMDirichletSimilarity(mu=100.0))
+    t = s.search(TermQuery("apple"), k=10)
+    got = dict(zip(t["doc_id"].to_pylist(),
+                   [float(x) for x in t["score"].to_pylist()]))
+    # collection: 11 tokens total; ttf(apple)=3
+    p_c = 3 / 11
+    mu = 100.0
+    want = {
+        0: max(0.0, math.log(1 + 2 / (mu * p_c)) + math.log(mu / (3 + mu))),
+        1: max(0.0, math.log(1 + 1 / (mu * p_c)) + math.log(mu / (2 + mu))),
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-6), d
