@@ -1285,8 +1285,16 @@ def q_minhash_candidates(sf_dir: str) -> pa.Table:
 
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
     pairs = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=32,
-                                   bands=8)
-    n = pairs.count()
+                                   bands=8, dedupe=False)
+    # candidate pairs are tiny vs the corpus: dedupe driver-side instead
+    # of paying another all-to-all groupby just to count them
+    rows = pairs.take_all()
+    if rows:
+        a = np.array([r["id_a"] for r in rows], np.int64)
+        b = np.array([r["id_b"] for r in rows], np.int64)
+        n = int(np.unique(a * (a.max() + b.max() + 2) + b).size)
+    else:
+        n = 0
     return pa.table({"candidate_pairs": pa.array([n], pa.int64())})
 
 

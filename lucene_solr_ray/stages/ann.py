@@ -159,9 +159,9 @@ def ivf_topk(
     id_col: str = "vec_id", round_decimals: int = 4,
 ) -> pa.Table:
     """IVF-Flat search over an :func:`ivf_write` layout: ONE pass over the
-    union of all queries' probed cells (partition-pruned read via a
-    pyarrow filter expression — non-probed partitions are never scanned),
-    scoring each query only against rows in its own probe set."""
+    union of all queries' probed cells (explicit partition pruning — only
+    the probed ``centroid=N`` directories are ever opened), scoring each
+    query only against rows in its own probe set."""
     import ray
     import ray.data as rd
 

@@ -150,7 +150,7 @@ def minhash_batch(
 
 def minhash_lsh_candidates(
     ds, text_col: str, id_col: str, *, num_perm: int = 64, bands: int = 16,
-    shingle_k: int = 3,
+    shingle_k: int = 3, dedupe: bool = True,
 ):
     """Candidate near-dup pairs via LSH banding.
 
@@ -248,8 +248,11 @@ def minhash_lsh_candidates(
     import pyarrow.compute as pc_
     import ray.data as rd
 
+    # coalesce before the sort: band rows are tiny; a handful of fat
+    # blocks keeps the sort's all-to-all object count (nparts^2) small
     tagged = (
-        banded.sort(["band", "band_hash"])
+        banded.repartition(8)
+        .sort(["band", "band_hash"])
         .map_batches(expand, batch_format="pyarrow", batch_size=None)
         .materialize()  # consumed twice below; pair rows stay distributed
     )
@@ -284,6 +287,11 @@ def minhash_lsh_candidates(
         pairs = pairs.union(rd.from_items([
             {"id_a": a, "id_b": b} for a, b in sorted(extra)
         ]))
+    if not dedupe:
+        # candidate pairs are FEW relative to the corpus (that's the point
+        # of banding); callers that only count / post-verify can dedupe
+        # driver-side and skip this extra all-to-all
+        return pairs
     # dedupe pairs seen in multiple bands
     return pairs.groupby(["id_a", "id_b"]).count()
 
