@@ -65,3 +65,20 @@ def delete_by_query(index_dir: str, query, searcher=None) -> int:
     if docs.size:
         delete_docs(index_dir, docs)
     return int(docs.size)
+
+
+def ttl_delete(index_dir: str, field: str, cutoff, searcher=None) -> int:
+    """TTL reaper (Solr's DocExpirationUpdateProcessorFactory periodic
+    deleteByQuery on an expiration field): mark every LIVE doc whose
+    docvalues ``field`` is < ``cutoff`` deleted. Returns #docs marked."""
+    from ..search.searcher import IndexSearcher
+
+    s = searcher or IndexSearcher(index_dir)
+    vals = s.docvalues(field)
+    expired = vals < cutoff
+    if s.live_docs is not None:
+        expired &= s.live_docs.mask
+    doomed = np.flatnonzero(expired)
+    if doomed.size:
+        delete_docs(index_dir, doomed)
+    return int(doomed.size)

@@ -29,23 +29,57 @@ def content_hash_batch(batch: pa.Table, text_col: str,
     return batch.append_column(out_col, pa.array(vals, pa.string()))
 
 
-def exact_dedup(ds, text_col: str, id_col: str):
-    """Keep the lowest id per distinct content: hash -> groupby -> min.
+def exact_dedup(ds, text_col: str, id_col: str, *,
+                resolver: str = "keep_min", order_col: str | None = None):
+    """Keep one doc per distinct content: hash -> groupby -> resolve.
+
+    Conflict resolvers (the MR tool's pluggable
+    ``UpdateConflictResolver``s — ``hadoop/dedup/
+    RetainMostRecentUpdateConflictResolver.java``):
+
+    - ``keep_min`` / ``keep_max``: lowest / highest ``id_col``;
+    - ``most_recent``: highest ``order_col`` (e.g. a timestamp/version
+      column — RetainMostRecentUpdateConflictResolver).
 
     Returns a Dataset of (content_md5, keep_id, dup_count).
     """
+    from ray.data.aggregate import Count, Max, Min
+
+    cols = ["content_md5", id_col] + (
+        [order_col] if resolver == "most_recent" else [])
     hashed = ds.map_batches(
-        lambda b: content_hash_batch(b, text_col).select(
-            ["content_md5", id_col]
-        ),
+        lambda b: content_hash_batch(b, text_col).select(cols),
         batch_format="pyarrow",
     )
-    from ray.data.aggregate import Count, Min
+    if resolver == "keep_min":
+        return hashed.groupby("content_md5").aggregate(
+            Min(id_col, alias_name="keep_id"),
+            Count(alias_name="dup_count"),
+        )
+    if resolver == "keep_max":
+        return hashed.groupby("content_md5").aggregate(
+            Max(id_col, alias_name="keep_id"),
+            Count(alias_name="dup_count"),
+        )
+    if resolver == "most_recent":
+        if not order_col:
+            raise ValueError("most_recent needs order_col")
+        # argmax without a UDF: pack (order, id) into one sortable int is
+        # type-fragile; use map_groups on the (small) per-hash groups
+        import pandas as pd
 
-    return hashed.groupby("content_md5").aggregate(
-        Min(id_col, alias_name="keep_id"),
-        Count(alias_name="dup_count"),
-    )
+        def head(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values([order_col, id_col],
+                              ascending=[False, True])
+            return pd.DataFrame({
+                "content_md5": [g["content_md5"].iloc[0]],
+                "keep_id": [g[id_col].iloc[0]],
+                "dup_count": [len(g)],
+            })
+
+        return hashed.groupby("content_md5").map_groups(
+            head, batch_format="pandas")
+    raise ValueError(f"unknown resolver: {resolver!r}")
 
 
 def _shingles(tokens: list[str], k: int) -> set[bytes]:
