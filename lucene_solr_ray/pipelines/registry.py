@@ -1609,6 +1609,36 @@ SELECT CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS BIGINT)
 FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cand)
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
 """,
+    # MLT: top-25 (tf * idf) terms of doc 0 (minTermFreq=1, minDocFreq=2)
+    # expanded to a BM25 OR query, top 11 (doc 0 itself included)
+    "mlt_top10": f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ doc0 AS (SELECT term, count(*)::DOUBLE AS f FROM tokens
+          WHERE doc_id = 0 GROUP BY term),
+ df_all AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+            FROM tokens GROUP BY term),
+ sel AS (SELECT d0.term FROM doc0 d0 JOIN df_all USING (term), stats
+         WHERE df_all.df >= 2
+         ORDER BY d0.f * ln(1 + (stats.n - df_all.df + 0.5)
+                                / (df_all.df + 0.5)) DESC, d0.term
+         LIMIT 25),
+ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokens
+        WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+ dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+ scored0 AS (
+   SELECT tf.doc_id,
+          ln(1 + (stats.n - dfx.df + 0.5)/(dfx.df + 0.5)) * 2.2 * tf.tf
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sumdl/stats.n)))
+          AS s
+   FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats),
+ scored AS (SELECT doc_id, sum(s) AS s FROM scored0 GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, floor(s*10000 + 0.5)/10000 AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 11
+""",
     "ngram_jaccard": """
 WITH toks AS (
   SELECT doc_id,

@@ -101,6 +101,9 @@ class SearcherActor:
         self.k = k
         self.prune = prune
 
+    def ready(self) -> bool:
+        return True
+
     def __call__(self, batch: dict) -> dict:
         from ..analysis import get_analyzer
         from .query import parse_query
@@ -116,6 +119,49 @@ class SearcherActor:
             rows["doc_id"].extend(t["doc_id"].to_pylist())
             rows["score"].extend(t["score"].to_pylist())
         return {k2: np.asarray(v) for k2, v in rows.items()}
+
+
+class ServingPool:
+    """Persistent query-serving pool: N long-lived SearcherActor replicas
+    (the steady-state Solr searcher deployment — actors hold the term
+    dict in RAM + mmap'd payloads across requests; ``map_batches`` pools
+    are per-execution and would re-pay startup per call)."""
+
+    def __init__(self, index_dir: str, *, k: int = 10, prune: bool = True,
+                 num_actors: int = 4):
+        import ray
+
+        actor_cls = ray.remote(SearcherActor)
+        self.actors = [
+            actor_cls.remote(index_dir, k, prune) for _ in range(num_actors)
+        ]
+        # block until every replica finished loading (warm pool)
+        ray.get([a.ready.remote() for a in self.actors])
+
+    def search_many(self, query_texts: list[str]) -> pa.Table:
+        import ray
+
+        n = len(self.actors)
+        chunks = np.array_split(np.arange(len(query_texts)), n)
+        refs = []
+        for a, idx in zip(self.actors, chunks):
+            if idx.size == 0:
+                continue
+            batch = {
+                "query_id": idx,
+                "query": np.array([query_texts[i] for i in idx], object),
+            }
+            refs.append(a.__call__.remote(batch))
+        parts = ray.get(refs)
+        out = {key: np.concatenate([p[key] for p in parts])
+               for key in ("query_id", "rank", "doc_id", "score")}
+        order = np.lexsort((out["rank"], out["query_id"]))
+        return pa.table({
+            "query_id": pa.array(out["query_id"][order]),
+            "rank": pa.array(out["rank"][order]),
+            "doc_id": pa.array(out["doc_id"][order]),
+            "score": pa.array(out["score"][order]),
+        })
 
 
 def search_many(

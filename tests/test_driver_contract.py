@@ -71,6 +71,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "ann_ivf_top5", "qp_classic", "wdf_brand_subtoken",
         "ft_sorted_search", "taxonomy_facet", "expand_collapse",
         "sampled_facet_lang", "embed_neardup", "ngram_jaccard",
+        "mlt_top10",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):
@@ -86,7 +87,7 @@ def test_query_matches_oracle(contract, duck, name):
 
 
 @pytest.mark.parametrize("name", ["lang_id", "simhash",
-                                  "minhash_candidates", "mlt_top10",
+                                  "minhash_candidates",
                                   "media_image_stats", "ann_lsh_top5",
                                   "hll_users"])
 def test_rows_only_queries_run(contract, name):

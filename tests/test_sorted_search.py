@@ -49,3 +49,20 @@ def test_sharded_rank_identity(sidx, ray_session):
         got = search_by_field_sharded(sidx, q, 15, "n_chars",
                                       num_shards=n).to_pydict()
         assert got == want, n
+
+
+def test_serving_pool_matches_single(sidx, ray_session):
+    from lucene_solr_ray.search.distributed import ServingPool
+
+    pool = ServingPool(sidx, k=5, prune=False, num_actors=2)
+    t = pool.search_many(["table", "value scan", "zzzmissing"])
+    s = IndexSearcher(sidx)
+    from lucene_solr_ray.analysis import get_analyzer
+    from lucene_solr_ray.search.query import parse_query
+
+    ana = get_analyzer("simple")
+    for qid, qtext in enumerate(["table", "value scan", "zzzmissing"]):
+        want = s.search(parse_query(qtext, ana), k=5)
+        m = [i for i, q in enumerate(t["query_id"].to_pylist()) if q == qid]
+        assert [t["doc_id"][i].as_py() for i in m] == \
+            want["doc_id"].to_pylist(), qtext
