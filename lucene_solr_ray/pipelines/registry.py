@@ -1039,6 +1039,22 @@ def q_taxonomy_facet(sf_dir: str) -> pa.Table:
     )
 
 
+def q_func_boost(sf_dir: str) -> pa.Table:
+    """Function query: BM25('table') multiplied by the parsed ValueSource
+    expression ``log(sum(n_chars,1))`` ({!boost} / FunctionQuery +
+    ValueSourceParser surface)."""
+    from ..search.functions import boost_by_function
+    from ..search.query import TermQuery
+
+    s, doc_map = _doc_index(sf_dir)
+    t = boost_by_function(s, TermQuery("table"), "log(sum(n_chars,1))", 10)
+    return pa.table({
+        "rank": t["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
 def q_facet_on_query(sf_dir: str) -> pa.Table:
     """SimpleFacets over a search result set (SimpleFacets.java:108):
     lang counts among docs matching TermQuery('table')."""
@@ -1341,6 +1357,7 @@ QUERIES = {
     "sampled_facet_lang": q_sampled_facet_lang,
     "embed_neardup": q_embed_neardup,
     "ngram_jaccard": q_ngram_jaccard,
+    "func_boost": q_func_boost,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1608,6 +1625,25 @@ SELECT CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS BIGINT)
        d.doc_id, d.n_chars::BIGINT AS n_chars
 FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cand)
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+""",
+    "func_boost": f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tokens
+        WHERE term = 'table' GROUP BY doc_id),
+ dfx AS (SELECT count(*)::DOUBLE AS df FROM tf),
+ scored AS (
+   SELECT tf.doc_id,
+          ln(1 + (stats.n - dfx.df + 0.5)/(dfx.df + 0.5)) * 2.2 * tf.tf
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sumdl/stats.n)))
+          * log10(d.n_chars + 1) AS s
+   FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN documents d ON d.doc_id = tf.doc_id, stats, dfx)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, floor(s*10000 + 0.5)/10000 AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 10
 """,
     # MLT: top-25 (tf * idf) terms of doc 0 (minTermFreq=1, minDocFreq=2)
     # expanded to a BM25 OR query, top 11 (doc 0 itself included)

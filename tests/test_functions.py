@@ -1,0 +1,42 @@
+"""ValueSource expression parser + FunctionQuery golden behavior."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.search.functions import evaluate, parse_func
+
+
+def _vals(field):
+    return {"x": np.array([1.0, 4.0, 9.0, 99.0]),
+            "y": np.array([2.0, 2.0, 2.0, 2.0])}[field]
+
+
+DOCS = np.arange(4)
+
+
+@pytest.mark.parametrize("expr,want", [
+    ("x", [1, 4, 9, 99]),
+    ("3.5", [3.5] * 4),
+    ("sum(x,y,1)", [4, 7, 12, 102]),
+    ("sub(x,y)", [-1, 2, 7, 97]),
+    ("product(x,y)", [2, 8, 18, 198]),
+    ("div(x,y)", [0.5, 2, 4.5, 49.5]),
+    ("sqrt(x)", [1, 2, 3, np.sqrt(99)]),
+    ("log(sum(x,1))", list(np.log10([2, 5, 10, 100]))),
+    ("recip(x,1,1000,1000)", [1000 / 1001, 1000 / 1004, 1000 / 1009,
+                              1000 / 1099]),
+    ("linear(x,2,1)", [3, 9, 19, 199]),
+    ("min(x,y)", [1, 2, 2, 2]),
+    ("max(x,y)", [2, 4, 9, 99]),
+    ("map(x,0,5,0)", [0, 0, 9, 99]),
+    ("abs(sub(y,x))", [1, 2, 7, 97]),
+])
+def test_eval(expr, want):
+    got = evaluate(parse_func(expr), _vals, DOCS)
+    assert np.allclose(got, want), expr
+
+
+def test_parse_errors():
+    for bad in ["sum(x", "1 2", "nosuchfn(x)", ""]:
+        with pytest.raises(ValueError):
+            evaluate(parse_func(bad), _vals, DOCS)
