@@ -195,6 +195,42 @@ def porter_stem(w: str) -> str:
     return w
 
 
+def ascii_fold(token: str) -> str:
+    """ASCIIFoldingFilter (``analysis/common/.../miscellaneous/
+    ASCIIFoldingFilter.java``): strip diacritics / fold Latin letters to
+    their ASCII base via Unicode NFKD + combining-mark removal (covers
+    the filter's Latin-1/Latin-Extended table; symbols without an ASCII
+    decomposition pass through unchanged)."""
+    if token.isascii():
+        return token
+    import unicodedata
+
+    folded = "".join(
+        c for c in unicodedata.normalize("NFKD", token)
+        if not unicodedata.combining(c)
+    )
+    return folded
+
+
+class FoldingAnalyzer(Analyzer):
+    """Standard chain + ASCII folding (the schema.xml staple
+    ``<filter class="solr.ASCIIFoldingFilterFactory"/>``)."""
+
+    name = "folding"
+
+    def __init__(self, base: str = "standard"):
+        from .analyzers import get_analyzer
+
+        self.base = get_analyzer(base)
+
+    def tokens(self, text: str) -> list[str]:
+        return [ascii_fold(t) for t in self.base.tokens(text)]
+
+    def tokens_with_positions(self, text: str):
+        toks, pos = self.base.tokens_with_positions(text)
+        return [ascii_fold(t) for t in toks], pos
+
+
 class EnglishAnalyzer(Analyzer):
     """StandardAnalyzer chain + possessive strip + PorterStemFilter
     (``en/EnglishAnalyzer.java`` shape with the classic stemmer)."""
@@ -271,3 +307,4 @@ class CodeAnalyzer(Analyzer):
 
 register_analyzer("english", EnglishAnalyzer())
 register_analyzer("code", CodeAnalyzer())
+register_analyzer("folding", FoldingAnalyzer())

@@ -857,6 +857,21 @@ def q_events_window(sf_dir: str) -> pa.Table:
     })
 
 
+def q_bpe_token_count(sf_dir: str) -> pa.Table:
+    """BPE-ish token counting (GPT-2 pre-tokenizer regex) per doc."""
+    from ..stages.textstats import bpe_token_count_batch
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(bpe_token_count_batch, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id")
+    )
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "bpe_tokens": pa.array(out["bpe_tokens"].to_numpy(), pa.int64()),
+    })
+
+
 def q_quality_tokens(sf_dir: str) -> pa.Table:
     from ..stages.textstats import token_quality_batch
 
@@ -1358,6 +1373,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "ngram_jaccard": q_ngram_jaccard,
     "func_boost": q_func_boost,
+    "bpe_token_count": q_bpe_token_count,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1625,6 +1641,12 @@ SELECT CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS BIGINT)
        d.doc_id, d.n_chars::BIGINT AS n_chars
 FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM cand)
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+""",
+    "bpe_token_count": r"""
+SELECT doc_id, len(regexp_extract_all(text,
+  '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'
+  ))::BIGINT AS bpe_tokens
+FROM documents ORDER BY doc_id
 """,
     "func_boost": f"""
 WITH {_TOKENS},

@@ -31,6 +31,32 @@ LANG_PROFILES = {
 _CJK_RE = re.compile(r"[一-鿿]")
 
 
+# GPT-2-style pre-tokenizer regex (Radford et al. 2019, the published
+# pattern), lookahead-free ASCII variant so DuckDB RE2 reproduces it
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+)
+
+
+def bpe_token_count_batch(batch: pa.Table,
+                          text_col: str = "text") -> pa.Table:
+    """Per-doc BPE-ish token count: the GPT-2 pre-tokenizer split (what a
+    training-data pipeline budgets sequence lengths with). The per-row
+    regex scan IS the pre-tokenizer cost; compiled once per worker."""
+    import re
+
+    pat = re.compile(BPE_PRETOKEN_RE)
+    counts = np.fromiter(
+        (sum(1 for _ in pat.finditer(t or ""))
+         for t in batch[text_col].to_pylist()),
+        np.int64, count=batch.num_rows,
+    )
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "bpe_tokens": pa.array(counts),
+    })
+
+
 def token_quality_batch(batch: pa.Table, text_col: str = "text",
                         analyzer: str = "simple") -> pa.Table:
     """Add n_tokens / stop_tokens / distinct_tokens columns."""

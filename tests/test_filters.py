@@ -94,3 +94,15 @@ def test_english_analyzer():
         "cat", "were", "motor", "happili"]
     # possessive strip before stemming
     assert ana.tokens("the dog's bones") == ["dog", "bone"]
+
+
+def test_ascii_folding():
+    from lucene_solr_ray.analysis.filters import ascii_fold
+
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("über") == "uber"
+    assert ascii_fold("naïve") == "naive"
+    assert ascii_fold("łódź") == "łodz"  # ł has no NFKD decomposition
+    assert ascii_fold("plain") == "plain"
+    ana = get_analyzer("folding")
+    assert ana.tokens("Café Über the naïve") == ["cafe", "uber", "naive"]
