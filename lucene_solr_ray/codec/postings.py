@@ -305,6 +305,47 @@ def decode_postings_batch(
     return docs, (tfm1 + 1).astype(np.int32)
 
 
+def decode_values_batch(
+    buf: np.ndarray,
+    offs: np.ndarray,
+    counts: np.ndarray,
+) -> np.ndarray:
+    """Vectorized :func:`decode_values` for MANY single-block byte-aligned
+    value streams packed in one uint8 buffer (``counts[i]`` must equal the
+    stored header and be <= BLOCK_SIZE). Returns the concatenated values
+    (uint32-ranged int64) in row order."""
+    offs = np.asarray(offs, np.int64)
+    counts = np.asarray(counts, np.int64)
+    total = int(counts.sum())
+    out_starts = np.zeros(offs.size, np.int64)
+    np.cumsum(counts[:-1], out=out_starts[1:])
+    out = np.empty(total, np.int64)
+    data_start = offs + 4
+    codes = buf[data_start]
+    for code, width in ((0, 0), (253, 1), (254, 2), (255, 4)):
+        m = codes == code
+        if not m.any():
+            continue
+        ds = data_start[m] + 1
+        cnt = counts[m]
+        if code == 0:
+            val = (buf[ds].astype(np.int64)
+                   | (buf[ds + 1].astype(np.int64) << 8)
+                   | (buf[ds + 2].astype(np.int64) << 16)
+                   | (buf[ds + 3].astype(np.int64) << 24))
+            dst = np.repeat(out_starts[m], cnt) + _intra(cnt)
+            out[dst] = np.repeat(val, cnt)
+            continue
+        intra = _intra(cnt)
+        src = np.repeat(ds, cnt) + intra * width
+        dst = np.repeat(out_starts[m], cnt) + intra
+        v = buf[src].astype(np.int64)
+        for b in range(1, width):
+            v |= buf[src + b].astype(np.int64) << (8 * b)
+        out[dst] = v
+    return out
+
+
 def _intra(counts: np.ndarray) -> np.ndarray:
     """[0..c0-1, 0..c1-1, ...] for the given segment counts."""
     total = int(counts.sum())

@@ -142,6 +142,54 @@ def check_index(index_dir: str, *, sample_terms: int | None = None,
     return report
 
 
+def check_merged(index_dir: str, *, sample_terms: int = 500,
+                 strict: bool = True) -> dict:
+    """Merged-view consistency vs the segment source of truth: same term
+    set, per-term df/ttf totals equal, and sampled postings (and
+    positions, when stored) decode identically — CheckIndex extended to
+    the post-merge index (catches chunk-loss / double-count corruption,
+    e.g. a stale staging dir)."""
+    from ..search.readers import MergedReader, SegmentsReader
+
+    report = {"terms": 0, "terms_checked": 0, "errors": []}
+
+    def err(msg):
+        if strict:
+            raise AssertionError(msg)
+        report["errors"].append(msg)
+
+    man = IndexManifest.load(index_dir)
+    seg = SegmentsReader(index_dir)
+    mrg = MergedReader(index_dir)
+    ts = seg.unique_terms()
+    tm = mrg.unique_terms()
+    if not np.array_equal(ts, tm):
+        err(f"term sets differ: {len(ts)} vs {len(tm)}")
+    report["terms"] = int(ts.size)
+    idx = np.arange(ts.size)
+    if ts.size > sample_terms:
+        rng = np.random.default_rng(0)
+        idx = np.sort(rng.choice(ts.size, sample_terms, replace=False))
+    for i in idx.tolist():
+        t = ts[i]
+        if seg.doc_freqs([t])[t] != mrg.doc_freqs([t])[t]:
+            err(f"term {t!r}: df mismatch")
+        if seg.total_term_freq(t) != mrg.total_term_freq(t):
+            err(f"term {t!r}: ttf mismatch")
+        a = seg.postings(t)
+        b = mrg.postings(t)
+        if not (np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])):
+            err(f"term {t!r}: postings differ")
+        if man.store_positions:
+            pa_ = seg.postings_with_positions(t)
+            pb_ = mrg.postings_with_positions(t)
+            if not np.array_equal(pa_[2], pb_[2]):
+                err(f"term {t!r}: positions differ")
+        report["terms_checked"] += 1
+    report["ok"] = not report["errors"]
+    return report
+
+
 def fetch_docs(index_dir: str, corpus_source: str | None = None,
                doc_ids: list[int] = (), columns: list[str] | None = None):
     """Stored-fields fetch: doc_id -> source parquet row (the 2-phase

@@ -195,7 +195,7 @@ def _compact_group(
 
 def _compact_groups_vectorized(
     v: _MetaView, group_id: np.ndarray, cp_group: np.ndarray,
-    index_dir: str, chunk_docs: int,
+    index_dir: str, chunk_docs: int, use_positions: bool = False,
 ) -> list[dict]:
     """Compact ALL small fragmented groups of a sorted batch in one
     vectorized pass (byte-aligned, no-positions indexes): gather the
@@ -249,6 +249,43 @@ def _compact_groups_vectorized(
         docs[out0[i]:out0[i] + dfs[i]] = d
         tfs[out0[i]:out0[i] + dfs[i]] = f
 
+    # positions: same gather + batch-decode over the prox-delta streams
+    pos_flat = None
+    pos_out0 = None
+    ttfs_rows = None
+    if use_positions:
+        from ..codec.postings import decode_values_batch
+
+        plens = v.pos_lengths[rows].astype(np.int64)
+        pflat = np.empty(int(plens.sum()), np.uint8)
+        pdst0 = np.zeros(rows.size, np.int64)
+        np.cumsum(plens[:-1], out=pdst0[1:])
+        poffs = v.pos_offsets[rows].astype(np.int64)
+        for pid in np.unique(pids).tolist():
+            m = pids == pid
+            seg = np.frombuffer(
+                _mmap(os.path.join(index_dir, _seg_bin_name(int(pid)))),
+                np.uint8,
+            )
+            il = _intra(plens[m])
+            pflat[np.repeat(pdst0[m], plens[m]) + il] = \
+                seg[np.repeat(poffs[m], plens[m]) + il]
+        ttfs_rows = v.ttfs[rows].astype(np.int64)
+        total_ttf = int(ttfs_rows.sum())
+        pos_flat = np.empty(total_ttf, np.int64)
+        pos_out0 = np.zeros(rows.size, np.int64)
+        np.cumsum(ttfs_rows[:-1], out=pos_out0[1:])
+        psmall = ttfs_rows <= BLOCK_SIZE
+        if psmall.any():
+            vals = decode_values_batch(pflat, pdst0[psmall],
+                                       ttfs_rows[psmall])
+            dsti = np.repeat(pos_out0[psmall], ttfs_rows[psmall]) \
+                + _intra(ttfs_rows[psmall])
+            pos_flat[dsti] = vals
+        for i in np.flatnonzero(~psmall).tolist():
+            vals = decode_values(pflat[pdst0[i]:pdst0[i] + int(plens[i])])
+            pos_flat[pos_out0[i]:pos_out0[i] + ttfs_rows[i]] = vals
+
     # per-row -> per-group max norm byte (upper bound; df>0 rows always
     # have at least one block entry, so reduceat segments are non-empty)
     boff, bvals = v._lists["block_max_norm"]
@@ -271,6 +308,10 @@ def _compact_groups_vectorized(
         hi0 = int(out0[e - 1] + dfs[e - 1])
         gd = docs[lo0:hi0]
         gt = tfs[lo0:hi0]
+        if pos_flat is not None:
+            gp = pos_flat[int(pos_out0[s]):
+                          int(pos_out0[e - 1] + ttfs_rows[e - 1])]
+            g_tf_cum = np.concatenate(([0], np.cumsum(gt)))
         max_norm = int(g_norm[k])
         for c in range((gd.size + chunk_docs - 1) // chunk_docs):
             lo, hi = c * chunk_docs, min((c + 1) * chunk_docs, gd.size)
@@ -285,7 +326,10 @@ def _compact_groups_vectorized(
                 else int(gt[lo:hi].sum()),
                 "start_doc": int(gd[lo]),
                 "payload": payload,
-                "positions": b"",
+                "positions": (
+                    encode_values(gp[g_tf_cum[lo]:g_tf_cum[hi]], True)
+                    if pos_flat is not None else b""
+                ),
                 "block_last": last,
                 "block_max_tf": maxtf,
                 "block_max_norm": np.full(last.size, max_norm, np.uint8),
@@ -384,6 +428,7 @@ def _write_terms_file(tables: list[pa.Table], out_dir: str,
 def _merge_batch(
     batch: pa.Table, index_dir: str, out_dir: str, byte_aligned: bool,
     chunk_docs: int, use_positions: bool,
+    reencode_max_docs: int = REENCODE_MAX_DOCS,
 ) -> pa.Table:
     """Merge all interior (term, salt) groups of a sorted metadata batch;
     return the boundary rows (first & last key of the block) unmerged."""
@@ -408,8 +453,8 @@ def _merge_batch(
     interior = np.ones(starts.size, bool)
     interior[0] = False
     interior[-1] = False
-    pt_group = interior & ((g_size == 1) | (g_df > REENCODE_MAX_DOCS))
-    cp_group = interior & (g_size > 1) & (g_df <= REENCODE_MAX_DOCS)
+    pt_group = interior & ((g_size == 1) | (g_df > reencode_max_docs))
+    cp_group = interior & (g_size > 1) & (g_df <= reencode_max_docs)
 
     # per-row rank by pid within its group (chunk_id sequencing)
     order = np.lexsort((v.pids, group_id))
@@ -426,11 +471,12 @@ def _merge_batch(
     if pt_rows.size:
         tables.append(_passthrough_table(batch, v, pt_rows, rank_of))
 
-    if byte_aligned and not use_positions:
+    if byte_aligned:
         chunks = _compact_groups_vectorized(
-            v, group_id, cp_group, index_dir, chunk_docs
+            v, group_id, cp_group, index_dir, chunk_docs,
+            use_positions=use_positions,
         )
-    else:  # bit-packed or positional indexes: per-group scalar path
+    else:  # bit-packed indexes: per-group scalar path
         chunks = []
         for g in np.flatnonzero(cp_group).tolist():
             chunks.extend(_compact_group(
@@ -455,8 +501,14 @@ def merge_index(
     hot_df_threshold: int = 100_000,
     salt_group_size: int = 64,
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
+    reencode_max_docs: int = REENCODE_MAX_DOCS,
 ) -> IndexManifest:
-    """Metadata-shuffle-merge all segments into ``index_dir/merged``."""
+    """Metadata-shuffle-merge all segments into ``index_dir/merged``.
+
+    ``reencode_max_docs`` is the MergePolicy knob (TieredMergePolicy's
+    "rewrite small, re-point big" boundary): groups with more postings
+    pass through as independent chunks; smaller fragmented groups are
+    compacted into fresh payloads."""
     import ray
     import ray.data as rd
 
@@ -508,7 +560,8 @@ def merge_index(
         .sort(["term", "salt"])
         .map_batches(
             lambda b: _merge_batch(b, index_dir, tmp_out, byte_aligned,
-                                   chunk_docs, use_positions),
+                                   chunk_docs, use_positions,
+                                   reencode_max_docs),
             batch_format="pyarrow",
             batch_size=None,
         )
@@ -526,7 +579,7 @@ def merge_index(
         for (term, salt), grp in sorted(groups.items()):
             grp.sort(key=lambda g: int(g["pid"]))
             if len(grp) > 1 and sum(int(g["df"]) for g in grp) \
-                    <= REENCODE_MAX_DOCS:
+                    <= reencode_max_docs:
                 # compact driver-side from the segment bins
                 docs_l, tfs_l, pos_l = [], [], []
                 max_norm = 0

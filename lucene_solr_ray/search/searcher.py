@@ -617,6 +617,15 @@ class IndexSearcher:
     def count(self, q: Query) -> int:
         return int(self._docs_only(q).size)
 
+    def collect(self, q: Query, collector):
+        """Collector extension point (``search/Collector.java`` /
+        ``IndexSearcher.search(Query, Collector)``): the vectorized
+        equivalent hands the full (docs asc, scores) arrays to a custom
+        collector callable and returns its result — histograms, custom
+        top-k policies, facet accumulators, early-exit counters."""
+        docs, scores = self._score(q)
+        return collector(docs, scores)
+
     # ---- sort-by-field (TopFieldCollector) ----
     def docvalues(self, field: str) -> np.ndarray:
         """Dense per-doc column values in doc-id order — the NumericDocValues

@@ -155,3 +155,58 @@ def test_searcher_manager_reopen(cidx, tmp_path):
     s2 = mgr.acquire()
     assert s2 is not s1
     assert s2.search(TermQuery("quick"), k=100).num_rows == 0
+
+
+def test_check_merged_green_and_detects_corruption(tmp_path_factory,
+                                                   ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from lucene_solr_ray.index import build_index, merge_index
+    from lucene_solr_ray.index.check import check_merged
+    from lucene_solr_ray.sources import generate_table
+
+    d = tmp_path_factory.mktemp("cm_corpus")
+    pq.write_table(generate_table(300, seed=41), str(d / "c.parquet"),
+                   row_group_size=100)
+    out = str(tmp_path_factory.mktemp("cm_index"))
+    build_index(str(d), out, rows_per_partition=100, store_positions=True)
+    merge_index(out, hot_df_threshold=100, salt_group_size=2)
+    rep = check_merged(out, sample_terms=300)
+    assert rep["ok"] and rep["terms_checked"] > 0
+
+    # corruption: duplicate a merged terms file (double-counted postings)
+    import os
+    import shutil
+
+    md = os.path.join(out, "merged")
+    tf = sorted(f for f in os.listdir(md) if f.startswith("terms-"))[0]
+    shutil.copyfile(os.path.join(md, tf),
+                    os.path.join(md, "terms-zzduplicate.parquet"))
+    with pytest.raises(AssertionError):
+        check_merged(out, sample_terms=300)
+
+
+def test_collector_extension(tmp_path_factory, ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+    from lucene_solr_ray.sources import generate_table
+
+    d = tmp_path_factory.mktemp("col_corpus")
+    pq.write_table(generate_table(200, seed=42), str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("col_index"))
+    build_index(str(d), out, rows_per_partition=100)
+    s = IndexSearcher(out)
+
+    # a custom collector: histogram of score deciles + total hits
+    def histo(docs, scores):
+        return {"hits": int(docs.size),
+                "max": float(scores.max()) if docs.size else 0.0}
+
+    got = s.collect(TermQuery("return"), histo)
+    assert got["hits"] == s.count(TermQuery("return")) > 0
+    assert got["max"] > 0

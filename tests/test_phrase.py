@@ -139,3 +139,35 @@ def test_phrase_identical_after_merge(pos_index, ray_session):
     q2 = PhraseQuery(("brown", "fox"))
     assert (after.search(q2, k=50).to_pydict()
             == before.search(q2, k=50).to_pydict())
+
+
+def test_merged_positions_identical_to_segments(tmp_path_factory,
+                                                ray_session):
+    """The vectorized positional compaction must preserve every term's
+    (docs, tfs, positions) exactly (merged vs pre-merge readers)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index, merge_index
+    from lucene_solr_ray.search.readers import MergedReader, SegmentsReader
+    from lucene_solr_ray.sources import generate_table
+
+    d = tmp_path_factory.mktemp("pm_corpus")
+    pq.write_table(generate_table(400, seed=31), str(d / "c.parquet"),
+                   row_group_size=50)
+    out = str(tmp_path_factory.mktemp("pm_index"))
+    build_index(str(d), out, rows_per_partition=50, store_positions=True)
+    merge_index(out, hot_df_threshold=50, salt_group_size=2,
+                chunk_docs=512)
+    seg = SegmentsReader(out)
+    mrg = MergedReader(out)
+    terms = seg.unique_terms()
+    assert np.array_equal(terms, mrg.unique_terms())
+    rng = np.random.default_rng(3)
+    sample = list(terms[rng.choice(terms.size, 200, replace=False)]) + \
+        ["return", "def", "0"]
+    for t in sample:
+        a = seg.postings_with_positions(t)
+        b = mrg.postings_with_positions(t)
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y), t
