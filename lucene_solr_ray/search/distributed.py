@@ -121,6 +121,92 @@ class SearcherActor:
         return {k2: np.asarray(v) for k2, v in rows.items()}
 
 
+class ShardSearcherActor:
+    """One doc-range shard held resident: segment term dict + norms loaded
+    once; each query scores with INJECTED global statistics (the Solr
+    distributed-IDF stats pass) so shard scores equal a single index's."""
+
+    def __init__(self, index_dir: str, pids: list[int]):
+        from .readers import NormsReader, SegmentsReader
+
+        self.index_dir = index_dir
+        self.pids = list(pids)
+        self.man = IndexManifest.load(index_dir)
+        by_pid = {r["partition_id"]: r for r in self.man.partitions}
+        self.doc_range = (
+            min(by_pid[p]["doc_base"] for p in self.pids),
+            max(by_pid[p]["doc_base"] + by_pid[p]["rows"]
+                for p in self.pids),
+        )
+        self.reader = SegmentsReader(index_dir, partition_ids=self.pids)
+        self.norms = NormsReader(index_dir, self.man.max_doc,
+                                 partition_ids=self.pids)
+
+    def ready(self) -> bool:
+        return True
+
+    def df(self, terms: list[str]) -> dict:
+        return self.reader.doc_freqs(terms)
+
+    def search(self, q, k: int, stats: dict) -> dict:
+        from .searcher import IndexSearcher
+
+        s = IndexSearcher(
+            self.index_dir,
+            reader=self.reader, norms=self.norms,
+            global_stats=dict(stats, doc_range=self.doc_range),
+        )
+        t = s.search(q, k=k)
+        return {
+            "doc_id": np.asarray(t["doc_id"].to_pylist(), np.int64),
+            "score": np.asarray(t["score"].to_pylist(), np.float32),
+        }
+
+
+class ShardedServingPool:
+    """Persistent doc-sharded serving: N resident shard actors + the
+    two-phase distributed query (stats scatter, scored scatter, TopDocs
+    merge) per request — the steady-state SolrCloud query path, with
+    rank identity to the single-process searcher."""
+
+    def __init__(self, index_dir: str, *, num_shards: int = 4):
+        import ray
+
+        man = IndexManifest.load(index_dir)
+        shards = plan_shards(man, num_shards)
+        actor_cls = ray.remote(ShardSearcherActor)
+        self.actors = [
+            actor_cls.remote(index_dir, s["partition_ids"]) for s in shards
+        ]
+        ray.get([a.ready.remote() for a in self.actors])
+        self.max_doc = man.max_doc
+        self.sum_ttf = man.sum_total_term_freq
+
+    def search(self, q: Query, k: int = 10) -> pa.Table:
+        import ray
+
+        terms = sorted(query_terms(q))
+        stats = {"max_doc": self.max_doc, "sum_ttf": self.sum_ttf,
+                 "df": {}}
+        if terms:
+            dfs = ray.get([a.df.remote(terms) for a in self.actors])
+            stats["df"] = {
+                t: sum(d.get(t, 0) for d in dfs) for t in terms
+            }
+        parts = ray.get([a.search.remote(q, k, stats)
+                         for a in self.actors])
+        shard_results = [
+            (i, p["doc_id"], p["score"]) for i, p in enumerate(parts)
+            if p["doc_id"].size
+        ]
+        docs, scores = merge_shard_topk(shard_results, k)
+        return pa.table({
+            "rank": pa.array(np.arange(1, docs.size + 1, dtype=np.int32)),
+            "doc_id": pa.array(docs),
+            "score": pa.array(scores),
+        })
+
+
 class ServingPool:
     """Persistent query-serving pool: N long-lived SearcherActor replicas
     (the steady-state Solr searcher deployment — actors hold the term

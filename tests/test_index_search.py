@@ -341,3 +341,24 @@ def test_roll_forward_ingest_new_files(tmp_path_factory, ray_session):
     man = IndexManifest.load(out)
     assert man.max_doc == 200 and man.num_partitions == 4
     assert os.path.getmtime(ck) == mtime_before  # old partition untouched
+
+
+def test_merge_ignores_stale_staging_dir(corpus_dir, tmp_path_factory,
+                                         ray_session):
+    """A crashed prior merge's merged.tmp must not leak files into the
+    published view (ADVICE r1 medium: duplicated chunk rows would
+    double-count postings)."""
+    out = str(tmp_path_factory.mktemp("stale_idx"))
+    build_index(corpus_dir, out, rows_per_partition=100)
+    stale = os.path.join(out, "merged.tmp")
+    os.makedirs(stale, exist_ok=True)
+    # plant junk that WOULD double postings if carried over
+    seg = sorted(os.listdir(os.path.join(out, "segments")))[0]
+    with open(os.path.join(stale, "terms-stalejunk.parquet"), "wb") as f:
+        f.write(b"not a real parquet")
+    merge_index(out)
+    from lucene_solr_ray.index.check import check_merged
+
+    assert "terms-stalejunk.parquet" not in os.listdir(
+        os.path.join(out, "merged"))
+    assert check_merged(out, sample_terms=100)["ok"]

@@ -66,3 +66,24 @@ def test_serving_pool_matches_single(sidx, ray_session):
         m = [i for i, q in enumerate(t["query_id"].to_pylist()) if q == qid]
         assert [t["doc_id"][i].as_py() for i in m] == \
             want["doc_id"].to_pylist(), qtext
+
+
+def test_sharded_serving_pool_rank_identity(sidx, ray_session):
+    from lucene_solr_ray.search.distributed import ShardedServingPool
+    from lucene_solr_ray.search.query import BooleanQuery
+
+    pool = ShardedServingPool(sidx, num_shards=3)
+    s = IndexSearcher(sidx)
+    queries = [
+        TermQuery("table"),
+        BooleanQuery.build(should=[TermQuery("table"),
+                                   TermQuery("vector")]),
+        BooleanQuery.build(must=[TermQuery("table")],
+                           must_not=[TermQuery("vector")]),
+        TermQuery("zzznothere"),
+    ]
+    for q in queries:
+        want = s.search(q, k=12).to_pydict()
+        got = pool.search(q, k=12).to_pydict()
+        assert got["doc_id"] == want["doc_id"], q
+        assert got["score"] == want["score"], q
