@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+
 from .analyzers import ENGLISH_STOP_WORDS, Analyzer, register_analyzer
 
 _WDF_BOUNDARY = re.compile(
@@ -233,16 +235,22 @@ class FoldingAnalyzer(Analyzer):
 
 class EnglishAnalyzer(Analyzer):
     """StandardAnalyzer chain + possessive strip + PorterStemFilter
-    (``en/EnglishAnalyzer.java`` shape with the classic stemmer)."""
+    (``en/EnglishAnalyzer.java`` shape with the classic stemmer).
+    ``stem_exclusions`` is the KeywordMarkerFilter protected-word set
+    (``miscellaneous/SetKeywordMarkerFilter.java``)."""
 
     name = "english"
 
-    def __init__(self, stop_words=ENGLISH_STOP_WORDS):
+    def __init__(self, stop_words=ENGLISH_STOP_WORDS,
+                 stem_exclusions: frozenset | set = frozenset()):
         from .analyzers import StandardAnalyzer
 
         self.base = StandardAnalyzer(stop_words=stop_words)
+        self.stem_exclusions = frozenset(stem_exclusions)
 
     def _stem(self, t: str) -> str:
+        if t in self.stem_exclusions:
+            return t
         if t.endswith("'s"):  # EnglishPossessiveFilter
             t = t[:-2]
         return porter_stem(t)
@@ -253,6 +261,20 @@ class EnglishAnalyzer(Analyzer):
     def tokens_with_positions(self, text: str):
         toks, pos = self.base.tokens_with_positions(text)
         return [self._stem(t) for t in toks], pos
+
+    def tokens_batch(self, texts: list[str]):
+        # stem cost scales with UNIQUE tokens, not total tokens: the Zipf
+        # distribution makes the per-batch vocabulary tiny relative to the
+        # stream, so stem each distinct token once and gather
+        import pandas as pd
+
+        tokens, doc_idx, positions = self.base.tokens_batch(texts)
+        if tokens:
+            codes, vocab = pd.factorize(np.asarray(tokens, dtype=object))
+            stemmed = np.asarray([self._stem(t) for t in vocab],
+                                 dtype=object)
+            tokens = stemmed[codes].tolist()
+        return tokens, doc_idx, positions
 
 
 class CodeAnalyzer(Analyzer):

@@ -106,3 +106,50 @@ def test_ascii_folding():
     assert ascii_fold("plain") == "plain"
     ana = get_analyzer("folding")
     assert ana.tokens("Café Über the naïve") == ["cafe", "uber", "naive"]
+
+
+def test_english_tokens_batch_matches_per_doc():
+    from lucene_solr_ray.analysis.filters import EnglishAnalyzer
+
+    ana = EnglishAnalyzer()
+    texts = ["the cats were motoring", "dogs motoring happily",
+             "", "cats cats cats"]
+    bt, bd, bp = ana.tokens_batch(texts)
+    want_t, want_d = [], []
+    for i, t in enumerate(texts):
+        toks = ana.tokens(t)
+        want_t.extend(toks)
+        want_d.extend([i] * len(toks))
+    assert bt == want_t
+    assert bd.tolist() == want_d
+
+
+def test_keyword_marker_protects_terms():
+    from lucene_solr_ray.analysis.filters import EnglishAnalyzer
+
+    ana = EnglishAnalyzer(stem_exclusions={"motoring"})
+    assert ana.tokens("cats motoring") == ["cat", "motoring"]
+
+
+def test_english_index_stemmed_recall(tmp_path_factory, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+
+    d = tmp_path_factory.mktemp("en_corpus")
+    pq.write_table(pa.table({"content": pa.array([
+        "the cats were running", "a cat runs", "dogs bark"])}),
+        str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("en_index"))
+    build_index(str(d), out, analyzer="english", rows_per_partition=10)
+    s = IndexSearcher(out)
+    # query-side analysis with the same chain unifies surface forms
+    from lucene_solr_ray.analysis import get_analyzer
+    from lucene_solr_ray.search.query import parse_query
+
+    q = parse_query("cats", get_analyzer("english"))
+    assert s._docs_only(q).tolist() == [0, 1]
+    q2 = parse_query("running", get_analyzer("english"))
+    assert s._docs_only(q2).tolist() == [0, 1]  # run/runs/running -> run
