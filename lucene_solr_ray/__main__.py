@@ -63,6 +63,18 @@ def main(argv=None) -> int:
     g.add_argument("--docs", type=int, default=50_000)
     g.add_argument("--seed", type=int, default=42)
 
+    r = sub.add_parser("replicate",
+                       help="sync an index to a replica dir by generation")
+    r.add_argument("--master", required=True)
+    r.add_argument("--replica", required=True)
+
+    u = sub.add_parser("update",
+                       help="keyed upsert: delete-then-add from a parquet "
+                            "file of changed docs")
+    u.add_argument("--index", required=True)
+    u.add_argument("--docs", required=True, help="parquet of new/changed rows")
+    u.add_argument("--key", required=True, help="unique key column")
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -116,6 +128,17 @@ def main(argv=None) -> int:
 
         write_corpus(args.out, args.docs, seed=args.seed)
         print(json.dumps({"out": args.out, "docs": args.docs}))
+    elif args.cmd == "replicate":
+        from .state.replication import replicate
+
+        print(json.dumps(replicate(args.master, args.replica)))
+    elif args.cmd == "update":
+        import pyarrow.parquet as pq
+
+        from .index.updates import update_documents
+
+        print(json.dumps(update_documents(
+            args.index, pq.read_table(args.docs), args.key)))
     import ray
 
     ray.shutdown()
