@@ -149,11 +149,18 @@ class StandardAnalyzer(Analyzer):
             )
         stop = self.stop_words
         if stop and tokens:
-            keep = np.fromiter(
-                (t not in stop for t in tokens), dtype=bool, count=len(tokens)
-            )
-            if not keep.all():
-                tokens = [t for t, k in zip(tokens, keep) if k]
+            # vectorized stop filter: membership checked once per DISTINCT
+            # token (the batch vocabulary is tiny vs the stream), then a
+            # boolean gather — not a per-token Python set probe
+            import pandas as pd
+
+            arr = np.asarray(tokens, dtype=object)
+            codes, vocab = pd.factorize(arr)
+            keep_vocab = np.fromiter(
+                (t not in stop for t in vocab), bool, count=len(vocab))
+            if not keep_vocab.all():
+                keep = keep_vocab[codes]
+                tokens = arr[keep].tolist()
                 doc_idx = doc_idx[keep]
                 positions = positions[keep]
         return tokens, doc_idx, positions

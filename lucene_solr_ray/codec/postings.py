@@ -218,6 +218,83 @@ def encode_postings_batch(
     ]
 
 
+def encode_postings_batch_packed(
+    docs_flat: np.ndarray,
+    tfs_flat: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`encode_postings_batch` but assembles ALL payloads into
+    one contiguous uint8 buffer (returned with per-term byte lengths) —
+    no per-term Python bytes objects (the build's emit hot path).
+
+    Payload i occupies ``[cum_lens[i], cum_lens[i+1])`` of the buffer.
+    """
+    docs_flat = np.asarray(docs_flat, np.int64)
+    tfs_flat = np.asarray(tfs_flat, np.int64)
+    n_terms = starts.size
+    counts = (ends - starts).astype(np.int64)
+    deltas = np.empty(docs_flat.size, np.uint32)
+    if docs_flat.size:
+        deltas[0] = docs_flat[0]
+        np.subtract(docs_flat[1:], docs_flat[:-1], out=deltas[1:],
+                    casting="unsafe")
+        deltas[starts] = docs_flat[starts]
+    tfm1 = (tfs_flat - 1).astype(np.uint32)
+
+    def widths(vals):
+        mx = np.maximum.reduceat(vals, starts)
+        w = np.full(n_terms, 4, np.int64)
+        w[mx < 0x10000] = 2
+        w[mx < 0x100] = 1
+        return w
+
+    dw = widths(deltas)
+    tw = widths(tfm1)
+    lens = 4 + 1 + counts * dw + 1 + counts * tw
+    offs = np.zeros(n_terms + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    buf = np.empty(int(offs[-1]), np.uint8)
+
+    # headers: count as u4 at offs, then code bytes
+    o = offs[:-1]
+    buf[o] = counts & 0xFF
+    buf[o + 1] = (counts >> 8) & 0xFF
+    buf[o + 2] = (counts >> 16) & 0xFF
+    buf[o + 3] = (counts >> 24) & 0xFF
+    code = {1: 253, 2: 254, 4: 255}
+    d_start = o + 4
+    t_start = d_start + 1 + counts * dw
+    for w in (1, 2, 4):
+        m = dw == w
+        if m.any():
+            buf[d_start[m]] = code[w]
+        m = tw == w
+        if m.any():
+            buf[t_start[m]] = code[w]
+
+    def scatter(vals, w_arr, data_start):
+        for w in (1, 2, 4):
+            m = w_arr == w
+            if not m.any():
+                continue
+            cnt = counts[m]
+            intra = _intra(cnt)
+            src = np.repeat(starts[m], cnt) + intra
+            dst = np.repeat(data_start[m] + 1, cnt) + intra * w
+            v = vals[src]
+            buf[dst] = v & 0xFF
+            if w >= 2:
+                buf[dst + 1] = (v >> np.uint32(8)) & 0xFF
+            if w == 4:
+                buf[dst + 2] = (v >> np.uint32(16)) & 0xFF
+                buf[dst + 3] = (v >> np.uint32(24)) & 0xFF
+
+    scatter(deltas, dw, d_start)
+    scatter(tfm1, tw, t_start)
+    return buf, lens
+
+
 def decode_postings(payload: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
     """Decode a full posting list -> (doc_ids:int64[], tfs:int32[])."""
     buf = memoryview(payload).cast("B")  # unsigned view (arrow buffers are 'b')

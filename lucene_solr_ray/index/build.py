@@ -262,83 +262,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     else:
         starts = ends = np.empty(0, np.int64)
 
-    payloads, dfs, ttfs, start_docs = [], [], [], []
-    pos_payloads: list = []
-    bl_last, bl_maxtf, bl_maxnorm = [], [], []
     a_doc_g = a_doc + doc_base if tids else None
-    if store_positions and tids:
-        pos_sorted = [all_pos[i] for i in srt.tolist()]
-    from ..codec.postings import encode_values
-    # df==1 fast path (the Zipf majority; singletonDocID analogue,
-    # Lucene50PostingsWriter.java:325-330): payloads are a fixed 14-byte
-    # struct, built for ALL singleton terms in one vectorized pass.
-    if starts.size:
-        df_arr = ends - starts
-        single = df_arr == 1
-        sdt = np.dtype([("n", "<u4"), ("b1", "u1"), ("d", "<u4"),
-                        ("b2", "u1"), ("t", "<u4")])
-        s_idx = starts[single]
-        s_arr = np.empty(s_idx.size, sdt)
-        s_arr["n"] = 1
-        s_arr["b1"] = 0
-        s_arr["d"] = a_doc_g[s_idx]
-        s_arr["b2"] = 0
-        s_arr["t"] = a_tf[s_idx] - 1
-        singles_blob = s_arr.tobytes()
-    # 2 <= df <= 128 batch path: vectorized single-block encode for the
-    # remaining Zipf body (byte-aligned widths, see encode_postings_batch)
-    small_payloads: dict[int, bytes] = {}
-    if starts.size and byte_aligned:
-        small_mask = (df_arr >= 2) & (df_arr <= BLOCK_SIZE)
-        sm_idx = np.flatnonzero(small_mask)
-        if sm_idx.size:
-            from ..codec.postings import encode_postings_batch
-
-            plist = encode_postings_batch(
-                a_doc_g, a_tf, starts[sm_idx], ends[sm_idx]
-            )
-            small_payloads = dict(zip(sm_idx.tolist(), plist))
-
-    j = 0  # index into singles
-    for ti, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
-        start_docs.append(int(a_doc_g[s]))
-        if store_positions:
-            flat = (
-                pos_sorted[s] if e - s == 1
-                else np.concatenate(pos_sorted[s:e])
-            )
-            pos_payloads.append(encode_values(flat, byte_aligned))
-        if e - s == 1:
-            payloads.append(singles_blob[j * 14 : (j + 1) * 14])
-            j += 1
-            dfs.append(1)
-            ttfs.append(int(a_tf[s]))
-            bl_last.append([int(a_doc_g[s])])
-            bl_maxtf.append([int(a_tf[s])])
-            bl_maxnorm.append([int(norm_bytes[a_doc[s]])])
-            continue
-        t = a_tf[s:e]
-        sp = small_payloads.get(ti)
-        if sp is not None:
-            payloads.append(sp)
-            dfs.append(e - s)
-            ttfs.append(int(t.sum()))
-            bl_last.append([int(a_doc_g[e - 1])])
-            bl_maxtf.append([int(t.max())])
-            bl_maxnorm.append([int(norm_bytes[a_doc[s:e]].max())])
-            continue
-        d = a_doc_g[s:e]
-        payload, last, maxtf = encode_postings(d, t, byte_aligned=byte_aligned)
-        payloads.append(payload)
-        dfs.append(e - s)
-        ttfs.append(int(t.sum()))
-        bl_last.append(last.tolist())
-        bl_maxtf.append(maxtf.tolist())
-        # per-block max norm byte (= smallest field length -> score UB input)
-        nb = norm_bytes[(d - doc_base)]
-        mx = np.maximum.reduceat(nb, np.arange(0, nb.size, BLOCK_SIZE))
-        bl_maxnorm.append(mx.astype(np.uint8).tolist())
-
     os.makedirs(os.path.dirname(seg_path), exist_ok=True)
     os.makedirs(os.path.dirname(norm_path), exist_ok=True)
     os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
@@ -349,42 +273,206 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     # file written once at flush, exactly Lucene's "segments are immutable,
     # merges mostly re-point" economics). Layout:
     #     [payload_0 .. payload_n][pos_0 .. pos_n]
-    lens = np.fromiter((len(p) for p in payloads), np.int64,
-                       count=len(payloads))
-    offs = np.zeros(lens.size, np.int64)
-    if lens.size:
-        np.cumsum(lens[:-1], out=offs[1:])
-    pos_base = int(lens.sum())
-    if store_positions:
-        pos_lens = np.fromiter((len(p) for p in pos_payloads), np.int64,
-                               count=len(pos_payloads))
-    else:
-        pos_lens = np.zeros(lens.size, np.int64)
-    pos_offs = np.full(lens.size, pos_base, np.int64)
-    if lens.size:
-        pos_offs[1:] += np.cumsum(pos_lens[:-1])
-    with open(bin_path + ".tmp", "wb") as f:
-        for p in payloads:
-            f.write(p)
-        if store_positions:
-            for p in pos_payloads:
-                f.write(p)
-    os.replace(bin_path + ".tmp", bin_path)
+    if starts.size and byte_aligned and not store_positions:
+        # FULLY VECTORIZED emit (no per-term Python loop): single-block
+        # terms (the Zipf body, df <= 128) go through the packed batch
+        # encoder straight into one buffer; only multi-block terms loop.
+        from ..codec.postings import _intra, encode_postings_batch_packed
 
-    seg_tbl = pa.table({
-        "term": pa.array(terms_sorted, pa.string()),
-        "pid": pa.array(np.full(len(terms_sorted), pid, np.int32)),
-        "df": pa.array(np.asarray(dfs, np.int32)),
-        "ttf": pa.array(np.asarray(ttfs, np.int64)),
-        "start_doc": pa.array(np.asarray(start_docs, np.int64)),
-        "offset": pa.array(offs),
-        "length": pa.array(lens),
-        "pos_offset": pa.array(pos_offs),
-        "pos_length": pa.array(pos_lens),
-        "block_last": pa.array(bl_last, pa.list_(pa.int64())),
-        "block_max_tf": pa.array(bl_maxtf, pa.list_(pa.int32())),
-        "block_max_norm": pa.array(bl_maxnorm, pa.list_(pa.uint8())),
-    })
+        n_terms = starts.size
+        df_arr = (ends - starts).astype(np.int64)
+        ttf_arr = np.add.reduceat(a_tf, starts).astype(np.int64)
+        start_doc_arr = a_doc_g[starts]
+        maxtf_term = np.maximum.reduceat(a_tf, starts)
+        maxnorm_term = np.maximum.reduceat(norm_bytes[a_doc], starts)
+        small_m = df_arr <= BLOCK_SIZE
+        sm_idx = np.flatnonzero(small_m)
+        big_idx = np.flatnonzero(~small_m)
+        lens = np.empty(n_terms, np.int64)
+        sm_buf, sm_lens = encode_postings_batch_packed(
+            a_doc_g, a_tf, starts[sm_idx], ends[sm_idx]
+        )
+        lens[sm_idx] = sm_lens
+        big_payloads: list = []
+        big_meta: dict = {}
+        for bi in big_idx.tolist():
+            s, e = int(starts[bi]), int(ends[bi])
+            payload, last, maxtf = encode_postings(
+                a_doc_g[s:e], a_tf[s:e], byte_aligned=True)
+            big_payloads.append(payload)
+            lens[bi] = len(payload)
+            nb = norm_bytes[a_doc[s:e]]
+            mx = np.maximum.reduceat(nb, np.arange(0, nb.size, BLOCK_SIZE))
+            big_meta[bi] = (last, maxtf, mx.astype(np.uint8))
+        offs = np.zeros(n_terms, np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        buf = np.empty(int(lens.sum()), np.uint8)
+        if sm_idx.size:
+            dst = np.repeat(offs[sm_idx], sm_lens) + _intra(sm_lens)
+            buf[dst] = sm_buf
+        for k2, bi in enumerate(big_idx.tolist()):
+            o = int(offs[bi])
+            buf[o : o + int(lens[bi])] = np.frombuffer(
+                big_payloads[k2], np.uint8)
+        with open(bin_path + ".tmp", "wb") as f:
+            f.write(buf.tobytes())
+        os.replace(bin_path + ".tmp", bin_path)
+
+        # block-metadata list columns assembled flat (ListArray offsets)
+        nblocks = np.where(small_m, 1,
+                           (df_arr + BLOCK_SIZE - 1) // BLOCK_SIZE)
+        bl_off = np.zeros(n_terms + 1, np.int64)
+        np.cumsum(nblocks, out=bl_off[1:])
+        totb = int(bl_off[-1])
+        bl_last_v = np.empty(totb, np.int64)
+        bl_maxtf_v = np.empty(totb, np.int32)
+        bl_maxnorm_v = np.empty(totb, np.uint8)
+        sb_pos = bl_off[:-1][sm_idx]
+        bl_last_v[sb_pos] = a_doc_g[ends[sm_idx] - 1]
+        bl_maxtf_v[sb_pos] = maxtf_term[sm_idx]
+        bl_maxnorm_v[sb_pos] = maxnorm_term[sm_idx]
+        for bi, (last, maxtf, mnorm) in big_meta.items():
+            p0 = int(bl_off[bi])
+            bl_last_v[p0 : p0 + last.size] = last
+            bl_maxtf_v[p0 : p0 + maxtf.size] = maxtf
+            bl_maxnorm_v[p0 : p0 + mnorm.size] = mnorm
+
+        def _list_arr(vals, typ):
+            return pa.ListArray.from_arrays(
+                pa.array(bl_off, pa.int32()), pa.array(vals, typ))
+
+        num_postings = int(df_arr.sum())
+        seg_tbl = pa.table({
+            "term": pa.array(terms_sorted, pa.string()),
+            "pid": pa.array(np.full(n_terms, pid, np.int32)),
+            "df": pa.array(df_arr.astype(np.int32)),
+            "ttf": pa.array(ttf_arr),
+            "start_doc": pa.array(start_doc_arr.astype(np.int64)),
+            "offset": pa.array(offs),
+            "length": pa.array(lens),
+            "pos_offset": pa.array(np.zeros(n_terms, np.int64)),
+            "pos_length": pa.array(np.zeros(n_terms, np.int64)),
+            "block_last": _list_arr(bl_last_v, pa.int64()),
+            "block_max_tf": _list_arr(bl_maxtf_v, pa.int32()),
+            "block_max_norm": _list_arr(bl_maxnorm_v, pa.uint8()),
+        })
+    else:
+        # positional / bit-packed / empty builds: per-term loop with the
+        # singleton-struct and small-block fast paths
+        payloads, dfs, ttfs, start_docs = [], [], [], []
+        pos_payloads: list = []
+        bl_last, bl_maxtf, bl_maxnorm = [], [], []
+        if store_positions and tids:
+            pos_sorted = [all_pos[i] for i in srt.tolist()]
+        from ..codec.postings import encode_values
+
+        if starts.size:
+            # df==1 fast path (the Zipf majority; singletonDocID analogue,
+            # Lucene50PostingsWriter.java:325-330): fixed 14-byte structs
+            # built in one vectorized pass
+            df_arr = ends - starts
+            single = df_arr == 1
+            sdt = np.dtype([("n", "<u4"), ("b1", "u1"), ("d", "<u4"),
+                            ("b2", "u1"), ("t", "<u4")])
+            s_idx = starts[single]
+            s_arr = np.empty(s_idx.size, sdt)
+            s_arr["n"] = 1
+            s_arr["b1"] = 0
+            s_arr["d"] = a_doc_g[s_idx]
+            s_arr["b2"] = 0
+            s_arr["t"] = a_tf[s_idx] - 1
+            singles_blob = s_arr.tobytes()
+        small_payloads: dict[int, bytes] = {}
+        if starts.size and byte_aligned:
+            small_mask = (df_arr >= 2) & (df_arr <= BLOCK_SIZE)
+            sm_idx2 = np.flatnonzero(small_mask)
+            if sm_idx2.size:
+                from ..codec.postings import encode_postings_batch
+
+                plist = encode_postings_batch(
+                    a_doc_g, a_tf, starts[sm_idx2], ends[sm_idx2]
+                )
+                small_payloads = dict(zip(sm_idx2.tolist(), plist))
+
+        j = 0  # index into singles
+        for ti, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+            start_docs.append(int(a_doc_g[s]))
+            if store_positions:
+                flat = (
+                    pos_sorted[s] if e - s == 1
+                    else np.concatenate(pos_sorted[s:e])
+                )
+                pos_payloads.append(encode_values(flat, byte_aligned))
+            if e - s == 1:
+                payloads.append(singles_blob[j * 14 : (j + 1) * 14])
+                j += 1
+                dfs.append(1)
+                ttfs.append(int(a_tf[s]))
+                bl_last.append([int(a_doc_g[s])])
+                bl_maxtf.append([int(a_tf[s])])
+                bl_maxnorm.append([int(norm_bytes[a_doc[s]])])
+                continue
+            t = a_tf[s:e]
+            sp = small_payloads.get(ti)
+            if sp is not None:
+                payloads.append(sp)
+                dfs.append(e - s)
+                ttfs.append(int(t.sum()))
+                bl_last.append([int(a_doc_g[e - 1])])
+                bl_maxtf.append([int(t.max())])
+                bl_maxnorm.append([int(norm_bytes[a_doc[s:e]].max())])
+                continue
+            d = a_doc_g[s:e]
+            payload, last, maxtf = encode_postings(
+                d, t, byte_aligned=byte_aligned)
+            payloads.append(payload)
+            dfs.append(e - s)
+            ttfs.append(int(t.sum()))
+            bl_last.append(last.tolist())
+            bl_maxtf.append(maxtf.tolist())
+            # per-block max norm byte (= smallest field length -> UB input)
+            nb = norm_bytes[(d - doc_base)]
+            mx = np.maximum.reduceat(nb, np.arange(0, nb.size, BLOCK_SIZE))
+            bl_maxnorm.append(mx.astype(np.uint8).tolist())
+
+        lens = np.fromiter((len(p) for p in payloads), np.int64,
+                           count=len(payloads))
+        offs = np.zeros(lens.size, np.int64)
+        if lens.size:
+            np.cumsum(lens[:-1], out=offs[1:])
+        pos_base = int(lens.sum())
+        if store_positions:
+            pos_lens = np.fromiter(
+                (len(p) for p in pos_payloads), np.int64,
+                count=len(pos_payloads))
+        else:
+            pos_lens = np.zeros(lens.size, np.int64)
+        pos_offs = np.full(lens.size, pos_base, np.int64)
+        if lens.size:
+            pos_offs[1:] += np.cumsum(pos_lens[:-1])
+        with open(bin_path + ".tmp", "wb") as f:
+            for p in payloads:
+                f.write(p)
+            if store_positions:
+                for p in pos_payloads:
+                    f.write(p)
+        os.replace(bin_path + ".tmp", bin_path)
+
+        num_postings = int(sum(dfs))
+        seg_tbl = pa.table({
+            "term": pa.array(terms_sorted, pa.string()),
+            "pid": pa.array(np.full(len(terms_sorted), pid, np.int32)),
+            "df": pa.array(np.asarray(dfs, np.int32)),
+            "ttf": pa.array(np.asarray(ttfs, np.int64)),
+            "start_doc": pa.array(np.asarray(start_docs, np.int64)),
+            "offset": pa.array(offs),
+            "length": pa.array(lens),
+            "pos_offset": pa.array(pos_offs),
+            "pos_length": pa.array(pos_lens),
+            "block_last": pa.array(bl_last, pa.list_(pa.int64())),
+            "block_max_tf": pa.array(bl_maxtf, pa.list_(pa.int32())),
+            "block_max_norm": pa.array(bl_maxnorm, pa.list_(pa.uint8())),
+        })
     pq.write_table(seg_tbl, seg_path + ".tmp")
     os.replace(seg_path + ".tmp", seg_path)
 
@@ -407,7 +495,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         "doc_base": doc_base,
         "rows": part["rows"],
         "num_terms": len(terms_sorted),
-        "num_postings": int(sum(dfs)),
+        "num_postings": num_postings,
         "sum_len": int(doc_lens.sum()),
         "sha256_rollup": sha_roll,
         "segment": os.path.relpath(seg_path, out_dir),

@@ -66,17 +66,45 @@ def append_segment(index_dir: str, table: pa.Table) -> dict:
     return row
 
 
-def _key_values(man: IndexManifest, key_col: str) -> np.ndarray:
-    """Per-doc key column in doc-id order across all partitions."""
-    parts = []
-    for p in man.partitions:
-        pf = pq.ParquetFile(p["file"])
-        for rg in p["row_groups"]:
-            parts.append(
-                pf.read_row_group(rg, columns=[key_col])
-                .column(key_col).to_numpy(zero_copy_only=False)
-            )
-    return np.concatenate(parts)
+def _matching_doc_ids(man: IndexManifest, key_col: str,
+                      new_keys: np.ndarray) -> np.ndarray:
+    """Global doc ids whose key matches ``new_keys`` — computed
+    DISTRIBUTED (one task per partition descriptor reads only its key
+    column and returns matching ids; the full key column never
+    materializes on the driver)."""
+    import ray
+    import ray.data as rd
+
+    keys_ref = ray.put(np.sort(new_keys))
+
+    def scan(batch: dict) -> dict:
+        want = ray.get(keys_ref)
+        out = []
+        for i in range(len(batch["partition_id"])):
+            pf = pq.ParquetFile(str(batch["file"][i]))
+            base = int(batch["doc_base"][i])
+            off = 0
+            for rg in [int(x) for x in batch["row_groups"][i]]:
+                col = pf.read_row_group(rg, columns=[key_col]) \
+                    .column(key_col).to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(want, col)
+                ok = (pos < want.size) & (
+                    want[np.minimum(pos, want.size - 1)] == col)
+                out.append(base + off + np.flatnonzero(ok))
+                off += col.size
+        hits = np.concatenate(out) if out else np.empty(0, np.int64)
+        return {"doc_id": hits}
+
+    parts = [
+        {"partition_id": p["partition_id"], "file": p["file"],
+         "row_groups": list(p["row_groups"]), "doc_base": p["doc_base"]}
+        for p in man.partitions
+    ]
+    rows = (rd.from_items(parts)
+            .map_batches(scan, batch_size=1).take_all())
+    if not rows:
+        return np.empty(0, np.int64)
+    return np.sort(np.array([int(r["doc_id"]) for r in rows], np.int64))
 
 
 def update_documents(index_dir: str, table: pa.Table, key_col: str) -> dict:
@@ -84,15 +112,13 @@ def update_documents(index_dir: str, table: pa.Table, key_col: str) -> dict:
     from .deletes import LiveDocs
 
     man = IndexManifest.load(index_dir)
-    keys = _key_values(man, key_col)
     new_keys = np.asarray(
         table.column(key_col).to_numpy(zero_copy_only=False)
     )
-    hit = np.isin(keys, new_keys)
+    doomed = _matching_doc_ids(man, key_col, new_keys)
     # only delete docs that are still live (repeated upserts of one key)
-    if os.path.isdir(os.path.join(index_dir, "deletes")):
-        hit &= LiveDocs(index_dir, man.max_doc).mask
-    doomed = np.flatnonzero(hit)
+    if doomed.size and os.path.isdir(os.path.join(index_dir, "deletes")):
+        doomed = doomed[LiveDocs(index_dir, man.max_doc).mask[doomed]]
     if doomed.size:
         delete_docs(index_dir, doomed)
     append_segment(index_dir, table)
