@@ -175,7 +175,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
+        # scaling needs enough per-task work that fixed costs don't
+        # dominate: default the paired runs to the 1M-doc corpus
+        # (15.6k-doc partitions ~ the per-task size real segment builds
+        # use) unless the caller pinned a size
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("GRAFT_BENCH_DOCS", "1000000")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,

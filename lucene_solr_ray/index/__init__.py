@@ -1,9 +1,10 @@
 from .build import IndexManifest, build_index, build_segment, plan_partitions
-from .check import check_index, fetch_docs
-from .deletes import LiveDocs, delete_by_query, delete_docs
+from .check import check_index, check_merged, fetch_docs
+from .deletes import LiveDocs, delete_by_query, delete_docs, ttl_delete
 from .merge import merge_index
 from .multifield import build_multi_index
 from .sorted_build import build_sorted_index, early_terminated_topk
+from .updates import append_segment, update_documents
 
 __all__ = [
     "IndexManifest",
@@ -19,4 +20,8 @@ __all__ = [
     "early_terminated_topk",
     "merge_index",
     "plan_partitions",
+    "check_merged",
+    "ttl_delete",
+    "append_segment",
+    "update_documents",
 ]

@@ -24,7 +24,17 @@ from .query import (
     WildcardQuery,
     parse_query,
 )
-from .distributed import SearcherActor, search_many, search_sharded
+from .distributed import (
+    SearcherActor,
+    ServingPool,
+    ShardedServingPool,
+    search_by_field_sharded,
+    search_many,
+    search_sharded,
+)
+from .memoryindex import MemoryIndex
+from .queryparser import ClassicQueryParser
+from .similarities import ClassicSimilarity, LMDirichletSimilarity
 from .multifield import MultiFieldSearcher
 from .searcher import IndexSearcher, SearcherManager
 from .topk import merge_shard_topk, top_k
@@ -38,4 +48,7 @@ __all__ = [
     "highlight", "merge_shard_topk", "more_like_this", "parse_query",
     "rescore", "search_many", "search_sharded", "SearcherActor",
     "spellcheck", "suggest_prefix", "term_vector", "top_k",
+    "ServingPool", "ShardedServingPool", "search_by_field_sharded",
+    "MemoryIndex", "ClassicQueryParser", "ClassicSimilarity",
+    "LMDirichletSimilarity",
 ]
