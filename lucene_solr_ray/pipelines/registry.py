@@ -1311,6 +1311,23 @@ def q_media_image_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def q_nb_lang_classify(sf_dir: str) -> pa.Table:
+    """Naive Bayes self-classification of documents by lang (the
+    classification module's SimpleNaiveBayes, trained distributed via
+    groupby(label, term)); rows-only (model scoring, non-SQL)."""
+    from ..stages.classify import nb_classify, nb_fit
+
+    ds = _docs_ds(sf_dir, ["text", "lang"])
+    model = nb_fit(ds, "text", "lang", analyzer="simple")
+    out = nb_classify(_docs_ds(sf_dir, ["doc_id", "text", "lang"]), model,
+                      analyzer="simple").to_pandas()
+    correct = int((out["predicted"] == out["lang"]).sum())
+    return pa.table({
+        "docs": pa.array([len(out)], pa.int64()),
+        "correct": pa.array([correct], pa.int64()),
+    })
+
+
 def q_minhash_candidates(sf_dir: str) -> pa.Table:
     from ..stages.dedup import minhash_lsh_candidates
 
@@ -1374,6 +1391,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "func_boost": q_func_boost,
     "bpe_token_count": q_bpe_token_count,
+    "nb_lang_classify": q_nb_lang_classify,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
