@@ -510,14 +510,25 @@ class IndexSearcher:
                     and self.max_doc <= 4_000_000 and total > 16_384):
                 # dense-accumulator disjunction (BooleanScorer's bucket
                 # window, taken to one window over maxDoc): no sort/unique,
-                # identical float64 clause-order additions
-                acc = np.zeros(self.max_doc, np.float64)
-                hit = np.zeros(self.max_doc, bool)
+                # identical float64 clause-order additions. Buffers are
+                # REUSED across queries (allocate + zero of 2 x maxDoc
+                # arrays dominated hot-OR latency at 10^6 docs); only the
+                # touched positions are reset after use (reuse is safe:
+                # searchers are driven single-threaded per actor).
+                acc = getattr(self, "_dense_acc", None)
+                if acc is None:
+                    acc = self._dense_acc = np.zeros(self.max_doc,
+                                                     np.float64)
+                    self._dense_hit = np.zeros(self.max_doc, bool)
+                hit = self._dense_hit
                 for docs, scores in should:
                     acc[docs] += scores.astype(np.float64)
                     hit[docs] = True
                 cand = np.flatnonzero(hit)
-                return cand, acc[cand].astype(dtype)
+                out = acc[cand].astype(dtype)
+                acc[cand] = 0.0
+                hit[cand] = False
+                return cand, out
             cand = np.unique(np.concatenate([d for d, _ in should]))
 
         msm = q.min_should_match
