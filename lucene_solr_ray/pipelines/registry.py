@@ -733,6 +733,31 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     })
 
 
+def q_date_histogram(sf_dir: str) -> pa.Table:
+    """Date-histogram facet (Solr date range faceting with gap=+1DAY):
+    per-day event counts — pc.floor_temporal inside map_batches, then a
+    distributed groupby count."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def trunc(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"].combine_chunks(), unit="day")
+        return pa.table({"day": day})
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["ts"])
+        .map_batches(trunc, batch_format="pyarrow")
+        .groupby("day").count().to_pandas()
+        .rename(columns={"count()": "cnt"})
+        .sort_values("day")
+    )
+    return pa.table({
+        "day": pa.array(out["day"]),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+    })
+
+
 def q_sort_export_top50(sf_dir: str) -> pa.Table:
     out = (
         _docs_ds(sf_dir, ["doc_id", "n_chars"])
@@ -1392,6 +1417,7 @@ QUERIES = {
     "func_boost": q_func_boost,
     "bpe_token_count": q_bpe_token_count,
     "nb_lang_classify": q_nb_lang_classify,
+    "date_histogram": q_date_histogram,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1742,6 +1768,10 @@ WHERE a.vec_id < b.vec_id
   AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)
       >= 0.45
 ORDER BY id_a, id_b
+""",
+    "date_histogram": """
+SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS cnt
+FROM events GROUP BY day ORDER BY day
 """,
     "sampled_facet_lang": """
 SELECT lang, count(*)::BIGINT AS cnt FROM documents

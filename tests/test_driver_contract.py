@@ -71,7 +71,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "ann_ivf_top5", "qp_classic", "wdf_brand_subtoken",
         "ft_sorted_search", "taxonomy_facet", "expand_collapse",
         "sampled_facet_lang", "embed_neardup", "ngram_jaccard",
-        "mlt_top10", "func_boost", "bpe_token_count",
+        "mlt_top10", "func_boost", "bpe_token_count", "date_histogram",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):

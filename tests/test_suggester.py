@@ -1,0 +1,42 @@
+"""AnalyzingSuggester: analyzed-key matching, weight ranking, Ray build."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from lucene_solr_ray.analysis import get_analyzer
+from lucene_solr_ray.search.suggester import AnalyzingSuggester
+
+PAIRS = [
+    ("The Ghost Writer", 50.0),
+    ("Ghostbusters", 100.0),
+    ("ghost stories", 20.0),
+    ("The Godfather", 80.0),
+]
+
+
+def test_analyzed_prefix_and_weights():
+    ana = get_analyzer("standard")
+    sug = AnalyzingSuggester.from_pairs(PAIRS, ana)
+    # "The" is a stopword: "The Ghost Writer" keys as "ghost writer"
+    t = sug.suggest("gho", ana)
+    assert t["surface"].to_pylist() == [
+        "Ghostbusters", "The Ghost Writer", "ghost stories"]
+    assert t["weight"].to_pylist() == [100.0, 50.0, 20.0]
+    # stopword dropped from the input: "the ghost" keys as "ghost"
+    t2 = sug.suggest("the ghost", ana)
+    assert t2["surface"].to_pylist() == [
+        "Ghostbusters", "The Ghost Writer", "ghost stories"]
+    # true multi-token analyzed prefix
+    t3 = sug.suggest("ghost wr", ana)
+    assert t3["surface"].to_pylist() == ["The Ghost Writer"]
+    assert sug.suggest("zzz", ana).num_rows == 0
+
+
+def test_from_dataset(ray_session):
+    ds = rd.from_items([
+        {"s": surface, "w": w} for surface, w in PAIRS
+    ])
+    sug = AnalyzingSuggester.from_dataset(ds, "s", "w")
+    ana = get_analyzer("standard")
+    t = sug.suggest("go", ana)
+    assert t["surface"].to_pylist() == ["The Godfather"]
