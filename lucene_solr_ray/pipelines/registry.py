@@ -1353,6 +1353,15 @@ def q_nb_lang_classify(sf_dir: str) -> pa.Table:
     })
 
 
+def q_curation_funnel(sf_dir: str) -> pa.Table:
+    """End-to-end curation pipeline (quality -> exact dedup -> near-dup ->
+    token accounting); rows-only (MinHash stage)."""
+    from .curation import run_curation
+
+    r = run_curation(sf_dir)
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in r.items()})
+
+
 def q_minhash_candidates(sf_dir: str) -> pa.Table:
     from ..stages.dedup import minhash_lsh_candidates
 
@@ -1418,6 +1427,7 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "nb_lang_classify": q_nb_lang_classify,
     "date_histogram": q_date_histogram,
+    "curation_funnel": q_curation_funnel,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,

@@ -89,7 +89,8 @@ def test_query_matches_oracle(contract, duck, name):
 @pytest.mark.parametrize("name", ["lang_id", "simhash",
                                   "minhash_candidates",
                                   "media_image_stats", "ann_lsh_top5",
-                                  "hll_users", "nb_lang_classify"])
+                                  "hll_users", "nb_lang_classify",
+                                  "curation_funnel"])
 def test_rows_only_queries_run(contract, name):
     queries, _ = contract
     df = _to_df(queries[name](SF_DIR))
