@@ -128,6 +128,8 @@ def run_curation(
 
     def drop_exact(b: pa.Table) -> pa.Table:
         dropset = ray.get(drop_ref)
+        if dropset.size == 0:
+            return b
         ids = b["doc_id"].to_numpy()
         pos = np.searchsorted(dropset, ids)
         hit = (pos < dropset.size) & (
@@ -172,6 +174,8 @@ def run_curation(
 
     def drop_near(b: pa.Table) -> pa.Table:
         dropset = ray.get(nd_ref)
+        if dropset.size == 0:
+            return b
         ids = b["doc_id"].to_numpy()
         pos = np.searchsorted(dropset, ids)
         hit = (pos < dropset.size) & (
