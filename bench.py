@@ -130,6 +130,7 @@ def run_bench() -> dict:
     timings["serve_qps"] = len(many) * reps / (time.perf_counter() - tq0)
 
     # secondary pipelines over the driver tables
+    from lucene_solr_ray.pipelines.curation import run_curation
     from lucene_solr_ray.pipelines.registry import (
         q_ann_cosine_top5,
         q_facet_lang,
@@ -142,6 +143,7 @@ def run_bench() -> dict:
         ("quality_tokens", q_quality_tokens),
         ("minhash_candidates", q_minhash_candidates),
         ("ann_cosine_top5", q_ann_cosine_top5),
+        ("curation_funnel", run_curation),
     ]:
         tq0 = time.perf_counter()
         fn(SF_DIR)
