@@ -222,6 +222,8 @@ def get_analyzer(name: str) -> Analyzer:
             _REGISTRY[name] = WhitespaceAnalyzer()
         elif name == "ngram":
             _REGISTRY[name] = NGramAnalyzer()
+        elif name == "edge_ngram":
+            _REGISTRY[name] = EdgeNGramAnalyzer()
         elif name == "shingle":
             _REGISTRY[name] = ShingleAnalyzer()
         else:
@@ -257,6 +259,33 @@ class NGramAnalyzer(Analyzer):
             for n in range(self.min_gram, self.max_gram + 1):
                 for i in range(len(tok) - n + 1):
                     out.append(tok[i : i + n])
+        return out
+
+
+class EdgeNGramAnalyzer(Analyzer):
+    """Leading-edge character n-grams per token (``lucene/analysis/common/
+    .../ngram/EdgeNGramTokenFilter.java``) — the autocomplete/search-as-
+    you-type staple: "search" -> se, sea, sear (min..max)."""
+
+    name = "edge_ngram"
+
+    def __init__(self, min_gram: int = 2, max_gram: int = 10,
+                 base: str = "standard", keep_full: bool = True):
+        self.min_gram = min_gram
+        self.max_gram = max_gram
+        self.keep_full = keep_full
+        self.base = get_analyzer(base)
+
+    def tokens(self, text: str) -> list[str]:
+        out = []
+        for tok in self.base.tokens(text):
+            hi = min(self.max_gram, len(tok))
+            for n in range(self.min_gram, hi + 1):
+                out.append(tok[:n])
+            if self.keep_full and len(tok) > self.max_gram:
+                out.append(tok)
+            elif len(tok) < self.min_gram:
+                out.append(tok)
         return out
 
 

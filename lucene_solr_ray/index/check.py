@@ -36,109 +36,178 @@ def check_index(index_dir: str, *, sample_terms: int | None = None,
                 strict: bool = True) -> dict:
     man = IndexManifest.load(index_dir)
     report = {"segments": 0, "terms_checked": 0, "postings_checked": 0,
-              "docs": 0, "errors": []}
+              "docs": 0, "sum_len": 0, "errors": []}
+    for part in man.partitions:
+        _check_partition_body(index_dir, man, part, sample_terms, strict,
+                              report)
+    if man.max_doc != report["docs"]:
+        msg = f"manifest maxDoc {man.max_doc} != {report['docs']}"
+        if strict:
+            raise AssertionError(msg)
+        report["errors"].append(msg)
+    if man.sum_total_term_freq != report["sum_len"]:
+        msg = (f"manifest sumTTF {man.sum_total_term_freq} != "
+               f"{report['sum_len']}")
+        if strict:
+            raise AssertionError(msg)
+        report["errors"].append(msg)
+    report["ok"] = not report["errors"]
+    return report
+
+
+def _check_partition_body(index_dir: str, man: IndexManifest, part: dict,
+                          sample_terms: int | None, strict: bool,
+                          report: dict) -> None:
+    """Invariant checks for ONE partition, accumulated into ``report``."""
 
     def err(msg):
         if strict:
             raise AssertionError(msg)
         report["errors"].append(msg)
 
-    total_rows = 0
-    total_len = 0
-    for part in man.partitions:
-        pid = part["partition_id"]
-        seg = pq.read_table(os.path.join(index_dir, part["segment"]))
-        norms = pq.read_table(os.path.join(index_dir, part["norms"]))
-        report["segments"] += 1
+    pid = part["partition_id"]
+    seg = pq.read_table(os.path.join(index_dir, part["segment"]))
+    norms = pq.read_table(os.path.join(index_dir, part["norms"]))
+    report["segments"] += 1
 
-        terms = seg["term"].to_pylist()
-        if terms != sorted(terms):
-            err(f"part {pid}: terms not sorted")
-        dfs = seg["df"].to_numpy()
-        ttfs = seg["ttf"].to_numpy()
-        # payloads live in the .bin sidecar, referenced by (offset, length)
-        from ..search.readers import mmap_file
+    terms = seg["term"].to_pylist()
+    if terms != sorted(terms):
+        err(f"part {pid}: terms not sorted")
+    dfs = seg["df"].to_numpy()
+    ttfs = seg["ttf"].to_numpy()
+    # payloads live in the .bin sidecar, referenced by (offset, length)
+    from ..search.readers import mmap_file
 
-        bin_mv = mmap_file(os.path.join(
-            index_dir, "segments", f"part-{pid:05d}.bin"))
-        p_off = seg["offset"].to_numpy()
-        p_len = seg["length"].to_numpy()
-        q_off = seg["pos_offset"].to_numpy()
-        q_len = seg["pos_length"].to_numpy()
-        payloads = [
-            bin_mv[int(o):int(o) + int(ln)]
-            for o, ln in zip(p_off, p_len)
-        ]
-        b_last = seg["block_last"].to_pylist()
-        b_maxtf = seg["block_max_tf"].to_pylist()
+    bin_mv = mmap_file(os.path.join(
+        index_dir, "segments", f"part-{pid:05d}.bin"))
+    p_off = seg["offset"].to_numpy()
+    p_len = seg["length"].to_numpy()
+    q_off = seg["pos_offset"].to_numpy()
+    q_len = seg["pos_length"].to_numpy()
+    payloads = [
+        bin_mv[int(o):int(o) + int(ln)]
+        for o, ln in zip(p_off, p_len)
+    ]
+    b_last = seg["block_last"].to_pylist()
+    b_maxtf = seg["block_max_tf"].to_pylist()
 
-        doc_ids = norms["doc_id"].to_numpy()
-        lengths = norms["length"].to_numpy()
-        norm_bytes = norms["norm"].to_numpy()
-        lo, hi = part["doc_base"], part["doc_base"] + part["rows"]
-        if not np.array_equal(doc_ids, np.arange(lo, hi)):
-            err(f"part {pid}: norms doc_id coverage not dense [{lo},{hi})")
-        if not np.array_equal(encode_norm(lengths), norm_bytes):
-            err(f"part {pid}: norm bytes don't re-encode from lengths")
-        sha_roll = hashlib.sha256(
-            b"".join(norms["content_sha256"].to_pylist())
-        ).hexdigest()
-        ck = os.path.join(index_dir, "_checkpoints",
-                          f"part-{pid:05d}.json")
-        if os.path.exists(ck):
+    doc_ids = norms["doc_id"].to_numpy()
+    lengths = norms["length"].to_numpy()
+    norm_bytes = norms["norm"].to_numpy()
+    lo, hi = part["doc_base"], part["doc_base"] + part["rows"]
+    if not np.array_equal(doc_ids, np.arange(lo, hi)):
+        err(f"part {pid}: norms doc_id coverage not dense [{lo},{hi})")
+    if not np.array_equal(encode_norm(lengths), norm_bytes):
+        err(f"part {pid}: norm bytes don't re-encode from lengths")
+    sha_roll = hashlib.sha256(
+        b"".join(norms["content_sha256"].to_pylist())
+    ).hexdigest()
+    ck = os.path.join(index_dir, "_checkpoints",
+                      f"part-{pid:05d}.json")
+    if os.path.exists(ck):
+        import json
+
+        with open(ck) as f:
+            if json.load(f)["sha256_rollup"] != sha_roll:
+                err(f"part {pid}: checkpoint sha256 rollup mismatch")
+
+    pos_col = (
+        [bin_mv[int(o):int(o) + int(ln)]
+         for o, ln in zip(q_off, q_len)]
+        if man.store_positions else None
+    )
+    idx = np.arange(len(terms))
+    if sample_terms and len(terms) > sample_terms:
+        rng = np.random.default_rng(pid)
+        idx = np.sort(rng.choice(len(terms), sample_terms, replace=False))
+    for i in idx.tolist():
+        d, f = decode_postings(payloads[i])
+        if pos_col is not None:
+            from ..codec.postings import decode_values
+
+            pv = decode_values(pos_col[i])
+            if pv.size != int(f.sum()):
+                err(f"part {pid} term {terms[i]!r}: positions stream "
+                    f"length {pv.size} != ttf {int(f.sum())}")
+        if d.size != dfs[i]:
+            err(f"part {pid} term {terms[i]!r}: df {dfs[i]} != decoded "
+                f"{d.size}")
+        if int(f.sum()) != ttfs[i]:
+            err(f"part {pid} term {terms[i]!r}: ttf mismatch")
+        if d.size and (np.any(np.diff(d) <= 0) or d[0] < lo
+                       or d[-1] >= hi):
+            err(f"part {pid} term {terms[i]!r}: doc ids not ascending "
+                "in range")
+        nblocks = (d.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+        if len(b_last[i]) != nblocks:
+            err(f"part {pid} term {terms[i]!r}: block count mismatch")
+        for b in range(nblocks):
+            blo, bhi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, d.size)
+            if b_last[i][b] != d[bhi - 1]:
+                err(f"part {pid} term {terms[i]!r}: block_last wrong")
+            if b_maxtf[i][b] != int(f[blo:bhi].max()):
+                err(f"part {pid} term {terms[i]!r}: block_max_tf wrong")
+        report["terms_checked"] += 1
+        report["postings_checked"] += int(d.size)
+    report["docs"] += part["rows"]
+    report["sum_len"] += int(lengths.sum())
+
+
+def check_index_distributed(index_dir: str, *,
+                            sample_terms: int | None = 2000) -> dict:
+    """CheckIndex fanned out over partitions: one Ray task per segment
+    runs the same invariant checks (the driver-side ``check_index`` loop
+    is the scale bottleneck at 10^5+ segments). Returns the aggregated
+    report."""
+    import ray.data as rd
+
+    man = IndexManifest.load(index_dir)
+
+    def check_parts(batch: dict) -> dict:
+        out = []
+        for i in range(len(batch["partition_id"])):
+            pid = int(batch["partition_id"][i])
+            rep = _check_partition(index_dir, man, pid,
+                                   sample_terms=sample_terms, strict=False)
             import json
 
-            with open(ck) as f:
-                if json.load(f)["sha256_rollup"] != sha_roll:
-                    err(f"part {pid}: checkpoint sha256 rollup mismatch")
+            out.append(json.dumps(rep))
+        return {"report": np.array(out, object)}
 
-        pos_col = (
-            [bin_mv[int(o):int(o) + int(ln)]
-             for o, ln in zip(q_off, q_len)]
-            if man.store_positions else None
-        )
-        idx = np.arange(len(terms))
-        if sample_terms and len(terms) > sample_terms:
-            rng = np.random.default_rng(pid)
-            idx = np.sort(rng.choice(len(terms), sample_terms, replace=False))
-        for i in idx.tolist():
-            d, f = decode_postings(payloads[i])
-            if pos_col is not None:
-                from ..codec.postings import decode_values
+    parts = [{"partition_id": p["partition_id"]} for p in man.partitions]
+    rows = rd.from_items(parts).map_batches(
+        check_parts, batch_size=1).take_all()
+    import json
 
-                pv = decode_values(pos_col[i])
-                if pv.size != int(f.sum()):
-                    err(f"part {pid} term {terms[i]!r}: positions stream "
-                        f"length {pv.size} != ttf {int(f.sum())}")
-            if d.size != dfs[i]:
-                err(f"part {pid} term {terms[i]!r}: df {dfs[i]} != decoded "
-                    f"{d.size}")
-            if int(f.sum()) != ttfs[i]:
-                err(f"part {pid} term {terms[i]!r}: ttf mismatch")
-            if d.size and (np.any(np.diff(d) <= 0) or d[0] < lo
-                           or d[-1] >= hi):
-                err(f"part {pid} term {terms[i]!r}: doc ids not ascending "
-                    "in range")
-            nblocks = (d.size + BLOCK_SIZE - 1) // BLOCK_SIZE
-            if len(b_last[i]) != nblocks:
-                err(f"part {pid} term {terms[i]!r}: block count mismatch")
-            for b in range(nblocks):
-                blo, bhi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, d.size)
-                if b_last[i][b] != d[bhi - 1]:
-                    err(f"part {pid} term {terms[i]!r}: block_last wrong")
-                if b_maxtf[i][b] != int(f[blo:bhi].max()):
-                    err(f"part {pid} term {terms[i]!r}: block_max_tf wrong")
-            report["terms_checked"] += 1
-            report["postings_checked"] += int(d.size)
-        total_rows += part["rows"]
-        total_len += int(lengths.sum())
-        report["docs"] += part["rows"]
-
+    agg = {"segments": 0, "terms_checked": 0, "postings_checked": 0,
+           "docs": 0, "errors": []}
+    total_rows = total_len = 0
+    for r in rows:
+        rep = json.loads(r["report"])
+        for k in ("segments", "terms_checked", "postings_checked", "docs"):
+            agg[k] += rep[k]
+        agg["errors"].extend(rep["errors"])
+        total_rows += rep["docs"]
+        total_len += rep["sum_len"]
     if man.max_doc != total_rows:
-        err(f"manifest maxDoc {man.max_doc} != {total_rows}")
+        agg["errors"].append(f"manifest maxDoc {man.max_doc} != {total_rows}")
     if man.sum_total_term_freq != total_len:
-        err(f"manifest sumTTF {man.sum_total_term_freq} != {total_len}")
-    report["ok"] = not report["errors"]
+        agg["errors"].append(
+            f"manifest sumTTF {man.sum_total_term_freq} != {total_len}")
+    agg["ok"] = not agg["errors"]
+    return agg
+
+
+def _check_partition(index_dir: str, man: IndexManifest, pid: int, *,
+                     sample_terms: int | None, strict: bool) -> dict:
+    """One partition's share of check_index (the distributed fan-out
+    unit): same invariants, report includes sum_len for the caller's
+    manifest-total validation."""
+    part = next(p for p in man.partitions if p["partition_id"] == pid)
+    report = {"segments": 0, "terms_checked": 0, "postings_checked": 0,
+              "docs": 0, "sum_len": 0, "errors": []}
+    _check_partition_body(index_dir, man, part, sample_terms, strict,
+                          report)
     return report
 
 

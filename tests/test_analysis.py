@@ -165,3 +165,15 @@ def test_ngram_and_shingle_analyzers():
     # an index built with the shingle analyzer answers "phrase-ish" terms
     from lucene_solr_ray.analysis import get_analyzer
     assert get_analyzer("ngram") is get_analyzer("ngram")
+
+
+def test_edge_ngram_analyzer():
+    from lucene_solr_ray.analysis import get_analyzer
+
+    ana = get_analyzer("edge_ngram")
+    assert ana.tokens("search") == ["se", "sea", "sear", "searc", "search"]
+    # short token below min_gram passes through whole
+    assert ana.tokens("a b") == ["b"]  # 'a' is a stopword; 'b' < min_gram
+    # long token keeps the full surface form too
+    toks = ana.tokens("extraordinarily")
+    assert toks[0] == "ex" and toks[-1] == "extraordinarily"

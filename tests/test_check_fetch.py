@@ -210,3 +210,22 @@ def test_collector_extension(tmp_path_factory, ray_session):
     got = s.collect(TermQuery("return"), histo)
     assert got["hits"] == s.count(TermQuery("return")) > 0
     assert got["max"] > 0
+
+
+def test_check_index_distributed_matches(tmp_path_factory, ray_session):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.index.check import check_index, check_index_distributed
+    from lucene_solr_ray.sources import generate_table
+
+    d = tmp_path_factory.mktemp("dchk_corpus")
+    pq.write_table(generate_table(300, seed=51), str(d / "c.parquet"),
+                   row_group_size=100)
+    out = str(tmp_path_factory.mktemp("dchk_idx"))
+    build_index(str(d), out, rows_per_partition=100)
+    a = check_index(out, strict=False)
+    b = check_index_distributed(out, sample_terms=None)
+    assert b["ok"] and a["ok"]
+    for k in ("segments", "terms_checked", "postings_checked", "docs"):
+        assert a[k] == b[k], k
