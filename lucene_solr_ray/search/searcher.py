@@ -628,6 +628,88 @@ class IndexSearcher:
     def count(self, q: Query) -> int:
         return int(self._docs_only(q).size)
 
+    def explain(self, q: Query, doc_id: int) -> dict:
+        """Score explanation tree for one document —
+        ``IndexSearcher.explain`` / ``Explanation.java``: nested
+        {match, value, description, details} mirroring the BM25 weight
+        structure (idf / freq / norm legs for term queries, clause sums
+        for booleans, products for boosts)."""
+        def no_match(desc):
+            return {"match": False, "value": 0.0, "description": desc,
+                    "details": []}
+
+        if isinstance(q, TermQuery):
+            docs, tfs = self.reader.postings(q.term)
+            pos = np.searchsorted(docs, doc_id)
+            if pos >= docs.size or docs[pos] != doc_id or (
+                self.live_docs is not None
+                and not self.live_docs.mask[doc_id]
+            ):
+                return no_match(f"no matching term {q.term!r}")
+            freq = int(tfs[pos])
+            df = self.doc_freq(q.term)
+            idf_v = float(bm25.idf(df, self.max_doc))
+            dl = int(self.norms.length[doc_id])
+            if self.precise:
+                norm = bm25.K1 * ((1 - bm25.B)
+                                  + bm25.B * dl / self.avgdl_precise)
+            else:
+                norm = float(self._cache[self.norms.norm[doc_id]])
+            score = idf_v * (bm25.K1 + 1.0) * freq / (freq + norm)
+            return {
+                "match": True, "value": float(score),
+                "description": (f"weight({q.term} in {doc_id}) "
+                                "[BM25], product of:"),
+                "details": [
+                    {"match": True, "value": idf_v,
+                     "description": f"idf(docFreq={df}, "
+                                    f"docCount={self.max_doc})",
+                     "details": []},
+                    {"match": True,
+                     "value": (bm25.K1 + 1.0) * freq / (freq + norm),
+                     "description": f"tfNorm(freq={freq}, k1={bm25.K1}, "
+                                    f"b={bm25.B}, fieldLength={dl}, "
+                                    f"avgFieldLength={self.avgdl})",
+                     "details": []},
+                ],
+            }
+        if isinstance(q, BooleanQuery):
+            from .query import FILTER, MUST, MUST_NOT, SHOULD
+
+            details = []
+            total = 0.0
+            for occur, sub in q.clauses:
+                e = self.explain(sub, doc_id)
+                if occur == MUST_NOT:
+                    if e["match"]:
+                        return no_match("excluded by MUST_NOT clause")
+                    continue
+                if occur in (MUST, FILTER) and not e["match"]:
+                    return no_match(f"missing required clause {sub}")
+                if e["match"] and occur != FILTER:
+                    details.append(e)
+                    total += e["value"]
+            if not details:
+                return no_match("no matching clauses")
+            return {"match": True, "value": total,
+                    "description": "sum of:", "details": details}
+        from .query import BoostQuery
+
+        if isinstance(q, BoostQuery):
+            e = self.explain(q.query, doc_id)
+            if not e["match"]:
+                return e
+            return {"match": True, "value": e["value"] * q.boost,
+                    "description": f"boost {q.boost} * score, product of:",
+                    "details": [e]}
+        # generic fallback: score the query, look the doc up
+        docs, scores = self._score(q)
+        pos = np.searchsorted(docs, doc_id)
+        if pos >= docs.size or docs[pos] != doc_id:
+            return no_match(f"no match for {type(q).__name__}")
+        return {"match": True, "value": float(scores[pos]),
+                "description": f"{type(q).__name__} score", "details": []}
+
     def collect(self, q: Query, collector):
         """Collector extension point (``search/Collector.java`` /
         ``IndexSearcher.search(Query, Collector)``): the vectorized
