@@ -182,41 +182,12 @@ def minhash_batch(
     })
 
 
-def minhash_lsh_candidates(
-    ds, text_col: str, id_col: str, *, num_perm: int = 64, bands: int = 16,
-    shingle_k: int = 3, dedupe: bool = True,
-):
-    """Candidate near-dup pairs via LSH banding.
-
-    sig -> explode to (band, band_hash, id) -> groupby -> pairs within
-    bucket. Returns Dataset of (id_a, id_b) with id_a < id_b (deduped).
-    """
-    rows_per_band = num_perm // bands
-
-    def to_bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy()
-        col = batch["minhash"].combine_chunks()
-        m = col.values.to_numpy().reshape(ids.size, num_perm)
-        # one polynomial band hash per (row, band), fully vectorized
-        bh = np.empty((ids.size, bands), np.uint64)
-        for band in range(bands):
-            bh[:, band] = _poly_rows(
-                m[:, band * rows_per_band : (band + 1) * rows_per_band]
-            )
-        band_ids = np.tile(np.arange(bands, dtype=np.int32), ids.size)
-        return pa.table({
-            id_col: pa.array(np.repeat(ids, bands)),
-            "band": pa.array(band_ids),
-            "band_hash": pa.array(bh.reshape(-1)),
-        })
-
-    sigs = ds.map_batches(
-        lambda b: minhash_batch(b, text_col, id_col, num_perm=num_perm,
-                                shingle_k=shingle_k),
-        batch_format="pyarrow",
-    )
-    banded = sigs.map_batches(to_bands, batch_format="pyarrow")
-
+def bucket_candidate_pairs(banded, id_col: str, *,
+                           max_bucket: int = 128, dedupe: bool = True):
+    """Generic LSH-bucket pair expansion over a (id, band, band_hash)
+    dataset — shared by MinHash and SimHash banding (sort on the bucket
+    key, expand interior groups vectorized, driver-merge boundary
+    groups, star-not-clique for degenerate buckets)."""
     # pair expansion WITHOUT per-group UDF dispatch: sort on the bucket key,
     # expand interior groups vectorized inside map_batches, pass boundary
     # rows (<=2 groups/block) to a tiny driver-side final step — the same
@@ -224,7 +195,6 @@ def minhash_lsh_candidates(
     # only the pairs against their smallest id (a star, not a clique):
     # enough to connect the component without O(g^2) blowup on degenerate
     # all-identical buckets.
-    max_bucket = 128
 
     def expand(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -328,6 +298,117 @@ def minhash_lsh_candidates(
         return pairs
     # dedupe pairs seen in multiple bands
     return pairs.groupby(["id_a", "id_b"]).count()
+
+
+def minhash_lsh_candidates(
+    ds, text_col: str, id_col: str, *, num_perm: int = 64, bands: int = 16,
+    shingle_k: int = 3, dedupe: bool = True,
+):
+    """Candidate near-dup pairs via LSH banding.
+
+    sig -> explode to (band, band_hash, id) -> groupby -> pairs within
+    bucket. Returns Dataset of (id_a, id_b) with id_a < id_b (deduped).
+    """
+    rows_per_band = num_perm // bands
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        col = batch["minhash"].combine_chunks()
+        m = col.values.to_numpy().reshape(ids.size, num_perm)
+        # one polynomial band hash per (row, band), fully vectorized
+        bh = np.empty((ids.size, bands), np.uint64)
+        for band in range(bands):
+            bh[:, band] = _poly_rows(
+                m[:, band * rows_per_band : (band + 1) * rows_per_band]
+            )
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), ids.size)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band": pa.array(band_ids),
+            "band_hash": pa.array(bh.reshape(-1)),
+        })
+
+    sigs = ds.map_batches(
+        lambda b: minhash_batch(b, text_col, id_col, num_perm=num_perm,
+                                shingle_k=shingle_k),
+        batch_format="pyarrow",
+    )
+    banded = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    return bucket_candidate_pairs(banded, id_col, dedupe=dedupe)
+
+
+def simhash_candidates(
+    ds, text_col: str, id_col: str, *, bands: int = 4,
+    max_hamming: int = 3, analyzer: str = "simple",
+) -> pa.Table:
+    """SimHash near-dup pairs: 64-bit signature -> 4x16-bit band buckets
+    (a pair within Hamming distance 3 must agree on >= 1 band — the
+    pigeonhole guarantee) -> bucket pair expansion -> exact Hamming
+    verify. Returns pa.Table (id_a, id_b, hamming <= max_hamming).
+    The verify set is the candidate pairs (tiny), collected driver-side;
+    at 10^12 docs it becomes a broadcast-join map_batches stage."""
+    import ray
+    import pyarrow.compute as pc_
+
+    from .textstats import simhash64_batch
+
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    sigs = ds.map_batches(
+        lambda b: simhash64_batch(b, text_col, analyzer=analyzer).select(
+            [id_col, "simhash"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        sig = b["simhash"].to_numpy().astype(np.uint64)
+        bh = np.empty((ids.size, bands), np.uint64)
+        for band in range(bands):
+            bh[:, band] = (sig >> np.uint64(band * width)) & mask
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), ids.size)),
+            "band_hash": pa.array(bh.reshape(-1)),
+        })
+
+    banded = sigs.map_batches(to_bands, batch_format="pyarrow")
+    cand = bucket_candidate_pairs(banded, id_col, dedupe=False).take_all()
+    pair_ids = sorted({(int(r["id_a"]), int(r["id_b"])) for r in cand})
+    if not pair_ids:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    need = np.asarray(sorted({i for p in pair_ids for i in p}), np.int64)
+    need_ref = ray.put(need)
+
+    def pick(b: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        ids = b[id_col].to_numpy()
+        pos = np.searchsorted(want, ids)
+        hit = (pos < want.size) & (
+            want[np.minimum(pos, want.size - 1)] == ids)
+        return b.filter(pa.array(hit))
+
+    sig_by_id = {
+        int(r[id_col]): int(r["simhash"]) & ((1 << 64) - 1)
+        for r in sigs.map_batches(pick, batch_format="pyarrow").take_all()
+    }
+    out_a, out_b, out_h = [], [], []
+    for a, b in pair_ids:
+        h = bin(sig_by_id[a] ^ sig_by_id[b]).count("1")
+        if h <= max_hamming:
+            out_a.append(a)
+            out_b.append(b)
+            out_h.append(h)
+    return pa.table({
+        "id_a": pa.array(out_a, pa.int64()),
+        "id_b": pa.array(out_b, pa.int64()),
+        "hamming": pa.array(out_h, pa.int64()),
+    })
 
 
 def jaccard_pairs(texts_by_id: dict, pairs: list[tuple], shingle_k: int = 3,

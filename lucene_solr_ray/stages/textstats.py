@@ -106,25 +106,37 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def simhash64_batch(batch: pa.Table, text_col: str = "text",
                     analyzer: str = "simple") -> pa.Table:
-    """64-bit SimHash over analyzer tokens (Charikar; near-dup fingerprint)."""
+    """64-bit SimHash over analyzer tokens (Charikar; near-dup
+    fingerprint) — vectorized over the batch's flat token stream: one
+    hash_array pass, per-doc unique tokens, then 64 segmented bit votes
+    (np.add.reduceat); no per-token hashlib calls."""
+    import pandas as pd
+
     ana = get_analyzer(analyzer + "_nostop")
-    texts = batch[text_col].to_pylist()
+    texts = [t or "" for t in batch[text_col].to_pylist()]
     out = np.zeros(len(texts), np.uint64)
-    for i, t in enumerate(texts):
-        toks = ana.tokens(t or "")
-        if not toks:
-            continue
-        hashes = np.fromiter(
-            (int.from_bytes(
-                hashlib.blake2b(x.encode(), digest_size=8).digest(), "little"
-            ) for x in set(toks)),
-            np.uint64, count=len(set(toks)),
-        )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-        votes = bits.sum(axis=0) * 2 - bits.shape[0]
-        out[i] = np.uint64(
-            sum(1 << b for b in range(64) if votes[b] > 0)
-        )
+    tokens, doc_idx, _ = ana.tokens_batch(texts)
+    if tokens:
+        th = pd.util.hash_array(np.asarray(tokens, dtype=object))
+        doc_idx = np.asarray(doc_idx, np.int64)
+        # set semantics: unique (doc, token-hash) pairs grouped by doc
+        order = np.lexsort((th, doc_idx))
+        th, doc_idx = th[order], doc_idx[order]
+        keep = np.ones(th.size, bool)
+        keep[1:] = (th[1:] != th[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+        th, doc_idx = th[keep], doc_idx[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], doc_idx[1:] != doc_idx[:-1])))
+        present = doc_idx[starts]
+        counts = np.diff(np.append(starts, th.size))
+        sig = np.zeros(present.size, np.uint64)
+        for b in range(64):
+            ones = np.add.reduceat(
+                ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64),
+                starts)
+            sig |= ((2 * ones > counts).astype(np.uint64)
+                    << np.uint64(b))
+        out[present] = sig
     return batch.append_column("simhash", pa.array(out.astype(np.int64)))
 
 

@@ -266,3 +266,34 @@ def test_geo_functions():
     assert float(haversine_km(10, 20, 10, 20)) == 0.0
     # canonical geohash test vector
     assert geohash_encode(57.64911, 10.40744, 11) == "u4pruydqqvj"
+
+
+def test_simhash_candidates_finds_near_dups(near_dup_docs, ray_session):
+    from lucene_solr_ray.stages.dedup import simhash_candidates
+
+    ds = rd.from_arrow(near_dup_docs)
+    t = simhash_candidates(ds, "text", "doc_id", max_hamming=6)
+    pairs = set(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+    assert pairs, "expected at least one near-dup pair"
+    # near-dups in the fixture are (base doc, perturbed copy) id pairs
+    assert all(h <= 6 for h in t["hamming"].to_pylist())
+
+
+def test_simhash_vectorized_properties(ray_session):
+    import pyarrow as pa
+
+    from lucene_solr_ray.stages.textstats import simhash64_batch
+
+    t = pa.table({"text": pa.array([
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta",   # identical -> same sig
+        "alpha beta gamma delta epsilon eta",    # 1 word off -> close
+        "completely different words entirely here now",
+        "",
+    ])})
+    out = simhash64_batch(t)["simhash"].to_pylist()
+    assert out[0] == out[1]
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(out[0], out[2]) < ham(out[0], out[3])
+    assert out[4] == 0
