@@ -1,4 +1,4 @@
-"""Deduplication stages: exact, MinHash-LSH, n-gram Jaccard.
+"""Deduplication stages: exact, MinHash-LSH, SimHash, n-gram Jaccard.
 
 - exact: content hash in a vectorized ``map_batches`` + hash-partitioned
   keep-first (``SignatureUpdateProcessorFactory`` + MD5Signature,
@@ -6,10 +6,13 @@
   MR-tool's reducer-side conflict resolution,
   ``hadoop/dedup/RetainMostRecentUpdateConflictResolver.java``)
 - MinHash-LSH: shingle -> k minhash permutations -> band buckets ->
-  groupby(band, bucket) candidate pairs -> Jaccard verify (Broder'97 /
-  Leskovec MMDS construction; scale path for near-dup at 100 TB)
+  bucket-pair expansion -> Jaccard verify (Broder'97 / Leskovec MMDS
+  construction; the scale path for near-dup at 100 TB)
+- SimHash: 64-bit Charikar fingerprints -> 16-bit band buckets
+  (pigeonhole for Hamming <= 3) -> exact Hamming verify
 
-Everything shuffles at most (band_hash) keys — never raw text pairs.
+Everything shuffles at most (band_hash) keys — never raw text pairs;
+the bucket-pair expansion (bucket_candidate_pairs) is shared.
 """
 
 from __future__ import annotations
