@@ -758,6 +758,33 @@ def q_date_histogram(sf_dir: str) -> pa.Table:
     })
 
 
+def q_events_top_stream(sf_dir: str) -> pa.Table:
+    """Streaming-expression ``top`` decorator over a partitioned stream
+    (solr/.../client/solrj/io/stream/RankStream.java): top-3 events by
+    value per event_type."""
+    import pandas as pd
+    import ray.data as rd
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        g = g.head(3).copy()
+        g["rn"] = range(1, len(g) + 1)
+        return g
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_type", "event_id", "value"])
+        .groupby("event_type").map_groups(top3, batch_format="pandas")
+        .to_pandas().sort_values(["event_type", "rn"])
+    )
+    return pa.table({
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "rn": pa.array(out["rn"].to_numpy(), pa.int64()),
+        "event_id": pa.array(out["event_id"].to_numpy(), pa.int64()),
+        "value": pa.array(_round4(out["value"].to_numpy()), pa.float64()),
+    })
+
+
 def q_sort_export_top50(sf_dir: str) -> pa.Table:
     out = (
         _docs_ds(sf_dir, ["doc_id", "n_chars"])
@@ -1428,6 +1455,7 @@ QUERIES = {
     "nb_lang_classify": q_nb_lang_classify,
     "date_histogram": q_date_histogram,
     "curation_funnel": q_curation_funnel,
+    "events_top_stream": q_events_top_stream,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1782,6 +1810,16 @@ ORDER BY id_a, id_b
     "date_histogram": """
 SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS cnt
 FROM events GROUP BY day ORDER BY day
+""",
+    "events_top_stream": """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events)
+SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id,
+       floor(value*10000 + 0.5)/10000 AS value
+FROM ranked WHERE rn <= 3 ORDER BY event_type, rn
 """,
     "sampled_facet_lang": """
 SELECT lang, count(*)::BIGINT AS cnt FROM documents
