@@ -65,6 +65,59 @@ def _unescape(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", s)
 
 
+def expand_multifield(q: Query, fields: list[str],
+                      boosts: dict[str, float] | None = None,
+                      tie_breaker: float = 0.0) -> Query:
+    """MultiFieldQueryParser's clause expansion
+    (``queryparser/.../classic/MultiFieldQueryParser.java``): every LEAF
+    query is replaced by a DisMax over the fields (with optional
+    per-field boosts), preserving the boolean structure — ``a b`` becomes
+    ``(f1:a | f2:a) (f1:b | f2:b)``, not ``(f1:a f1:b) | (f2:a f2:b)``."""
+    from .query import (
+        BooleanQuery as BQ,
+        BoostQuery as Boost,
+        ConstantScoreQuery as CSQ,
+        DisjunctionMaxQuery as DMQ,
+        FieldedQuery as FQ,
+    )
+
+    boosts = boosts or {}
+    if isinstance(q, BQ):
+        return BQ(tuple(
+            (occ, expand_multifield(sub, fields, boosts, tie_breaker))
+            for occ, sub in q.clauses
+        ), q.min_should_match)
+    if isinstance(q, Boost):
+        return Boost(expand_multifield(q.query, fields, boosts,
+                                       tie_breaker), q.boost)
+    if isinstance(q, CSQ):
+        return CSQ(expand_multifield(q.query, fields, boosts,
+                                     tie_breaker), q.score)
+    if isinstance(q, FQ):
+        return q  # already explicitly routed
+    subs = []
+    for f in fields:
+        sub: Query = FQ(f, q)
+        b = boosts.get(f)
+        if b is not None and b != 1.0:
+            sub = Boost(sub, b)
+        subs.append(sub)
+    return DMQ(tuple(subs), tie_breaker)
+
+
+def parse_multifield_query(text: str, analyzer, fields: list[str], *,
+                           boosts: dict[str, float] | None = None,
+                           tie_breaker: float = 0.0,
+                           default_op: str = "OR") -> Query:
+    """Parse ``text`` and search it across ``fields``
+    (MultiFieldQueryParser): explicit ``field:`` prefixes still route
+    directly; everything else expands per-clause."""
+    q = ClassicQueryParser(
+        analyzer, default_op=default_op, fields=set(fields)
+    ).parse(text)
+    return expand_multifield(q, fields, boosts, tie_breaker)
+
+
 class ClassicQueryParser:
     """``ClassicQueryParser(analyzer).parse("(a OR b) AND -c^2")``."""
 

@@ -91,3 +91,42 @@ def test_fielded_query_parsing(midx):
     q2 = parse_query("lang:java", get_analyzer("standard"))
     from lucene_solr_ray.search import FieldedQuery
     assert not isinstance(q2, FieldedQuery)
+
+
+def test_multifield_query_parser(midx):
+    import numpy as np
+
+    from lucene_solr_ray.analysis import get_analyzer
+    from lucene_solr_ray.search.query import DisjunctionMaxQuery
+    from lucene_solr_ray.search.queryparser import parse_multifield_query
+
+    out, tbl = midx
+    s = MultiFieldSearcher(out)
+    ana = get_analyzer("standard")
+    # bare term expands to a DisMax over both fields
+    q = parse_multifield_query("return", ana, ["content", "path"])
+    assert isinstance(q, DisjunctionMaxQuery)
+    docs, _ = s._score(q)
+    c_docs, _ = s._score(FieldedQuery("content", TermQuery("return")))
+    p_docs, _ = s._score(FieldedQuery("path", TermQuery("return")))
+    assert set(docs.tolist()) == set(c_docs.tolist()) | set(p_docs.tolist())
+    # boolean structure preserved: each clause expands separately
+    q2 = parse_multifield_query("+return -quick", ana,
+                                ["content", "path"])
+    docs2, _ = s._score(q2)
+    assert docs2.size > 0
+    # explicit field prefix still routes directly
+    q3 = parse_multifield_query("lang:python", ana,
+                                ["content", "lang"])
+    langs = tbl["lang"].to_pylist()
+    want = sorted(i for i, v in enumerate(langs) if v == "python")
+    d3, _ = s._score(q3)
+    assert d3.tolist() == want
+    # per-field boosts scale the dismax leg
+    qb = parse_multifield_query("return", ana, ["content", "path"],
+                                boosts={"content": 2.0})
+    db, sb = s._score(qb)
+    d0, s0 = s._score(q)
+    both = np.intersect1d(db, c_docs)
+    assert both.size and sb[np.searchsorted(db, both[0])] >= \
+        s0[np.searchsorted(d0, both[0])]
