@@ -127,6 +127,36 @@ def spellcheck(searcher: IndexSearcher, word: str, *, max_edits: int = 2,
     })
 
 
+def highlight_results(searcher: IndexSearcher, q, results,
+                      *, window_chars: int = 120) -> "pa.Table":
+    """Snippets for a search-result table: fetch the stored fields for
+    the hit doc ids (stored fields ARE the source parquet) and run the
+    best-window highlighter with the query's literal terms — the
+    2-phase query's STAGE_GET_FIELDS + highlighting component."""
+    from ..index.check import fetch_docs
+    from .distributed import query_terms
+
+    doc_ids = results["doc_id"].to_pylist()
+    if not doc_ids:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "snippet": pa.array([], pa.string())})
+    field = searcher.manifest.field
+    docs = fetch_docs(searcher.manifest.index_dir, doc_ids=doc_ids,
+                      columns=[field])
+    terms = sorted(query_terms(q))
+    by_id = dict(zip(docs["doc_id"].to_pylist(),
+                     docs[field].to_pylist()))
+    snippets = [
+        highlight(by_id.get(d, "") or "", terms,
+                  window_chars=window_chars)
+        for d in doc_ids
+    ]
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "snippet": pa.array(snippets, pa.string()),
+    })
+
+
 def highlight(text: str, terms: list[str], *, window_chars: int = 120,
               pre: str = "<em>", post: str = "</em>",
               lowercase: bool = True) -> str:

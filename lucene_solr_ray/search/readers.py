@@ -233,12 +233,17 @@ class TermDictReader:
         return out
 
     def unique_terms(self) -> np.ndarray:
+        u = getattr(self, "_unique_terms", None)
+        if u is not None:
+            return u
         if not self.terms.size:
             return self.terms
         keep = np.empty(self.terms.size, bool)
         keep[0] = True
         keep[1:] = self.terms[1:] != self.terms[:-1]
-        return self.terms[keep]
+        u = self.terms[keep]
+        self._unique_terms = u  # immutable index: cache per reader
+        return u
 
     def terms_matching(self, predicate) -> list[str]:
         return [t for t in self.unique_terms() if predicate(t)]

@@ -109,3 +109,24 @@ def test_query_result_cache(xidx):
     assert a is b  # cache hit returns the same table object
     c = s.search(q, k=8)
     assert c is not a
+
+
+def test_highlight_results_end_to_end(tmp_path_factory, ray_session):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+    from lucene_solr_ray.search.extras import highlight_results
+    from lucene_solr_ray.sources import generate_table
+
+    d = tmp_path_factory.mktemp("hl_corpus")
+    pq.write_table(generate_table(120, seed=71), str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("hl_idx"))
+    build_index(str(d), out, rows_per_partition=60)
+    s = IndexSearcher(out)
+    q = TermQuery("return")
+    res = s.search(q, k=5)
+    t = highlight_results(s, q, res)
+    assert t.num_rows == res.num_rows
+    assert all("<em>" in sn and "return" in sn.lower()
+               for sn in t["snippet"].to_pylist())
