@@ -127,6 +127,41 @@ def spellcheck(searcher: IndexSearcher, word: str, *, max_edits: int = 2,
     })
 
 
+def spellcheck_collate(searcher: IndexSearcher, query_text: str,
+                       analyzer, *, max_edits: int = 2) -> dict:
+    """Collation ('did you mean'): rewrite the query replacing every term
+    absent from the index with its best correction (df-ranked, the
+    DirectSpellChecker ordering) and verify the collated query actually
+    hits — Solr's ``spellcheck.collate``. Returns
+    {original, collation, changed, hits}."""
+    from .query import parse_query
+    from .searcher import fuzzy_candidates
+
+    toks = analyzer.tokens(query_text)
+    replacements: dict[str, str] = {}
+    for t in dict.fromkeys(toks):
+        if searcher.doc_freq(t) > 0:
+            continue
+        cands, _ = fuzzy_candidates(searcher.reader, t, max_edits)
+        if not cands:
+            continue
+        dfs = [(searcher.doc_freq(c), c) for c in cands]
+        dfs.sort(key=lambda x: (-x[0], x[1]))
+        replacements[t] = dfs[0][1]
+    if not replacements:
+        q = parse_query(query_text, analyzer)
+        return {"original": query_text, "collation": query_text,
+                "changed": False, "hits": searcher.count(q)}
+    # surface-level rewrite: replace whole-word occurrences (lowercased
+    # match — the analyzed form)
+    collated = query_text
+    for bad, good in replacements.items():
+        collated = re.sub(rf"(?i)\b{re.escape(bad)}\b", good, collated)
+    q = parse_query(collated, analyzer)
+    return {"original": query_text, "collation": collated,
+            "changed": True, "hits": searcher.count(q)}
+
+
 def highlight_results(searcher: IndexSearcher, q, results,
                       *, window_chars: int = 120) -> "pa.Table":
     """Snippets for a search-result table: fetch the stored fields for

@@ -130,3 +130,33 @@ def test_highlight_results_end_to_end(tmp_path_factory, ray_session):
     assert t.num_rows == res.num_rows
     assert all("<em>" in sn and "return" in sn.lower()
                for sn in t["snippet"].to_pylist())
+
+
+def test_spellcheck_collation(tmp_path_factory, ray_session):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis import get_analyzer
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.extras import spellcheck_collate
+    from lucene_solr_ray.sources import generate_table
+
+    d = tmp_path_factory.mktemp("col_corpus")
+    pq.write_table(generate_table(200, seed=81), str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("col_idx"))
+    build_index(str(d), out, rows_per_partition=100)
+    s = IndexSearcher(out)
+    ana = get_analyzer("standard")
+    # pick a real vocabulary term and mangle it (swap two letters)
+    vocab = [t for t in s.reader.unique_terms()
+             if len(t) >= 6 and t.isalpha() and s.doc_freq(t) >= 3]
+    word = vocab[0]
+    bad = word[:2] + word[3] + word[2] + word[4:]
+    assert s.doc_freq(bad) == 0 or (bad := word[1:] + word[0])
+    r = spellcheck_collate(s, f"retrun {bad}", ana)
+    assert r["changed"]
+    assert "return" in r["collation"]
+    assert r["hits"] > 0
+    # a clean query passes through unchanged
+    r2 = spellcheck_collate(s, "return", ana)
+    assert not r2["changed"] and r2["hits"] > 0
