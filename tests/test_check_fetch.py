@@ -181,11 +181,14 @@ def test_check_merged_green_and_detects_corruption(tmp_path_factory,
     import shutil
 
     md = os.path.join(out, "merged")
-    tf = sorted(f for f in os.listdir(md) if f.startswith("terms-"))[0]
+    # duplicate the LARGEST terms file and check ALL terms so detection
+    # is deterministic (a tiny boundary file could slip past a sample)
+    tf = max((f for f in os.listdir(md) if f.startswith("terms-")),
+             key=lambda f: os.path.getsize(os.path.join(md, f)))
     shutil.copyfile(os.path.join(md, tf),
                     os.path.join(md, "terms-zzduplicate.parquet"))
     with pytest.raises(AssertionError):
-        check_merged(out, sample_terms=300)
+        check_merged(out, sample_terms=10_000_000)
 
 
 def test_collector_extension(tmp_path_factory, ray_session):
