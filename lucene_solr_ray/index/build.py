@@ -144,7 +144,16 @@ def _invert(
     ana = (analyzer_name if not isinstance(analyzer_name, str)
            else get_analyzer(analyzer_name))
     tokens, doc_idx, pos = ana.tokens_batch(texts)
-    doc_len = np.bincount(doc_idx, minlength=len(texts)).astype(np.int32)
+    # overlap-aware field length (DefaultIndexingChain.java:621-645:
+    # length = positions, not tokens): posIncr-0 tokens — WDF sub-parts,
+    # synonyms — share a position and count ONCE toward norms
+    if len(tokens):
+        first = np.ones(len(tokens), bool)
+        first[1:] = (doc_idx[1:] != doc_idx[:-1]) | (pos[1:] != pos[:-1])
+        doc_len = np.bincount(
+            doc_idx[first], minlength=len(texts)).astype(np.int32)
+    else:
+        doc_len = np.zeros(len(texts), np.int32)
     if not tokens:
         e = np.empty(0, np.int64)
         return [], e, e, e, doc_len, []

@@ -153,3 +153,27 @@ def test_english_index_stemmed_recall(tmp_path_factory, ray_session):
     assert s._docs_only(q).tolist() == [0, 1]
     q2 = parse_query("running", get_analyzer("english"))
     assert s._docs_only(q2).tolist() == [0, 1]  # run/runs/running -> run
+
+
+def test_overlap_tokens_count_once_in_norms(tmp_path_factory, ray_session):
+    """posIncr-0 sub-tokens (WDF parts / synonyms) share a position and
+    must count once toward field length (numOverlap semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher
+
+    d = tmp_path_factory.mktemp("ov_corpus")
+    # 'getFooBar baz' under the code analyzer: 4 tokens (get,foo,bar,baz)
+    # but only 2 positions
+    pq.write_table(pa.table({"content": pa.array(["getFooBar baz"])}),
+                   str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("ov_idx"))
+    build_index(str(d), out, analyzer="code", rows_per_partition=10)
+    s = IndexSearcher(out)
+    assert int(s.norms.length[0]) == 2
+    # sub-tokens still searchable
+    from lucene_solr_ray.search import TermQuery
+
+    assert s.count(TermQuery("foo")) == 1
