@@ -44,7 +44,10 @@ def test_nb_classify_distributed(model, ray_session):
         {"text": "tokyo japan"},                          # -> ja
     ])
     out = nb_classify(docs, model).to_pandas()
-    assert out["predicted"].tolist() == ["zh", "ja"]
+    # block order is not guaranteed under the streaming executor: key on text
+    got = dict(zip(out["text"], out["predicted"]))
+    assert got["chinese chinese chinese tokyo japan"] == "zh"
+    assert got["tokyo japan"] == "ja"
 
 
 def test_knn_classify(tmp_path_factory, ray_session):
