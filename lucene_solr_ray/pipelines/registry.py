@@ -785,6 +785,32 @@ def q_events_top_stream(sf_dir: str) -> pa.Table:
     })
 
 
+def q_group_stats(sf_dir: str) -> pa.Table:
+    """StatsComponent with a facet pivot (stats.facet=lang): per-lang
+    min/max/mean/count of n_chars in one grouped aggregate."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    out = (
+        _docs_ds(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Count(alias_name="cnt"),
+        )
+        .to_pandas().sort_values("lang")
+    )
+    return pa.table({
+        "lang": pa.array(out["lang"].tolist(), pa.string()),
+        "min_chars": pa.array(out["min_chars"].to_numpy(), pa.int64()),
+        "max_chars": pa.array(out["max_chars"].to_numpy(), pa.int64()),
+        "avg_chars": pa.array(_round4(out["avg_chars"].to_numpy()),
+                              pa.float64()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+    })
+
+
 def q_sort_export_top50(sf_dir: str) -> pa.Table:
     out = (
         _docs_ds(sf_dir, ["doc_id", "n_chars"])
@@ -1456,6 +1482,7 @@ QUERIES = {
     "date_histogram": q_date_histogram,
     "curation_funnel": q_curation_funnel,
     "events_top_stream": q_events_top_stream,
+    "group_stats": q_group_stats,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1810,6 +1837,13 @@ ORDER BY id_a, id_b
     "date_histogram": """
 SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS cnt
 FROM events GROUP BY day ORDER BY day
+""",
+    "group_stats": """
+SELECT lang, min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       floor(avg(n_chars)*10000 + 0.5)/10000 AS avg_chars,
+       count(*)::BIGINT AS cnt
+FROM documents GROUP BY lang ORDER BY lang
 """,
     "events_top_stream": """
 WITH ranked AS (

@@ -101,6 +101,18 @@ def evaluate(ast, values, docs: np.ndarray) -> np.ndarray:
     if kind == "field":
         return values(ast[1])[docs].astype(np.float64)
     name, args = ast[1], ast[2]
+    if name == "scale":
+        # scale(field, target_min, target_max): min-max over ALL docs of
+        # the field (ScaleFloatFunction — needs the global extrema, which
+        # the dense docvalues column provides in one pass)
+        if args[0][0] != "field":
+            raise ValueError("scale() needs a plain field as arg 1")
+        col = values(args[0][1]).astype(np.float64)
+        lo = float(evaluate(args[1], values, docs[:1])[0])
+        hi = float(evaluate(args[2], values, docs[:1])[0])
+        cmin, cmax = float(col.min()), float(col.max())
+        span = (cmax - cmin) or 1.0
+        return lo + (col[docs] - cmin) * (hi - lo) / span
     if name == "map":  # map(x, lo, hi, target): remap values in [lo,hi]
         x = evaluate(args[0], values, docs)
         lo = evaluate(args[1], values, docs)

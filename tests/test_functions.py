@@ -40,3 +40,13 @@ def test_parse_errors():
     for bad in ["sum(x", "1 2", "nosuchfn(x)", ""]:
         with pytest.raises(ValueError):
             evaluate(parse_func(bad), _vals, DOCS)
+
+
+def test_scale_uses_global_extrema():
+    got = evaluate(parse_func("scale(x,0,1)"), _vals, np.array([0, 3]))
+    # global min=1, max=99 over the whole column
+    assert np.allclose(got, [0.0, 1.0])
+    got2 = evaluate(parse_func("scale(x,0,1)"), _vals, np.array([1]))
+    assert np.allclose(got2, [(4 - 1) / 98])
+    with pytest.raises(ValueError):
+        evaluate(parse_func("scale(sum(x,1),0,1)"), _vals, DOCS)
