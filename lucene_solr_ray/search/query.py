@@ -57,6 +57,16 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase whose slots each admit several terms (``search/
+    MultiPhraseQuery.java`` — the synonym/prefix-expanded phrase):
+    ``(("fast", "quick"), ("fox",))`` matches "fast fox" and "quick
+    fox"."""
+
+    slots: tuple  # of tuples of terms
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     pass
 

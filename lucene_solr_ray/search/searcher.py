@@ -337,6 +337,10 @@ class IndexSearcher:
             return docs, np.ones(docs.size, dtype)
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q)
+        from .query import MultiPhraseQuery
+
+        if isinstance(q, MultiPhraseQuery):
+            return self._score_multi_phrase(q)
         if isinstance(q, BooleanQuery):
             return self._score_bool(q)
         from .blockjoin import (
@@ -481,6 +485,118 @@ class IndexSearcher:
         idf_sum = np.float32(0.0)
         for t in terms:  # float32 accumulation, reference order
             idf_sum = idf_sum + bm25.idf(self.doc_freq(t), self.max_doc)
+        scores = bm25.score_postings(
+            freqs, self.norms.norm[cand], idf_sum, self._cache
+        )
+        return cand, scores
+
+    @staticmethod
+    def _gather_runs(cand, docs, tfs, pos):
+        """Per-candidate position runs for one term, flattened:
+        (ci, abs_positions) where ci indexes into ``cand``; candidates the
+        term doesn't contain contribute nothing."""
+        cum = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+        idx = np.searchsorted(docs, cand)
+        okm = idx < docs.size
+        safe = np.minimum(idx, docs.size - 1)
+        okm &= docs[safe] == cand
+        rows = np.flatnonzero(okm)
+        counts = tfs[idx[okm]].astype(np.int64)
+        starts = cum[idx[okm]]
+        total = int(counts.sum())
+        if total == 0:
+            e = np.empty(0, np.int64)
+            return e, e
+        seg0 = np.zeros(counts.size, np.int64)
+        np.cumsum(counts[:-1], out=seg0[1:])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(seg0, counts)
+        flat = np.repeat(starts, counts) + intra
+        deltas = pos[flat].astype(np.int64)
+        cs = np.cumsum(deltas)
+        run_base = cs[seg0] - deltas[seg0]
+        p_abs = cs - np.repeat(run_base, counts)
+        return np.repeat(rows, counts), p_abs
+
+    def _score_multi_phrase(self, q) -> tuple[np.ndarray, np.ndarray]:
+        """MultiPhraseQuery (search/MultiPhraseQuery.java): each slot is a
+        set of alternative terms; a match aligns ONE term per slot at
+        consecutive positions. Vectorized like the exact-phrase scorer:
+        per slot, the union of its terms' offset-aligned (candidate,
+        position) keys; phraseFreq = slot-0 start positions surviving
+        every slot's membership test. idf = sum over all involved terms
+        (idfExplain over the flattened termArrays)."""
+        dtype = np.float64 if self.precise else np.float32
+        if not self.manifest.store_positions:
+            raise NotImplementedError(
+                "multi-phrase queries need a positional index"
+            )
+        slot_data = []
+        for slot in q.slots:
+            per_term = [self.reader.postings_with_positions(t)
+                        for t in slot]
+            per_term = [d for d in per_term if d[0].size]
+            if not per_term:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            slot_data.append(per_term)
+        cand = None
+        for per_term in slot_data:
+            u = (per_term[0][0] if len(per_term) == 1
+                 else np.unique(np.concatenate([d for d, _, _ in per_term])))
+            cand = u if cand is None else np.intersect1d(
+                cand, u, assume_unique=True)
+        if self.live_docs is not None and cand.size:
+            cand = cand[self.live_docs.mask[cand]]
+        if cand.size == 0:
+            return cand, np.empty(0, dtype)
+        gathered = []
+        max_pos = 1
+        for off, per_term in enumerate(slot_data):
+            cis, ps = [], []
+            for docs, tfs, pos in per_term:
+                ci, p_abs = self._gather_runs(cand, docs, tfs, pos)
+                cis.append(ci)
+                ps.append(p_abs - off)
+                if p_abs.size:
+                    max_pos = max(max_pos, int(p_abs.max()) + 1)
+            gathered.append((np.concatenate(cis), np.concatenate(ps)))
+        stride = np.int64(max_pos + len(q.slots) + 1)
+        base_keys = base_ci = alive = None
+        for off, (ci, p) in enumerate(gathered):
+            keys = ci * stride + p
+            if off == 0:
+                # dedupe slot-0 keys (two alternatives at one position
+                # must count one phrase start)
+                keys, first_idx = np.unique(keys, return_index=True)
+                base_keys, base_ci = keys, ci[first_idx]
+                alive = np.ones(keys.size, bool)
+            else:
+                alive &= np.isin(base_keys, keys)
+        freqs = np.bincount(base_ci[alive],
+                            minlength=cand.size).astype(np.float64)
+        keep = freqs > 0
+        cand, freqs = cand[keep], freqs[keep]
+        if cand.size == 0:
+            return cand, np.empty(0, dtype)
+        all_terms = [t for slot in q.slots for t in slot]
+        if self.precise:
+            idf_sum = sum(
+                float(np.log(1 + (self.max_doc - self.doc_freq(t) + 0.5)
+                             / (self.doc_freq(t) + 0.5)))
+                for t in all_terms if self.doc_freq(t)
+            )
+            tf = freqs
+            dl = self.norms.length[cand].astype(np.float64)
+            scores = (
+                idf_sum * (bm25.K1 + 1.0) * tf
+                / (tf + bm25.K1 * ((1 - bm25.B)
+                                   + bm25.B * dl / self.avgdl_precise))
+            )
+            return cand, scores
+        idf_sum = np.float32(0.0)
+        for t in all_terms:
+            df = self.doc_freq(t)
+            if df:
+                idf_sum = idf_sum + bm25.idf(df, self.max_doc)
         scores = bm25.score_postings(
             freqs, self.norms.norm[cand], idf_sum, self._cache
         )
