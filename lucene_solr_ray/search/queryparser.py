@@ -39,6 +39,7 @@ from .query import (
     BoostQuery,
     FieldedQuery,
     FuzzyQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
@@ -47,6 +48,35 @@ from .query import (
     TermRangeQuery,
     WildcardQuery,
 )
+
+
+def _analyzed_to_query(analyzer, text: str, slop: int = 0) -> Query | None:
+    """Analyzed text -> Term/Phrase/MultiPhrase, honoring positions: tokens
+    sharing a position (synonym expansions, WDF parts) become slot
+    ALTERNATIVES, not consecutive phrase terms — the classic parser's
+    graph-query behavior (QueryBuilder.analyzeGraphPhrase)."""
+    toks, pos = analyzer.tokens_with_positions(text)
+    if not toks:
+        return None
+    if len(toks) == 1:
+        return TermQuery(toks[0])
+    slots: list[list[str]] = []
+    last_pos = None
+    for t, p in zip(toks, pos):
+        if last_pos is not None and p == last_pos:
+            slots[-1].append(t)
+        else:
+            slots.append([t])
+            last_pos = p
+    if len(slots) == 1:
+        # one position, several alternatives: OR of terms
+        if len(slots[0]) == 1:
+            return TermQuery(slots[0][0])
+        return BooleanQuery(tuple(
+            (SHOULD, TermQuery(t)) for t in slots[0]))
+    if all(len(s) == 1 for s in slots):
+        return PhraseQuery(tuple(s[0] for s in slots), slop=slop)
+    return MultiPhraseQuery(tuple(tuple(s) for s in slots))
 
 _NUM = r"\d+(?:\.\d+)?"
 _PHRASE = re.compile(r'"((?:[^"\\]|\\.)*)"(?:~(\d+))?(?:\^(' + _NUM + r"))?")
@@ -290,8 +320,7 @@ class ClassicQueryParser:
                 self._next()
         elif t[0] == "PHRASE":
             self._next()
-            terms = tuple(self.analyzer.tokens(t[1]))
-            q = PhraseQuery(terms, slop=t[2]) if terms else None
+            q = _analyzed_to_query(self.analyzer, t[1], slop=t[2])
             boost = t[3]
         elif t[0] == "RANGE":
             self._next()
@@ -329,7 +358,4 @@ class ClassicQueryParser:
                     and "*" not in pat[:-1]):
                 return PrefixQuery(_unescape(pat[:-1]))
             return WildcardQuery(pat)  # escapes kept: analyzed per-char
-        terms = tuple(self.analyzer.tokens(_unescape(word)))
-        if not terms:
-            return None
-        return TermQuery(terms[0]) if len(terms) == 1 else PhraseQuery(terms)
+        return _analyzed_to_query(self.analyzer, _unescape(word))

@@ -63,3 +63,27 @@ def test_multiphrase_missing_slot(mpidx):
     q = MultiPhraseQuery((("fast",), ("zebra",)))
     docs, _ = s._score(q)
     assert docs.size == 0
+
+
+def test_parser_builds_multiphrase_for_synonyms(mpidx):
+    from lucene_solr_ray.analysis.synonyms import (
+        SynonymAnalyzer,
+        parse_synonym_rules,
+    )
+    from lucene_solr_ray.search.query import parse_query
+
+    ana = SynonymAnalyzer(parse_synonym_rules(["fast, quick"]),
+                          base="standard")
+    q = parse_query('"fast fox"', ana)
+    assert isinstance(q, MultiPhraseQuery)
+    assert q.slots == (("fast", "quick"), ("fox",))
+    s = IndexSearcher(mpidx)
+    docs, _ = s._score(q)
+    assert docs.tolist() == [0, 1, 5]  # both surface forms match
+    # single-position synonym term -> OR of alternatives
+    q2 = parse_query("fast", ana)
+    from lucene_solr_ray.search.query import BooleanQuery
+
+    assert isinstance(q2, BooleanQuery)
+    terms = {sub.term for _, sub in q2.clauses}
+    assert terms == {"fast", "quick"}

@@ -135,9 +135,10 @@ def test_field_routing(ana):
 def test_escapes(ana):
     # UAX#29 keeps ':' between letters (MidLetter) -> one token
     assert P(r"foo\:bar", ana, fields=set()) == TermQuery("foo:bar")
-    # escaped special char inside a term analyzed away by standard analyzer
+    # escaped special char; the 'a' stopword drops, leaving one token —
+    # a single-term phrase collapses to TermQuery (Lucene behavior)
     q = P(r'"a\"b"', ana)
-    assert isinstance(q, PhraseQuery)
+    assert q == TermQuery("b")
 
 
 def test_multiword_clause_is_phrase(ana):
