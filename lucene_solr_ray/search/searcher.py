@@ -862,16 +862,27 @@ class IndexSearcher:
     def search_by_field(
         self, q: Query, k: int, field: str, *, descending: bool = True,
         values: np.ndarray | None = None,
+        after: tuple | None = None,
     ) -> pa.Table:
         """Top-k hits ordered by a docvalues field instead of score —
         ``TopFieldCollector`` (search/TopFieldCollector.java, 705 LoC;
         Solr ``sort=field desc``). Tie-break: ascending doc id (the
         collector's docID tie-break; with global doc ids the sharded merge
-        needs no shardIndex disambiguation)."""
+        needs no shardIndex disambiguation).
+
+        ``after=(value, doc_id)`` is the cursorMark deep-paging cursor
+        (searchAfter for field sorts): only strictly-later hits return."""
         if values is None:
             values = self.docvalues(field)
         docs = self._docs_only(q)
         v = values[docs]
+        if after is not None:
+            av, ad = after
+            if descending:
+                keep = (v < av) | ((v == av) & (docs > ad))
+            else:
+                keep = (v > av) | ((v == av) & (docs > ad))
+            docs, v = docs[keep], v[keep]
         key = -v if descending else v
         order = np.lexsort((docs, key))[:k]
         d = docs[order]

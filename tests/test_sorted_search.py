@@ -87,3 +87,21 @@ def test_sharded_serving_pool_rank_identity(sidx, ray_session):
         got = pool.search(q, k=12).to_pydict()
         assert got["doc_id"] == want["doc_id"], q
         assert got["score"] == want["score"], q
+
+
+def test_search_by_field_cursor_paging(sidx):
+    s = IndexSearcher(sidx)
+    q = TermQuery("table")
+    full = s.search_by_field(q, 30, "n_chars")
+    # page through 3 pages of 10 and reassemble
+    pages = []
+    after = None
+    for _ in range(3):
+        p = s.search_by_field(q, 10, "n_chars", after=after)
+        if p.num_rows == 0:
+            break
+        pages.append(p)
+        after = (p["n_chars"][p.num_rows - 1].as_py(),
+                 p["doc_id"][p.num_rows - 1].as_py())
+    got_docs = [d for p in pages for d in p["doc_id"].to_pylist()]
+    assert got_docs == full["doc_id"].to_pylist()
