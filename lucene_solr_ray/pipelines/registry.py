@@ -811,6 +811,40 @@ def q_group_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def q_events_sessionize(sf_dir: str) -> pa.Table:
+    """Sessionization (gap-based, 30-minute timeout): per-user session
+    and event counts — the classic event-stream groupby(user) +
+    in-group time-ordered pass."""
+    import pandas as pd
+    import ray.data as rd
+
+    gap = np.timedelta64(30, "m")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        new = np.ones(len(g), bool)
+        if len(g) > 1:
+            new[1:] = (ts[1:] - ts[:-1]) > gap
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "sessions": [int(new.sum())],
+            "events": [len(g)],
+        })
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "event_id", "ts"])
+        .groupby("user_id").map_groups(sessions, batch_format="pandas")
+        .to_pandas().sort_values("user_id")
+    )
+    return pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+        "sessions": pa.array(out["sessions"].to_numpy(), pa.int64()),
+        "events": pa.array(out["events"].to_numpy(), pa.int64()),
+    })
+
+
 def q_sort_export_top50(sf_dir: str) -> pa.Table:
     out = (
         _docs_ds(sf_dir, ["doc_id", "n_chars"])
@@ -1483,6 +1517,7 @@ QUERIES = {
     "curation_funnel": q_curation_funnel,
     "events_top_stream": q_events_top_stream,
     "group_stats": q_group_stats,
+    "events_sessionize": q_events_sessionize,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,
@@ -1837,6 +1872,18 @@ ORDER BY id_a, id_b
     "date_histogram": """
 SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS cnt
 FROM events GROUP BY day ORDER BY day
+""",
+    "events_sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, sum(new_session)::BIGINT AS sessions,
+       count(*)::BIGINT AS events
+FROM o GROUP BY user_id ORDER BY user_id
 """,
     "group_stats": """
 SELECT lang, min(n_chars)::BIGINT AS min_chars,

@@ -72,7 +72,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "ft_sorted_search", "taxonomy_facet", "expand_collapse",
         "sampled_facet_lang", "embed_neardup", "ngram_jaccard",
         "mlt_top10", "func_boost", "bpe_token_count", "date_histogram",
-        "events_top_stream", "group_stats",
+        "events_top_stream", "group_stats", "events_sessionize",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):
