@@ -37,10 +37,13 @@ def idf(doc_freq: int, num_docs: int) -> np.float32:
     )
 
 
-def norm_cache(avgdl: float, dtype=np.float32) -> np.ndarray:
-    """Freq-independent part per norm byte (BM25Similarity.java:207-210)."""
-    k1 = dtype(K1)
-    b = dtype(B)
+def norm_cache(avgdl: float, dtype=np.float32, k1: float = K1,
+               b: float = B) -> np.ndarray:
+    """Freq-independent part per norm byte (BM25Similarity.java:207-210).
+    ``k1``/``b`` default to the reference constants; BM25Similarity(k1, b)
+    tuning passes custom values."""
+    k1 = dtype(k1)
+    b = dtype(b)
     one = dtype(1.0)
     table = NORM_TABLE.astype(dtype)
     return (k1 * ((one - b) + b * table / dtype(avgdl))).astype(dtype)
@@ -52,9 +55,10 @@ def score_postings(
     term_idf: float,
     cache: np.ndarray,
     dtype=np.float32,
+    k1: float = K1,
 ) -> np.ndarray:
     """Vectorized BM25DocScorer.score (BM25Similarity.java:234-238)."""
-    w = dtype(term_idf) * (dtype(K1) + dtype(1.0))  # weightValue (:228)
+    w = dtype(term_idf) * (dtype(k1) + dtype(1.0))  # weightValue (:228)
     freq = tfs.astype(dtype)
     norm = cache[norm_bytes]
     return ((w * freq) / (freq + norm)).astype(dtype)
@@ -62,10 +66,10 @@ def score_postings(
 
 def score_precise(
     tfs: np.ndarray, doc_lens: np.ndarray, doc_freq: int, num_docs: int,
-    avgdl: float,
+    avgdl: float, k1: float = K1, b: float = B,
 ) -> np.ndarray:
     """float64 BM25 on exact lengths — the DuckDB-reproducible variant."""
     i = math.log(1 + (num_docs - doc_freq + 0.5) / (doc_freq + 0.5))
     tf = tfs.astype(np.float64)
     dl = doc_lens.astype(np.float64)
-    return i * (K1 + 1.0) * tf / (tf + K1 * ((1 - B) + B * dl / avgdl))
+    return i * (k1 + 1.0) * tf / (tf + k1 * ((1 - b) + b * dl / avgdl))

@@ -164,7 +164,8 @@ def _sloppy_freq(lookups, ci: int, slop: int) -> float:
 class IndexSearcher:
     def __init__(self, index_dir: str, precise: bool = False, *,
                  reader=None, norms=None, global_stats: dict | None = None,
-                 apply_deletes: bool = True, similarity=None):
+                 apply_deletes: bool = True, similarity=None,
+                 k1: float | None = None, b: float | None = None):
         """``global_stats`` (optional): {"max_doc", "sum_ttf", "df": {term:
         df}} — injected by the doc-sharded distributed path so every shard
         scores with GLOBAL collection statistics (exactly what a single
@@ -207,6 +208,10 @@ class IndexSearcher:
         # Similarity extension point (IndexSearcher.setSimilarity): None =
         # the bit-faithful BM25 default; e.g. similarities.ClassicSimilarity
         self.similarity = similarity
+        # BM25Similarity(k1, b) tuning; defaults keep the reference
+        # constants (and therefore bit-identical default scoring)
+        self._k1 = bm25.K1 if k1 is None else float(k1)
+        self._b = bm25.B if b is None else float(b)
         self.precise = precise
         if precise:
             # float64 avgdl without the float32 cast, exact lengths
@@ -218,7 +223,7 @@ class IndexSearcher:
                 sum_ttf / float(self.max_doc) if sum_ttf > 0 else 1.0
             )
         else:
-            self._cache = bm25.norm_cache(self.avgdl)
+            self._cache = bm25.norm_cache(self.avgdl, k1=self._k1, b=self._b)
 
     # ---- stats (CollectionStatistics / TermStatistics analogues) ----
     def doc_freq(self, term: str) -> int:
@@ -238,12 +243,12 @@ class IndexSearcher:
         if self.precise:
             scores = bm25.score_precise(
                 tfs, self.norms.length[docs], df, self.max_doc,
-                self.avgdl_precise,
+                self.avgdl_precise, k1=self._k1, b=self._b,
             )
         else:
             scores = bm25.score_postings(
                 tfs, self.norms.norm[docs], bm25.idf(df, self.max_doc),
-                self._cache,
+                self._cache, k1=self._k1,
             )
         return docs, scores
 
@@ -477,16 +482,17 @@ class IndexSearcher:
             tf = freqs.astype(np.float64)
             dl = self.norms.length[cand].astype(np.float64)
             scores = (
-                idf_sum * (bm25.K1 + 1.0) * tf
-                / (tf + bm25.K1 * ((1 - bm25.B)
-                                   + bm25.B * dl / self.avgdl_precise))
+                idf_sum * (self._k1 + 1.0) * tf
+                / (tf + self._k1 * ((1 - self._b)
+                                    + self._b * dl / self.avgdl_precise))
             )
             return cand, scores
         idf_sum = np.float32(0.0)
         for t in terms:  # float32 accumulation, reference order
             idf_sum = idf_sum + bm25.idf(self.doc_freq(t), self.max_doc)
         scores = bm25.score_postings(
-            freqs, self.norms.norm[cand], idf_sum, self._cache
+            freqs, self.norms.norm[cand], idf_sum, self._cache,
+            k1=self._k1,
         )
         return cand, scores
 
@@ -587,9 +593,9 @@ class IndexSearcher:
             tf = freqs
             dl = self.norms.length[cand].astype(np.float64)
             scores = (
-                idf_sum * (bm25.K1 + 1.0) * tf
-                / (tf + bm25.K1 * ((1 - bm25.B)
-                                   + bm25.B * dl / self.avgdl_precise))
+                idf_sum * (self._k1 + 1.0) * tf
+                / (tf + self._k1 * ((1 - self._b)
+                                    + self._b * dl / self.avgdl_precise))
             )
             return cand, scores
         idf_sum = np.float32(0.0)
@@ -598,7 +604,8 @@ class IndexSearcher:
             if df:
                 idf_sum = idf_sum + bm25.idf(df, self.max_doc)
         scores = bm25.score_postings(
-            freqs, self.norms.norm[cand], idf_sum, self._cache
+            freqs, self.norms.norm[cand], idf_sum, self._cache,
+            k1=self._k1,
         )
         return cand, scores
 
@@ -767,11 +774,11 @@ class IndexSearcher:
             idf_v = float(bm25.idf(df, self.max_doc))
             dl = int(self.norms.length[doc_id])
             if self.precise:
-                norm = bm25.K1 * ((1 - bm25.B)
-                                  + bm25.B * dl / self.avgdl_precise)
+                norm = self._k1 * ((1 - self._b)
+                                   + self._b * dl / self.avgdl_precise)
             else:
                 norm = float(self._cache[self.norms.norm[doc_id]])
-            score = idf_v * (bm25.K1 + 1.0) * freq / (freq + norm)
+            score = idf_v * (self._k1 + 1.0) * freq / (freq + norm)
             return {
                 "match": True, "value": float(score),
                 "description": (f"weight({q.term} in {doc_id}) "
@@ -782,9 +789,9 @@ class IndexSearcher:
                                     f"docCount={self.max_doc})",
                      "details": []},
                     {"match": True,
-                     "value": (bm25.K1 + 1.0) * freq / (freq + norm),
-                     "description": f"tfNorm(freq={freq}, k1={bm25.K1}, "
-                                    f"b={bm25.B}, fieldLength={dl}, "
+                     "value": (self._k1 + 1.0) * freq / (freq + norm),
+                     "description": f"tfNorm(freq={freq}, k1={self._k1}, "
+                                    f"b={self._b}, fieldLength={dl}, "
                                     f"avgFieldLength={self.avgdl})",
                      "details": []},
                 ],

@@ -35,10 +35,10 @@ class _TermCursor:
     """Per-term chunk/block access with lazy, block-targeted decode."""
 
     def __init__(self, reader, term: str, idf: np.float32,
-                 cache: np.ndarray):
+                 cache: np.ndarray, k1: float = bm25.K1):
         self.term = term
         self.idf = idf
-        weight = idf * (np.float32(bm25.K1) + np.float32(1.0))  # :228
+        weight = idf * (np.float32(k1) + np.float32(1.0))  # :228
         self.weight = weight
         self.chunks = reader.chunks(term)
         self.block_ub: list[np.ndarray] = []
@@ -124,7 +124,8 @@ def wand_or_topk(searcher, terms: list[str], k: int):
         if df == 0:
             continue
         cursors.append(_TermCursor(
-            reader, t, bm25.idf(df, searcher.max_doc), cache
+            reader, t, bm25.idf(df, searcher.max_doc), cache,
+            k1=searcher._k1,
         ))
     if not cursors:
         e = np.empty(0, np.int64)
@@ -142,6 +143,7 @@ def wand_or_topk(searcher, terms: list[str], k: int):
         seed_docs, seed_tfs = seed_docs[keep], seed_tfs[keep]
     seed_scores = bm25.score_postings(
         seed_tfs, searcher.norms.norm[seed_docs], cursors[0].idf, cache,
+        k1=searcher._k1,
     )
     if seed_scores.size > k:
         theta = float(np.partition(seed_scores, seed_scores.size - k)
@@ -208,7 +210,7 @@ def wand_or_topk(searcher, terms: list[str], k: int):
         if d.size == 0:
             continue
         scores = bm25.score_postings(
-            f, searcher.norms.norm[d], c.idf, cache,
+            f, searcher.norms.norm[d], c.idf, cache, k1=searcher._k1,
         )
         pos = np.searchsorted(cand, d)
         ok = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)] == d)

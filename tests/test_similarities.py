@@ -117,3 +117,25 @@ def test_lmdirichlet_golden(cidx):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], rel=1e-6), d
+
+
+def test_bm25_k1_b_tuning(cidx):
+    # defaults: bit-identical to the constant path
+    a = IndexSearcher(cidx).search(TermQuery("apple"), k=10)
+    d = IndexSearcher(cidx, k1=1.2, b=0.75).search(TermQuery("apple"), k=10)
+    assert a.to_pydict() == d.to_pydict()
+    # b=0 removes length normalization: equal-tf docs score equally
+    s0 = IndexSearcher(cidx, b=0.0)
+    t = s0.search(TermQuery("date"), k=10)  # tf=1 in docs 2 and 3
+    scores = t["score"].to_pylist()
+    assert len(scores) == 2 and scores[0] == scores[1]
+    # k1=0 makes tf saturating immediately: tf=2 scores like tf=1
+    sk = IndexSearcher(cidx, k1=0.0)
+    t2 = sk.search(TermQuery("apple"), k=10)
+    sc = t2["score"].to_pylist()
+    assert sc[0] == pytest.approx(sc[1], rel=1e-6)
+    # custom k1/b also flows through the pruned path identically
+    full = IndexSearcher(cidx, k1=2.0, b=0.3)
+    pr = full.search(TermQuery("apple"), k=10, prune=True)
+    ex = full.search(TermQuery("apple"), k=10, prune=False)
+    assert pr.to_pydict() == ex.to_pydict()
