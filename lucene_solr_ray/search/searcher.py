@@ -161,6 +161,64 @@ def _sloppy_freq(lookups, ci: int, slop: int) -> float:
             return freq
 
 
+def _sloppy_freq2_flat(searcher, cand, datas, slop: int) -> np.ndarray:
+    """Vectorized 2-term sloppy phrase frequency, EXACTLY equal to the
+    :func:`_sloppy_freq` cursor walk (property-tested).
+
+    Derivation: the walk consumes elements of the two offset-adjusted
+    position lists A, B in merged order (ties consume A first), pairing
+    each consumed element with the other list's current head. Therefore
+
+        freq = sum_{a in A, a <= max(B)} f(succ_B>=(a) - a)
+             + sum_{b in B, b <  max(A)} f(succ_A>(b) - b)
+
+    with ``f(d) = 1/(1+|d|) if |d| <= slop else 0`` — successor lookups,
+    which one searchsorted per direction computes for ALL candidates at
+    once over disjoint (candidate, position) int64 key spaces."""
+    sides = []
+    max_pos = 1
+    for off, (docs, tfs, pos) in enumerate(datas):
+        ci, p_abs = IndexSearcher._gather_runs(cand, docs, tfs, pos)
+        p = p_abs - off
+        sides.append((ci, p))
+        if p.size:
+            max_pos = max(max_pos, int(p.max()) + 2)
+    stride = np.int64(2 * max_pos + 4)
+    base = np.int64(max_pos + 1)  # keep keys positive after the -off shift
+    (ci_a, pa), (ci_b, pb) = sides
+    ka = ci_a * stride + pa + base
+    kb = ci_b * stride + pb + base
+    # per-candidate max of each side (runs are contiguous per candidate)
+    n = cand.size
+    max_b = np.full(n, -np.inf)
+    np.maximum.at(max_b, ci_b, pb.astype(np.float64))
+    max_a = np.full(n, -np.inf)
+    np.maximum.at(max_a, ci_a, pa.astype(np.float64))
+    freqs = np.zeros(n, np.float64)
+
+    def f_add(src_ci, spans, ok):
+        w = np.zeros(spans.size, np.float64)
+        m = ok & (np.abs(spans) <= slop)
+        w[m] = 1.0 / (1.0 + np.abs(spans[m]))
+        np.add.at(freqs, src_ci[m], w[m])
+
+    # A side: successor in B with key >= ka (same candidate)
+    pos_b = np.searchsorted(kb, ka, side="left")
+    okA = pos_b < kb.size
+    safe = np.minimum(pos_b, kb.size - 1)
+    okA &= ci_b[safe] == ci_a
+    okA &= pa <= max_b[ci_a]
+    f_add(ci_a, np.where(okA, kb[safe] - ka, 0), okA)
+    # B side: successor in A with key > kb (strict: ties consumed A first)
+    pos_a = np.searchsorted(ka, kb, side="right")
+    okB = pos_a < ka.size
+    safe = np.minimum(pos_a, ka.size - 1)
+    okB &= ci_a[safe] == ci_b
+    okB &= pb < max_a[ci_b]
+    f_add(ci_b, np.where(okB, ka[safe] - kb, 0), okB)
+    return freqs
+
+
 class IndexSearcher:
     def __init__(self, index_dir: str, precise: bool = False, *,
                  reader=None, norms=None, global_stats: dict | None = None,
@@ -465,6 +523,11 @@ class IndexSearcher:
                 base_ci[alive], minlength=cand.size
             ).astype(np.float64) if base_keys is not None else np.zeros(
                 cand.size, np.float64)
+        elif len(terms) == 2:
+            # vectorized 2-term sloppy freq — closed form of the cursor
+            # walk (proof in _sloppy_freq2_flat): one flattened pass over
+            # all candidates via disjoint (candidate, position) key spaces
+            freqs = _sloppy_freq2_flat(self, cand, datas, q.slop)
         else:
             freqs = np.zeros(cand.size, np.float64)
             for ci in range(cand.size):

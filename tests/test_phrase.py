@@ -171,3 +171,40 @@ def test_merged_positions_identical_to_segments(tmp_path_factory,
         b = mrg.postings_with_positions(t)
         for x, y in zip(a, b):
             assert np.array_equal(x, y), t
+
+
+def test_sloppy2_vectorized_equals_cursor_walk():
+    """Property: the closed-form 2-term sloppy freq equals the reference
+    cursor walk on random position lists."""
+    import numpy as np
+
+    from lucene_solr_ray.search.searcher import (
+        _sloppy_freq,
+        _sloppy_freq2_flat,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial in range(50):
+        nc = int(rng.integers(1, 8))
+        datas = []
+        for term in range(2):
+            docs = np.arange(nc, dtype=np.int64)
+            tfs = rng.integers(1, 6, nc).astype(np.int32)
+            pos_runs = []
+            for c in range(nc):
+                p = np.sort(rng.choice(40, tfs[c], replace=False))
+                d = np.diff(np.concatenate(([0], p))).astype(np.uint32)
+                d[0] = p[0]
+                pos_runs.append(d)
+            datas.append((docs, tfs, np.concatenate(pos_runs)))
+        cand = np.arange(nc, dtype=np.int64)
+        lookups = []
+        for docs, tfs, pos in datas:
+            cum = np.concatenate(([0], np.cumsum(tfs)))
+            idx = np.searchsorted(docs, cand)
+            lookups.append((idx, cum, pos))
+        for slop in (0, 1, 2, 5, 40):
+            want = np.array([_sloppy_freq(lookups, ci, slop)
+                             for ci in range(nc)])
+            got = _sloppy_freq2_flat(None, cand, datas, slop)
+            assert np.allclose(got, want), (trial, slop)
