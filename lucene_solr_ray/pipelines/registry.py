@@ -1449,6 +1449,16 @@ def q_curation_funnel(sf_dir: str) -> pa.Table:
     return pa.table({k: pa.array([v], pa.int64()) for k, v in r.items()})
 
 
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    """SimHash near-dup pairs (hamming-bucket banding + exact verify);
+    rows-only (hash-based)."""
+    from ..stages.dedup import simhash_candidates
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"])
+    t = simhash_candidates(ds, "text", "doc_id", max_hamming=10)
+    return pa.table({"pairs": pa.array([t.num_rows], pa.int64())})
+
+
 def q_minhash_candidates(sf_dir: str) -> pa.Table:
     from ..stages.dedup import minhash_lsh_candidates
 
@@ -1518,6 +1528,7 @@ QUERIES = {
     "events_top_stream": q_events_top_stream,
     "group_stats": q_group_stats,
     "events_sessionize": q_events_sessionize,
+    "simhash_pairs": q_simhash_pairs,
     "facet_on_query": q_facet_on_query,
     "group_search_top2": q_group_search_top2,
     "events_sliding_window": q_events_sliding_window,

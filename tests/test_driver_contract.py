@@ -91,7 +91,7 @@ def test_query_matches_oracle(contract, duck, name):
                                   "minhash_candidates",
                                   "media_image_stats", "ann_lsh_top5",
                                   "hll_users", "nb_lang_classify",
-                                  "curation_funnel"])
+                                  "curation_funnel", "simhash_pairs"])
 def test_rows_only_queries_run(contract, name):
     queries, _ = contract
     df = _to_df(queries[name](SF_DIR))
