@@ -107,7 +107,7 @@ def main(argv=None) -> int:
         from .search import IndexSearcher, parse_query, search_sharded
 
         man = IndexManifest.load(args.index)
-        q = parse_query(args.query, get_analyzer(man.analyzer))
+        q = parse_query(args.query, man.resolve_analyzer())
         if args.shards:
             t = search_sharded(args.index, [q], k=args.k,
                                num_shards=args.shards)

@@ -242,8 +242,24 @@ def encode_postings_batch_packed(
         deltas[starts] = docs_flat[starts]
     tfm1 = (tfs_flat - 1).astype(np.uint32)
 
+    # width selection needs per-term maxima over the TRUE [start, end)
+    # ranges. reduceat(vals, starts) runs each segment to the NEXT subset
+    # start, so for a non-contiguous subset (build_segment interleaves big
+    # terms) it would fold foreign values in and inflate widths (decode
+    # stays correct — payloads were just larger than needed). Gather the
+    # subset stream once and reduce over contiguous segments instead.
+    if n_terms and (starts[0] != 0 or not np.array_equal(starts[1:],
+                                                         ends[:-1])):
+        sub_idx = np.repeat(starts, counts) + _intra(counts)
+        red_starts = np.zeros(n_terms, np.int64)
+        np.cumsum(counts[:-1], out=red_starts[1:])
+    else:
+        sub_idx = None
+        red_starts = starts
+
     def widths(vals):
-        mx = np.maximum.reduceat(vals, starts)
+        v = vals if sub_idx is None else vals[sub_idx]
+        mx = np.maximum.reduceat(v, red_starts)
         w = np.full(n_terms, 4, np.int64)
         w[mx < 0x10000] = 2
         w[mx < 0x100] = 1

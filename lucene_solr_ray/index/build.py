@@ -88,6 +88,20 @@ class IndexManifest:
         d["index_dir"] = index_dir
         return cls(**d)
 
+    def resolve_analyzer(self):
+        """The index's Analyzer object. Custom (unregistered) analyzers
+        are persisted by build_index as ``analyzer.pkl`` under the index
+        dir (manifest name ``@pickled``) so keyed updates / NRT appends /
+        query parsing reuse the exact build-time analysis chain instead
+        of KeyError-ing on an unresolvable name."""
+        if self.analyzer == "@pickled":
+            import pickle
+
+            with open(os.path.join(self.index_dir, "analyzer.pkl"),
+                      "rb") as f:
+                return pickle.load(f)
+        return get_analyzer(self.analyzer)
+
 
 def plan_partitions(source: str | list[str], rows_per_partition: int) -> list[dict]:
     """Metadata-only partition plan: (file, row-group range) slices with a
@@ -579,11 +593,18 @@ def build_index(
         import shutil as _shutil
 
         _shutil.rmtree(merged_dir)
+    if not isinstance(analyzer, str):
+        # persist the analyzer object: its name is typically not in the
+        # registry, and append_segment / query parsing must reuse the
+        # exact build-time chain (see IndexManifest.resolve_analyzer)
+        import pickle
+
+        with open(os.path.join(out_dir, "analyzer.pkl"), "wb") as f:
+            pickle.dump(analyzer, f)
     man = IndexManifest(
         index_dir=out_dir,
         field=text_field,
-        analyzer=(analyzer if isinstance(analyzer, str)
-                  else getattr(analyzer, "name", "custom")),
+        analyzer=(analyzer if isinstance(analyzer, str) else "@pickled"),
         max_doc=sum(r["rows"] for r in rows),
         sum_total_term_freq=sum(r["sum_len"] for r in rows),
         num_partitions=len(rows),

@@ -94,13 +94,18 @@ _MMAPS: dict[str, memoryview] = {}
 
 def _mmap(path: str) -> memoryview:
     # key on file identity, not just path: a rebuild os.replace()s the bin,
-    # and long-lived worker processes must not serve the old inode's bytes
+    # and long-lived worker processes must not serve the old inode's bytes.
+    # At most ONE generation per path stays cached — a replaced file's
+    # stale mmap (and its fd) is dropped, so repeated build/merge cycles
+    # in long-lived Ray workers don't accumulate descriptors.
     st = os.stat(path)
     key = (path, st.st_ino, st.st_size, st.st_mtime_ns)
     mv = _MMAPS.get(key)
     if mv is None:
         from ..search.readers import mmap_file
 
+        for stale in [k for k in _MMAPS if k[0] == path]:
+            del _MMAPS[stale]
         mv = mmap_file(path)
         _MMAPS[key] = mv
     return mv

@@ -51,7 +51,8 @@ def append_segment(index_dir: str, table: pa.Table) -> dict:
         "doc_base": man.max_doc,
     }
     row = build_segment(
-        part, index_dir, text_field=man.field, analyzer_name=man.analyzer,
+        part, index_dir, text_field=man.field,
+        analyzer_name=man.resolve_analyzer(),
         byte_aligned=man.byte_aligned, store_positions=man.store_positions,
     )
     man.partitions.append(row)

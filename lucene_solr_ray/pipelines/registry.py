@@ -1455,7 +1455,8 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     from ..stages.dedup import simhash_candidates
 
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
-    t = simhash_candidates(ds, "text", "doc_id", max_hamming=10)
+    t = simhash_candidates(ds, "text", "doc_id", max_hamming=10,
+                           expected_rows=ds.count())
     return pa.table({"pairs": pa.array([t.num_rows], pa.int64())})
 
 
@@ -1464,7 +1465,8 @@ def q_minhash_candidates(sf_dir: str) -> pa.Table:
 
     ds = _docs_ds(sf_dir, ["doc_id", "text"])
     pairs = minhash_lsh_candidates(ds, "text", "doc_id", num_perm=32,
-                                   bands=8, dedupe=False)
+                                   bands=8, dedupe=False,
+                                   expected_rows=ds.count())
     # candidate pairs are tiny vs the corpus: dedupe driver-side instead
     # of paying another all-to-all groupby just to count them
     rows = pairs.take_all()

@@ -105,10 +105,9 @@ class SearcherActor:
         return True
 
     def __call__(self, batch: dict) -> dict:
-        from ..analysis import get_analyzer
         from .query import parse_query
 
-        ana = get_analyzer(self.searcher.manifest.analyzer)
+        ana = self.searcher.manifest.resolve_analyzer()
         rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         for qid, qtext in zip(batch["query_id"], batch["query"]):
             q = parse_query(str(qtext), ana)

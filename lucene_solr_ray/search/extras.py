@@ -77,7 +77,8 @@ def more_like_this(
 
     from ..analysis import get_analyzer
 
-    ana = get_analyzer(analyzer or searcher.manifest.analyzer)
+    ana = (get_analyzer(analyzer) if analyzer
+           else searcher.manifest.resolve_analyzer())
     tf = Counter(ana.tokens(text))
     scored = []
     for term, f in tf.items():

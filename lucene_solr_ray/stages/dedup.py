@@ -113,80 +113,106 @@ def _poly_rows(m: np.ndarray) -> np.ndarray:
     return out
 
 
-def minhash_batch(
-    batch: pa.Table, text_col: str, id_col: str, *, num_perm: int = 64,
-    shingle_k: int = 3, analyzer: str = "simple",
-) -> pa.Table:
-    """(id, minhash:list<uint64>) per row — fully vectorized over the
-    batch's flat token stream: one vectorized string hash for all tokens
-    (pandas hash_array), a rolling polynomial k-gram hash for shingles
-    (no per-shingle hashlib calls — the r1 bench's slowest stage), and a
-    per-permutation segmented min (np.minimum.reduceat)."""
+def _doc_gram_hashes(
+    texts: list[str], shingle_k: int, analyzer: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized unique k-gram hashes for a batch of texts.
+
+    One vectorized string hash for all tokens (pandas hash_array), a
+    rolling polynomial k-gram hash over the flat token stream (grams
+    crossing doc boundaries masked out; docs shorter than k get one gram
+    over all their tokens), then unique (doc, gram) dedup. Returns
+    ``(g, gdoc)`` sorted by (doc, gram): gram hashes (61-bit domain,
+    uint64) and their doc indices into ``texts``.
+    """
     import pandas as pd
 
     from ..analysis import get_analyzer
 
     ana = get_analyzer(analyzer + "_nostop")
+    n_docs = len(texts)
+    tokens, doc_idx, _pos = ana.tokens_batch(texts)
+    if not tokens:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    th = pd.util.hash_array(np.asarray(tokens, dtype=object))
+    doc_idx = np.asarray(doc_idx, np.int64)
+    n = th.size
+    k = shingle_k
+    if n >= k:
+        g = np.zeros(n - k + 1, np.uint64)
+        for j in range(k):
+            g = g * _MIX + th[j : n - k + 1 + j]
+        gdoc = doc_idx[: n - k + 1]
+        ok = doc_idx[k - 1 :] == gdoc
+        g, gdoc = g[ok], gdoc[ok]
+    else:
+        g = np.empty(0, np.uint64)
+        gdoc = np.empty(0, np.int64)
+    # docs shorter than k tokens: one shingle over all their tokens
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    if short.size:
+        starts_all = np.zeros(n_docs, np.int64)
+        np.cumsum(counts[:-1], out=starts_all[1:])
+        g_short = np.zeros(short.size, np.uint64)
+        for si, d in enumerate(short.tolist()):
+            s0 = starts_all[d]
+            acc = np.uint64(0)
+            for t in th[s0 : s0 + counts[d]]:
+                acc = acc * _MIX + t
+            g_short[si] = acc
+        g = np.concatenate([g, g_short])
+        gdoc = np.concatenate([gdoc, short])
+    if not g.size:
+        return g, gdoc
+    g = g & np.uint64(_M61)  # 61-bit domain (matches perm math)
+    # set semantics: unique (doc, gram) pairs, grouped by doc
+    order = np.lexsort((g, gdoc))
+    g, gdoc = g[order], gdoc[order]
+    keep = np.ones(g.size, bool)
+    keep[1:] = (g[1:] != g[:-1]) | (gdoc[1:] != gdoc[:-1])
+    return g[keep], gdoc[keep]
+
+
+def minhash_batch(
+    batch: pa.Table, text_col: str, id_col: str, *, num_perm: int = 64,
+    shingle_k: int = 3, analyzer: str = "simple",
+) -> pa.Table:
+    """(id, minhash:list<uint64>) per row — fully vectorized over the
+    batch's flat token stream (see :func:`_doc_gram_hashes`), with a
+    per-permutation segmented min (np.minimum.reduceat)."""
     a, b = _minhash_params(num_perm)
     texts = [t or "" for t in batch[text_col].to_pylist()]
     n_docs = len(texts)
     sig = np.full((n_docs, num_perm), _M61, np.uint64)
-    tokens, doc_idx, _pos = ana.tokens_batch(texts)
-    if tokens:
-        th = pd.util.hash_array(np.asarray(tokens, dtype=object))
-        doc_idx = np.asarray(doc_idx, np.int64)
-        n = th.size
-        k = shingle_k
-        # rolling k-gram hash over the flat stream; grams crossing a doc
-        # boundary are masked out
-        if n >= k:
-            g = np.zeros(n - k + 1, np.uint64)
-            for j in range(k):
-                g = g * _MIX + th[j : n - k + 1 + j]
-            gdoc = doc_idx[: n - k + 1]
-            ok = doc_idx[k - 1 :] == gdoc
-            g, gdoc = g[ok], gdoc[ok]
-        else:
-            g = np.empty(0, np.uint64)
-            gdoc = np.empty(0, np.int64)
-        # docs shorter than k tokens: one shingle over all their tokens
-        counts = np.bincount(doc_idx, minlength=n_docs)
-        short = np.flatnonzero((counts > 0) & (counts < k))
-        if short.size:
-            starts_all = np.zeros(n_docs, np.int64)
-            np.cumsum(counts[:-1], out=starts_all[1:])
-            g_short = np.zeros(short.size, np.uint64)
-            for si, d in enumerate(short.tolist()):
-                s0 = starts_all[d]
-                acc = np.uint64(0)
-                for t in th[s0 : s0 + counts[d]]:
-                    acc = acc * _MIX + t
-                g_short[si] = acc
-            g = np.concatenate([g, g_short])
-            gdoc = np.concatenate([gdoc, short])
-        if g.size:
-            g = g & np.uint64(_M61)  # 61-bit domain (matches perm math)
-            # set semantics: unique (doc, gram) pairs, grouped by doc
-            order = np.lexsort((g, gdoc))
-            g, gdoc = g[order], gdoc[order]
-            keep = np.ones(g.size, bool)
-            keep[1:] = (g[1:] != g[:-1]) | (gdoc[1:] != gdoc[:-1])
-            g, gdoc = g[keep], gdoc[keep]
-            starts = np.flatnonzero(
-                np.concatenate(([True], gdoc[1:] != gdoc[:-1]))
-            )
-            present = gdoc[starts]
-            for p in range(num_perm):  # vectorized inner, memory-bounded
-                v = (g * a[p] + b[p]) % _M61
-                sig[present, p] = np.minimum.reduceat(v, starts)
+    g, gdoc = _doc_gram_hashes(texts, shingle_k, analyzer)
+    if g.size:
+        starts = np.flatnonzero(
+            np.concatenate(([True], gdoc[1:] != gdoc[:-1]))
+        )
+        present = gdoc[starts]
+        for p in range(num_perm):  # vectorized inner, memory-bounded
+            v = (g * a[p] + b[p]) % _M61
+            sig[present, p] = np.minimum.reduceat(v, starts)
     return pa.table({
         id_col: batch[id_col],
         "minhash": pa.array(sig.tolist(), pa.list_(pa.uint64())),
     })
 
 
+def _sort_parts(band_rows: int | None) -> int:
+    """Partition count for the bucket-key sort: ~2M band rows per block,
+    clamped to [8, 512]. 8 was the r2 hardcode — right at sf0.1 (~800k
+    band rows) but 8 giant blocks at 100 TB; proportional keeps both the
+    all-to-all object count (nparts^2) and per-block memory bounded."""
+    if not band_rows:
+        return 8
+    return int(min(512, max(8, band_rows // 2_000_000)))
+
+
 def bucket_candidate_pairs(banded, id_col: str, *,
-                           max_bucket: int = 128, dedupe: bool = True):
+                           max_bucket: int = 128, dedupe: bool = True,
+                           band_rows: int | None = None):
     """Generic LSH-bucket pair expansion over a (id, band, band_hash)
     dataset — shared by MinHash and SimHash banding (sort on the bucket
     key, expand interior groups vectorized, driver-merge boundary
@@ -258,7 +284,7 @@ def bucket_candidate_pairs(banded, id_col: str, *,
     # coalesce before the sort: band rows are tiny; a handful of fat
     # blocks keeps the sort's all-to-all object count (nparts^2) small
     tagged = (
-        banded.repartition(8)
+        banded.repartition(_sort_parts(band_rows))
         .sort(["band", "band_hash"])
         .map_batches(expand, batch_format="pyarrow", batch_size=None)
         .materialize()  # consumed twice below; pair rows stay distributed
@@ -305,7 +331,7 @@ def bucket_candidate_pairs(banded, id_col: str, *,
 
 def minhash_lsh_candidates(
     ds, text_col: str, id_col: str, *, num_perm: int = 64, bands: int = 16,
-    shingle_k: int = 3, dedupe: bool = True,
+    shingle_k: int = 3, dedupe: bool = True, expected_rows: int | None = None,
 ):
     """Candidate near-dup pairs via LSH banding.
 
@@ -338,17 +364,27 @@ def minhash_lsh_candidates(
     )
     banded = sigs.map_batches(to_bands, batch_format="pyarrow")
 
-    return bucket_candidate_pairs(banded, id_col, dedupe=dedupe)
+    return bucket_candidate_pairs(
+        banded, id_col, dedupe=dedupe,
+        band_rows=(expected_rows * bands) if expected_rows else None)
 
 
 def simhash_candidates(
-    ds, text_col: str, id_col: str, *, bands: int = 4,
+    ds, text_col: str, id_col: str, *, bands: int | None = None,
     max_hamming: int = 3, analyzer: str = "simple",
+    expected_rows: int | None = None,
 ) -> pa.Table:
-    """SimHash near-dup pairs: 64-bit signature -> 4x16-bit band buckets
-    (a pair within Hamming distance 3 must agree on >= 1 band — the
-    pigeonhole guarantee) -> bucket pair expansion -> exact Hamming
-    verify. Returns pa.Table (id_a, id_b, hamming <= max_hamming).
+    """SimHash near-dup pairs: 64-bit signature -> band buckets ->
+    bucket pair expansion -> exact Hamming verify.
+
+    Pigeonhole recall guarantee: a pair within Hamming distance ``d``
+    must agree exactly on at least one band iff ``bands >= d + 1`` (the
+    d differing bits can "poison" at most d bands). ``bands`` therefore
+    defaults to ``max_hamming + 1``; an explicit ``bands`` below that
+    raises rather than silently under-recalling. Band widths are
+    ``64 // bands`` with the first ``64 % bands`` bands one bit wider.
+
+    Returns pa.Table (id_a, id_b, hamming <= max_hamming).
     The verify set is the candidate pairs (tiny), collected driver-side;
     at 10^12 docs it becomes a broadcast-join map_batches stage."""
     import ray
@@ -356,8 +392,19 @@ def simhash_candidates(
 
     from .textstats import simhash64_batch
 
-    width = 64 // bands
-    mask = np.uint64((1 << width) - 1)
+    if bands is None:
+        bands = min(max_hamming + 1, 64)
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at Hamming distance "
+            f"{max_hamming}; need bands >= max_hamming + 1 "
+            f"= {max_hamming + 1}")
+    base, extra = divmod(64, bands)
+    widths = np.full(bands, base, np.int64)
+    widths[:extra] += 1
+    shifts = np.zeros(bands, np.int64)
+    np.cumsum(widths[:-1], out=shifts[1:])
+    masks = (np.uint64(1) << widths.astype(np.uint64)) - np.uint64(1)
 
     sigs = ds.map_batches(
         lambda b: simhash64_batch(b, text_col, analyzer=analyzer).select(
@@ -370,7 +417,7 @@ def simhash_candidates(
         sig = b["simhash"].to_numpy().astype(np.uint64)
         bh = np.empty((ids.size, bands), np.uint64)
         for band in range(bands):
-            bh[:, band] = (sig >> np.uint64(band * width)) & mask
+            bh[:, band] = (sig >> np.uint64(shifts[band])) & masks[band]
         return pa.table({
             id_col: pa.array(np.repeat(ids, bands)),
             "band": pa.array(
@@ -379,7 +426,10 @@ def simhash_candidates(
         })
 
     banded = sigs.map_batches(to_bands, batch_format="pyarrow")
-    cand = bucket_candidate_pairs(banded, id_col, dedupe=False).take_all()
+    cand = bucket_candidate_pairs(
+        banded, id_col, dedupe=False,
+        band_rows=(expected_rows * bands) if expected_rows else None,
+    ).take_all()
     pair_ids = sorted({(int(r["id_a"]), int(r["id_b"])) for r in cand})
     if not pair_ids:
         return pa.table({"id_a": pa.array([], pa.int64()),
@@ -411,6 +461,165 @@ def simhash_candidates(
         "id_a": pa.array(out_a, pa.int64()),
         "id_b": pa.array(out_b, pa.int64()),
         "hamming": pa.array(out_h, pa.int64()),
+    })
+
+
+def jaccard_verify(
+    ds, pairs: list[tuple], text_col: str, id_col: str, *,
+    shingle_k: int = 3, analyzer: str = "simple",
+) -> pa.Table:
+    """Distributed Jaccard verification of candidate pairs — the scale
+    path for near-dup verify (replaces the driver-side
+    :func:`jaccard_pairs` + text-fetch pattern).
+
+    The ONLY driver-side state is the candidate pair ID arrays and the
+    per-pair similarity; document text never leaves the workers:
+
+    1. broadcast the (sorted member-id, pair-occurrence) index
+       (``ray.put`` once — ids only);
+    2. ``map_batches`` over the corpus: member docs emit
+       ``(pair_id, grams:list<uint64>)`` rows — hashed unique k-gram
+       sets (:func:`_doc_gram_hashes`), not text;
+    3. ``sort(pair_id)`` co-locates both sides of each pair; interior
+       complete groups are verified vectorized inside ``map_batches``;
+       boundary groups (<= 2 per sorted block — same invariant as
+       :func:`bucket_candidate_pairs`) are finished driver-side from
+       their gram arrays.
+
+    Jaccard is computed on hashed 61-bit gram sets (collision
+    probability negligible), equal to string-shingle Jaccard.
+    Returns pa.Table (id_a, id_b, jaccard) covering every input pair
+    (missing/empty docs score 0.0).
+    """
+    import ray
+    import pyarrow.compute as pc_
+
+    if not pairs:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    a_ids = np.asarray([p[0] for p in pairs], np.int64)
+    b_ids = np.asarray([p[1] for p in pairs], np.int64)
+    n_pairs = a_ids.size
+    occ_doc = np.concatenate([a_ids, b_ids])
+    occ_pair = np.concatenate([np.arange(n_pairs, dtype=np.int64)] * 2)
+    order = np.argsort(occ_doc, kind="stable")
+    occ_doc, occ_pair = occ_doc[order], occ_pair[order]
+    occ_ref = ray.put((occ_doc, occ_pair))
+
+    def emit_sigs(b: pa.Table) -> pa.Table:
+        od, op = ray.get(occ_ref)
+        ids = b[id_col].to_numpy()
+        lo = np.searchsorted(od, ids, "left")
+        hi = np.searchsorted(od, ids, "right")
+        present = np.flatnonzero(hi > lo)
+        out_pair: list[int] = []
+        out_grams: list[np.ndarray] = []
+        if present.size:
+            texts = [
+                b[text_col][int(i)].as_py() or "" for i in present
+            ]
+            g, gdoc = _doc_gram_hashes(texts, shingle_k, analyzer)
+            starts = np.searchsorted(gdoc, np.arange(len(texts)), "left")
+            ends = np.searchsorted(gdoc, np.arange(len(texts)), "right")
+            for k, i in enumerate(present.tolist()):
+                grams = g[starts[k]:ends[k]]
+                for j in range(int(lo[i]), int(hi[i])):
+                    out_pair.append(int(op[j]))
+                    out_grams.append(grams)
+        return pa.table({
+            "pair_id": pa.array(out_pair, pa.int64()),
+            "grams": pa.array([x.tolist() for x in out_grams],
+                              pa.list_(pa.uint64())),
+        })
+
+    def _jac(g1: np.ndarray, g2: np.ndarray) -> float:
+        inter = np.intersect1d(g1, g2, assume_unique=True).size
+        union = g1.size + g2.size - inter
+        return float(inter / union) if union else 0.0
+
+    def verify(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        empty = {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+            "boundary_pair": pa.array([], pa.int64()),
+            "boundary_grams": pa.array([], pa.list_(pa.uint64())),
+        }
+        if n == 0:
+            return pa.table(empty)
+        pid = b["pair_id"].to_numpy()
+        grams_col = b["grams"].combine_chunks()
+        flat = grams_col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        goffs = np.asarray(grams_col.offsets)
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = pid[1:] != pid[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        ia, ib, jc = [], [], []
+        bp, bg = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if s == 0 or e == n:  # boundary group -> pass through
+                for i in range(s, e):
+                    bp.append(int(pid[i]))
+                    bg.append(flat[goffs[i]:goffs[i + 1]].tolist())
+                continue
+            p = int(pid[s])
+            if e - s >= 2:
+                g1 = flat[goffs[s]:goffs[s + 1]]
+                g2 = flat[goffs[s + 1]:goffs[s + 2]]
+                jc.append(_jac(g1, g2))
+            else:
+                jc.append(0.0)
+            ia.append(p)
+            ib.append(p)
+        pad = [-1] * len(bp)
+        return pa.table({
+            "id_a": pa.array(ia + pad, pa.int64()),
+            "id_b": pa.array(ib + pad, pa.int64()),
+            "jaccard": pa.array(jc + [0.0] * len(bp), pa.float64()),
+            "boundary_pair": pa.array([-1] * len(ia) + bp, pa.int64()),
+            "boundary_grams": pa.array(
+                [[] for _ in ia] + bg, pa.list_(pa.uint64())),
+        })
+
+    # NOTE: in the verify stage id_a/id_b temporarily hold the PAIR id
+    # (workers don't need the id arrays shipped twice); the final
+    # projection below maps pair ids back to document ids.
+    sigs = ds.map_batches(emit_sigs, batch_format="pyarrow")
+    tagged = (
+        sigs.repartition(_sort_parts(2 * n_pairs))
+        .sort("pair_id")
+        .map_batches(verify, batch_format="pyarrow", batch_size=None)
+        .materialize()  # pair-count-bounded rows, not corpus
+    )
+    interior = tagged.map_batches(
+        lambda t: t.filter(pc_.greater_equal(t["id_a"], 0)).select(
+            ["id_a", "jaccard"]),
+        batch_format="pyarrow",
+    ).take_all()
+    boundary = tagged.map_batches(
+        lambda t: t.filter(pc_.greater_equal(t["boundary_pair"], 0)).select(
+            ["boundary_pair", "boundary_grams"]),
+        batch_format="pyarrow",
+    ).take_all()  # <= 2 groups per sorted block — provably small
+    scores = {int(r["id_a"]): float(r["jaccard"]) for r in interior}
+    bnd: dict[int, list[np.ndarray]] = {}
+    for r in boundary:
+        bnd.setdefault(int(r["boundary_pair"]), []).append(
+            np.asarray(r["boundary_grams"], np.uint64))
+    for p, gs in bnd.items():
+        scores[p] = _jac(gs[0], gs[1]) if len(gs) >= 2 else 0.0
+    jac = np.zeros(n_pairs, np.float64)
+    for p, v in scores.items():
+        jac[p] = v
+    return pa.table({
+        "id_a": pa.array(a_ids),
+        "id_b": pa.array(b_ids),
+        "jaccard": pa.array(jac),
     })
 
 

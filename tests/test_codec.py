@@ -115,3 +115,42 @@ def test_norm_encoding_matches_bm25_semantics():
     assert decoded[0] == 1.0 and decoded[2] == 4.0
     # zero-length field: inf -> byte 255
     assert encode_norm(np.array([0]))[0] == 255
+
+
+def test_packed_encoder_noncontiguous_subset_tight_widths():
+    """encode_postings_batch_packed over a NON-contiguous term subset
+    (build_segment interleaves big terms) must pick widths from each
+    term's true [start, end) range, not run-to-next-start (r2 ADVICE:
+    foreign deltas inflated widths; decode was correct but payloads
+    larger than needed)."""
+    import numpy as np
+
+    from lucene_solr_ray.codec.postings import (
+        decode_postings,
+        encode_postings_batch_packed,
+    )
+
+    counts_all = np.array([3, 2, 4, 1, 5])
+    starts_all = np.zeros(5, np.int64)
+    np.cumsum(counts_all[:-1], out=starts_all[1:])
+    ends_all = starts_all + counts_all
+    docs_flat = np.zeros(counts_all.sum(), np.int64)
+    docs_flat[starts_all[0]:ends_all[0]] = [1, 2, 3]
+    docs_flat[starts_all[1]:ends_all[1]] = [7, 9]
+    docs_flat[starts_all[2]:ends_all[2]] = [100000, 200000, 300000, 400000]
+    docs_flat[starts_all[3]:ends_all[3]] = [42]
+    docs_flat[starts_all[4]:ends_all[4]] = [5, 6, 7, 8, 9]
+    tfs = np.ones(counts_all.sum(), np.int64)
+    sub = np.array([0, 2, 4])  # skips terms 1 and 3 -> non-contiguous
+    buf, lens = encode_postings_batch_packed(
+        docs_flat, tfs, starts_all[sub], ends_all[sub])
+    offs = np.zeros(4, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    for k, ti in enumerate(sub):
+        d, t = decode_postings(buf[offs[k]:offs[k + 1]].tobytes())
+        assert np.array_equal(d, docs_flat[starts_all[ti]:ends_all[ti]])
+        assert np.array_equal(t, tfs[starts_all[ti]:ends_all[ti]]
+                              .astype(np.int32))
+    # term 0 (deltas 1,1,1 / tf-1 = 0) must get 1-byte widths despite the
+    # 4-byte term 2 sitting between it and the next subset member
+    assert lens[0] == 4 + 1 + 3 * 1 + 1 + 3 * 1

@@ -90,3 +90,38 @@ def test_merge_after_append(uidx, ray_session):
     s = IndexSearcher(uidx)
     assert s.reader.__class__.__name__ == "MergedReader"
     assert s._docs_only(TermQuery("freshterm")).size == 1
+
+
+def test_custom_analyzer_survives_append(tmp_path_factory, ray_session):
+    """build_index with an unregistered Analyzer OBJECT persists it
+    (analyzer.pkl + '@pickled' manifest name) so keyed appends/upserts
+    reuse the exact build-time chain instead of KeyError-ing on an
+    unresolvable name (r2 ADVICE finding)."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis.analyzers import WhitespaceAnalyzer
+    from lucene_solr_ray.index import IndexManifest, build_index
+    from lucene_solr_ray.index.updates import append_segment
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+
+    d = tmp_path_factory.mktemp("custom_ana")
+    pq.write_table(pa.table({
+        "doc_key": pa.array([1, 2], pa.int64()),
+        "content": pa.array(["Alpha-Beta gamma", "delta epsilon"]),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("custom_ana_idx") / "idx")
+    ana = WhitespaceAnalyzer()  # not in the registry by this identity
+    build_index(str(d), out, text_field="content", analyzer=ana,
+                rows_per_partition=10)
+    man = IndexManifest.load(out)
+    assert man.analyzer == "@pickled"
+    assert type(man.resolve_analyzer()).__name__ == "WhitespaceAnalyzer"
+    # keyed append re-analyzes with the SAME chain (whitespace keeps
+    # "Alpha-Beta" as one case-sensitive token)
+    append_segment(out, pa.table({
+        "doc_key": pa.array([3], pa.int64()),
+        "content": pa.array(["Alpha-Beta zeta"]),
+    }))
+    s = IndexSearcher(out)
+    hits = s.search(TermQuery("Alpha-Beta"), k=10)
+    assert {int(h) for h in hits["doc_id"].to_numpy()} == {0, 2}
