@@ -66,7 +66,8 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "ft_phrase_search", "suggest_prefix", "spellcheck",
         "facet_on_query", "group_search_top2", "events_sliding_window",
         "unique_stream", "numeric_range", "agg_pricing_summary",
-        "join_orders_revenue", "stats_percentiles", "pivot_facet",
+        "join_orders_revenue", "stats_percentiles", "tdigest_quantiles",
+        "pivot_facet",
         "geo_radius", "rescore_top20", "json_field_facet",
         "ann_ivf_top5", "qp_classic", "wdf_brand_subtoken",
         "ft_sorted_search", "taxonomy_facet", "expand_collapse",

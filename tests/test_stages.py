@@ -337,3 +337,36 @@ def test_simhash_bands_follow_threshold(near_dup_docs, ray_session):
     tp = {(r["id_a"], r["id_b"]) for r in tight.to_pylist()}
     lp = {(r["id_a"], r["id_b"]) for r in loose.to_pylist()}
     assert tp <= lp
+
+
+def test_tdigest_accuracy_and_shard_merge(ray_session):
+    """t-digest (StatsValuesFactory distributed percentiles parity):
+    rank error < 0.5% on a heavy-tailed stream, and the distributed
+    partial+final merge (8 shard digests, byte round-trip) keeps the
+    same bound — mirroring the per-batch-sketch shuffle."""
+    from lucene_solr_ray.stages.sketches import TDigest, tdigest_percentiles
+
+    rng = np.random.default_rng(1)
+    x = rng.lognormal(0, 2, 100_000)
+    d = TDigest(200)
+    d.add_array(x)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        rank = float((x <= d.quantile(q)).mean())
+        assert abs(rank - q) < 0.005, (q, rank)
+    assert d.means.size <= 2 * 200  # bounded memory
+
+    shards = [TDigest(200) for _ in range(8)]
+    for i, chunk in enumerate(np.array_split(x, 8)):
+        shards[i].add_array(chunk)
+    merged = TDigest(200)
+    for s in shards:
+        merged.merge(TDigest.from_bytes(s.to_bytes()))
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        rank = float((x <= merged.quantile(q)).mean())
+        assert abs(rank - q) < 0.005, (q, rank)
+
+    # end-to-end Dataset path
+    ds = rd.from_arrow(pa.table({"v": pa.array(x)})).repartition(8)
+    est = tdigest_percentiles(ds, "v", [0.5, 0.99])
+    for q, e in est.items():
+        assert abs(float((x <= e).mean()) - q) < 0.005
