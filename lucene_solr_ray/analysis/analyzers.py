@@ -166,6 +166,59 @@ class StandardAnalyzer(Analyzer):
         return tokens, doc_idx, positions
 
 
+def _standard_tokens_batch_spans(ana: "StandardAnalyzer",
+                                 texts: list[str]):
+    """tokens_batch with char spans (OffsetAttribute): the 1:1 simple
+    lowercase preserves offsets, so spans index the original text.
+    Returns (tokens, doc_idx, positions, starts, ends)."""
+    from .fast import ascii_tokenize_concat_spans
+    from .tokenizer import tokenize_with_spans
+
+    lowered = [t.lower() if t.isascii() else simple_lowercase(t)
+               for t in texts]
+    ascii_ids = [i for i, t in enumerate(lowered) if t.isascii()]
+    if len(ascii_ids) == len(texts):
+        tokens, doc_idx, positions, starts, ends = \
+            ascii_tokenize_concat_spans(lowered, ana.max_token_length)
+    else:
+        a_tok, a_doc, a_pos, a_s, a_e = ascii_tokenize_concat_spans(
+            [lowered[i] for i in ascii_ids], ana.max_token_length)
+        a_doc = np.asarray(ascii_ids, np.int64)[a_doc]
+        o_tok: list[str] = []
+        o_doc, o_pos, o_s, o_e = [], [], [], []
+        for i, t in enumerate(lowered):
+            if t.isascii():
+                continue
+            toks, pos, ss, ee = tokenize_with_spans(
+                t, ana.max_token_length)
+            o_tok.extend(toks)
+            o_doc.append(np.full(len(toks), i, np.int64))
+            o_pos.append(np.asarray(pos, np.int64))
+            o_s.append(np.asarray(ss, np.int64))
+            o_e.append(np.asarray(ee, np.int64))
+        tokens = a_tok + o_tok
+        doc_idx = np.concatenate([a_doc] + o_doc) if o_doc else a_doc
+        positions = np.concatenate([a_pos] + o_pos) if o_pos else a_pos
+        starts = np.concatenate([a_s] + o_s) if o_s else a_s
+        ends = np.concatenate([a_e] + o_e) if o_e else a_e
+    stop = ana.stop_words
+    if stop and tokens:
+        import pandas as pd
+
+        arr = np.asarray(tokens, dtype=object)
+        codes, vocab = pd.factorize(arr)
+        keep_vocab = np.fromiter(
+            (t not in stop for t in vocab), bool, count=len(vocab))
+        if not keep_vocab.all():
+            keep = keep_vocab[codes]
+            tokens = arr[keep].tolist()
+            doc_idx = doc_idx[keep]
+            positions = positions[keep]
+            starts = starts[keep]
+            ends = ends[keep]
+    return tokens, doc_idx, positions, starts, ends
+
+
 class SimpleRegexAnalyzer(Analyzer):
     """lowercase + split [^a-z0-9]+ + stop filter; DuckDB-reproducible."""
 
@@ -228,6 +281,7 @@ def get_analyzer(name: str) -> Analyzer:
             _REGISTRY[name] = ShingleAnalyzer()
         else:
             from . import filters  # noqa: F401  registers english/code
+            from . import snowball  # noqa: F401  registers de/fr/es
 
             if name not in _REGISTRY:
                 raise KeyError(f"unknown analyzer: {name}")

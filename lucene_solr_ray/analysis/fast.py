@@ -78,19 +78,13 @@ def ascii_token_spans(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     return starts, ends
 
 
-def ascii_tokenize_concat(
+def _ascii_concat_impl(
     texts: list[str],
     max_token_length: int = 255,
-) -> tuple[list[str], np.ndarray, np.ndarray]:
-    """Tokenize a batch of ASCII strings in one vectorized pass.
-
-    Joins docs with ``\\n`` (always a boundary), extracts token spans once,
-    and attributes each token to its document via searchsorted.
-
-    Returns ``(tokens, doc_idx, positions)`` where positions are
-    per-document token ordinals *including* gaps for dropped over-long
-    tokens (``StandardTokenizer.java:145-167``).
-    """
+):
+    """Shared vectorized pass: returns (tokens, doc_idx, positions,
+    doc_rel_starts, doc_rel_ends) — spans are char offsets into each
+    token's OWN document."""
     big = "\n".join(texts)
     data = big.encode("ascii")
     starts, ends = ascii_token_spans(data)
@@ -110,4 +104,34 @@ def ascii_tokenize_concat(
     starts, ends = starts[ok], ends[ok]
     doc_idx, positions = doc_idx[ok], positions[ok]
     tokens = [big[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
+    base = doc_starts[doc_idx]
+    return tokens, doc_idx, positions, starts - base, ends - base
+
+
+def ascii_tokenize_concat(
+    texts: list[str],
+    max_token_length: int = 255,
+) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """Tokenize a batch of ASCII strings in one vectorized pass.
+
+    Joins docs with ``\\n`` (always a boundary), extracts token spans once,
+    and attributes each token to its document via searchsorted.
+
+    Returns ``(tokens, doc_idx, positions)`` where positions are
+    per-document token ordinals *including* gaps for dropped over-long
+    tokens (``StandardTokenizer.java:145-167``).
+    """
+    tokens, doc_idx, positions, _s, _e = _ascii_concat_impl(
+        texts, max_token_length)
     return tokens, doc_idx, positions
+
+
+def ascii_tokenize_concat_spans(
+    texts: list[str],
+    max_token_length: int = 255,
+):
+    """Like :func:`ascii_tokenize_concat` but also returns each token's
+    char span within its document — the offsets that feed the postings
+    ``.pay`` stream (``IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_
+    OFFSETS``, ``Lucene50PostingsFormat.java:100-107``)."""
+    return _ascii_concat_impl(texts, max_token_length)

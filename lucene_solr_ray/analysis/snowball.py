@@ -1,0 +1,497 @@
+"""Snowball stemmers + non-English analyzer families.
+
+The reference ships ~40 language packages under
+``lucene/analysis/common/src/java/org/apache/lucene/analysis/`` — the
+Snowball family via ``snowball/SnowballFilter.java:44`` (generated from
+the published Snowball algorithms), plus per-language analyzers
+(``de/GermanAnalyzer.java``, ``fr/FrenchAnalyzer.java``,
+``es/SpanishAnalyzer.java``) that compose tokenizer + stop list +
+(elision for French) + stemmer. Everything here is implemented from the
+PUBLIC algorithm descriptions (M.F. Porter's Snowball site; J. Savoy's
+light/minimal French stemming papers) — no generated code.
+
+- :func:`german_stem` — the Snowball German algorithm (prelude ß->ss and
+  consonant-u/y marking, R1/R2 with the 3-letter R1 floor, three suffix
+  steps, umlaut-removing postlude).
+- :func:`spanish_stem` — the Snowball Spanish algorithm (RV/R1/R2,
+  attached-pronoun step 0, standard suffixes, verb suffixes, residual
+  step, acute-accent postlude).
+- :func:`french_minimal_stem` — Savoy's minimal French stemmer (plural +
+  feminine + final-e normalization; the shape of
+  ``fr/FrenchMinimalStemFilter.java``).
+- :class:`StemmingAnalyzer` — StandardAnalyzer chain + language stop
+  list + optional elision + stem function, with the factorize-once
+  batch path (stem cost scales with the batch VOCABULARY, not the
+  token stream — same trick as EnglishAnalyzer.tokens_batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .analyzers import Analyzer, StandardAnalyzer, register_analyzer
+
+# ---------------------------------------------------------------------------
+# German (Snowball)
+# ---------------------------------------------------------------------------
+
+_DE_V = frozenset("aeiouyäöü")
+_DE_S_END = frozenset("bdfghklmnrt")
+_DE_ST_END = frozenset("bdfghklmnt")
+
+
+def _r1_r2(word: str, vowels: frozenset) -> tuple[int, int]:
+    """Standard R1/R2: region after the first non-vowel following a
+    vowel (R2 = same definition applied inside R1)."""
+    n = len(word)
+
+    def after(start: int) -> int:
+        for i in range(start, n - 1):
+            if word[i] in vowels and word[i + 1] not in vowels:
+                return i + 2
+        return n
+
+    r1 = after(0)
+    return r1, after(r1)
+
+
+def german_stem(word: str) -> str:
+    if len(word) < 2:
+        return word
+    w = word.replace("ß", "ss")
+    # prelude: u/y between vowels are consonants (upper-case marks them)
+    ch = list(w)
+    for i in range(1, len(ch) - 1):
+        if ch[i] in "uy" and ch[i - 1] in _DE_V and ch[i + 1] in _DE_V:
+            ch[i] = ch[i].upper()
+    w = "".join(ch)
+    r1, r2 = _r1_r2(w, _DE_V)
+    r1 = max(r1, 3)  # region before R1 must hold >= 3 letters
+
+    # step 1: em ern er | e en es | s (after valid s-ending)
+    for suf in ("ern", "em", "er", "en", "es", "e", "s"):
+        if w.endswith(suf):
+            if suf == "s":
+                if len(w) < 2 or w[-2] not in _DE_S_END:
+                    break
+            if len(w) - len(suf) >= r1:
+                w = w[: -len(suf)]
+                if suf in ("e", "en", "es") and w.endswith("niss"):
+                    w = w[:-1]
+            break
+
+    # step 2: en er est | st (after valid st-ending with >= 3 before)
+    for suf in ("est", "en", "er", "st"):
+        if w.endswith(suf):
+            if suf == "st":
+                if len(w) < 6 or w[-3] not in _DE_ST_END:
+                    break
+            if len(w) - len(suf) >= r1:
+                w = w[: -len(suf)]
+            break
+
+    # step 3: d-suffixes (R2)
+    for suf in ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik"):
+        if not w.endswith(suf):
+            continue
+        start = len(w) - len(suf)
+        if suf in ("end", "ung"):
+            if start >= r2:
+                w = w[:start]
+                if w.endswith("ig") and len(w) - 2 >= r2 \
+                        and not w.endswith("eig"):
+                    w = w[:-2]
+        elif suf in ("ig", "ik", "isch"):
+            if start >= r2 and not (start >= 1 and w[start - 1] == "e"):
+                w = w[:start]
+        elif suf in ("lich", "heit"):
+            if start >= r2:
+                w = w[:start]
+                for pre in ("er", "en"):
+                    if w.endswith(pre) and len(w) - 2 >= r1:
+                        w = w[:-2]
+                        break
+        elif suf == "keit":
+            if start >= r2:
+                w = w[:start]
+                for pre, plen in (("lich", 4), ("ig", 2)):
+                    if w.endswith(pre) and len(w) - plen >= r2:
+                        w = w[: -plen]
+                        break
+        break
+
+    # postlude: unmark consonant U/Y, strip umlauts
+    return (w.replace("U", "u").replace("Y", "y")
+            .replace("ä", "a").replace("ö", "o").replace("ü", "u"))
+
+
+# ---------------------------------------------------------------------------
+# Spanish (Snowball)
+# ---------------------------------------------------------------------------
+
+_ES_V = frozenset("aeiouáéíóúü")
+
+_ES_PRON = ("selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+            "me", "se", "la", "le", "lo")
+_ES_PRE_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_PRE_B = ("iendo", "ando", "ar", "er", "ir")
+
+_ES_STEP1 = [
+    # (suffixes sorted longest-first within the group, region, action)
+    (("amientos", "imientos", "amiento", "imiento", "anzas", "icos",
+      "icas", "ismos", "ables", "ibles", "istas", "anza", "icos",
+      "osos", "osas", "ico", "ica", "ismo", "able", "ible", "ista",
+      "oso", "osa"), "r2", "del"),
+    (("adoras", "adores", "aciones", "ancias", "adora", "ación", "antes",
+      "ancia", "ador", "ante"), "r2", "del_ic"),
+    (("logías", "logía"), "r2", "log"),
+    (("uciones", "ución"), "r2", "u"),
+    (("encias", "encia"), "r2", "ente"),
+    (("amente",), "r1", "amente"),
+    (("mente",), "r2", "mente"),
+    (("idades", "idad"), "r2", "idad"),
+    (("ivas", "ivos", "iva", "ivo"), "r2", "iv"),
+]
+
+_ES_2A = ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas", "yes",
+          "ya", "ye", "yo", "yó")
+
+_ES_2B_GU = ("emos", "éis", "en", "es")
+_ES_2B = (
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "aríais",
+    "aseis", "eríais", "iríais", "ieseis", "asteis", "isteis", "ábamos",
+    "áramos", "ásemos", "arían", "arías", "aréis", "erían", "erías",
+    "eréis", "irían", "irías", "iréis", "ieran", "iesen", "ieron",
+    "iendo", "ieras", "ieses", "abais", "arais", "íamos", "emos", "arán",
+    "arás", "aría", "erán", "erás", "ería", "irán", "irás", "iría",
+    "iera", "iese", "aste", "iste", "aban", "aran", "asen", "aron",
+    "ando", "abas", "adas", "idas", "aras", "ases", "íais", "ados",
+    "idos", "amos", "imos", "ará", "aré", "erá", "eré", "irá", "iré",
+    "aba", "ada", "ida", "ara", "ase", "ían", "ado", "ido", "ías",
+    "áis", "ía", "ad", "ed", "id", "an", "ió", "ar", "er", "ir", "as",
+    "ís", "ó", "a" if False else "", "e" if False else "",
+)
+_ES_2B = tuple(s for s in _ES_2B if s)
+
+_ES_3_DEL = ("os", "a", "o", "á", "í", "ó")
+
+
+def _es_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_V:
+        # consonant second letter: after the next following vowel
+        for i in range(2, n):
+            if w[i] in _ES_V:
+                return i + 1
+        return n
+    if w[0] in _ES_V and w[1] in _ES_V:
+        # two vowels: after the next consonant
+        for i in range(2, n):
+            if w[i] not in _ES_V:
+                return i + 1
+        return n
+    return 3  # consonant-vowel: after the third letter
+
+
+def _strip_acutes(w: str) -> str:
+    return (w.replace("á", "a").replace("é", "e").replace("í", "i")
+            .replace("ó", "o").replace("ú", "u"))
+
+
+def spanish_stem(word: str) -> str:
+    w = word
+    if len(w) < 3:
+        return _strip_acutes(w)
+    rv = _es_rv(w)
+    r1, r2 = _r1_r2(w, _ES_V)
+
+    # step 0: attached pronoun (longest pronoun whose preceding verb
+    # group lies in RV; group (a) additionally loses its acute accent)
+    for p in _ES_PRON:
+        if not w.endswith(p):
+            continue
+        base = w[: -len(p)]
+        for pre in _ES_PRE_A:
+            if base.endswith(pre) and len(base) - len(pre) >= rv:
+                w = base[: -len(pre)] + _strip_acutes(pre)
+                break
+        else:
+            for pre in _ES_PRE_B:
+                if base.endswith(pre) and len(base) - len(pre) >= rv:
+                    w = base
+                    break
+            else:
+                if base.endswith("yendo") and len(base) >= 6 \
+                        and base[-6] == "u" and len(base) - 5 >= rv:
+                    w = base
+        break
+    rv = _es_rv(w)
+    r1, r2 = _r1_r2(w, _ES_V)
+
+    # step 1: standard suffix removal (longest match across all groups)
+    best = None
+    for sufs, region, action in _ES_STEP1:
+        for s in sufs:
+            if w.endswith(s) and (best is None or len(s) > len(best[0])):
+                best = (s, region, action)
+    removed = False
+    if best is not None:
+        s, region, action = best
+        start = len(w) - len(s)
+        bound = r1 if region == "r1" else r2
+        if start >= bound:
+            if action == "del":
+                w = w[:start]
+            elif action == "del_ic":
+                w = w[:start]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            elif action == "log":
+                w = w[:start] + "log"
+            elif action == "u":
+                w = w[:start] + "u"
+            elif action == "ente":
+                w = w[:start] + "ente"
+            elif action == "amente":
+                w = w[:start]
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and len(w) - 2 >= r2:
+                            w = w[:-2]
+                            break
+            elif action == "mente":
+                w = w[:start]
+                for pre in ("ante", "able", "ible"):
+                    if w.endswith(pre) and len(w) - 4 >= r2:
+                        w = w[:-4]
+                        break
+            elif action == "idad":
+                w = w[:start]
+                for pre, n in (("abil", 4), ("ic", 2), ("iv", 2)):
+                    if w.endswith(pre) and len(w) - n >= r2:
+                        w = w[: -n]
+                        break
+            elif action == "iv":
+                w = w[:start]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            removed = True
+
+    if not removed:
+        # step 2a: verb suffixes beginning y (preceded by u)
+        done2a = False
+        for s in sorted(_ES_2A, key=len, reverse=True):
+            if w.endswith(s) and len(w) - len(s) >= rv \
+                    and len(w) - len(s) >= 1 \
+                    and w[len(w) - len(s) - 1] == "u":
+                w = w[: -len(s)]
+                done2a = True
+                break
+        if not done2a:
+            # step 2b: other verb suffixes
+            cands = sorted(set(_ES_2B) | set(_ES_2B_GU),
+                           key=len, reverse=True)
+            for s in cands:
+                if w.endswith(s) and len(w) - len(s) >= rv:
+                    w = w[: -len(s)]
+                    if s in _ES_2B_GU and w.endswith("gu"):
+                        w = w[:-1]
+                    break
+
+    # step 3: residual suffix
+    rv = _es_rv(w)
+    for s in _ES_3_DEL:
+        if w.endswith(s) and len(w) - len(s) >= rv:
+            w = w[: -len(s)]
+            break
+    else:
+        for s in ("e", "é"):
+            if w.endswith(s) and len(w) - 1 >= rv:
+                w = w[:-1]
+                if w.endswith("gu") and len(w) - 1 >= rv:
+                    w = w[:-1]
+                break
+
+    return _strip_acutes(w)
+
+
+# ---------------------------------------------------------------------------
+# French (Savoy minimal stemmer + elision)
+# ---------------------------------------------------------------------------
+
+def french_minimal_stem(word: str) -> str:
+    """Savoy's minimal French stemmer (plural/feminine normalization —
+    the ``fr/FrenchMinimalStemFilter.java`` shape): chevaux->cheval,
+    final x/s/r/e/é stripped, doubled final letter undoubled."""
+    w = word
+    if len(w) < 6:
+        return w
+    if w[-1] == "x":
+        if w.endswith("aux"):
+            return w[:-2] + "l"
+        w = w[:-1]
+    if w and w[-1] == "s":
+        w = w[:-1]
+    if w and w[-1] == "r":
+        w = w[:-1]
+    if w and w[-1] == "e":
+        w = w[:-1]
+    if w and w[-1] == "é":
+        w = w[:-1]
+    if len(w) >= 2 and w[-1] == w[-2]:
+        w = w[:-1]
+    return w
+
+
+_FR_ELISION = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu",
+     "lorsqu", "puisqu"])
+
+
+def elide(token: str) -> str:
+    """ElisionFilter (``util/ElisionFilter.java``): strip a French
+    article/particle before an apostrophe (l'avion -> avion)."""
+    for apo in ("'", "’"):
+        if apo in token:
+            head, _, rest = token.partition(apo)
+            if head in _FR_ELISION and rest:
+                return rest
+    return token
+
+
+# ---------------------------------------------------------------------------
+# Stop lists (standard Snowball lists, practical high-frequency subsets)
+# ---------------------------------------------------------------------------
+
+GERMAN_STOP_WORDS = frozenset("""
+aber alle allem allen aller alles als also am an ander andere anderem
+anderen anderer anderes auch auf aus bei bin bis bist da damit dann das
+dass dein deine dem den der des dessen dich die dies diese diesem diesen
+dieser dieses dir doch dort du durch ein eine einem einen einer eines
+einig einige er es etwas euer eure für gegen gewesen hab habe haben hat
+hatte hatten hier hin hinter ich ihm ihn ihnen ihr ihre im in indem ins
+ist ja jede jedem jeden jeder jedes jene jenem jenen jener jenes jetzt
+kann kein keine keinem keinen keiner keines können könnte machen man
+mein meine mich mir mit muss musste nach nicht nichts noch nun nur ob
+oder ohne sehr sein seine sich sie sind so soll sollte sondern sonst
+um und uns unser unter viel vom von vor war waren warst was weg weil
+weiter welche welchem welchen welcher welches wenn werde werden wie
+wieder will wir wird wirst wo wollen wollte während würde würden zu
+zum zur zwar zwischen
+""".split())
+
+FRENCH_STOP_WORDS = frozenset("""
+au aux avec ce ces dans de des du elle en et eux il ils je la le les
+leur lui ma mais me même mes moi mon ne nos notre nous on ou où par pas
+pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos votre
+vous c d j l à m n s t y été étée étées étés étant suis es est sommes
+êtes sont serai seras sera serons serez seront serais serait serions
+seriez seraient étais était étions étiez étaient fus fut fûmes fûtes
+furent sois soit soyons soyez soient fusse fusses fût ai as avons avez
+ont aurai auras aura aurons aurez auront avais avait avions aviez
+avaient eut eûmes eûtes eurent aie aies ait ayons ayez aient eusse
+eusses eût ceci cela celà cet cette ici leurs quel quels quelle quelles
+sans soi
+""".split())
+
+SPANISH_STOP_WORDS = frozenset("""
+a al algo algunas algunos ante antes como con contra cual cuando de del
+desde donde durante e el ella ellas ellos en entre era erais eran eras
+eres es esa esas ese eso esos esta estaba estado estamos estan estar
+estas este esto estos fue fueron fui fuimos ha habia han has hasta hay
+la las le les lo los mas me mi mis mucho muchos muy más mí nada ni no
+nos nosotras nosotros nuestra nuestras nuestro nuestros o os otra otras
+otro otros para pero poco por porque que quien quienes qué se sea sean
+segun ser si sido siendo sin sobre sois somos son soy su sus sí también
+tanto te tenemos tengo tiene tienen todo todos tu tus tú un una uno
+unos vosotras vosotros vuestra vuestras vuestro vuestros y ya yo él
+ésta éstas éste éstos
+""".split())
+
+
+# ---------------------------------------------------------------------------
+# Analyzer
+# ---------------------------------------------------------------------------
+
+class StemmingAnalyzer(Analyzer):
+    """StandardTokenizer + lowercase + (elision) + language stop list +
+    stem function — the per-language analyzer shape
+    (``de/GermanAnalyzer.java:121-133`` createComponents). The batch
+    path stems each DISTINCT token once (factorize + gather) so cost
+    scales with the batch vocabulary, not the token stream."""
+
+    def __init__(self, name: str, stop_words, stem_fn,
+                 use_elision: bool = False,
+                 stem_exclusions: frozenset | set = frozenset()):
+        self.name = name
+        self.base = StandardAnalyzer(stop_words=frozenset())
+        self.stop_words = frozenset(stop_words)
+        self.stem_fn = stem_fn
+        self.use_elision = use_elision
+        self.stem_exclusions = frozenset(stem_exclusions)
+
+    def _one(self, t: str) -> str | None:
+        if self.use_elision:
+            t = elide(t)
+        if t in self.stop_words:
+            return None
+        if t in self.stem_exclusions:
+            return t
+        return self.stem_fn(t)
+
+    def tokens(self, text: str) -> list[str]:
+        out = []
+        for t in self.base.tokens(text):
+            s = self._one(t)
+            if s is not None:
+                out.append(s)
+        return out
+
+    def tokens_with_positions(self, text: str):
+        toks, pos = self.base.tokens_with_positions(text)
+        out_t, out_p = [], []
+        for t, p in zip(toks, pos):
+            s = self._one(t)
+            if s is not None:
+                out_t.append(s)
+                out_p.append(p)
+        return out_t, out_p
+
+    def tokens_batch(self, texts: list[str]):
+        import pandas as pd
+
+        tokens, doc_idx, positions = self.base.tokens_batch(texts)
+        if not tokens:
+            return tokens, doc_idx, positions
+        codes, vocab = pd.factorize(np.asarray(tokens, dtype=object))
+        mapped = np.asarray([self._one(t) for t in vocab], dtype=object)
+        keep_vocab = np.fromiter((m is not None for m in mapped), bool,
+                                 count=len(mapped))
+        keep = keep_vocab[codes]
+        out = mapped[codes][keep].tolist()
+        return out, doc_idx[keep], positions[keep]
+
+
+def german_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("german", GERMAN_STOP_WORDS, german_stem, **kw)
+
+
+def french_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("french", FRENCH_STOP_WORDS,
+                            french_minimal_stem, use_elision=True, **kw)
+
+
+def spanish_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("spanish", SPANISH_STOP_WORDS, spanish_stem,
+                            **kw)
+
+
+register_analyzer("german", german_analyzer())
+register_analyzer("french", french_analyzer())
+register_analyzer("spanish", spanish_analyzer())

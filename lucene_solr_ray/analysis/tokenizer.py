@@ -107,3 +107,25 @@ def tokenize_with_positions(
             tokens.append(t)
             positions.append(pos)
     return tokens, positions
+
+
+def tokenize_with_spans(
+    text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+) -> tuple[list[str], list[int], list[int], list[int]]:
+    """(tokens, positions, char_starts, char_ends) — the offsets feed of
+    the ``..._AND_OFFSETS`` index option (OffsetAttribute semantics:
+    spans index the ORIGINAL text)."""
+    tokens: list[str] = []
+    positions: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    pos = -1
+    for m in _build_pattern().finditer(text):
+        pos += 1
+        t = m.group(0)
+        if len(t) <= max_token_length:
+            tokens.append(t)
+            positions.append(pos)
+            starts.append(m.start())
+            ends.append(m.end())
+    return tokens, positions, starts, ends

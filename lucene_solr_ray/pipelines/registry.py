@@ -532,6 +532,113 @@ def q_stats_percentiles(sf_dir: str) -> pa.Table:
     })
 
 
+def q_json_facet_nested(sf_dir: str) -> pa.Table:
+    """Nested JSON Facet API (solr/.../search/facet/FacetModule.java —
+    the json.facet request DSL): a two-level facet tree
+    lang -> top-2 sources by count, with per-bucket avg(n_chars) at both
+    levels, evaluated by stages/jsonfacet.py as one grouped aggregate
+    per tree level. Flattened to (lang, lang_cnt, lang_avg, source,
+    src_cnt, src_avg, rn) for the oracle."""
+    from ..stages.jsonfacet import json_facet
+
+    ds = _docs_ds(sf_dir, ["lang", "source", "n_chars"])
+    resp = json_facet(ds, {
+        "langs": {
+            "type": "terms", "field": "lang", "limit": 100,
+            "sort": "count desc",
+            "facet": {
+                "avg_chars": "avg(n_chars)",
+                "top_sources": {
+                    "type": "terms", "field": "source", "limit": 2,
+                    "sort": "count desc",
+                    "facet": {"avg_chars": "avg(n_chars)"},
+                },
+            },
+        },
+    })
+    rows = {k: [] for k in ("lang", "lang_cnt", "lang_avg", "source",
+                            "src_cnt", "src_avg", "rn")}
+    for b in resp["facets"]["langs"]["buckets"]:
+        for rn, sb in enumerate(b["top_sources"]["buckets"], 1):
+            rows["lang"].append(b["val"])
+            rows["lang_cnt"].append(b["count"])
+            rows["lang_avg"].append(b["avg_chars"])
+            rows["source"].append(sb["val"])
+            rows["src_cnt"].append(sb["count"])
+            rows["src_avg"].append(sb["avg_chars"])
+            rows["rn"].append(rn)
+    return pa.table({
+        "lang": pa.array(rows["lang"], pa.string()),
+        "lang_cnt": pa.array(rows["lang_cnt"], pa.int64()),
+        "lang_avg": pa.array(_round4(np.asarray(rows["lang_avg"])),
+                             pa.float64()),
+        "source": pa.array(rows["source"], pa.string()),
+        "src_cnt": pa.array(rows["src_cnt"], pa.int64()),
+        "src_avg": pa.array(_round4(np.asarray(rows["src_avg"])),
+                            pa.float64()),
+        "rn": pa.array(rows["rn"], pa.int64()),
+    })
+
+
+def q_multilingual_stems(sf_dir: str) -> pa.Table:
+    """Non-English analysis chains (de/GermanAnalyzer.java,
+    fr/FrenchAnalyzer.java, es/SpanishAnalyzer.java; Snowball stemmers
+    from the published algorithms): a deterministic synthetic
+    multilingual corpus (testdata text is ASCII English) tokenized per
+    language through the full Ray map_batches path; returns stem
+    document-frequencies. Rows-only (stemming is not SQL-expressible);
+    golden-token coverage is in tests/test_snowball.py."""
+    import ray.data as rd
+
+    from ..analysis import get_analyzer
+
+    corpus = {
+        "german": [
+            "Die Bücher und die Häuser der Kinder",
+            "Möglichkeiten der Schönheit in den Büchern",
+            "Geheimnisse größer als alle Häuser",
+        ],
+        "french": [
+            "L'avion et les chevaux du chanteur",
+            "Les chanteurs regardent l'avion",
+            "Qu'il regarde les chevaux",
+        ],
+        "spanish": [
+            "Los niños caminando en las librerías",
+            "La niña camina rápido a la librería",
+            "Caminar es importante para los niños",
+        ],
+    }
+    rows = [{"lang": lang, "doc_id": i, "text": t}
+            for lang, texts in corpus.items()
+            for i, t in enumerate(texts)]
+    ds = rd.from_items(rows)
+
+    def stems(b: pa.Table) -> pa.Table:
+        out_l, out_t = [], []
+        for lang, text in zip(b["lang"].to_pylist(),
+                              b["text"].to_pylist()):
+            for t in set(get_analyzer(lang).tokens(text)):
+                out_l.append(lang)
+                out_t.append(t)
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "term": pa.array(out_t, pa.string())})
+
+    out = (
+        ds.map_batches(stems, batch_format="pyarrow")
+        .groupby(["lang", "term"]).count().to_pandas()
+        .rename(columns={"count()": "df"})
+        .sort_values(["lang", "df", "term"],
+                     ascending=[True, False, True])
+    )
+    out = out[out["df"] >= 2]
+    return pa.table({
+        "lang": pa.array(out["lang"].tolist(), pa.string()),
+        "term": pa.array(out["term"].tolist(), pa.string()),
+        "df": pa.array(out["df"].to_numpy(np.int64)),
+    })
+
+
 def q_tdigest_quantiles(sf_dir: str) -> pa.Table:
     """t-digest percentiles on an UNBOUNDED float column (events.value) —
     the StatsComponent distributed-percentile scale path
@@ -1530,6 +1637,8 @@ QUERIES = {
     "pivot_facet": q_pivot_facet,
     "stats_percentiles": q_stats_percentiles,
     "tdigest_quantiles": q_tdigest_quantiles,
+    "multilingual_stems": q_multilingual_stems,
+    "json_facet_nested": q_json_facet_nested,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
     "group_top2_per_lang": q_group_top2_per_lang,
@@ -1676,6 +1785,26 @@ SELECT floor(quantile_cont(n_chars, 0.25)*10000 + 0.5)/10000 AS p25,
        floor(quantile_cont(n_chars, 0.75)*10000 + 0.5)/10000 AS p75,
        floor(quantile_cont(n_chars, 0.99)*10000 + 0.5)/10000 AS p99
 FROM documents
+""",
+    "json_facet_nested": """
+WITH src AS (
+  SELECT lang, source, count(*)::BIGINT AS src_cnt,
+         floor(avg(n_chars)*10000 + 0.5)/10000 AS src_avg
+  FROM documents GROUP BY lang, source
+), lg AS (
+  SELECT lang, count(*)::BIGINT AS lang_cnt,
+         floor(avg(n_chars)*10000 + 0.5)/10000 AS lang_avg
+  FROM documents GROUP BY lang
+), r AS (
+  SELECT s.lang, s.source, s.src_cnt, s.src_avg,
+         row_number() OVER (PARTITION BY s.lang
+                            ORDER BY s.src_cnt DESC, s.source) AS rn
+  FROM src s
+)
+SELECT r.lang, lg.lang_cnt, lg.lang_avg, r.source, r.src_cnt, r.src_avg,
+       rn::BIGINT AS rn
+FROM r JOIN lg ON r.lang = lg.lang
+WHERE rn <= 2 ORDER BY lang_cnt DESC, r.lang, rn
 """,
     # the Ray side returns each t-digest estimate's TRUE rank error as a
     # 0/1 flag; the oracle asserts the accuracy guarantee holds (the

@@ -1,0 +1,225 @@
+"""Nested JSON Facet API (Solr's facet module).
+
+A recursive facet-request dict — terms / query / range facets nesting
+sub-facets and stat leaves — compiled onto Ray Data grouped aggregates
+(``solr/core/src/java/org/apache/solr/search/facet/FacetModule.java``,
+``FacetField.java``, ``FacetRange.java``; the request DSL of Solr 5.2+'s
+``json.facet``).
+
+Request shape (Solr syntax, dict form)::
+
+    {
+      "type": "terms", "field": "lang", "limit": 5,
+      "sort": "count desc",            # or "<metric> desc|asc"
+      "facet": {
+        "avg_chars": "avg(n_chars)",   # stat leaf
+        "top_sources": {               # nested facet
+          "type": "terms", "field": "source", "limit": 2,
+          "facet": {"avg_chars": "avg(n_chars)"},
+        },
+      },
+    }
+
+Execution: every terms node becomes ONE distributed
+``groupby(parent_path + [field]).aggregate(...)`` over the pruned input —
+the shuffle carries (group key, partial aggregates) only; limit/sort and
+bucket-tree assembly run driver-side on the (small) aggregate result.
+Nesting depth = number of grouped aggregates, never a per-bucket query.
+
+Stat leaves: ``count``, ``sum(f)``, ``avg(f)``, ``min(f)``, ``max(f)``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_STAT_RE = re.compile(r"^(sum|avg|min|max|unique)\((\w+)\)$|^count$")
+
+
+def _stat_agg(name: str, expr: str):
+    """Map a stat-leaf expression to a ray.data aggregate."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    if expr == "count":
+        return Count(alias_name=name)
+    m = _STAT_RE.match(expr)
+    if not m or m.group(1) is None:
+        raise ValueError(f"unsupported stat expression: {expr!r}")
+    fn, col = m.group(1), m.group(2)
+    return {
+        "sum": lambda: Sum(col, alias_name=name),
+        "avg": lambda: Mean(col, alias_name=name),
+        "min": lambda: Min(col, alias_name=name),
+        "max": lambda: Max(col, alias_name=name),
+    }[fn]()
+
+
+def _split_node(req: dict):
+    stats, subs = {}, {}
+    for k, v in (req.get("facet") or {}).items():
+        if isinstance(v, str):
+            stats[k] = v
+        elif isinstance(v, dict):
+            subs[k] = v
+        else:
+            raise ValueError(f"facet entry {k!r} must be str or dict")
+    return stats, subs
+
+
+def _sort_key(req: dict):
+    sort = req.get("sort", "count desc")
+    parts = sort.split()
+    key = parts[0]
+    asc = len(parts) > 1 and parts[1].lower() == "asc"
+    return key, asc
+
+
+def _terms_table(ds, path: list[str], field: str, stats: dict,
+                 ) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    # a "count" stat leaf aliases the bucket count — no extra aggregate
+    aggs = [Count(alias_name="count")] + [
+        _stat_agg(n, e) for n, e in stats.items() if e != "count"]
+    # re-faceting a field already in the parent path degenerates to the
+    # parent grouping (each parent bucket contains one value of it)
+    key = path + ([field] if field not in path else [])
+    return ds.groupby(key).aggregate(*aggs).to_pandas()
+
+
+def _assemble_terms(
+    ds, req: dict, path: list[str], parent_keys: list[tuple] | None,
+) -> dict[tuple, list[dict]]:
+    """One grouped aggregate for this node; returns parent-key ->
+    ordered bucket list. ``parent_keys`` (surviving parents after the
+    parent's own limit) prunes assembly, never the shuffle."""
+    field = req["field"]
+    limit = int(req.get("limit", 10))
+    stats, subs = _split_node(req)
+    t = _terms_table(ds, path, field, stats)
+    key, asc = _sort_key(req)
+    if key not in t.columns:
+        raise ValueError(f"sort key {key!r} is not a facet stat")
+    # deterministic: sort metric, then bucket value ascending
+    t = t.sort_values([key, field], ascending=[asc, True],
+                      kind="mergesort")
+    # group buckets by parent path
+    if path:
+        grouped = {k if isinstance(k, tuple) else (k,): g
+                   for k, g in t.groupby(path, sort=False)}
+        if parent_keys is not None:
+            grouped = {k: g for k, g in grouped.items()
+                       if k in set(parent_keys)}
+    else:
+        grouped = {(): t}
+    out: dict[tuple, list[dict]] = {}
+    for pkey, g in grouped.items():
+        g = g.head(limit)
+        buckets = []
+        for _, row in g.iterrows():
+            b = {"val": row[field], "count": int(row["count"])}
+            for n, e in stats.items():
+                b[n] = (int(row["count"]) if e == "count"
+                        else float(row[n]) if isinstance(
+                            row[n], (float, np.floating))
+                        else row[n])
+            buckets.append(b)
+        out[pkey] = buckets
+    # nested facets: one aggregate per sub-node over the EXTENDED path
+    for sub_name, sub_req in subs.items():
+        child_parents = [
+            pkey + (b["val"],) for pkey, bs in out.items() for b in bs
+        ]
+        if sub_req.get("type", "terms") != "terms":
+            raise ValueError("nested facets must be terms facets")
+        child = _assemble_terms(ds, sub_req, path + [field],
+                                child_parents)
+        for pkey, bs in out.items():
+            for b in bs:
+                b[sub_name] = {
+                    "buckets": child.get(pkey + (b["val"],), [])}
+    return out
+
+
+def json_facet(ds, request: dict, *, count: int | None = None) -> dict:
+    """Evaluate a JSON facet request over a Dataset. ``request`` maps
+    facet names to facet nodes (dicts) or stat leaves (strings) — the
+    top-level ``json.facet`` object. Returns the Solr-shaped response
+    ``{"count": N, "facets": {...}}``."""
+    resp: dict = {}
+    stats = {k: v for k, v in request.items() if isinstance(v, str)}
+    if stats:
+        aggs = [_stat_agg(n, e) for n, e in stats.items()
+                if e != "count"]
+        if aggs:
+            row = ds.aggregate(*aggs)
+            for n, e in stats.items():
+                if e != "count":
+                    resp[n] = float(row[n]) if isinstance(
+                        row[n], (float, np.floating)) else row[n]
+    n_rows = ds.count() if count is None else count
+    for n, e in stats.items():
+        if e == "count":
+            resp[n] = int(n_rows)
+    for name, node in request.items():
+        if isinstance(node, str):
+            continue
+        if node.get("type", "terms") == "terms":
+            resp[name] = {
+                "buckets": _assemble_terms(ds, node, [], None)[()]}
+        elif node["type"] == "query":
+            sub = ds.filter(expr=node["q"]) if isinstance(node.get("q"),
+                                                          str) else \
+                ds.filter(node["q"])
+            stats_q, subs_q = _split_node(node)
+            ent = {"count": int(sub.count())}
+            if stats_q:
+                aggs = [_stat_agg(n2, e2) for n2, e2 in stats_q.items()
+                        if e2 != "count"]
+                if aggs:
+                    row = sub.aggregate(*aggs)
+                    for n2, e2 in stats_q.items():
+                        if e2 != "count":
+                            ent[n2] = float(row[n2])
+                for n2, e2 in stats_q.items():
+                    if e2 == "count":
+                        ent[n2] = ent["count"]
+            for sub_name, sub_req in subs_q.items():
+                ent[sub_name] = {"buckets": _assemble_terms(
+                    sub, sub_req, [], None)[()]}
+            resp[name] = ent
+        elif node["type"] == "range":
+            resp[name] = _range_facet(ds, node)
+        else:
+            raise ValueError(f"unknown facet type {node['type']!r}")
+    return {"count": int(n_rows), "facets": resp}
+
+
+def _range_facet(ds, req: dict) -> dict:
+    """Range facet (FacetRange.java): fixed [start, end) buckets of
+    width gap — one vectorized bucketize + grouped count."""
+    import pyarrow as pa
+
+    field = req["field"]
+    start, end, gap = (float(req["start"]), float(req["end"]),
+                       float(req["gap"]))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = b[field].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = (v >= start) & (v < end)
+        idx = np.floor((v[ok] - start) / gap).astype(np.int64)
+        return pa.table({"bucket": pa.array(start + idx * gap)})
+
+    t = (ds.map_batches(bucketize, batch_format="pyarrow")
+         .groupby("bucket").count().to_pandas()
+         .sort_values("bucket"))
+    counts = dict(zip(t["bucket"], t["count()"]))
+    buckets = []
+    v = start
+    while v < end:
+        buckets.append({"val": v, "count": int(counts.get(v, 0))})
+        v += gap
+    return {"buckets": buckets}

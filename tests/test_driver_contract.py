@@ -67,6 +67,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "facet_on_query", "group_search_top2", "events_sliding_window",
         "unique_stream", "numeric_range", "agg_pricing_summary",
         "join_orders_revenue", "stats_percentiles", "tdigest_quantiles",
+        "json_facet_nested",
         "pivot_facet",
         "geo_radius", "rescore_top20", "json_field_facet",
         "ann_ivf_top5", "qp_classic", "wdf_brand_subtoken",
@@ -92,7 +93,8 @@ def test_query_matches_oracle(contract, duck, name):
                                   "minhash_candidates",
                                   "media_image_stats", "ann_lsh_top5",
                                   "hll_users", "nb_lang_classify",
-                                  "curation_funnel", "simhash_pairs"])
+                                  "curation_funnel", "simhash_pairs",
+                                  "multilingual_stems"])
 def test_rows_only_queries_run(contract, name):
     queries, _ = contract
     df = _to_df(queries[name](SF_DIR))

@@ -1,0 +1,136 @@
+"""Non-English analysis: Snowball German/Spanish stemmers, French
+minimal stemmer + elision, and the per-language analyzer chains
+(de/GermanAnalyzer.java, es/SpanishAnalyzer.java, fr/FrenchAnalyzer.java
+shapes; stemmers implemented from the published Snowball algorithms)."""
+
+import pyarrow as pa
+
+from lucene_solr_ray.analysis import get_analyzer
+from lucene_solr_ray.analysis.snowball import (
+    elide,
+    french_minimal_stem,
+    german_stem,
+    spanish_stem,
+)
+
+
+def test_german_stem_goldens():
+    # hand-derived from the published algorithm (prelude, R1>=3 floor,
+    # steps 1-3, umlaut postlude)
+    golden = {
+        "bücher": "buch", "buch": "buch",
+        "aufeinander": "aufeinand",
+        "geheimnisse": "geheimnis", "geheimnis": "geheimnis",
+        "schönheit": "schonheit",
+        "kategorie": "kategori",
+        "lesen": "les",
+        "häuser": "haus", "haus": "haus",
+        "arbeiten": "arbeit",
+        "kinder": "kind", "kindern": "kind",
+        "möglichkeit": "moglich",
+        "verständnisses": "verstandnis",  # group-(b) niss rule
+        "größe": "gross",                  # ß -> ss prelude
+    }
+    for w, want in golden.items():
+        assert german_stem(w) == want, (w, german_stem(w), want)
+
+
+def test_german_inflection_families_conflate():
+    fams = [
+        ("haus", "häuser", "hauses"),
+        ("kind", "kinder", "kindern", "kindes"),
+        ("arbeiten", "arbeite", "arbeitest"),
+        ("freund", "freunde", "freundes", "freunden"),
+    ]
+    for fam in fams:
+        stems = {german_stem(w) for w in fam}
+        assert len(stems) == 1, (fam, stems)
+
+
+def test_spanish_stem_families_and_pronouns():
+    fams = [
+        ("nacional", "nacionales"),
+        ("niño", "niños", "niña", "niñas"),
+        ("caminar", "caminando", "camina", "caminamos"),
+        ("librería", "librerías"),
+        ("rápido", "rápidos", "rápida"),
+        ("importante", "importantes"),
+    ]
+    for fam in fams:
+        stems = {spanish_stem(w) for w in fam}
+        assert len(stems) == 1, (fam, stems)
+    # attached pronoun (step 0) + gerund (step 2b)
+    assert spanish_stem("haciéndola") == spanish_stem("haciendo")
+    # accents always stripped in the postlude
+    assert "á" not in spanish_stem("está")
+
+
+def test_french_minimal_and_elision():
+    assert french_minimal_stem("chevaux") == "cheval"
+    assert french_minimal_stem("cheval") == "cheval"
+    assert french_minimal_stem("chanteurs") == french_minimal_stem(
+        "chanteur")
+    assert elide("l'avion") == "avion"
+    assert elide("qu'il") == "il"
+    assert elide("d'accord") == "accord"
+    assert elide("avion") == "avion"
+
+
+def test_language_analyzers_registered_and_filter_stops():
+    de = get_analyzer("german")
+    toks = de.tokens("Die Bücher und die Häuser der Kinder")
+    assert toks == ["buch", "haus", "kind"]
+    fr = get_analyzer("french")
+    toks = fr.tokens("L'avion et les chevaux")
+    assert "avion" in toks and "cheval" in toks and "les" not in toks
+    es = get_analyzer("spanish")
+    toks = es.tokens("Los niños caminando en las librerías")
+    assert "niñ" in toks and "camin" in toks and "los" not in toks
+
+
+def test_batch_path_matches_scalar_path():
+    texts = [
+        "Die Bücher und die Häuser der Kinder",
+        "Möglichkeiten der Schönheit",
+        "",
+        "Geheimnisse größer als Häuser",
+    ]
+    for name in ("german", "french", "spanish"):
+        ana = get_analyzer(name)
+        toks, doc_idx, _pos = ana.tokens_batch(texts)
+        per_doc = [[] for _ in texts]
+        for t, d in zip(toks, doc_idx):
+            per_doc[int(d)].append(t)
+        want = [ana.tokens(t) for t in texts]
+        assert per_doc == want, name
+
+
+def test_german_index_end_to_end(tmp_path_factory, ray_session):
+    """Full build -> search with the registered 'german' analyzer:
+    inflected query and document forms meet at the same stem."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+
+    d = tmp_path_factory.mktemp("de_idx_src")
+    docs = [
+        "die bücher der kinder",
+        "ein haus und noch ein haus",
+        "die häuser der stadt",
+        "schönheit und möglichkeiten",
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "content": pa.array(docs),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("de_idx") / "idx")
+    build_index(str(d), out, text_field="content", analyzer="german",
+                rows_per_partition=10)
+    s = IndexSearcher(out)
+    # query-time analysis uses the same chain: "häuser" stems to "haus"
+    from lucene_solr_ray.search import parse_query
+
+    q = parse_query("häuser", s.manifest.resolve_analyzer())
+    hits = s.search(q, k=10)
+    assert {int(h) for h in hits["doc_id"].to_numpy()} == {1, 2}
