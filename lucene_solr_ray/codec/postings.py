@@ -311,6 +311,75 @@ def encode_postings_batch_packed(
     return buf, lens
 
 
+def encode_values_batch_packed(
+    vals_flat: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized single-stream encode of MANY short value payloads
+    (positions / offsets) into one contiguous uint8 buffer — the
+    ``.pos``/``.pay`` analogue of :func:`encode_postings_batch_packed`.
+    Each stream must fit one block (``ends - starts <= BLOCK_SIZE``);
+    payload format matches :func:`encode_values` byte-aligned output
+    (n:u4, code:u1, n fixed-width values), so :func:`decode_values`
+    reads it back unchanged. Handles non-contiguous subsets.
+    Returns (buffer, per-stream byte lengths)."""
+    vals_flat = np.asarray(vals_flat, np.uint32)
+    starts = np.asarray(starts, np.int64)
+    ends = np.asarray(ends, np.int64)
+    n = starts.size
+    counts = (ends - starts).astype(np.int64)
+    if n and (starts[0] != 0 or not np.array_equal(starts[1:], ends[:-1])):
+        sub_idx = np.repeat(starts, counts) + _intra(counts)
+        red_starts = np.zeros(n, np.int64)
+        np.cumsum(counts[:-1], out=red_starts[1:])
+        vals = vals_flat[sub_idx]
+    else:
+        red_starts = starts
+        vals = vals_flat[int(starts[0]) if n else 0:
+                         int(ends[-1]) if n else 0]
+    safe_starts = red_starts.copy()
+    if n:
+        safe_starts[counts == 0] = 0  # reduceat needs valid indices
+    mx = np.maximum.reduceat(vals, np.minimum(
+        safe_starts, max(vals.size - 1, 0))) if vals.size else \
+        np.zeros(n, np.uint32)
+    if n:
+        mx = np.where(counts > 0, mx, 0)
+    w = np.full(n, 4, np.int64)
+    w[mx < 0x10000] = 2
+    w[mx < 0x100] = 1
+    lens = 4 + 1 + counts * w
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    buf = np.empty(int(offs[-1]), np.uint8)
+    o = offs[:-1]
+    buf[o] = counts & 0xFF
+    buf[o + 1] = (counts >> 8) & 0xFF
+    buf[o + 2] = (counts >> 16) & 0xFF
+    buf[o + 3] = (counts >> 24) & 0xFF
+    code = {1: 253, 2: 254, 4: 255}
+    for width in (1, 2, 4):
+        m = w == width
+        if not m.any():
+            continue
+        buf[o[m] + 4] = code[width]
+        cnt = counts[m]
+        if not cnt.sum():
+            continue
+        intra = _intra(cnt)
+        src = np.repeat(red_starts[m], cnt) + intra
+        dst = np.repeat(o[m] + 5, cnt) + intra * width
+        v = vals[src]
+        buf[dst] = v & 0xFF
+        if width >= 2:
+            buf[dst + 1] = (v >> np.uint32(8)) & 0xFF
+        if width == 4:
+            buf[dst + 2] = (v >> np.uint32(16)) & 0xFF
+            buf[dst + 3] = (v >> np.uint32(24)) & 0xFF
+    return buf, lens
+
+
 def decode_postings(payload: bytes | memoryview) -> tuple[np.ndarray, np.ndarray]:
     """Decode a full posting list -> (doc_ids:int64[], tfs:int32[])."""
     buf = memoryview(payload).cast("B")  # unsigned view (arrow buffers are 'b')

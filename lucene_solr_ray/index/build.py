@@ -62,6 +62,7 @@ class IndexManifest:
     merged_shards: int = 0
     byte_aligned: bool = True
     store_positions: bool = False
+    store_offsets: bool = False
     sort_by: str | None = None
 
     @property
@@ -141,15 +142,23 @@ def plan_partitions(source: str | list[str], rows_per_partition: int) -> list[di
 
 def _invert(
     texts: list[str], analyzer_name: str, doc_base_local: int,
-    want_positions: bool = False,
+    want_positions: bool = False, want_offsets: bool = False,
 ):
     """Tokenize a sub-batch and aggregate (term, doc, tf) triples.
 
-    Returns (vocab_tokens, tid, doc, tf, doc_len, pos_lists) where
-    ``pos_lists`` (only when ``want_positions``) is a list of int32 arrays —
-    the in-doc token positions per (term, doc) pair, aligned with the
-    triples (positions include gaps from removed stop/over-long tokens,
-    matching ``FreqProxTermsWriterPerField`` prox accumulation).
+    Returns (vocab_tokens, tid, doc, tf, doc_len, pos_flat, off_flat):
+
+    - ``pos_flat`` (when ``want_positions``): ONE uint32 array — the
+      delta-encoded in-doc token positions of every (term, doc) pair,
+      pairs concatenated in triple order, pair i occupying ``tf[i]``
+      values (first position raw per pair; gaps from removed stop /
+      over-long tokens preserved — ``FreqProxTermsWriterPerField``
+      prox accumulation, delta shape of ``.pos``).
+    - ``off_flat`` (when ``want_offsets``): ONE uint32 array of
+      interleaved (start_delta, length) char-offset pairs per
+      occurrence, ``2 * tf[i]`` values per pair (start raw at each
+      pair's first occurrence — the ``.pay`` offset stream,
+      ``Lucene50PostingsFormat.java:100-107``).
     """
     import pandas as pd
 
@@ -157,7 +166,25 @@ def _invert(
     # instance (custom chains, e.g. synonyms, travel to workers by value)
     ana = (analyzer_name if not isinstance(analyzer_name, str)
            else get_analyzer(analyzer_name))
-    tokens, doc_idx, pos = ana.tokens_batch(texts)
+    e32 = np.empty(0, np.uint32)
+    if want_offsets:
+        from ..analysis.analyzers import (
+            StandardAnalyzer,
+            _standard_tokens_batch_spans,
+        )
+
+        if hasattr(ana, "tokens_batch_spans"):
+            tokens, doc_idx, pos, c_start, c_end = \
+                ana.tokens_batch_spans(texts)
+        elif type(ana) is StandardAnalyzer:
+            tokens, doc_idx, pos, c_start, c_end = \
+                _standard_tokens_batch_spans(ana, texts)
+        else:
+            raise ValueError(
+                f"analyzer {type(ana).__name__} does not expose char "
+                "spans (tokens_batch_spans) — offsets need them")
+    else:
+        tokens, doc_idx, pos = ana.tokens_batch(texts)
     # overlap-aware field length (DefaultIndexingChain.java:621-645:
     # length = positions, not tokens): posIncr-0 tokens — WDF sub-parts,
     # synonyms — share a position and count ONCE toward norms
@@ -170,39 +197,53 @@ def _invert(
         doc_len = np.zeros(len(texts), np.int32)
     if not tokens:
         e = np.empty(0, np.int64)
-        return [], e, e, e, doc_len, []
+        return [], e, e, e, doc_len, e32, e32
     tid, vocab = pd.factorize(np.asarray(tokens, dtype=object))
     key = tid.astype(np.int64) * len(texts) + doc_idx
-    if want_positions:
+    pos_flat = e32
+    off_flat = e32
+    if want_positions or want_offsets:
         order = np.lexsort((pos, key))
         key_s = key[order]
-        pos_s = pos[order].astype(np.int32)
         uniq, starts, counts = np.unique(
             key_s, return_index=True, return_counts=True
         )
-        # delta-encode within each posting (first position raw) — the
-        # prox-delta stream shape (FreqProxTermsWriterPerField.java:80-99)
-        d = np.empty_like(pos_s)
-        if pos_s.size:
+        if want_positions:
+            pos_s = pos[order].astype(np.int64)
+            d = np.empty(pos_s.size, np.int64)
             d[0] = pos_s[0]
             d[1:] = pos_s[1:] - pos_s[:-1]
             d[starts] = pos_s[starts]
-        pos_lists = np.split(d, starts[1:])
+            pos_flat = d.astype(np.uint32)
+        if want_offsets:
+            cs = np.asarray(c_start, np.int64)[order]
+            ce = np.asarray(c_end, np.int64)[order]
+            ds = np.empty(cs.size, np.int64)
+            ds[0] = cs[0]
+            ds[1:] = cs[1:] - cs[:-1]
+            ds[starts] = cs[starts]
+            off_flat = np.empty(2 * cs.size, np.uint32)
+            off_flat[0::2] = ds.astype(np.uint32)
+            off_flat[1::2] = (ce - cs).astype(np.uint32)
     else:
         uniq, counts = np.unique(key, return_counts=True)
-        pos_lists = []
     u_tid = uniq // len(texts)
     u_doc = uniq % len(texts) + doc_base_local
     return list(vocab), u_tid, u_doc, counts.astype(np.int64), doc_len, \
-        pos_lists
+        pos_flat, off_flat
 
 
 def build_segment(part: dict, out_dir: str, *, text_field: str,
                   analyzer_name: str, byte_aligned: bool,
                   store_positions: bool = False,
+                  store_offsets: bool = False,
                   tokenize_batch_rows: int = 2000) -> dict:
     """Build one partition's segment (one 'DWPT flush'). Pure function of
     (part descriptor, config); writes atomically; returns manifest row."""
+    if store_offsets and not (store_positions and byte_aligned):
+        raise ValueError(
+            "store_offsets requires store_positions=True and "
+            "byte_aligned=True (offsets ride the positional .pay layout)")
     pid = part["partition_id"]
     doc_base = part["doc_base"]
     seg_path = os.path.join(out_dir, "segments", f"part-{pid:05d}.parquet")
@@ -218,6 +259,9 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         # mtime (ns) catches same-size in-place content rewrites that the
         # size/row-count signals miss (ADVICE r1)
         os.stat(part["file"]).st_mtime_ns,
+        # codec config: a checkpoint built with different index options
+        # must not validate (same input, different segment format)
+        [bool(byte_aligned), bool(store_positions), bool(store_offsets)],
     ]
     if os.path.exists(ckpt_path):
         with open(ckpt_path) as f:
@@ -228,7 +272,8 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     pf = pq.ParquetFile(part["file"])
     vocab: dict[str, int] = {}
     tids, docs, tfs = [], [], []
-    all_pos: list = []
+    pos_parts: list = []
+    off_parts: list = []
     lens_parts, sha_parts = [], []
     rows_done = 0
     for rg in part["row_groups"]:
@@ -240,9 +285,10 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         sha_parts.extend(hashlib.sha256(t.encode("utf-8")).digest() for t in texts)
         for lo in range(0, len(texts), tokenize_batch_rows):
             sub = texts[lo : lo + tokenize_batch_rows]
-            toks, s_tid, s_doc, s_tf, s_len, s_pos = _invert(
+            toks, s_tid, s_doc, s_tf, s_len, s_pos, s_off = _invert(
                 sub, analyzer_name, rows_done + lo,
                 want_positions=store_positions,
+                want_offsets=store_offsets,
             )
             lens_parts.append(s_len)
             if not toks:
@@ -259,7 +305,9 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
             docs.append(s_doc)
             tfs.append(s_tf)
             if store_positions:
-                all_pos.extend(s_pos)
+                pos_parts.append(s_pos)
+            if store_offsets:
+                off_parts.append(s_off)
         rows_done += len(texts)
 
     doc_lens = (
@@ -273,15 +321,33 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     order = np.array([vocab[t] for t in terms_sorted], np.int64)
     rank = np.empty_like(order)
     rank[order] = np.arange(len(order))
+    a_pos = a_off = None
     if tids:
+        from ..codec.postings import _intra
+
         a_tid = rank[np.concatenate(tids)]
         a_doc = np.concatenate(docs)
-        a_tf = np.concatenate(tfs)
+        a_tf_pre = np.concatenate(tfs)
         srt = np.lexsort((a_doc, a_tid))
-        a_tid, a_doc, a_tf = a_tid[srt], a_doc[srt], a_tf[srt]
+        a_tid, a_doc, a_tf = a_tid[srt], a_doc[srt], a_tf_pre[srt]
         bounds = np.flatnonzero(np.diff(a_tid)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [a_tid.size]))
+        # permute the flat per-pair position/offset streams into the
+        # sorted pair order with ONE vectorized gather (the r2 build kept
+        # a Python list of per-pair arrays here — the positional path's
+        # hot loop)
+        if store_positions:
+            src = np.zeros(a_tf_pre.size, np.int64)
+            np.cumsum(a_tf_pre[:-1], out=src[1:])
+            idx = np.repeat(src[srt], a_tf) + _intra(a_tf)
+            a_pos = np.concatenate(pos_parts)[idx]
+        if store_offsets:
+            c2 = 2 * a_tf_pre
+            src2 = np.zeros(c2.size, np.int64)
+            np.cumsum(c2[:-1], out=src2[1:])
+            idx2 = np.repeat(src2[srt], c2[srt]) + _intra(c2[srt])
+            a_off = np.concatenate(off_parts)[idx2]
     else:
         starts = ends = np.empty(0, np.int64)
 
@@ -296,11 +362,18 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     # file written once at flush, exactly Lucene's "segments are immutable,
     # merges mostly re-point" economics). Layout:
     #     [payload_0 .. payload_n][pos_0 .. pos_n]
-    if starts.size and byte_aligned and not store_positions:
+    if starts.size and byte_aligned:
         # FULLY VECTORIZED emit (no per-term Python loop): single-block
         # terms (the Zipf body, df <= 128) go through the packed batch
         # encoder straight into one buffer; only multi-block terms loop.
-        from ..codec.postings import _intra, encode_postings_batch_packed
+        # Positions and offsets take the same shape: single-block streams
+        # (ttf <= 128) via the packed values encoder, the rest per-term.
+        from ..codec.postings import (
+            _intra,
+            encode_postings_batch_packed,
+            encode_values,
+            encode_values_batch_packed,
+        )
 
         n_terms = starts.size
         df_arr = (ends - starts).astype(np.int64)
@@ -337,8 +410,59 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
             o = int(offs[bi])
             buf[o : o + int(lens[bi])] = np.frombuffer(
                 big_payloads[k2], np.uint8)
+
+        def _values_section(flat, v_starts, v_ends):
+            """Encode per-term value streams into one section buffer:
+            packed batch for single-block streams, per-term for the
+            rest. Returns (section_buf, per-term lens)."""
+            cnts = v_ends - v_starts
+            sm = np.flatnonzero(cnts <= BLOCK_SIZE)
+            bg = np.flatnonzero(cnts > BLOCK_SIZE)
+            v_lens = np.empty(n_terms, np.int64)
+            vb, vl = encode_values_batch_packed(
+                flat, v_starts[sm], v_ends[sm])
+            v_lens[sm] = vl
+            bg_payloads = []
+            for bi2 in bg.tolist():
+                p = encode_values(
+                    flat[int(v_starts[bi2]):int(v_ends[bi2])], True)
+                bg_payloads.append(p)
+                v_lens[bi2] = len(p)
+            v_offs = np.zeros(n_terms, np.int64)
+            np.cumsum(v_lens[:-1], out=v_offs[1:])
+            sec = np.empty(int(v_lens.sum()), np.uint8)
+            if sm.size:
+                dst = np.repeat(v_offs[sm], vl) + _intra(vl)
+                sec[dst] = vb
+            for k3, bi2 in enumerate(bg.tolist()):
+                o2 = int(v_offs[bi2])
+                sec[o2 : o2 + int(v_lens[bi2])] = np.frombuffer(
+                    bg_payloads[k3], np.uint8)
+            return sec, v_lens
+
+        doc_total = int(lens.sum())
+        sections = [buf]
+        if store_positions:
+            tf_cum = np.zeros(a_tf.size + 1, np.int64)
+            np.cumsum(a_tf, out=tf_cum[1:])
+            pos_sec, pos_lens_v = _values_section(
+                a_pos, tf_cum[starts], tf_cum[ends])
+            pos_offs_v = np.full(n_terms, doc_total, np.int64)
+            pos_offs_v[1:] += np.cumsum(pos_lens_v[:-1])
+            sections.append(pos_sec)
+            if store_offsets:
+                off_sec, off_lens_v = _values_section(
+                    a_off, 2 * tf_cum[starts], 2 * tf_cum[ends])
+                base = doc_total + int(pos_lens_v.sum())
+                off_offs_v = np.full(n_terms, base, np.int64)
+                off_offs_v[1:] += np.cumsum(off_lens_v[:-1])
+                sections.append(off_sec)
+        else:
+            pos_offs_v = np.zeros(n_terms, np.int64)
+            pos_lens_v = np.zeros(n_terms, np.int64)
         with open(bin_path + ".tmp", "wb") as f:
-            f.write(buf.tobytes())
+            for s_ in sections:
+                f.write(s_.tobytes())
         os.replace(bin_path + ".tmp", bin_path)
 
         # block-metadata list columns assembled flat (ListArray offsets)
@@ -365,7 +489,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
                 pa.array(bl_off, pa.int32()), pa.array(vals, typ))
 
         num_postings = int(df_arr.sum())
-        seg_tbl = pa.table({
+        cols = {
             "term": pa.array(terms_sorted, pa.string()),
             "pid": pa.array(np.full(n_terms, pid, np.int32)),
             "df": pa.array(df_arr.astype(np.int32)),
@@ -373,20 +497,25 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
             "start_doc": pa.array(start_doc_arr.astype(np.int64)),
             "offset": pa.array(offs),
             "length": pa.array(lens),
-            "pos_offset": pa.array(np.zeros(n_terms, np.int64)),
-            "pos_length": pa.array(np.zeros(n_terms, np.int64)),
+            "pos_offset": pa.array(pos_offs_v),
+            "pos_length": pa.array(pos_lens_v),
             "block_last": _list_arr(bl_last_v, pa.int64()),
             "block_max_tf": _list_arr(bl_maxtf_v, pa.int32()),
             "block_max_norm": _list_arr(bl_maxnorm_v, pa.uint8()),
-        })
+        }
+        if store_offsets:
+            cols["off_offset"] = pa.array(off_offs_v)
+            cols["off_length"] = pa.array(off_lens_v)
+        seg_tbl = pa.table(cols)
     else:
-        # positional / bit-packed / empty builds: per-term loop with the
+        # bit-packed / empty builds: per-term loop with the
         # singleton-struct and small-block fast paths
         payloads, dfs, ttfs, start_docs = [], [], [], []
         pos_payloads: list = []
         bl_last, bl_maxtf, bl_maxnorm = [], [], []
         if store_positions and tids:
-            pos_sorted = [all_pos[i] for i in srt.tolist()]
+            tf_cum = np.zeros(a_tf.size + 1, np.int64)
+            np.cumsum(a_tf, out=tf_cum[1:])
         from ..codec.postings import encode_values
 
         if starts.size:
@@ -421,10 +550,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         for ti, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
             start_docs.append(int(a_doc_g[s]))
             if store_positions:
-                flat = (
-                    pos_sorted[s] if e - s == 1
-                    else np.concatenate(pos_sorted[s:e])
-                )
+                flat = a_pos[tf_cum[s]:tf_cum[e]]
                 pos_payloads.append(encode_values(flat, byte_aligned))
             if e - s == 1:
                 payloads.append(singles_blob[j * 14 : (j + 1) * 14])
@@ -532,7 +658,8 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
 
 def _segment_task(batch: dict, *, out_dir: str, text_field: str,
                   analyzer_name: str, byte_aligned: bool,
-                  store_positions: bool = False) -> dict:
+                  store_positions: bool = False,
+                  store_offsets: bool = False) -> dict:
     """Stateless task stage: builds segments for a batch of partition
     descriptors. Worker-process state (compiled tokenizer tables, stop set)
     lives in the module-level analyzer registry — the Analyzer.ReuseStrategy
@@ -551,7 +678,7 @@ def _segment_task(batch: dict, *, out_dir: str, text_field: str,
         row = build_segment(
             part, out_dir, text_field=text_field,
             analyzer_name=analyzer_name, byte_aligned=byte_aligned,
-            store_positions=store_positions,
+            store_positions=store_positions, store_offsets=store_offsets,
         )
         rows.append(row)
     return {"manifest_row": np.array([json.dumps(r) for r in rows], object)}
@@ -566,6 +693,7 @@ def build_index(
     rows_per_partition: int = 20_000,
     byte_aligned: bool = True,
     store_positions: bool = False,
+    store_offsets: bool = False,
     concurrency: int | None = None,
 ) -> IndexManifest:
     """Full distributed build: plan -> segment tasks -> manifest commit."""
@@ -573,13 +701,17 @@ def build_index(
 
     import ray.data as rd
 
+    if store_offsets and not (store_positions and byte_aligned):
+        raise ValueError(
+            "store_offsets requires store_positions=True and "
+            "byte_aligned=True (offsets ride the positional .pay layout)")
     os.makedirs(out_dir, exist_ok=True)
     parts = plan_partitions(source, rows_per_partition)
     ds = rd.from_items(parts)
     fn = functools.partial(
         _segment_task, out_dir=out_dir, text_field=text_field,
         analyzer_name=analyzer, byte_aligned=byte_aligned,
-        store_positions=store_positions,
+        store_positions=store_positions, store_offsets=store_offsets,
     )
     kw = {"concurrency": concurrency} if concurrency else {}
     out = ds.map_batches(fn, batch_size=1, **kw)
@@ -611,6 +743,7 @@ def build_index(
         partitions=rows,
         byte_aligned=byte_aligned,
         store_positions=store_positions,
+        store_offsets=store_offsets,
     )
     man.save()
     return man

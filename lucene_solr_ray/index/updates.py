@@ -54,6 +54,7 @@ def append_segment(index_dir: str, table: pa.Table) -> dict:
         part, index_dir, text_field=man.field,
         analyzer_name=man.resolve_analyzer(),
         byte_aligned=man.byte_aligned, store_positions=man.store_positions,
+        store_offsets=getattr(man, "store_offsets", False),
     )
     man.partitions.append(row)
     man.max_doc += table.num_rows

@@ -532,6 +532,39 @@ def q_stats_percentiles(sf_dir: str) -> pa.Table:
     })
 
 
+def q_highlight_offsets(sf_dir: str) -> pa.Table:
+    """Offset-based highlighting (postingshighlight/PostingsHighlighter
+    .java): a store_offsets=True index serves match spans straight from
+    the .pay stream — snippets for the top-5 BM25 hits of a term query
+    with NO re-analysis of stored text. Rows-only (snippet strings);
+    tests/test_offsets.py proves offset == re-analysis snippets."""
+    from ..index import build_index
+    from ..search import IndexSearcher, TermQuery
+    from ..search.extras import highlight_results
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:std:off:v{_FMT}".encode()
+    ).hexdigest()[:12]
+    out = f"/tmp/lsr_qidx/off-{key}"
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        os.makedirs(out, exist_ok=True)
+        build_index(src, out, text_field="text", analyzer="standard",
+                    rows_per_partition=50_000, store_positions=True,
+                    store_offsets=True)
+    import pyarrow.parquet as pq_
+
+    doc_map = pq_.read_table(src, columns=["doc_id"])["doc_id"].to_numpy()
+    s = IndexSearcher(out)
+    q = TermQuery("table")
+    res = s.search(q, k=5)
+    hl = highlight_results(s, q, res, use_offsets=True)
+    return pa.table({
+        "doc_id": pa.array(doc_map[hl["doc_id"].to_numpy()], pa.int64()),
+        "snippet": hl["snippet"],
+    })
+
+
 def q_json_facet_nested(sf_dir: str) -> pa.Table:
     """Nested JSON Facet API (solr/.../search/facet/FacetModule.java —
     the json.facet request DSL): a two-level facet tree
@@ -1639,6 +1672,7 @@ QUERIES = {
     "tdigest_quantiles": q_tdigest_quantiles,
     "multilingual_stems": q_multilingual_stems,
     "json_facet_nested": q_json_facet_nested,
+    "highlight_offsets": q_highlight_offsets,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
     "group_top2_per_lang": q_group_top2_per_lang,

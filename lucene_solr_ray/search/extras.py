@@ -164,11 +164,18 @@ def spellcheck_collate(searcher: IndexSearcher, query_text: str,
 
 
 def highlight_results(searcher: IndexSearcher, q, results,
-                      *, window_chars: int = 120) -> "pa.Table":
+                      *, window_chars: int = 120,
+                      use_offsets: bool = False) -> "pa.Table":
     """Snippets for a search-result table: fetch the stored fields for
-    the hit doc ids (stored fields ARE the source parquet) and run the
-    best-window highlighter with the query's literal terms — the
-    2-phase query's STAGE_GET_FIELDS + highlighting component."""
+    the hit doc ids (stored fields ARE the source parquet) and build
+    best-window snippets — the 2-phase query's STAGE_GET_FIELDS +
+    highlighting component.
+
+    ``use_offsets=True`` is the PostingsHighlighter path
+    (``postingshighlight/PostingsHighlighter.java``): match spans come
+    from the index's offset stream (store_offsets=True at build) — no
+    re-analysis of the stored text, which at 100 TB is the difference
+    between slicing bytes for k docs and re-tokenizing them."""
     from ..index.check import fetch_docs
     from .distributed import query_terms
 
@@ -182,15 +189,87 @@ def highlight_results(searcher: IndexSearcher, q, results,
     terms = sorted(query_terms(q))
     by_id = dict(zip(docs["doc_id"].to_pylist(),
                      docs[field].to_pylist()))
-    snippets = [
-        highlight(by_id.get(d, "") or "", terms,
-                  window_chars=window_chars)
-        for d in doc_ids
-    ]
+    if use_offsets:
+        spans_by_doc = offsets_for_docs(searcher, terms, doc_ids)
+        snippets = [
+            highlight_spans(by_id.get(d, "") or "",
+                            spans_by_doc.get(int(d), []),
+                            window_chars=window_chars)
+            for d in doc_ids
+        ]
+    else:
+        snippets = [
+            highlight(by_id.get(d, "") or "", terms,
+                      window_chars=window_chars)
+            for d in doc_ids
+        ]
     return pa.table({
         "doc_id": pa.array(doc_ids, pa.int64()),
         "snippet": pa.array(snippets, pa.string()),
     })
+
+
+def offsets_for_docs(searcher: IndexSearcher, terms: list[str],
+                     doc_ids: list[int]) -> dict[int, list[tuple]]:
+    """Per-doc sorted (char_start, char_end) match spans for ``terms``,
+    decoded from the index offset stream (the ``.pay`` read path). Only
+    the requested docs' spans are un-deltad — cost is O(k docs), not
+    O(postings)."""
+    reader = searcher.reader
+    if not getattr(reader, "has_offsets", False):
+        raise ValueError(
+            "index has no offsets (build with store_offsets=True); "
+            "note the merged view strips offsets — open the segment "
+            "view (IndexSearcher(dir, reader=SegmentsReader(dir)))")
+    want = np.asarray(sorted(set(int(d) for d in doc_ids)), np.int64)
+    out: dict[int, list[tuple]] = {int(d): [] for d in want}
+    for t in terms:
+        docs, tfs, off = reader.term_offsets(t)
+        if not docs.size:
+            continue
+        cum = np.zeros(docs.size + 1, np.int64)
+        np.cumsum(2 * tfs.astype(np.int64), out=cum[1:])
+        pos_in = np.searchsorted(docs, want)
+        for k, d in enumerate(want.tolist()):
+            i = int(pos_in[k])
+            if i >= docs.size or int(docs[i]) != d:
+                continue
+            sl = off[cum[i]:cum[i + 1]].astype(np.int64)
+            starts = np.cumsum(sl[0::2])  # un-delta
+            lens = sl[1::2]
+            out[d].extend(zip(starts.tolist(),
+                              (starts + lens).tolist()))
+    for d in out:
+        out[d].sort()
+    return out
+
+
+def highlight_spans(text: str, spans: list[tuple], *,
+                    window_chars: int = 120, pre: str = "<em>",
+                    post: str = "</em>") -> str:
+    """Best-window snippet from precomputed match spans (the offset-based
+    twin of :func:`highlight` — same window selection on span starts)."""
+    if not spans:
+        return text[:window_chars]
+    hits = [s for s, _e in spans]
+    best_start, best_cnt = hits[0], 1
+    for h in hits:
+        cnt = sum(1 for x in hits if h <= x < h + window_chars)
+        if cnt > best_cnt:
+            best_start, best_cnt = h, cnt
+    lo = max(0, best_start - 10)
+    hi = lo + window_chars
+    parts = []
+    cur = lo
+    for s, e in spans:
+        if s < lo or s >= hi:
+            continue
+        e = min(e, hi)
+        parts.append(text[cur:s])
+        parts.append(pre + text[s:e] + post)
+        cur = e
+    parts.append(text[cur:hi])
+    return "".join(parts)
 
 
 def highlight(text: str, terms: list[str], *, window_chars: int = 120,

@@ -117,6 +117,43 @@ class TermDictReader:
     def _pos_payload(self, row: int):
         return b""
 
+    def _off_payload(self, row: int):
+        return b""
+
+    @property
+    def has_offsets(self) -> bool:
+        return False
+
+    def term_offsets(self, term: str):
+        """(doc_ids asc, tfs, off_flat) — off_flat is the interleaved
+        (start_delta, length) char-offset stream, 2*tf values per
+        posting; requires store_offsets=True at build (the .pay offset
+        half of Lucene50PostingsFormat)."""
+        if not self.has_offsets:
+            raise ValueError(
+                "index has no offsets (build with store_offsets=True)")
+        rows = self._term_rows(term)
+        docs_l, tfs_l, off_l = [], [], []
+        for r in rows:
+            d, f = decode_postings(self._payload(r))
+            docs_l.append(d)
+            tfs_l.append(f)
+            off_l.append(decode_values(self._off_payload(r)))
+        if not docs_l:
+            e = np.empty(0, np.int64)
+            return e, e.astype(np.int32), np.empty(0, np.uint32)
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        off = np.concatenate(off_l)
+        if len(docs_l) > 1:
+            order = np.argsort(docs, kind="stable")
+            if not np.array_equal(order, np.arange(docs.size)):
+                cum = np.concatenate(([0], np.cumsum(2 * tfs)))
+                off = np.concatenate(
+                    [off[cum[i]:cum[i + 1]] for i in order.tolist()])
+                docs, tfs = docs[order], tfs[order]
+        return docs, tfs, off
+
     def _finish_init(self, terms, chunk_order, df, ttf, start_doc,
                      block_last_col, block_max_tf_col, block_max_norm_col):
         """``*_col`` are pyarrow list columns kept as (offsets, values)
@@ -265,7 +302,8 @@ class _BinPayloads:
     merged and per-segment readers — payload bytes never live in RAM)."""
 
     def _set_payload_refs(self, file_paths, file_idx, offsets, lengths,
-                          pos_offsets, pos_lengths):
+                          pos_offsets, pos_lengths,
+                          off_offsets=None, off_lengths=None):
         self._file_paths = list(file_paths)  # absolute paths
         self._file_idx = np.asarray(file_idx)
         self._offsets = np.asarray(offsets, np.int64)
@@ -276,6 +314,14 @@ class _BinPayloads:
         )
         self._pos_lengths = (
             np.asarray(pos_lengths, np.int64) if pos_lengths is not None
+            else None
+        )
+        self._off_offsets = (
+            np.asarray(off_offsets, np.int64) if off_offsets is not None
+            else None
+        )
+        self._off_lengths = (
+            np.asarray(off_lengths, np.int64) if off_lengths is not None
             else None
         )
         self._mmaps: list = [None] * len(self._file_paths)
@@ -302,6 +348,19 @@ class _BinPayloads:
         return self._mmap(int(self._file_idx[orig]))[
             off : off + int(self._pos_lengths[orig])
         ]
+
+    def _off_payload(self, row: int):
+        if self._off_offsets is None:
+            return b""
+        orig = int(self._row_order[row])
+        off = int(self._off_offsets[orig])
+        return self._mmap(int(self._file_idx[orig]))[
+            off : off + int(self._off_lengths[orig])
+        ]
+
+    @property
+    def has_offsets(self) -> bool:
+        return self._off_offsets is not None
 
 
 class MergedReader(_BinPayloads, TermDictReader):
@@ -366,6 +425,10 @@ class SegmentsReader(_BinPayloads, TermDictReader):
             inv,
             tbl["offset"].to_numpy(), tbl["length"].to_numpy(),
             tbl["pos_offset"].to_numpy(), tbl["pos_length"].to_numpy(),
+            tbl["off_offset"].to_numpy()
+            if "off_offset" in tbl.schema.names else None,
+            tbl["off_length"].to_numpy()
+            if "off_offset" in tbl.schema.names else None,
         )
         self._finish_init(
             tbl["term"].to_pylist(),
