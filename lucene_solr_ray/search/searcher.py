@@ -223,7 +223,8 @@ class IndexSearcher:
     def __init__(self, index_dir: str, precise: bool = False, *,
                  reader=None, norms=None, global_stats: dict | None = None,
                  apply_deletes: bool = True, similarity=None,
-                 k1: float | None = None, b: float | None = None):
+                 k1: float | None = None, b: float | None = None,
+                 compact_terms: bool = False):
         """``global_stats`` (optional): {"max_doc", "sum_ttf", "df": {term:
         df}} — injected by the doc-sharded distributed path so every shard
         scores with GLOBAL collection statistics (exactly what a single
@@ -260,9 +261,11 @@ class IndexSearcher:
         elif self.manifest.merged and os.path.isdir(
             os.path.join(index_dir, "merged")
         ):
-            self.reader = MergedReader(index_dir)
+            self.reader = MergedReader(index_dir,
+                                       compact_terms=compact_terms)
         else:
-            self.reader = SegmentsReader(index_dir)
+            self.reader = SegmentsReader(index_dir,
+                                         compact_terms=compact_terms)
         # Similarity extension point (IndexSearcher.setSimilarity): None =
         # the bit-faithful BM25 default; e.g. similarities.ClassicSimilarity
         self.similarity = similarity
