@@ -78,7 +78,8 @@ def run_curation(
     from ..stages.dedup import (
         content_hash_batch,
         jaccard_verify,
-        minhash_lsh_candidates,
+        lsh_candidates_from_sigs,
+        minhash_batch,
     )
     from ..stages.textstats import bpe_token_count_batch, token_quality_batch
 
@@ -97,15 +98,19 @@ def run_curation(
         stop = q["stop_tokens"].to_numpy()
         return (n >= min_tokens) & (stop <= 0.6 * np.maximum(n, 1))
 
-    # 1. SIGNATURE pass: one streamed read emits (doc_id, quality_ok,
-    # content_md5) — the only materialized dataset, ~40 bytes/row.
+    # 1. SIGNATURE pass: ONE streamed read emits (doc_id, quality_ok,
+    # content_md5, minhash) — every signature the funnel needs from one
+    # tokenization of the corpus; the only materialized dataset
+    # (~0.5 KB/row, no text).
     def signatures(b: pa.Table) -> pa.Table:
         ok = quality_mask(b)
         hb = content_hash_batch(b, "text")
+        mh = minhash_batch(b, "text", "doc_id", num_perm=64)
         return pa.table({
             "doc_id": b["doc_id"],
             "quality_ok": pa.array(ok),
             "content_md5": hb["content_md5"],
+            "minhash": mh["minhash"],
         })
 
     sig = fresh_read().map_batches(
@@ -116,13 +121,18 @@ def run_curation(
     # per hash; only duplicate GROUPS (not the corpus) reach the driver
     from ray.data.aggregate import Count, Min
 
-    q_sig = sig.filter(lambda r: r["quality_ok"])
+    q_sig = sig.map_batches(
+        lambda b: b.filter(b["quality_ok"]), batch_format="pyarrow")
     groups = (
         q_sig.groupby("content_md5")
         .aggregate(Min("doc_id", alias_name="keep_id"),
                    Count(alias_name="dup_count"))
     )
-    dup_rows = groups.filter(lambda r: r["dup_count"] > 1).take_all()
+    import pyarrow.compute as pc_
+
+    dup_rows = groups.map_batches(
+        lambda b: b.filter(pc_.greater(b["dup_count"], 1)),
+        batch_format="pyarrow").take_all()
     dup_hashes = {r["content_md5"]: int(r["keep_id"]) for r in dup_rows}
     exact_drop: set[int] = set()
     if dup_hashes:
@@ -161,20 +171,36 @@ def run_curation(
         b = b.filter(pa.array(quality_mask(b)))
         return _apply_drop(b, ray.get(drop_ref))
 
-    # 3. near-dup removal: LSH candidates -> DISTRIBUTED Jaccard verify ->
-    # union-find on the verified pair set (ids only)
-    cand = minhash_lsh_candidates(
-        fresh_read().map_batches(gate, batch_format="pyarrow"),
-        "text", "doc_id", num_perm=64, bands=16,
+    # 3. near-dup removal over the SIGNATURE table (no second corpus
+    # read: minhash came with the signature pass): survivors' sigs ->
+    # LSH banding -> DISTRIBUTED Jaccard verify of a candidate-pruned
+    # read -> union-find on the verified pair set (ids only)
+    def sig_gate(b: pa.Table) -> pa.Table:
+        b = b.filter(b["quality_ok"])
+        return _apply_drop(b, ray.get(drop_ref))
+
+    cand = lsh_candidates_from_sigs(
+        sig.map_batches(sig_gate, batch_format="pyarrow")
+        .select_columns(["doc_id", "minhash"]),
+        "doc_id", num_perm=64, bands=16,
         dedupe=False, expected_rows=docs_in,
     ).take_all()
     pair_ids = sorted({(int(r["id_a"]), int(r["id_b"])) for r in cand})
     near_drop: set[int] = set()
     if pair_ids:
-        jt = jaccard_verify(
-            fresh_read().map_batches(gate, batch_format="pyarrow"),
-            pair_ids, "text", "doc_id",
+        # verify reads ONLY the candidate members (parquet row filter
+        # pushdown — candidates already passed every gate, so no
+        # recompute): the verify input is near-dup-bounded, not
+        # corpus-bounded. At candidate sets beyond ~10^5 ids switch the
+        # `in` filter to doc_id-range partition pruning.
+        import pyarrow.dataset as pads
+
+        need = sorted({i for p in pair_ids for i in p})
+        cand_docs = rd.read_parquet(
+            src, columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(need),
         )
+        jt = jaccard_verify(cand_docs, pair_ids, "text", "doc_id")
         jac = jt["jaccard"].to_numpy()
         keep = jac >= jaccard_threshold
         verified = list(zip(jt["id_a"].to_numpy()[keep].tolist(),

@@ -329,6 +329,43 @@ def bucket_candidate_pairs(banded, id_col: str, *,
     return pairs.groupby(["id_a", "id_b"]).count()
 
 
+def _minhash_to_bands(batch: pa.Table, id_col: str, num_perm: int,
+                      bands: int) -> pa.Table:
+    """Explode (id, minhash) rows to (id, band, band_hash) — one
+    polynomial band hash per (row, band), fully vectorized."""
+    rows_per_band = num_perm // bands
+    ids = batch[id_col].to_numpy()
+    col = batch["minhash"].combine_chunks()
+    m = col.values.to_numpy().reshape(ids.size, num_perm)
+    bh = np.empty((ids.size, bands), np.uint64)
+    for band in range(bands):
+        bh[:, band] = _poly_rows(
+            m[:, band * rows_per_band : (band + 1) * rows_per_band]
+        )
+    band_ids = np.tile(np.arange(bands, dtype=np.int32), ids.size)
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, bands)),
+        "band": pa.array(band_ids),
+        "band_hash": pa.array(bh.reshape(-1)),
+    })
+
+
+def lsh_candidates_from_sigs(
+    sig_ds, id_col: str, *, num_perm: int = 64, bands: int = 16,
+    dedupe: bool = True, expected_rows: int | None = None,
+):
+    """LSH banding over a PRECOMPUTED (id, minhash) dataset — lets a
+    pipeline fuse minhash computation into an earlier signature pass
+    (one corpus read) and band without touching text again."""
+    banded = sig_ds.map_batches(
+        lambda b: _minhash_to_bands(b, id_col, num_perm, bands),
+        batch_format="pyarrow",
+    )
+    return bucket_candidate_pairs(
+        banded, id_col, dedupe=dedupe,
+        band_rows=(expected_rows * bands) if expected_rows else None)
+
+
 def minhash_lsh_candidates(
     ds, text_col: str, id_col: str, *, num_perm: int = 64, bands: int = 16,
     shingle_k: int = 3, dedupe: bool = True, expected_rows: int | None = None,
@@ -338,35 +375,14 @@ def minhash_lsh_candidates(
     sig -> explode to (band, band_hash, id) -> groupby -> pairs within
     bucket. Returns Dataset of (id_a, id_b) with id_a < id_b (deduped).
     """
-    rows_per_band = num_perm // bands
-
-    def to_bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy()
-        col = batch["minhash"].combine_chunks()
-        m = col.values.to_numpy().reshape(ids.size, num_perm)
-        # one polynomial band hash per (row, band), fully vectorized
-        bh = np.empty((ids.size, bands), np.uint64)
-        for band in range(bands):
-            bh[:, band] = _poly_rows(
-                m[:, band * rows_per_band : (band + 1) * rows_per_band]
-            )
-        band_ids = np.tile(np.arange(bands, dtype=np.int32), ids.size)
-        return pa.table({
-            id_col: pa.array(np.repeat(ids, bands)),
-            "band": pa.array(band_ids),
-            "band_hash": pa.array(bh.reshape(-1)),
-        })
-
     sigs = ds.map_batches(
         lambda b: minhash_batch(b, text_col, id_col, num_perm=num_perm,
                                 shingle_k=shingle_k),
         batch_format="pyarrow",
     )
-    banded = sigs.map_batches(to_bands, batch_format="pyarrow")
-
-    return bucket_candidate_pairs(
-        banded, id_col, dedupe=dedupe,
-        band_rows=(expected_rows * bands) if expected_rows else None)
+    return lsh_candidates_from_sigs(
+        sigs, id_col, num_perm=num_perm, bands=bands, dedupe=dedupe,
+        expected_rows=expected_rows)
 
 
 def simhash_candidates(
