@@ -351,7 +351,9 @@ def french_minimal_stem(word: str) -> str:
 
 _FR_ELISION = frozenset(
     ["l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu",
-     "lorsqu", "puisqu"])
+     "lorsqu", "puisqu",
+     # Italian articles/prepositions share the same filter
+     "un", "dell", "nell", "sull", "all", "dall", "quest", "senz"])
 
 
 def elide(token: str) -> str:
@@ -363,6 +365,54 @@ def elide(token: str) -> str:
             if head in _FR_ELISION and rest:
                 return rest
     return token
+
+
+# ---------------------------------------------------------------------------
+# Italian / Portuguese light stemmers (the "light" family of Savoy's
+# stemming papers — the it/ItalianLightStemmer.java and
+# pt/PortugueseMinimalStemmer.java shapes; plural/gender normalization
+# only, formulated independently)
+# ---------------------------------------------------------------------------
+
+_IT_DIA = str.maketrans("àèéìíòóùú", "aeeiioouu")
+
+
+def italian_light_stem(word: str) -> str:
+    """Diacritic fold + final-vowel (plural/gender) removal + final
+    undoubling: libro/libri -> libr, gatto/gatti -> gat."""
+    w = word.translate(_IT_DIA)
+    if len(w) < 4:
+        return w
+    if w[-1] in "aeio":
+        w = w[:-1]
+    if len(w) >= 2 and w[-1] == w[-2]:
+        w = w[:-1]
+    return w
+
+
+def portuguese_minimal_stem(word: str) -> str:
+    """Plural-only reduction (the RSLP plural step shape):
+    corações -> coração, animais -> animal, livros -> livro."""
+    w = word
+    if len(w) < 4 or not w.endswith("s"):
+        return w
+    if w.endswith(("ões", "ães")):
+        return w[:-3] + "ão"
+    if w.endswith("ais"):
+        return w[:-3] + "al"
+    if w.endswith(("éis", "eis")):
+        return w[:-3] + "el"
+    if w.endswith("óis"):
+        return w[:-3] + "ol"
+    if w.endswith("ns"):
+        return w[:-2] + "m"
+    if w.endswith("les") and len(w) >= 5:
+        return w[:-2]
+    if w.endswith("res") and len(w) >= 5:
+        return w[:-2]
+    if not w.endswith("ss"):
+        return w[:-1]
+    return w
 
 
 # ---------------------------------------------------------------------------
@@ -492,6 +542,38 @@ def spanish_analyzer(**kw) -> StemmingAnalyzer:
                             **kw)
 
 
+ITALIAN_STOP_WORDS = frozenset("""
+a ad al alla alle agli allo ai anche che chi ci come con da dal dalla
+de dei del della delle dello di e ed era erano essere fra gli ha hanno
+ho i il in io la le lei li lo loro lui ma mi ne nei nel nella no noi
+non o per più quella quelle quelli quello questa queste questi questo
+se sei si sia siamo sono su sua sue sui sul sulla suo tra tu tua tue
+tuo un una uno vi voi è
+""".split())
+
+PORTUGUESE_STOP_WORDS = frozenset("""
+a ao aos aquela aquelas aquele aqueles as até com como da das de dela
+delas dele deles depois do dos e ela elas ele eles em entre era eram
+essa essas esse esses esta estas este estes eu foi foram isso isto já
+lhe lhes mais mas me mesmo meu meus minha minhas muito na nas nem no
+nos nossa nossas nosso nossos num numa o os ou para pela pelas pelo
+pelos por qual quando que quem se sem ser seu seus só sua suas também
+te tem tu tua tuas um uma você vocês
+""".split())
+
+
+def italian_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("italian", ITALIAN_STOP_WORDS,
+                            italian_light_stem, use_elision=True, **kw)
+
+
+def portuguese_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("portuguese", PORTUGUESE_STOP_WORDS,
+                            portuguese_minimal_stem, **kw)
+
+
 register_analyzer("german", german_analyzer())
 register_analyzer("french", french_analyzer())
 register_analyzer("spanish", spanish_analyzer())
+register_analyzer("italian", italian_analyzer())
+register_analyzer("portuguese", portuguese_analyzer())

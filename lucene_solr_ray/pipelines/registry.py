@@ -532,6 +532,79 @@ def q_stats_percentiles(sf_dir: str) -> pa.Table:
     })
 
 
+def q_geo_bbox(sf_dir: str) -> pa.Table:
+    """BBox query via the RecursivePrefixTree two-phase shape
+    (lucene/spatial/prefix/RecursivePrefixTreeStrategy.java +
+    BBoxStrategy): geohash grid-cell PRUNE (broadcast cover set) then
+    exact coordinate REFINE inside map_batches. Coordinates synthesized
+    deterministically from user_id, identically in the oracle — output
+    equals the plain bbox predicate the SQL states."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.geo import (
+        bbox_filter,
+        cover_precision,
+        geohash_cover_bbox,
+    )
+
+    box = (-80.0, -55.0, -170.0, -110.0)  # min/max lat, min/max lon
+    prec = cover_precision(*box)
+    cover_ref = ray.put(geohash_cover_bbox(*box, precision=prec))
+
+    def synth_and_filter(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        t = pa.table({
+            "user_id": pa.array(uid),
+            "lat": pa.array((uid * 37 % 18000) / 100.0 - 90.0),
+            "lon": pa.array((uid * 73 % 36000) / 100.0 - 180.0),
+        })
+        return bbox_filter(t, "lat", "lon", *box,
+                           cover=ray.get(cover_ref), precision=prec)
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    from ray.data.aggregate import Count
+
+    users = ev.groupby("user_id").aggregate(Count(alias_name="n")) \
+        .select_columns(["user_id"])
+    out = (
+        users.map_batches(synth_and_filter, batch_format="pyarrow")
+        .to_pandas().sort_values("user_id")
+    )
+    return pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+        "lat": pa.array(_round4(out["lat"].to_numpy()), pa.float64()),
+        "lon": pa.array(_round4(out["lon"].to_numpy()), pa.float64()),
+    })
+
+
+def q_geo_heatmap(sf_dir: str) -> pa.Table:
+    """Heatmap faceting (Solr facet.heatmap — RPT grid counts): user
+    positions bucketed into 10-degree grid cells, one vectorized
+    bucketize + grouped count."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    from ..stages.geo import grid_heatmap
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    users = ev.groupby("user_id").aggregate(Count(alias_name="n")) \
+        .select_columns(["user_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "lat": pa.array((uid * 37 % 18000) / 100.0 - 90.0),
+            "lon": pa.array((uid * 73 % 36000) / 100.0 - 180.0),
+        })
+
+    pts = users.map_batches(synth, batch_format="pyarrow")
+    return grid_heatmap(pts, "lat", "lon", cell_deg=10.0)
+
+
 def q_highlight_offsets(sf_dir: str) -> pa.Table:
     """Offset-based highlighting (postingshighlight/PostingsHighlighter
     .java): a store_offsets=True index serves match spans straight from
@@ -640,6 +713,16 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
             "Los niños caminando en las librerías",
             "La niña camina rápido a la librería",
             "Caminar es importante para los niños",
+        ],
+        "italian": [
+            "I libri dei ragazzi e l'amico",
+            "Il libro e la ragazza con gli amici",
+            "Un libro per ogni ragazzo",
+        ],
+        "portuguese": [
+            "Os livros e os animais da cidade",
+            "Um livro sobre cada animal",
+            "Livros para as crianças e os animais",
         ],
     }
     rows = [{"lang": lang, "doc_id": i, "text": t}
@@ -1673,6 +1756,8 @@ QUERIES = {
     "multilingual_stems": q_multilingual_stems,
     "json_facet_nested": q_json_facet_nested,
     "highlight_offsets": q_highlight_offsets,
+    "geo_bbox": q_geo_bbox,
+    "geo_heatmap": q_geo_heatmap,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
     "group_top2_per_lang": q_group_top2_per_lang,
@@ -1819,6 +1904,30 @@ SELECT floor(quantile_cont(n_chars, 0.25)*10000 + 0.5)/10000 AS p25,
        floor(quantile_cont(n_chars, 0.75)*10000 + 0.5)/10000 AS p75,
        floor(quantile_cont(n_chars, 0.99)*10000 + 0.5)/10000 AS p99
 FROM documents
+""",
+    "geo_bbox": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT user_id,
+         (user_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+         (user_id * 73 % 36000) / 100.0 - 180.0 AS lon
+  FROM u)
+SELECT user_id, floor(lat*10000 + 0.5)/10000 AS lat,
+       floor(lon*10000 + 0.5)/10000 AS lon
+FROM pts
+WHERE lat BETWEEN -80.0 AND -55.0 AND lon BETWEEN -170.0 AND -110.0
+ORDER BY user_id
+""",
+    "geo_heatmap": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT (user_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+         (user_id * 73 % 36000) / 100.0 - 180.0 AS lon
+  FROM u)
+SELECT floor(lat / 10.0) * 10.0 AS cell_lat,
+       floor(lon / 10.0) * 10.0 AS cell_lon,
+       count(*)::BIGINT AS cnt
+FROM pts GROUP BY 1, 2 ORDER BY cell_lat, cell_lon
 """,
     "json_facet_nested": """
 WITH src AS (

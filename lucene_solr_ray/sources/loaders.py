@@ -7,8 +7,11 @@ streams as Arrow blocks, optionally renaming/selecting fields (the
 ``fieldnames``/``f=`` mapping of Solr's loaders), so any downstream
 pipeline (indexing, dedup, stats) is source-agnostic.
 
-XML/Tika extraction is out of scope in this sandbox (no JVM/network);
-the loader registry raises a clear error for those formats.
+Solr's XML update format (``<add><doc><field name=..>``; XMLLoader) is
+parsed natively with the stdlib parser — each file streams through a
+map_batches stage emitting one row per ``<doc>``. Binary-document
+extraction (Tika: PDF/DOC) is out of scope in this sandbox (no
+JVM/network); the loader registry raises a clear error for those.
 """
 
 from __future__ import annotations
@@ -49,7 +52,11 @@ def load_corpus(
         ds = rd.read_json(path)
         if columns:
             ds = ds.select_columns(columns)
-    elif fmt in ("xml", "tika", "pdf", "doc"):
+    elif fmt == "xml":
+        ds = load_solr_xml(path)
+        if columns:
+            ds = ds.select_columns(columns)
+    elif fmt in ("tika", "pdf", "doc"):
         raise NotImplementedError(
             f"{fmt} extraction needs Tika/JVM — unavailable in this "
             "environment (Solr's extraction contrib)"
@@ -84,3 +91,57 @@ def ingest_to_index(path: str, out_dir: str, *, fmt: str | None = None,
         ds.write_parquet(tmp)
         os.replace(tmp, staged)
     return build_index(staged, out_dir, text_field=text_field, **kw)
+
+
+def _parse_solr_xml(data: bytes) -> list[dict]:
+    """One Solr update-XML payload -> rows (XMLLoader semantics:
+    ``solr/core/.../handler/loader/XMLLoader.java`` — <add><doc><field
+    name=..>). All values are strings; multiValued fields join with
+    newlines (the text-pipeline flattening of copyField)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(data)
+    rows = []
+    for doc in root.iter("doc"):
+        row: dict = {}
+        for f in doc.findall("field"):
+            name = f.get("name")
+            val = (f.text or "").strip()
+            if name in row:
+                row[name] = row[name] + "\n" + val
+            else:
+                row[name] = val
+        rows.append(row)
+    return rows
+
+
+def load_solr_xml(path: str):
+    """Solr update-XML corpus -> Dataset: one task per file (files are
+    the natural parallel unit; a 100 TB XML corpus is many files), each
+    parsed with the stdlib parser inside map_batches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".xml"))
+    else:
+        files = [path]
+    ds = rd.from_items([{"path": f} for f in files])
+
+    def parse(b: dict) -> pa.Table:
+        rows: list[dict] = []
+        for p in [str(x) for x in b["path"]]:
+            with open(p, "rb") as fh:
+                rows.extend(_parse_solr_xml(fh.read()))
+        if not rows:
+            return pa.table({})
+        cols = sorted({k for r in rows for k in r})
+        return pa.table({
+            c: pa.array([r.get(c, "") for r in rows], pa.string())
+            for c in cols
+        })
+
+    return ds.map_batches(parse, batch_size=1,
+                           batch_format="numpy")

@@ -75,3 +75,129 @@ def geohash_encode(lat: float, lon: float, precision: int = 9) -> str:
             v = (v << 1) | b
         out.append(_BASE32[v])
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# RecursivePrefixTree-style grid filtering (lucene/spatial/prefix/
+# RecursivePrefixTreeStrategy.java + GeohashPrefixTree.java): a cheap
+# grid-cell prune phase followed by exact refinement — the two-phase
+# FILTER shape real spatial indexes use. Cells here are geohash cells at
+# a fixed precision, packed as uint64 for vectorized membership tests.
+# At 100 TB the same cell ids become parquet partition keys so the PRUNE
+# happens at the read (only intersecting cells' files are opened).
+# ---------------------------------------------------------------------------
+
+def _interleave_bits(x: np.ndarray, y: np.ndarray, nbits: int) -> np.ndarray:
+    """Interleave nbits of x (even positions from MSB, longitude) and y
+    (odd positions, latitude) -> uint64 codes."""
+    out = np.zeros(x.shape, np.uint64)
+    xb = (nbits + 1) // 2
+    yb = nbits // 2
+    for i in range(xb):
+        bit = (x >> np.uint64(xb - 1 - i)) & np.uint64(1)
+        out |= bit << np.uint64(nbits - 1 - 2 * i)
+    for i in range(yb):
+        bit = (y >> np.uint64(yb - 1 - i)) & np.uint64(1)
+        out |= bit << np.uint64(nbits - 2 - 2 * i)
+    return out
+
+
+def geohash_cell_ids(lat, lon, precision: int = 5) -> np.ndarray:
+    """Vectorized geohash cell id (uint64) at ``precision`` base-32
+    chars — the integer form of :func:`geohash_encode`'s cell."""
+    lat = np.asarray(lat, np.float64)
+    lon = np.asarray(lon, np.float64)
+    nbits = 5 * precision
+    xb = (nbits + 1) // 2
+    yb = nbits // 2
+    x = np.clip(((lon + 180.0) / 360.0) * (1 << xb), 0,
+                (1 << xb) - 1).astype(np.uint64)
+    y = np.clip(((lat + 90.0) / 180.0) * (1 << yb), 0,
+                (1 << yb) - 1).astype(np.uint64)
+    return _interleave_bits(x, y, nbits)
+
+
+def geohash_cover_bbox(min_lat: float, max_lat: float, min_lon: float,
+                       max_lon: float, precision: int = 5) -> np.ndarray:
+    """All geohash cell ids at ``precision`` intersecting the bbox (the
+    prefix-tree grid cover; sorted uint64)."""
+    nbits = 5 * precision
+    xb = (nbits + 1) // 2
+    yb = nbits // 2
+    x0 = int(np.clip(((min_lon + 180.0) / 360.0) * (1 << xb), 0,
+                     (1 << xb) - 1))
+    x1 = int(np.clip(((max_lon + 180.0) / 360.0) * (1 << xb), 0,
+                     (1 << xb) - 1))
+    y0 = int(np.clip(((min_lat + 90.0) / 180.0) * (1 << yb), 0,
+                     (1 << yb) - 1))
+    y1 = int(np.clip(((max_lat + 90.0) / 180.0) * (1 << yb), 0,
+                     (1 << yb) - 1))
+    xs = np.arange(x0, x1 + 1, dtype=np.uint64)
+    ys = np.arange(y0, y1 + 1, dtype=np.uint64)
+    gx, gy = np.meshgrid(xs, ys)
+    return np.sort(_interleave_bits(gx.ravel(), gy.ravel(), nbits))
+
+
+def cover_precision(min_lat: float, max_lat: float, min_lon: float,
+                    max_lon: float, max_cells: int = 4096) -> int:
+    """Largest geohash precision whose bbox cover stays under
+    ``max_cells`` (the RPT 'levels' choice: coarse cells for big boxes,
+    fine cells for small ones)."""
+    for p in range(6, 0, -1):
+        nbits = 5 * p
+        xb, yb = (nbits + 1) // 2, nbits // 2
+        nx = (max_lon - min_lon) / 360.0 * (1 << xb) + 2
+        ny = (max_lat - min_lat) / 180.0 * (1 << yb) + 2
+        if nx * ny <= max_cells:
+            return p
+    return 1
+
+
+def bbox_filter(batch: pa.Table, lat_col: str, lon_col: str,
+                min_lat: float, max_lat: float,
+                min_lon: float, max_lon: float,
+                cover: np.ndarray | None = None,
+                precision: int = 5) -> pa.Table:
+    """Two-phase bbox filter (BBoxStrategy semantics over point data):
+    optional grid PRUNE against a precomputed ``cover`` (sorted cell
+    ids — rows outside intersecting cells drop without touching the
+    refine math), then exact REFINE on coordinates. Output is exactly
+    the bbox predicate either way; the cover only saves work."""
+    lat = batch[lat_col].to_numpy()
+    lon = batch[lon_col].to_numpy()
+    if cover is not None and cover.size:
+        cells = geohash_cell_ids(lat, lon, precision)
+        pos = np.searchsorted(cover, cells)
+        hit = (pos < cover.size) & (
+            cover[np.minimum(pos, cover.size - 1)] == cells)
+        batch = batch.filter(pa.array(hit))
+        lat, lon = lat[hit], lon[hit]
+    keep = ((lat >= min_lat) & (lat <= max_lat)
+            & (lon >= min_lon) & (lon <= max_lon))
+    return batch.filter(pa.array(keep))
+
+
+def grid_heatmap(ds, lat_col: str, lon_col: str, *,
+                 cell_deg: float = 10.0) -> pa.Table:
+    """Solr heatmap faceting (facet.heatmap — RPT grid counts): count of
+    points per fixed lat/lon grid cell, one vectorized bucketize +
+    grouped count. Returns (cell_lat, cell_lon, cnt) sorted."""
+    def bucketize(b: pa.Table) -> pa.Table:
+        lat = b[lat_col].to_numpy()
+        lon = b[lon_col].to_numpy()
+        return pa.table({
+            "cell_lat": pa.array(np.floor(lat / cell_deg) * cell_deg),
+            "cell_lon": pa.array(np.floor(lon / cell_deg) * cell_deg),
+        })
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["cell_lat", "cell_lon"]).count().to_pandas()
+        .rename(columns={"count()": "cnt"})
+        .sort_values(["cell_lat", "cell_lon"])
+    )
+    return pa.table({
+        "cell_lat": pa.array(out["cell_lat"].to_numpy(), pa.float64()),
+        "cell_lon": pa.array(out["cell_lon"].to_numpy(), pa.float64()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+    })

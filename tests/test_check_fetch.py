@@ -232,3 +232,36 @@ def test_check_index_distributed_matches(tmp_path_factory, ray_session):
     assert b["ok"] and a["ok"]
     for k in ("segments", "terms_checked", "postings_checked", "docs"):
         assert a[k] == b[k], k
+
+
+def test_solr_xml_loader_and_ingest(tmp_path_factory, ray_session):
+    """XMLLoader parity (handler/loader/XMLLoader.java): Solr update-XML
+    files load as a Dataset and ingest straight into a searchable
+    index."""
+    import os
+
+    from lucene_solr_ray.sources.loaders import ingest_to_index, load_corpus
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+
+    d = tmp_path_factory.mktemp("xml_src")
+    (d / "a.xml").write_text(
+        "<add>"
+        "<doc><field name='id'>1</field>"
+        "<field name='content'>alpha beta gamma</field></doc>"
+        "<doc><field name='id'>2</field>"
+        "<field name='content'>beta delta</field>"
+        "<field name='content'>epsilon</field></doc>"
+        "</add>")
+    (d / "b.xml").write_text(
+        "<add><doc><field name='id'>3</field>"
+        "<field name='content'>gamma zeta</field></doc></add>")
+    ds = load_corpus(str(d), fmt="xml")
+    rows = sorted(ds.take_all(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == ["1", "2", "3"]
+    assert rows[1]["content"] == "beta delta\nepsilon"  # multiValued join
+    out = str(tmp_path_factory.mktemp("xml_idx") / "idx")
+    ingest_to_index(str(d), out, fmt="xml", text_field="content",
+                    rows_per_partition=10)
+    s = IndexSearcher(out)
+    hits = s.search(TermQuery("gamma"), k=10)
+    assert len(hits["doc_id"]) == 2

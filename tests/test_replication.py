@@ -81,5 +81,7 @@ def test_loaders_csv_json(tmp_path_factory, ray_session):
     s = IndexSearcher(out)
     assert s.count(TermQuery("delta")) == 2
 
+    # Solr update-XML now loads natively; Tika binary extraction stays
+    # out of scope (no JVM in this sandbox)
     with pytest.raises(NotImplementedError):
-        load_corpus("x.xml", fmt="xml")
+        load_corpus("x.pdf", fmt="tika")

@@ -134,3 +134,30 @@ def test_german_index_end_to_end(tmp_path_factory, ray_session):
     q = parse_query("häuser", s.manifest.resolve_analyzer())
     hits = s.search(q, k=10)
     assert {int(h) for h in hits["doc_id"].to_numpy()} == {1, 2}
+
+
+def test_italian_portuguese_light_stemmers():
+    from lucene_solr_ray.analysis.snowball import (
+        italian_light_stem,
+        portuguese_minimal_stem,
+    )
+
+    it_fams = [("libro", "libri"), ("casa", "case"),
+               ("gatto", "gatti"), ("ragazzo", "ragazzi", "ragazza")]
+    for fam in it_fams:
+        stems = {italian_light_stem(w) for w in fam}
+        assert len(stems) == 1, (fam, stems)
+    assert portuguese_minimal_stem("corações") == "coração"
+    assert portuguese_minimal_stem("animais") == "animal"
+    assert portuguese_minimal_stem("livros") == "livro"
+    assert portuguese_minimal_stem("bons") == "bom"
+    assert portuguese_minimal_stem("papéis") == "papél"[:-2] + "el"
+
+    from lucene_solr_ray.analysis import get_analyzer
+
+    it = get_analyzer("italian")
+    toks = it.tokens("I libri e l'amico dei ragazzi")
+    assert "libr" in toks and "amic" in toks and "dei" not in toks
+    pt = get_analyzer("portuguese")
+    toks = pt.tokens("Os livros e os animais")
+    assert "livro" in toks and "animal" in toks and "os" not in toks

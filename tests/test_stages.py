@@ -370,3 +370,31 @@ def test_tdigest_accuracy_and_shard_merge(ray_session):
     est = tdigest_percentiles(ds, "v", [0.5, 0.99])
     for q, e in est.items():
         assert abs(float((x <= e).mean()) - q) < 0.005
+
+
+def test_rpt_bbox_prune_equals_exact(ray_session):
+    """Two-phase grid prune + refine == exact bbox predicate, for
+    random boxes and points (RecursivePrefixTree filter shape)."""
+    from lucene_solr_ray.stages.geo import (
+        bbox_filter,
+        cover_precision,
+        geohash_cover_bbox,
+    )
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-90, 90, 5000)
+    lon = rng.uniform(-180, 180, 5000)
+    t = pa.table({"i": pa.array(np.arange(5000)),
+                  "lat": pa.array(lat), "lon": pa.array(lon)})
+    for _ in range(5):
+        la = np.sort(rng.uniform(-90, 90, 2))
+        lo = np.sort(rng.uniform(-180, 180, 2))
+        box = (la[0], la[1], lo[0], lo[1])
+        prec = cover_precision(*box)
+        cover = geohash_cover_bbox(*box, precision=prec)
+        got = bbox_filter(t, "lat", "lon", *box, cover=cover,
+                          precision=prec)
+        want = ((lat >= box[0]) & (lat <= box[1])
+                & (lon >= box[2]) & (lon <= box[3]))
+        assert got["i"].to_numpy().tolist() == \
+            np.flatnonzero(want).tolist(), box
