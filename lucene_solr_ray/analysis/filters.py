@@ -277,6 +277,75 @@ class EnglishAnalyzer(Analyzer):
         return tokens, doc_idx, positions
 
 
+class DelimitedPayloadAnalyzer(Analyzer):
+    """DelimitedPayloadTokenFilter (``analysis/common/.../payloads/
+    DelimitedPayloadTokenFilter.java`` + ``FloatEncoder``): whitespace
+    tokens of the form ``token|1.5`` carry a float payload; bare tokens
+    get ``default_payload``. The payload stream rides the positional
+    index (build_index(store_payloads=True)) exactly like offsets do."""
+
+    name = "delimited_payload"
+    _ws = re.compile(r"\s+")
+
+    def __init__(self, delimiter: str = "|", default_payload: float = 1.0,
+                 lowercase: bool = True):
+        self.delimiter = delimiter
+        self.default_payload = float(default_payload)
+        self.lowercase = lowercase
+
+    def _split(self, raw: str) -> tuple[str, float]:
+        if self.delimiter in raw:
+            tok, _, pay = raw.rpartition(self.delimiter)
+            try:
+                return (tok.lower() if self.lowercase else tok,
+                        float(pay))
+            except ValueError:
+                pass
+        return (raw.lower() if self.lowercase else raw,
+                self.default_payload)
+
+    def tokens(self, text: str) -> list[str]:
+        return [self._split(t)[0] for t in self._ws.split(text) if t]
+
+    def tokens_with_positions(self, text: str):
+        toks = self.tokens(text)
+        return toks, list(range(len(toks)))
+
+    def tokens_with_payloads(self, text: str):
+        out = [self._split(t) for t in self._ws.split(text) if t]
+        return ([t for t, _ in out], list(range(len(out))),
+                [p for _, p in out])
+
+    def tokens_batch(self, texts: list[str]):
+        toks_l, doc_l, pos_l = [], [], []
+        for i, t in enumerate(texts):
+            toks = self.tokens(t or "")
+            toks_l.extend(toks)
+            doc_l.append(np.full(len(toks), i, np.int64))
+            pos_l.append(np.arange(len(toks), dtype=np.int64))
+        z = np.empty(0, np.int64)
+        return (toks_l,
+                np.concatenate(doc_l) if doc_l else z,
+                np.concatenate(pos_l) if pos_l else z)
+
+    def tokens_batch_payloads(self, texts: list[str]):
+        """(tokens, doc_idx, positions, payloads:float32) — the payload
+        feed of the ``.pay`` stream."""
+        toks_l, doc_l, pos_l, pay_l = [], [], [], []
+        for i, t in enumerate(texts):
+            toks, _pos, pays = self.tokens_with_payloads(t or "")
+            toks_l.extend(toks)
+            doc_l.append(np.full(len(toks), i, np.int64))
+            pos_l.append(np.arange(len(toks), dtype=np.int64))
+            pay_l.append(np.asarray(pays, np.float32))
+        z = np.empty(0, np.int64)
+        zf = np.empty(0, np.float32)
+        return (toks_l,
+                np.concatenate(doc_l) if doc_l else z,
+                np.concatenate(pos_l) if pos_l else z,
+                np.concatenate(pay_l) if pay_l else zf)
+
+
 class CodeAnalyzer(Analyzer):
     """Whitespace split -> word-delimiter parts -> lowercase -> stop; the
     source-code chain (sub-tokens of camelCase / snake_case / Brand#17
@@ -330,3 +399,4 @@ class CodeAnalyzer(Analyzer):
 register_analyzer("english", EnglishAnalyzer())
 register_analyzer("code", CodeAnalyzer())
 register_analyzer("folding", FoldingAnalyzer())
+register_analyzer("delimited_payload", DelimitedPayloadAnalyzer())

@@ -63,6 +63,7 @@ class IndexManifest:
     byte_aligned: bool = True
     store_positions: bool = False
     store_offsets: bool = False
+    store_payloads: bool = False
     sort_by: str | None = None
 
     @property
@@ -143,6 +144,7 @@ def plan_partitions(source: str | list[str], rows_per_partition: int) -> list[di
 def _invert(
     texts: list[str], analyzer_name: str, doc_base_local: int,
     want_positions: bool = False, want_offsets: bool = False,
+    want_payloads: bool = False,
 ):
     """Tokenize a sub-batch and aggregate (term, doc, tf) triples.
 
@@ -167,7 +169,14 @@ def _invert(
     ana = (analyzer_name if not isinstance(analyzer_name, str)
            else get_analyzer(analyzer_name))
     e32 = np.empty(0, np.uint32)
-    if want_offsets:
+    pay = None
+    if want_payloads:
+        if not hasattr(ana, "tokens_batch_payloads"):
+            raise ValueError(
+                f"analyzer {type(ana).__name__} does not emit payloads "
+                "(tokens_batch_payloads) — use e.g. delimited_payload")
+        tokens, doc_idx, pos, pay = ana.tokens_batch_payloads(texts)
+    elif want_offsets:
         from ..analysis.analyzers import (
             StandardAnalyzer,
             _standard_tokens_batch_spans,
@@ -197,12 +206,13 @@ def _invert(
         doc_len = np.zeros(len(texts), np.int32)
     if not tokens:
         e = np.empty(0, np.int64)
-        return [], e, e, e, doc_len, e32, e32
+        return [], e, e, e, doc_len, e32, e32, e32
     tid, vocab = pd.factorize(np.asarray(tokens, dtype=object))
     key = tid.astype(np.int64) * len(texts) + doc_idx
     pos_flat = e32
     off_flat = e32
-    if want_positions or want_offsets:
+    pay_flat = e32
+    if want_positions or want_offsets or want_payloads:
         order = np.lexsort((pos, key))
         key_s = key[order]
         uniq, starts, counts = np.unique(
@@ -225,18 +235,23 @@ def _invert(
             off_flat = np.empty(2 * cs.size, np.uint32)
             off_flat[0::2] = ds.astype(np.uint32)
             off_flat[1::2] = (ce - cs).astype(np.uint32)
+        if want_payloads:
+            # raw float32 bit patterns, one per occurrence (no delta —
+            # payloads are opaque values, the .pay payload half)
+            pay_flat = np.asarray(pay, np.float32)[order].view(np.uint32)
     else:
         uniq, counts = np.unique(key, return_counts=True)
     u_tid = uniq // len(texts)
     u_doc = uniq % len(texts) + doc_base_local
     return list(vocab), u_tid, u_doc, counts.astype(np.int64), doc_len, \
-        pos_flat, off_flat
+        pos_flat, off_flat, pay_flat
 
 
 def build_segment(part: dict, out_dir: str, *, text_field: str,
                   analyzer_name: str, byte_aligned: bool,
                   store_positions: bool = False,
                   store_offsets: bool = False,
+                  store_payloads: bool = False,
                   tokenize_batch_rows: int = 2000) -> dict:
     """Build one partition's segment (one 'DWPT flush'). Pure function of
     (part descriptor, config); writes atomically; returns manifest row."""
@@ -244,6 +259,13 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         raise ValueError(
             "store_offsets requires store_positions=True and "
             "byte_aligned=True (offsets ride the positional .pay layout)")
+    if store_payloads and not (store_positions and byte_aligned):
+        raise ValueError(
+            "store_payloads requires store_positions=True and "
+            "byte_aligned=True (payloads ride the positional .pay layout)")
+    if store_payloads and store_offsets:
+        raise ValueError("store_payloads and store_offsets are exclusive "
+                         "(one .pay sidecar stream per index)")
     pid = part["partition_id"]
     doc_base = part["doc_base"]
     seg_path = os.path.join(out_dir, "segments", f"part-{pid:05d}.parquet")
@@ -261,7 +283,8 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         os.stat(part["file"]).st_mtime_ns,
         # codec config: a checkpoint built with different index options
         # must not validate (same input, different segment format)
-        [bool(byte_aligned), bool(store_positions), bool(store_offsets)],
+        [bool(byte_aligned), bool(store_positions), bool(store_offsets),
+         bool(store_payloads)],
     ]
     if os.path.exists(ckpt_path):
         with open(ckpt_path) as f:
@@ -274,6 +297,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     tids, docs, tfs = [], [], []
     pos_parts: list = []
     off_parts: list = []
+    pay_parts: list = []
     lens_parts, sha_parts = [], []
     rows_done = 0
     for rg in part["row_groups"]:
@@ -285,11 +309,13 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         sha_parts.extend(hashlib.sha256(t.encode("utf-8")).digest() for t in texts)
         for lo in range(0, len(texts), tokenize_batch_rows):
             sub = texts[lo : lo + tokenize_batch_rows]
-            toks, s_tid, s_doc, s_tf, s_len, s_pos, s_off = _invert(
-                sub, analyzer_name, rows_done + lo,
-                want_positions=store_positions,
-                want_offsets=store_offsets,
-            )
+            toks, s_tid, s_doc, s_tf, s_len, s_pos, s_off, s_pay = \
+                _invert(
+                    sub, analyzer_name, rows_done + lo,
+                    want_positions=store_positions,
+                    want_offsets=store_offsets,
+                    want_payloads=store_payloads,
+                )
             lens_parts.append(s_len)
             if not toks:
                 continue
@@ -308,6 +334,8 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
                 pos_parts.append(s_pos)
             if store_offsets:
                 off_parts.append(s_off)
+            if store_payloads:
+                pay_parts.append(s_pay)
         rows_done += len(texts)
 
     doc_lens = (
@@ -321,7 +349,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
     order = np.array([vocab[t] for t in terms_sorted], np.int64)
     rank = np.empty_like(order)
     rank[order] = np.arange(len(order))
-    a_pos = a_off = None
+    a_pos = a_off = a_pay = None
     if tids:
         from ..codec.postings import _intra
 
@@ -348,6 +376,11 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
             np.cumsum(c2[:-1], out=src2[1:])
             idx2 = np.repeat(src2[srt], c2[srt]) + _intra(c2[srt])
             a_off = np.concatenate(off_parts)[idx2]
+        if store_payloads:
+            src3 = np.zeros(a_tf_pre.size, np.int64)
+            np.cumsum(a_tf_pre[:-1], out=src3[1:])
+            idx3 = np.repeat(src3[srt], a_tf) + _intra(a_tf)
+            a_pay = np.concatenate(pay_parts)[idx3]
     else:
         starts = ends = np.empty(0, np.int64)
 
@@ -457,6 +490,13 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
                 off_offs_v = np.full(n_terms, base, np.int64)
                 off_offs_v[1:] += np.cumsum(off_lens_v[:-1])
                 sections.append(off_sec)
+            if store_payloads:
+                pay_sec, pay_lens_v = _values_section(
+                    a_pay, tf_cum[starts], tf_cum[ends])
+                base = doc_total + int(pos_lens_v.sum())
+                pay_offs_v = np.full(n_terms, base, np.int64)
+                pay_offs_v[1:] += np.cumsum(pay_lens_v[:-1])
+                sections.append(pay_sec)
         else:
             pos_offs_v = np.zeros(n_terms, np.int64)
             pos_lens_v = np.zeros(n_terms, np.int64)
@@ -506,6 +546,9 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         if store_offsets:
             cols["off_offset"] = pa.array(off_offs_v)
             cols["off_length"] = pa.array(off_lens_v)
+        if store_payloads:
+            cols["pay_offset"] = pa.array(pay_offs_v)
+            cols["pay_length"] = pa.array(pay_lens_v)
         seg_tbl = pa.table(cols)
     else:
         # bit-packed / empty builds: per-term loop with the
@@ -659,7 +702,8 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
 def _segment_task(batch: dict, *, out_dir: str, text_field: str,
                   analyzer_name: str, byte_aligned: bool,
                   store_positions: bool = False,
-                  store_offsets: bool = False) -> dict:
+                  store_offsets: bool = False,
+                  store_payloads: bool = False) -> dict:
     """Stateless task stage: builds segments for a batch of partition
     descriptors. Worker-process state (compiled tokenizer tables, stop set)
     lives in the module-level analyzer registry — the Analyzer.ReuseStrategy
@@ -679,6 +723,7 @@ def _segment_task(batch: dict, *, out_dir: str, text_field: str,
             part, out_dir, text_field=text_field,
             analyzer_name=analyzer_name, byte_aligned=byte_aligned,
             store_positions=store_positions, store_offsets=store_offsets,
+            store_payloads=store_payloads,
         )
         rows.append(row)
     return {"manifest_row": np.array([json.dumps(r) for r in rows], object)}
@@ -694,6 +739,7 @@ def build_index(
     byte_aligned: bool = True,
     store_positions: bool = False,
     store_offsets: bool = False,
+    store_payloads: bool = False,
     concurrency: int | None = None,
 ) -> IndexManifest:
     """Full distributed build: plan -> segment tasks -> manifest commit."""
@@ -705,6 +751,10 @@ def build_index(
         raise ValueError(
             "store_offsets requires store_positions=True and "
             "byte_aligned=True (offsets ride the positional .pay layout)")
+    if store_payloads and not (store_positions and byte_aligned):
+        raise ValueError(
+            "store_payloads requires store_positions=True and "
+            "byte_aligned=True (payloads ride the positional .pay layout)")
     os.makedirs(out_dir, exist_ok=True)
     parts = plan_partitions(source, rows_per_partition)
     ds = rd.from_items(parts)
@@ -712,6 +762,7 @@ def build_index(
         _segment_task, out_dir=out_dir, text_field=text_field,
         analyzer_name=analyzer, byte_aligned=byte_aligned,
         store_positions=store_positions, store_offsets=store_offsets,
+        store_payloads=store_payloads,
     )
     kw = {"concurrency": concurrency} if concurrency else {}
     out = ds.map_batches(fn, batch_size=1, **kw)
@@ -744,6 +795,7 @@ def build_index(
         byte_aligned=byte_aligned,
         store_positions=store_positions,
         store_offsets=store_offsets,
+        store_payloads=store_payloads,
     )
     man.save()
     return man

@@ -532,6 +532,61 @@ def q_stats_percentiles(sf_dir: str) -> pa.Table:
     })
 
 
+def q_payload_score_top10(sf_dir: str) -> pa.Table:
+    """PayloadScoreQuery end-to-end (DelimitedPayloadTokenFilter ->
+    .pay payload stream -> payload-aggregate ranking;
+    queries/.../payloads/PayloadScoreQuery.java): events become
+    'event_type|value' payload docs, indexed with store_payloads=True;
+    top-10 'click' docs by payload. The oracle states the same ranking
+    in SQL over the raw events."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from ..index import build_index
+    from ..search import IndexSearcher
+    from ..search.extras import payload_score
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:payload:v{_FMT}".encode()
+    ).hexdigest()[:12]
+    out = f"/tmp/lsr_qidx/pay-{key}"
+    staged = out + ".corpus"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "event_type", "value"])
+
+        def to_payload_doc(b: pa.Table) -> pa.Table:
+            et = b["event_type"].to_pylist()
+            v = b["value"].to_numpy()
+            v2 = np.floor(v * 100 + 0.5) / 100  # 2-dp, float32-stable
+            return pa.table({
+                "event_id": b["event_id"],
+                "content": pa.array(
+                    [f"{t}|{x:.2f}" for t, x in zip(et, v2.tolist())],
+                    pa.string()),
+            })
+
+        os.makedirs(staged, exist_ok=True)
+        ev.map_batches(to_payload_doc, batch_format="pyarrow") \
+            .repartition(2).write_parquet(staged)
+        os.makedirs(out, exist_ok=True)
+        build_index(staged, out, text_field="content",
+                    analyzer="delimited_payload", store_positions=True,
+                    store_payloads=True, rows_per_partition=50_000)
+    s = IndexSearcher(out)
+    t = payload_score(s, "click", fn="avg", k=10)
+    # doc_id -> event_id via the staged corpus row order
+    files = sorted(os.path.join(staged, f) for f in os.listdir(staged)
+                   if f.endswith(".parquet"))
+    eids = pq_.read_table(files, columns=["event_id"])["event_id"] \
+        .to_numpy()
+    return pa.table({
+        "rank": t["rank"],
+        "event_id": pa.array(eids[t["doc_id"].to_numpy()], pa.int64()),
+        "payload": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
 def q_geo_bbox(sf_dir: str) -> pa.Table:
     """BBox query via the RecursivePrefixTree two-phase shape
     (lucene/spatial/prefix/RecursivePrefixTreeStrategy.java +
@@ -1756,6 +1811,7 @@ QUERIES = {
     "multilingual_stems": q_multilingual_stems,
     "json_facet_nested": q_json_facet_nested,
     "highlight_offsets": q_highlight_offsets,
+    "payload_score_top10": q_payload_score_top10,
     "geo_bbox": q_geo_bbox,
     "geo_heatmap": q_geo_heatmap,
     "hll_users": q_hll_users,
@@ -1904,6 +1960,17 @@ SELECT floor(quantile_cont(n_chars, 0.25)*10000 + 0.5)/10000 AS p25,
        floor(quantile_cont(n_chars, 0.75)*10000 + 0.5)/10000 AS p75,
        floor(quantile_cont(n_chars, 0.99)*10000 + 0.5)/10000 AS p99
 FROM documents
+""",
+    "payload_score_top10": """
+SELECT CAST(row_number() OVER (ORDER BY payload DESC, event_id) AS BIGINT)
+         AS rank,
+       event_id, payload
+FROM (
+  SELECT event_id,
+         floor(((floor(value*100 + 0.5)/100)::REAL)::DOUBLE * 10000
+               + 0.5)/10000 AS payload
+  FROM events WHERE event_type = 'click')
+ORDER BY payload DESC, event_id LIMIT 10
 """,
     "geo_bbox": """
 WITH u AS (SELECT DISTINCT user_id FROM events),

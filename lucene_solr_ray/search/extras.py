@@ -315,3 +315,59 @@ def term_vector(text: str, analyzer) -> "pa.Table":
         "positions": pa.array([acc[t] for t in terms],
                               pa.list_(pa.int64())),
     })
+
+
+def payload_score(searcher: IndexSearcher, term: str, *, fn: str = "avg",
+                  k: int = 10) -> "pa.Table":
+    """PayloadScoreQuery / the Solr 5.x PayloadTermQuery surface
+    (``queries/.../payloads/PayloadScoreQuery.java``, Solr
+    ``{!payload_score f=.. func=..}``): rank docs by an aggregate of the
+    term's per-occurrence payloads (avg/min/max/sum), decoded from the
+    index payload stream. Ties break on doc id ascending."""
+    docs, tfs, pay = searcher.reader.term_payloads(term)
+    if not docs.size:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    cum = np.zeros(docs.size, np.int64)
+    np.cumsum(tfs[:-1].astype(np.int64), out=cum[1:])
+    pay64 = pay.astype(np.float64)
+    if fn == "avg":
+        agg = np.add.reduceat(pay64, cum) / tfs
+    elif fn == "sum":
+        agg = np.add.reduceat(pay64, cum)
+    elif fn == "min":
+        agg = np.minimum.reduceat(pay64, cum)
+    elif fn == "max":
+        agg = np.maximum.reduceat(pay64, cum)
+    else:
+        raise ValueError(f"unknown payload fn {fn!r}")
+    if searcher.live_docs is not None:
+        alive = searcher.live_docs.mask(docs)
+        docs, agg = docs[alive], agg[alive]
+    order = np.lexsort((docs, -agg))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+        "doc_id": pa.array(docs[order]),
+        "score": pa.array(agg[order], pa.float64()),
+    })
+
+
+def payload_check(searcher: IndexSearcher, term: str,
+                  expected: list[float]) -> np.ndarray:
+    """SpanPayloadCheckQuery (``queries/.../payloads/
+    SpanPayloadCheckQuery.java``) for a term span: doc ids whose
+    occurrence-payload sequence for ``term`` equals ``expected``."""
+    docs, tfs, pay = searcher.reader.term_payloads(term)
+    want = np.asarray(expected, np.float32)
+    out = []
+    cum = np.zeros(docs.size + 1, np.int64)
+    np.cumsum(tfs.astype(np.int64), out=cum[1:])
+    for i in range(docs.size):
+        seq = pay[cum[i]:cum[i + 1]]
+        if seq.size == want.size and np.array_equal(seq, want):
+            out.append(int(docs[i]))
+    arr = np.asarray(out, np.int64)
+    if searcher.live_docs is not None and arr.size:
+        arr = arr[searcher.live_docs.mask(arr)]
+    return arr

@@ -127,9 +127,46 @@ class TermDictReader:
     def _off_payload(self, row: int):
         return b""
 
+    def _pay_payload(self, row: int):
+        return b""
+
     @property
     def has_offsets(self) -> bool:
         return False
+
+    @property
+    def has_payloads(self) -> bool:
+        return False
+
+    def term_payloads(self, term: str):
+        """(doc_ids asc, tfs, payloads:float32) — one payload value per
+        occurrence (tf per posting), decoded from the .pay payload
+        stream; requires store_payloads=True at build
+        (DelimitedPayloadTokenFilter -> PayloadScoreQuery surface)."""
+        if not self.has_payloads:
+            raise ValueError(
+                "index has no payloads (build with store_payloads=True)")
+        rows = self._term_rows(term)
+        docs_l, tfs_l, pay_l = [], [], []
+        for r in rows:
+            d, f = decode_postings(self._payload(r))
+            docs_l.append(d)
+            tfs_l.append(f)
+            pay_l.append(decode_values(self._pay_payload(r)))
+        if not docs_l:
+            e = np.empty(0, np.int64)
+            return e, e.astype(np.int32), np.empty(0, np.float32)
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        pay = np.concatenate(pay_l)
+        if len(docs_l) > 1:
+            order = np.argsort(docs, kind="stable")
+            if not np.array_equal(order, np.arange(docs.size)):
+                cum = np.concatenate(([0], np.cumsum(tfs)))
+                pay = np.concatenate(
+                    [pay[cum[i]:cum[i + 1]] for i in order.tolist()])
+                docs, tfs = docs[order], tfs[order]
+        return docs, tfs, pay.astype(np.uint32).view(np.float32)
 
     def term_offsets(self, term: str):
         """(doc_ids asc, tfs, off_flat) — off_flat is the interleaved
@@ -363,7 +400,8 @@ class _BinPayloads:
 
     def _set_payload_refs(self, file_paths, file_idx, offsets, lengths,
                           pos_offsets, pos_lengths,
-                          off_offsets=None, off_lengths=None):
+                          off_offsets=None, off_lengths=None,
+                          pay_offsets=None, pay_lengths=None):
         self._file_paths = list(file_paths)  # absolute paths
         self._file_idx = np.asarray(file_idx)
         self._offsets = np.asarray(offsets, np.int64)
@@ -382,6 +420,14 @@ class _BinPayloads:
         )
         self._off_lengths = (
             np.asarray(off_lengths, np.int64) if off_lengths is not None
+            else None
+        )
+        self._pay_offsets = (
+            np.asarray(pay_offsets, np.int64) if pay_offsets is not None
+            else None
+        )
+        self._pay_lengths = (
+            np.asarray(pay_lengths, np.int64) if pay_lengths is not None
             else None
         )
         self._mmaps: list = [None] * len(self._file_paths)
@@ -421,6 +467,19 @@ class _BinPayloads:
     @property
     def has_offsets(self) -> bool:
         return self._off_offsets is not None
+
+    def _pay_payload(self, row: int):
+        if self._pay_offsets is None:
+            return b""
+        orig = int(self._row_order[row])
+        off = int(self._pay_offsets[orig])
+        return self._mmap(int(self._file_idx[orig]))[
+            off : off + int(self._pay_lengths[orig])
+        ]
+
+    @property
+    def has_payloads(self) -> bool:
+        return self._pay_offsets is not None
 
 
 class MergedReader(_BinPayloads, TermDictReader):
@@ -489,6 +548,10 @@ class SegmentsReader(_BinPayloads, TermDictReader):
             if "off_offset" in tbl.schema.names else None,
             tbl["off_length"].to_numpy()
             if "off_offset" in tbl.schema.names else None,
+            tbl["pay_offset"].to_numpy()
+            if "pay_offset" in tbl.schema.names else None,
+            tbl["pay_length"].to_numpy()
+            if "pay_offset" in tbl.schema.names else None,
         )
         self._finish_init(
             tbl["term"].to_pylist(),

@@ -17,8 +17,6 @@ cardinality with HyperLogLog, merged across shards
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -49,13 +47,18 @@ class HLL:
         np.maximum.at(self.reg, idx, rank)
 
     def add_values(self, values) -> None:
-        h = np.fromiter(
-            (int.from_bytes(
-                hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
-                "little") for v in values),
-            np.uint64, count=len(values),
-        )
-        self.add_hashes(h)
+        # vectorized 64-bit hash (pandas hash_array — SipHash-derived,
+        # C speed); the r2 per-row blake2b loop was the one remaining
+        # Python-per-value hot path in the sketch stages
+        import pandas as pd
+
+        arr = np.asarray(values)
+        if arr.dtype == object or arr.dtype.kind in "US":
+            h = pd.util.hash_array(
+                np.asarray([str(v) for v in values], dtype=object))
+        else:
+            h = pd.util.hash_array(arr)
+        self.add_hashes(h.astype(np.uint64))
 
     def merge(self, other: "HLL") -> "HLL":
         np.maximum(self.reg, other.reg, out=self.reg)
