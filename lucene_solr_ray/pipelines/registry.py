@@ -532,6 +532,39 @@ def q_stats_percentiles(sf_dir: str) -> pa.Table:
     })
 
 
+def q_update_processors(sf_dir: str) -> pa.Table:
+    """Update-processor chain (solr/.../update/processor/ — clone,
+    regex-replace, trim, lower, field-length, concat as ONE vectorized
+    map_batches stage over Arrow kernels): mask digits in text, compute
+    its length, tag with lang. The oracle restates the chain in SQL."""
+    import ray.data as rd
+
+    from ..stages.processors import ProcessorChain
+
+    chain = ProcessorChain([
+        ("clone", {"src": "text", "dst": "masked"}),
+        ("regex_replace", {"field": "masked", "pattern": "[0-9]+",
+                           "replacement": "#"}),
+        ("trim", {"field": "masked"}),
+        ("lower", {"field": "masked"}),
+        ("field_length", {"src": "masked", "dst": "masked_len"}),
+        ("concat", {"fields": ["lang", "source"], "dst": "tag",
+                    "sep": ":"}),
+    ])
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "text", "lang", "source"])
+        .map_batches(chain, batch_format="pyarrow")
+        .map_batches(lambda b: b.select(
+            ["doc_id", "masked_len", "tag"]), batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id")
+    )
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "masked_len": pa.array(out["masked_len"].to_numpy(), pa.int64()),
+        "tag": pa.array(out["tag"].tolist(), pa.string()),
+    })
+
+
 def q_payload_score_top10(sf_dir: str) -> pa.Table:
     """PayloadScoreQuery end-to-end (DelimitedPayloadTokenFilter ->
     .pay payload stream -> payload-aggregate ranking;
@@ -1811,6 +1844,7 @@ QUERIES = {
     "multilingual_stems": q_multilingual_stems,
     "json_facet_nested": q_json_facet_nested,
     "highlight_offsets": q_highlight_offsets,
+    "update_processors": q_update_processors,
     "payload_score_top10": q_payload_score_top10,
     "geo_bbox": q_geo_bbox,
     "geo_heatmap": q_geo_heatmap,
@@ -1960,6 +1994,13 @@ SELECT floor(quantile_cont(n_chars, 0.25)*10000 + 0.5)/10000 AS p25,
        floor(quantile_cont(n_chars, 0.75)*10000 + 0.5)/10000 AS p75,
        floor(quantile_cont(n_chars, 0.99)*10000 + 0.5)/10000 AS p99
 FROM documents
+""",
+    "update_processors": """
+SELECT doc_id,
+       length(lower(trim(regexp_replace(text, '[0-9]+', '#', 'g'))))::BIGINT
+         AS masked_len,
+       lang || ':' || source AS tag
+FROM documents ORDER BY doc_id
 """,
     "payload_score_top10": """
 SELECT CAST(row_number() OVER (ORDER BY payload DESC, event_id) AS BIGINT)

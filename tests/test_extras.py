@@ -160,3 +160,46 @@ def test_spellcheck_collation(tmp_path_factory, ray_session):
     # a clean query passes through unchanged
     r2 = spellcheck_collate(s, "return", ana)
     assert not r2["changed"] and r2["hits"] > 0
+
+
+def test_canned_collectors(tmp_path_factory, ray_session):
+    """Collector extension point with the canonical instances
+    (search/collectors.py — TotalHitCount / TopN / ScoreHistogram /
+    EarlyTerminating / FieldValueFacet vs the plain search path)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+    from lucene_solr_ray.search.collectors import (
+        EarlyTerminating,
+        FieldValueFacet,
+        ScoreHistogram,
+        TopN,
+        TotalHitCount,
+    )
+
+    docs = [f"common {'rare ' if i % 3 == 0 else ''}w{i}"
+            for i in range(30)]
+    d = tmp_path_factory.mktemp("coll_src")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "content": pa.array(docs),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("coll_idx") / "idx")
+    build_index(str(d), out, text_field="content", rows_per_partition=10)
+    s = IndexSearcher(out)
+    q = TermQuery("rare")
+    assert s.collect(q, TotalHitCount()) == 10
+    top = s.collect(q, TopN(3))
+    ref = s.search(q, k=3)
+    assert [d_ for d_, _ in top] == ref["doc_id"].to_pylist()
+    hist = s.collect(q, ScoreHistogram(bins=5))
+    assert hist.sum() == 10
+    assert s.collect(q, EarlyTerminating(limit=4)) == 4
+    lang_vals = np.asarray(["a" if i % 2 == 0 else "b"
+                            for i in range(30)], dtype=object)
+    facet = s.collect(q, FieldValueFacet(lang_vals))
+    # rare docs are i % 3 == 0: evens {0,6,12,18,24}, odds {3,9,...,27}
+    assert facet == {"a": 5, "b": 5}
