@@ -134,8 +134,10 @@ def run_bench() -> dict:
     from lucene_solr_ray.pipelines.registry import (
         q_ann_cosine_top5,
         q_facet_lang,
+        q_json_facet_nested,
         q_minhash_candidates,
         q_quality_tokens,
+        q_tdigest_quantiles,
     )
 
     for name, fn in [
@@ -143,6 +145,8 @@ def run_bench() -> dict:
         ("quality_tokens", q_quality_tokens),
         ("minhash_candidates", q_minhash_candidates),
         ("ann_cosine_top5", q_ann_cosine_top5),
+        ("json_facet_nested", q_json_facet_nested),
+        ("tdigest_quantiles", q_tdigest_quantiles),
         ("curation_funnel", run_curation),
     ]:
         tq0 = time.perf_counter()

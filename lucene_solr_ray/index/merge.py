@@ -681,3 +681,50 @@ def merge_index(
     man.merged = True
     man.save()
     return man
+
+
+def merge_append(index_dir: str, seg_row: dict) -> None:
+    """Incremental NRT publish: add ONE freshly-flushed segment to an
+    existing merged view WITHOUT re-shuffling the term dictionary.
+
+    The merged format already supports multi-chunk terms whose payloads
+    are referenced in place (``payload_file`` with a "/" resolves
+    index_dir-relative — the metadata-only merge's passthrough path), so
+    an append is just one more ``terms-append-*.parquet`` whose rows
+    point at the new segment's own ``.bin``. Readers concatenate chunks
+    per term and restore doc order; nothing existing is rewritten —
+    exactly the "merges mostly re-point" economics
+    (``index/TieredMergePolicy.java``: small flushes accumulate, the
+    next FULL merge compacts the accumulated tail).
+
+    At 100 TB this turns an NRT publish from an all-segments shuffle
+    into a driver-side metadata write proportional to ONE flush.
+    """
+    import pyarrow.parquet as pq_
+
+    seg_path = os.path.join(index_dir, seg_row["segment"])
+    tbl = pq_.read_table(seg_path)
+    pid = int(seg_row["partition_id"])
+    rel_bin = seg_row["segment"].replace(".parquet", ".bin")
+    n = tbl.num_rows
+    out = pa.table({
+        "term": tbl["term"],
+        # high chunk ids keep append chunks ordered after full-merge ones
+        "chunk_id": pa.array(
+            np.full(n, 10_000_000 + pid, np.int64)),
+        "df": tbl["df"],
+        "ttf": tbl["ttf"],
+        "start_doc": tbl["start_doc"],
+        "payload_file": pa.array([rel_bin] * n, pa.string()),
+        "offset": tbl["offset"],
+        "length": tbl["length"],
+        "pos_offset": tbl["pos_offset"],
+        "pos_length": tbl["pos_length"],
+        "block_last": tbl["block_last"],
+        "block_max_tf": tbl["block_max_tf"],
+        "block_max_norm": tbl["block_max_norm"],
+    }).cast(_TERMS_SCHEMA)
+    out_dir = os.path.join(index_dir, "merged")
+    path = os.path.join(out_dir, f"terms-append-{pid:05d}.parquet")
+    pq_.write_table(out, path + ".tmp")
+    os.replace(path + ".tmp", path)

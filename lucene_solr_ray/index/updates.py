@@ -33,9 +33,9 @@ from .deletes import delete_docs
 
 
 def append_segment(index_dir: str, table: pa.Table) -> dict:
-    """Append ``table`` (same schema as the corpus) as a new segment."""
-    import shutil
-
+    """Append ``table`` (same schema as the corpus) as a new segment;
+    if the index has a merged view, the segment is published into it
+    incrementally (merge_append) instead of invalidating it."""
     man = IndexManifest.load(index_dir)
     pid = len(man.partitions)
     app_dir = os.path.join(index_dir, "_appends")
@@ -62,9 +62,13 @@ def append_segment(index_dir: str, table: pa.Table) -> dict:
     man.sum_total_term_freq += row["sum_len"]
     man.num_partitions += 1
     merged_dir = os.path.join(index_dir, "merged")
-    if os.path.isdir(merged_dir):  # stale: lacks the delta segment
-        shutil.rmtree(merged_dir)
-    man.merged = False
+    if os.path.isdir(merged_dir) and man.merged:
+        # incremental NRT publish: the merged view gains ONE metadata
+        # file referencing the delta segment's bin in place — no
+        # re-shuffle, no invalidation (merge.merge_append)
+        from .merge import merge_append
+
+        merge_append(index_dir, row)
     man.save()
     return row
 

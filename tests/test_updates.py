@@ -125,3 +125,52 @@ def test_custom_analyzer_survives_append(tmp_path_factory, ray_session):
     s = IndexSearcher(out)
     hits = s.search(TermQuery("Alpha-Beta"), k=10)
     assert {int(h) for h in hits["doc_id"].to_numpy()} == {0, 2}
+
+
+def test_incremental_merge_append(tmp_path_factory, ray_session):
+    """NRT publish without re-merge: appending a segment to a MERGED
+    index adds one terms-append metadata file referencing the delta
+    segment's bin in place; queries over the merged view see the new
+    docs and match a full re-merge exactly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import IndexManifest, build_index, merge_index
+    from lucene_solr_ray.index.updates import append_segment
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+    from lucene_solr_ray.search.readers import MergedReader
+
+    d = tmp_path_factory.mktemp("inc_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array([1, 2, 3], pa.int64()),
+        "content": pa.array(["alpha beta", "beta gamma", "gamma delta"]),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("inc_idx") / "idx")
+    build_index(str(d), out, text_field="content", rows_per_partition=2)
+    merge_index(out)
+    merged_dir = os.path.join(out, "merged")
+    before = set(os.listdir(merged_dir))
+    append_segment(out, pa.table({
+        "doc_key": pa.array([4, 5], pa.int64()),
+        "content": pa.array(["beta epsilon", "alpha zeta"]),
+    }))
+    man = IndexManifest.load(out)
+    assert man.merged  # still merged — NOT invalidated
+    after = set(os.listdir(merged_dir))
+    added = after - before
+    assert before <= after and len(added) == 1  # one metadata file only
+    assert next(iter(added)).startswith("terms-append-")
+    s = IndexSearcher(out, reader=MergedReader(out))
+    hits = s.search(TermQuery("beta"), k=10)
+    assert {int(h) for h in hits["doc_id"].to_numpy()} == {0, 1, 3}
+    hits = s.search(TermQuery("zeta"), k=10)
+    assert hits["doc_id"].to_pylist() == [4]
+    # rank identity vs a FULL re-merge of the same five docs
+    merge_index(out)
+    s2 = IndexSearcher(out, reader=MergedReader(out))
+    for t in ("alpha", "beta", "gamma", "zeta"):
+        a = s.search(TermQuery(t), k=10)
+        b = s2.search(TermQuery(t), k=10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), t
+        assert a["score"].to_pylist() == b["score"].to_pylist(), t
