@@ -532,6 +532,60 @@ def q_stats_percentiles(sf_dir: str) -> pa.Table:
     })
 
 
+def q_stream_join_rollup(sf_dir: str) -> pa.Table:
+    """Streaming expression: rollup(innerJoin(search(orders),
+    select(search(customer)), on=custkey), over=nation, sum(totalprice))
+    — the solrj.io.stream decorator composition
+    (InnerJoinStream + SelectStream + RollupStream), customers broadcast
+    (dimension side), facts streamed."""
+    import ray.data as rd
+
+    from .streams import inner_join, rollup, select
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+    cust = select(
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_nationkey"]),
+        {"o_custkey": "c_custkey", "nationkey": "c_nationkey"})
+    joined = inner_join(orders, cust, on="o_custkey")
+    out = rollup(joined, ["nationkey"],
+                 {"revenue": ("sum", "o_totalprice"),
+                  "orders": ("count", "")}).to_pandas()
+    out = out.sort_values("nationkey")
+    return pa.table({
+        "nationkey": pa.array(out["nationkey"].to_numpy(), pa.int64()),
+        "revenue": pa.array(_round4(out["revenue"].to_numpy()),
+                            pa.float64()),
+        "orders": pa.array(out["orders"].to_numpy(), pa.int64()),
+    })
+
+
+def q_stream_complement(sf_dir: str) -> pa.Table:
+    """Streaming expression: complement(search(customer),
+    search(orders, q=totalprice>400k), on=custkey) — customers with no
+    large order (ComplementStream), the anti-join stream decorator."""
+    import ray.data as rd
+
+    from .streams import complement
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    big_orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: pa.table({"c_custkey": b.filter(
+            pc.greater(b["o_totalprice"], 400000.0))["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+    out = complement(cust, big_orders, on="c_custkey").to_pandas()
+    out = out.sort_values("c_custkey").head(50)
+    return pa.table({
+        "c_custkey": pa.array(out["c_custkey"].to_numpy(), pa.int64()),
+    })
+
+
 def q_update_processors(sf_dir: str) -> pa.Table:
     """Update-processor chain (solr/.../update/processor/ — clone,
     regex-replace, trim, lower, field-length, concat as ONE vectorized
@@ -1844,6 +1898,8 @@ QUERIES = {
     "multilingual_stems": q_multilingual_stems,
     "json_facet_nested": q_json_facet_nested,
     "highlight_offsets": q_highlight_offsets,
+    "stream_join_rollup": q_stream_join_rollup,
+    "stream_complement": q_stream_complement,
     "update_processors": q_update_processors,
     "payload_score_top10": q_payload_score_top10,
     "geo_bbox": q_geo_bbox,
@@ -1994,6 +2050,19 @@ SELECT floor(quantile_cont(n_chars, 0.25)*10000 + 0.5)/10000 AS p25,
        floor(quantile_cont(n_chars, 0.75)*10000 + 0.5)/10000 AS p75,
        floor(quantile_cont(n_chars, 0.99)*10000 + 0.5)/10000 AS p99
 FROM documents
+""",
+    "stream_join_rollup": """
+SELECT c.c_nationkey AS nationkey,
+       floor(sum(o.o_totalprice)*10000 + 0.5)/10000 AS revenue,
+       count(*)::BIGINT AS orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+    "stream_complement": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 400000.0)
+ORDER BY c_custkey LIMIT 50
 """,
     "update_processors": """
 SELECT doc_id,

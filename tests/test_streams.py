@@ -1,0 +1,72 @@
+"""Streaming-expression algebra (pipelines/streams.py — the
+solrj.io.stream decorators) vs pandas references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lucene_solr_ray.pipelines.streams import (
+    complement,
+    inner_join,
+    intersect,
+    left_outer_join,
+    merge_stream,
+    rollup,
+    select,
+)
+
+
+@pytest.fixture(scope="module")
+def join_data(ray_session):
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 20, 200),
+        "v": rng.integers(0, 100, 200),
+    })
+    right = pd.DataFrame({
+        "k": np.arange(0, 15, dtype=np.int64),
+        "name": [f"n{i}" for i in range(15)],
+    })
+    return (rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right), left, right)
+
+
+def test_inner_and_left_outer_join(join_data):
+    lds, rds, left, right = join_data
+    got = inner_join(lds, rds, on="k").to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    assert len(got) == len(want)
+    assert got.sort_values(["k", "v"]).reset_index(drop=True).equals(
+        want.sort_values(["k", "v"]).reset_index(drop=True))
+    got = left_outer_join(lds, rds, on="k").to_pandas()
+    assert len(got) == len(left)
+    miss = got[got["k"] >= 15]
+    assert miss["name"].isna().all()
+
+
+def test_intersect_complement(join_data):
+    lds, rds, left, right = join_data
+    inter = intersect(lds, rds, on="k").to_pandas()
+    comp = complement(lds, rds, on="k").to_pandas()
+    assert len(inter) + len(comp) == len(left)
+    assert set(inter["k"]) <= set(right["k"])
+    assert not (set(comp["k"]) & set(right["k"]))
+
+
+def test_rollup_select_merge(join_data):
+    lds, rds, left, right = join_data
+    r = rollup(lds, ["k"], {"total": ("sum", "v"),
+                            "n": ("count", "")}).to_pandas()
+    want = left.groupby("k").agg(total=("v", "sum"), n=("v", "count"))
+    for _, row in r.iterrows():
+        assert row["total"] == want.loc[row["k"], "total"]
+        assert row["n"] == want.loc[row["k"], "n"]
+    sel = select(rds, {"key": "k"}).to_pandas()
+    assert list(sel.columns) == ["key"]
+    m = merge_stream(select(lds, {"k": "k"}), select(rds, {"k": "k"}),
+                     by=["k"]).to_pandas()
+    ks = m["k"].to_numpy()
+    assert (ks[1:] >= ks[:-1]).all()
+    assert len(m) == len(left) + len(right)
