@@ -561,6 +561,48 @@ def q_stream_join_rollup(sf_dir: str) -> pa.Table:
     })
 
 
+def q_fact_join_revenue(sf_dir: str) -> pa.Table:
+    """FACT x FACT distributed sort-merge join (streams.sort_merge_join
+    — no broadcast side): lineitem x orders on orderkey, revenue per
+    order priority. ONE sort co-locates keys; interior key-groups join
+    vectorized; boundary groups finish driver-side."""
+    import ray.data as rd
+
+    from .streams import rollup, select, sort_merge_join
+
+    li = select(
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_orderkey", "l_extendedprice",
+                                 "l_discount"]),
+        {"orderkey": "l_orderkey", "price": "l_extendedprice",
+         "disc": "l_discount"})
+
+    def net(b: pa.Table) -> pa.Table:
+        p = b["price"].to_numpy()
+        d = b["disc"].to_numpy()
+        return pa.table({
+            "orderkey": b["orderkey"],
+            "net": pa.array(p * (1.0 - d)),
+        })
+
+    li = li.map_batches(net, batch_format="pyarrow")
+    orders = select(
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_orderkey", "o_orderpriority"]),
+        {"orderkey": "o_orderkey", "priority": "o_orderpriority"})
+    joined = sort_merge_join(li, orders, on="orderkey")
+    out = rollup(joined, ["priority"],
+                 {"revenue": ("sum", "net"),
+                  "items": ("count", "")}).to_pandas()
+    out = out.sort_values("priority")
+    return pa.table({
+        "priority": pa.array(out["priority"].tolist(), pa.string()),
+        "revenue": pa.array(_round4(out["revenue"].to_numpy()),
+                            pa.float64()),
+        "items": pa.array(out["items"].to_numpy(), pa.int64()),
+    })
+
+
 def q_stream_complement(sf_dir: str) -> pa.Table:
     """Streaming expression: complement(search(customer),
     search(orders, q=totalprice>400k), on=custkey) — customers with no
@@ -1899,6 +1941,7 @@ QUERIES = {
     "json_facet_nested": q_json_facet_nested,
     "highlight_offsets": q_highlight_offsets,
     "stream_join_rollup": q_stream_join_rollup,
+    "fact_join_revenue": q_fact_join_revenue,
     "stream_complement": q_stream_complement,
     "update_processors": q_update_processors,
     "payload_score_top10": q_payload_score_top10,
@@ -2056,6 +2099,14 @@ SELECT c.c_nationkey AS nationkey,
        floor(sum(o.o_totalprice)*10000 + 0.5)/10000 AS revenue,
        count(*)::BIGINT AS orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+    "fact_join_revenue": """
+SELECT o.o_orderpriority AS priority,
+       floor(sum(l.l_extendedprice * (1.0 - l.l_discount))*10000
+             + 0.5)/10000 AS revenue,
+       count(*)::BIGINT AS items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1
 """,
     "stream_complement": """

@@ -163,3 +163,156 @@ def merge_stream(a, b, by: list[str], descending: bool = False):
     """MergeStream: union of two sorted streams re-sorted on the merge
     key (Dataset.sort IS the distributed merge)."""
     return a.union(b).sort(by, descending=descending)
+
+
+def sort_merge_join(left, right, on: str, *,
+                    lsuffix: str = "", rsuffix: str = "_r",
+                    num_parts: int | None = None):
+    """Distributed sort-merge equi-join for FACT x FACT inputs — the
+    join shape the broadcast decorators above can't do (both sides too
+    big to ``ray.put``). This is the reference's sorted-stream merge
+    join (``solrj/io/stream/InnerJoinStream.java`` over two
+    partitionKeys-sorted /export streams) on Ray Data primitives:
+
+    1. both sides are tagged and UNIONed under one superset schema
+       (absent columns null — cheap Arrow bitmaps);
+    2. ONE ``Dataset.sort`` on (key, side) co-locates every key's rows
+       (the all-to-all exchange — the only shuffle);
+    3. ``map_batches`` joins interior key-groups vectorized
+       (repeat x tile index gathers, no Python per row);
+    4. the <= 2 boundary key-groups per sorted block finish driver-side
+       (same bounded-boundary invariant as the segment merge).
+
+    Skew caveat (documented, same as any shuffle join): one key's rows
+    land in one place; a pathological hot key should be pre-aggregated
+    or salted by the caller.
+    """
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = [c for c in l_schema.names if c != on]
+    r_cols = [c for c in r_schema.names if c != on]
+    out_l = [c + lsuffix for c in l_cols]
+    # suffix right columns only on a name collision (pandas-merge style)
+    out_r = [c + (rsuffix if (c + lsuffix) in set(out_l) else "")
+             for c in r_cols]
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+
+    def widen_l(b: pa.Table) -> pa.Table:
+        cols = {on: b[on], "_side": pa.array(
+            np.zeros(b.num_rows, np.int8))}
+        for c, o in zip(l_cols, out_l):
+            cols[o] = b[c]
+        for c, o in zip(r_cols, out_r):
+            cols[o] = pa.nulls(b.num_rows, r_types[c])
+        return pa.table(cols)
+
+    def widen_r(b: pa.Table) -> pa.Table:
+        cols = {on: b[on], "_side": pa.array(
+            np.ones(b.num_rows, np.int8))}
+        for c, o in zip(l_cols, out_l):
+            cols[o] = pa.nulls(b.num_rows, l_types[c])
+        for c, o in zip(r_cols, out_r):
+            cols[o] = b[c]
+        return pa.table(cols)
+
+    both = left.map_batches(widen_l, batch_format="pyarrow").union(
+        right.map_batches(widen_r, batch_format="pyarrow"))
+    if num_parts:
+        both = both.repartition(num_parts)
+
+    out_names = [on] + out_l + out_r
+
+    def join_block(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        empty = {c: pa.array([], b.schema.field(c).type
+                             if c in b.schema.names else pa.null())
+                 for c in out_names}
+        if n == 0:
+            return pa.table({**empty,
+                             "_boundary": pa.array([], pa.int8()),
+                             "_bside": pa.array([], pa.int8())})
+        keys = b[on].to_numpy(zero_copy_only=False)
+        side = b["_side"].to_numpy()
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        li_l, ri_l = [], []
+        b_rows = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if s == 0 or e == n:  # boundary group -> driver
+                b_rows.append((s, e))
+                continue
+            sd = side[s:e]
+            nl = int((sd == 0).sum())
+            if nl == 0 or nl == e - s:
+                continue  # one-sided key: inner join drops it
+            l_idx = np.arange(s, s + nl)
+            r_idx = np.arange(s + nl, e)
+            li_l.append(np.repeat(l_idx, r_idx.size))
+            ri_l.append(np.tile(r_idx, l_idx.size))
+        li = np.concatenate(li_l) if li_l else np.empty(0, np.int64)
+        ri = np.concatenate(ri_l) if ri_l else np.empty(0, np.int64)
+        cols = {on: b[on].take(pa.array(li))}
+        for o in out_l:
+            cols[o] = b[o].take(pa.array(li))
+        for o in out_r:
+            cols[o] = b[o].take(pa.array(ri))
+        t = pa.table(cols).append_column(
+            "_boundary", pa.array(np.zeros(li.size, np.int8)))
+        if b_rows:
+            idx = np.concatenate(
+                [np.arange(s, e) for s, e in b_rows])
+            bt = b.select(out_names).take(pa.array(idx))
+            bt = bt.append_column(
+                "_boundary",
+                pa.array(np.full(idx.size, 1, np.int8)))
+            # boundary rows keep their side via null pattern
+            bt = bt.append_column("_bside", pa.array(side[idx]))
+            t = t.append_column(
+                "_bside", pa.array(np.zeros(li.size, np.int8)))
+            return pa.concat_tables([t, bt], promote_options="default")
+        return t.append_column(
+            "_bside", pa.array(np.zeros(li.size, np.int8)))
+
+    joined = (
+        both.sort([on, "_side"])
+        .map_batches(join_block, batch_format="pyarrow",
+                     batch_size=None)
+        .materialize()
+    )
+    interior = joined.map_batches(
+        lambda t: t.filter(pc_.equal(t["_boundary"], 0)).drop_columns(
+            ["_boundary", "_bside"]),
+        batch_format="pyarrow",
+    )
+    boundary = joined.map_batches(
+        lambda t: t.filter(pc_.equal(t["_boundary"], 1)),
+        batch_format="pyarrow",
+    ).take_all()  # <= 2 key-groups per sorted block
+    if not boundary:
+        return interior
+    import collections
+
+    by_key: dict = collections.defaultdict(lambda: ([], []))
+    for r in boundary:
+        by_key[r[on]][int(r["_bside"])].append(r)
+    rows = []
+    for k, (ls, rs) in by_key.items():
+        for lrow in ls:
+            for rrow in rs:
+                row = {on: k}
+                for o in out_l:
+                    row[o] = lrow[o]
+                for o in out_r:
+                    row[o] = rrow[o]
+                rows.append(row)
+    if rows:
+        extra = rd.from_items(rows)
+        return interior.union(extra)
+    return interior

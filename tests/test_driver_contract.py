@@ -68,7 +68,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "unique_stream", "numeric_range", "agg_pricing_summary",
         "join_orders_revenue", "stats_percentiles", "tdigest_quantiles",
         "json_facet_nested", "geo_bbox", "geo_heatmap", "payload_score_top10", "update_processors",
-        "stream_join_rollup", "stream_complement",
+        "stream_join_rollup", "stream_complement", "fact_join_revenue",
         "pivot_facet",
         "geo_radius", "rescore_top20", "json_field_facet",
         "ann_ivf_top5", "qp_classic", "wdf_brand_subtoken",

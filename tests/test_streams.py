@@ -70,3 +70,37 @@ def test_rollup_select_merge(join_data):
     ks = m["k"].to_numpy()
     assert (ks[1:] >= ks[:-1]).all()
     assert len(m) == len(left) + len(right)
+
+
+def test_sort_merge_join_matches_pandas(ray_session):
+    """Fact x fact distributed sort-merge join == pandas inner merge,
+    including many-to-many keys and keys split across sort blocks."""
+    rng = np.random.default_rng(8)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 3000),
+        "lv": rng.integers(0, 1000, 3000),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 60, 2000),
+        "rv": rng.integers(0, 1000, 2000),
+    })
+    from lucene_solr_ray.pipelines.streams import sort_merge_join
+
+    lds = rd.from_pandas(left).repartition(7)
+    rds = rd.from_pandas(right).repartition(5)
+    got = sort_merge_join(lds, rds, on="k").to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    assert len(got) == len(want)
+    gs = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    ws = want.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert gs[["k", "lv", "rv"]].equals(ws[["k", "lv", "rv"]])
+
+
+def test_sort_merge_join_one_sided_keys_dropped(ray_session):
+    from lucene_solr_ray.pipelines.streams import sort_merge_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2, 4], "rv": [200, 400]})
+    got = sort_merge_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k").to_pandas()
+    assert got[["k", "lv", "rv"]].values.tolist() == [[2, 20, 200]]
