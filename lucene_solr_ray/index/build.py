@@ -64,6 +64,7 @@ class IndexManifest:
     store_positions: bool = False
     store_offsets: bool = False
     store_payloads: bool = False
+    docvalues_fields: list = field(default_factory=list)
     sort_by: str | None = None
 
     @property
@@ -252,6 +253,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
                   store_positions: bool = False,
                   store_offsets: bool = False,
                   store_payloads: bool = False,
+                  docvalues_fields: list[str] | None = None,
                   tokenize_batch_rows: int = 2000) -> dict:
     """Build one partition's segment (one 'DWPT flush'). Pure function of
     (part descriptor, config); writes atomically; returns manifest row."""
@@ -284,7 +286,7 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
         # codec config: a checkpoint built with different index options
         # must not validate (same input, different segment format)
         [bool(byte_aligned), bool(store_positions), bool(store_offsets),
-         bool(store_payloads)],
+         bool(store_payloads), sorted(docvalues_fields or [])],
     ]
     if os.path.exists(ckpt_path):
         with open(ckpt_path) as f:
@@ -293,6 +295,21 @@ def build_segment(part: dict, out_dir: str, *, text_field: str,
             return row
 
     pf = pq.ParquetFile(part["file"])
+    if docvalues_fields:
+        # DocValues sidecar (the Lucene .dvd column store,
+        # Lucene50DocValuesFormat): copy the chosen columns next to the
+        # segment so field sorts / function queries / facets read the
+        # index's own column store instead of going back to (possibly
+        # cold) source storage
+        dv_path = os.path.join(out_dir, "docvalues",
+                               f"part-{pid:05d}.parquet")
+        os.makedirs(os.path.dirname(dv_path), exist_ok=True)
+        dv_tbl = pa.concat_tables([
+            pf.read_row_group(rg, columns=list(docvalues_fields))
+            for rg in part["row_groups"]
+        ])
+        pq.write_table(dv_tbl, dv_path + ".tmp")
+        os.replace(dv_path + ".tmp", dv_path)
     vocab: dict[str, int] = {}
     tids, docs, tfs = [], [], []
     pos_parts: list = []
@@ -703,7 +720,8 @@ def _segment_task(batch: dict, *, out_dir: str, text_field: str,
                   analyzer_name: str, byte_aligned: bool,
                   store_positions: bool = False,
                   store_offsets: bool = False,
-                  store_payloads: bool = False) -> dict:
+                  store_payloads: bool = False,
+                  docvalues_fields: list[str] | None = None) -> dict:
     """Stateless task stage: builds segments for a batch of partition
     descriptors. Worker-process state (compiled tokenizer tables, stop set)
     lives in the module-level analyzer registry — the Analyzer.ReuseStrategy
@@ -724,6 +742,7 @@ def _segment_task(batch: dict, *, out_dir: str, text_field: str,
             analyzer_name=analyzer_name, byte_aligned=byte_aligned,
             store_positions=store_positions, store_offsets=store_offsets,
             store_payloads=store_payloads,
+            docvalues_fields=docvalues_fields,
         )
         rows.append(row)
     return {"manifest_row": np.array([json.dumps(r) for r in rows], object)}
@@ -740,6 +759,7 @@ def build_index(
     store_positions: bool = False,
     store_offsets: bool = False,
     store_payloads: bool = False,
+    docvalues_fields: list[str] | None = None,
     concurrency: int | None = None,
 ) -> IndexManifest:
     """Full distributed build: plan -> segment tasks -> manifest commit."""
@@ -762,7 +782,7 @@ def build_index(
         _segment_task, out_dir=out_dir, text_field=text_field,
         analyzer_name=analyzer, byte_aligned=byte_aligned,
         store_positions=store_positions, store_offsets=store_offsets,
-        store_payloads=store_payloads,
+        store_payloads=store_payloads, docvalues_fields=docvalues_fields,
     )
     kw = {"concurrency": concurrency} if concurrency else {}
     out = ds.map_batches(fn, batch_size=1, **kw)
@@ -796,6 +816,8 @@ def build_index(
         store_positions=store_positions,
         store_offsets=store_offsets,
         store_payloads=store_payloads,
+        docvalues_fields=sorted(docvalues_fields) if docvalues_fields
+        else [],
     )
     man.save()
     return man

@@ -920,15 +920,29 @@ class IndexSearcher:
         if v is None:
             import pyarrow.parquet as pq
 
-            parts = []
-            for p in self.manifest.partitions:
-                pf = pq.ParquetFile(p["file"])
-                for rg in p["row_groups"]:
-                    parts.append(
-                        pf.read_row_group(rg, columns=[field])
-                        .column(field).to_numpy(zero_copy_only=False)
-                    )
-            v = np.concatenate(parts)
+            dv_dir = os.path.join(self.manifest.index_dir, "docvalues")
+            if field in getattr(self.manifest, "docvalues_fields", []) \
+                    and os.path.isdir(dv_dir):
+                # index-resident column store (the .dvd analogue): built
+                # per segment at index time, read in partition order
+                files = sorted(
+                    os.path.join(dv_dir, f)
+                    for f in os.listdir(dv_dir) if f.endswith(".parquet"))
+                v = np.concatenate([
+                    pq.read_table(f, columns=[field])
+                    .column(field).to_numpy(zero_copy_only=False)
+                    for f in files
+                ])
+            else:
+                parts = []
+                for p in self.manifest.partitions:
+                    pf = pq.ParquetFile(p["file"])
+                    for rg in p["row_groups"]:
+                        parts.append(
+                            pf.read_row_group(rg, columns=[field])
+                            .column(field).to_numpy(zero_copy_only=False)
+                        )
+                v = np.concatenate(parts)
             cache[field] = v
         return v
 

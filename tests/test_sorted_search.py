@@ -105,3 +105,39 @@ def test_search_by_field_cursor_paging(sidx):
                  p["doc_id"][p.num_rows - 1].as_py())
     got_docs = [d for p in pages for d in p["doc_id"].to_pylist()]
     assert got_docs == full["doc_id"].to_pylist()
+
+
+def test_docvalues_sidecar(tmp_path_factory, ray_session):
+    """DocValues writers (Lucene50DocValuesFormat .dvd analogue):
+    build_index(docvalues_fields=[...]) writes per-segment column
+    sidecars under the index dir; field sorts read the index-resident
+    store and match the source-parquet path exactly."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+
+    rng = np.random.default_rng(6)
+    n = 200
+    d = tmp_path_factory.mktemp("dv_src")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": pa.array(["common w%d" % (i % 7) for i in range(n)]),
+        "price": pa.array(rng.integers(0, 10_000, n)),
+    }), str(d / "docs.parquet"), row_group_size=50)
+    out = str(tmp_path_factory.mktemp("dv_idx") / "idx")
+    build_index(str(d), out, text_field="content",
+                docvalues_fields=["price"], rows_per_partition=50)
+    assert os.path.isdir(os.path.join(out, "docvalues"))
+    assert len(os.listdir(os.path.join(out, "docvalues"))) == 4
+    s = IndexSearcher(out)
+    src = pq.read_table(str(d / "docs.parquet"))["price"].to_numpy()
+    assert np.array_equal(s.docvalues("price"), src)  # sidecar == source
+    t = s.search_by_field(TermQuery("common"), k=5, field="price")
+    want = np.argsort(-src, kind="stable")[:5]
+    # tie-break: doc asc — stable argsort on negated values matches
+    assert t["doc_id"].to_pylist() == want.tolist()
