@@ -16,9 +16,13 @@ light/minimal French stemming papers) — no generated code.
 - :func:`spanish_stem` — the Snowball Spanish algorithm (RV/R1/R2,
   attached-pronoun step 0, standard suffixes, verb suffixes, residual
   step, acute-accent postlude).
+- :func:`russian_stem` — the Snowball Russian algorithm (RV-scoped
+  perfective-gerund / reflexive / adjectival / verb / noun groups,
+  derivational ость in R2, tidy-up step).
 - :func:`french_minimal_stem` — Savoy's minimal French stemmer (plural +
   feminine + final-e normalization; the shape of
-  ``fr/FrenchMinimalStemFilter.java``).
+  ``fr/FrenchMinimalStemFilter.java``); Italian/Portuguese light
+  stemmers alongside.
 - :class:`StemmingAnalyzer` — StandardAnalyzer chain + language stop
   list + optional elision + stem function, with the factorize-once
   batch path (stem cost scales with the batch VOCABULARY, not the
@@ -368,6 +372,138 @@ def elide(token: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Russian (Snowball)
+# ---------------------------------------------------------------------------
+
+_RU_V = frozenset("аеиоуыэюя")
+
+_RU_PGERUND_1 = ("вшись", "вши", "в")            # preceded by а/я
+_RU_PGERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJECTIVE = (
+    "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые", "ое",
+    "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их", "ых", "ую",
+    "юю", "ая", "яя", "ою", "ею",
+)
+_RU_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")  # preceded by а/я
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = (                                    # preceded by а/я
+    "ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем", "ло", "но",
+    "ет", "ют", "ны", "ть", "й", "л", "н",
+)
+_RU_VERB_2 = (
+    "ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли", "ило",
+    "ыло", "ено", "ует", "уют", "ены", "ить", "ыть", "ишь", "ей", "уй",
+    "ил", "ыл", "им", "ым", "ен", "ят", "ит", "ыт", "ую", "ю",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ев", "ов", "ие",
+    "ье", "еи", "ии", "ей", "ой", "ий", "ям", "ем", "ам", "ом", "ах",
+    "ях", "ию", "ью", "ия", "ья", "и", "е", "а", "о", "у", "ы", "ь",
+    "ю", "я", "й",
+)
+
+
+def _ru_longest(w: str, rv: int, sufs: tuple,
+                need_ajya: bool = False) -> str | None:
+    """Longest suffix of ``w`` from ``sufs`` lying in RV (and, for the
+    а/я groups, preceded by а or я with that letter also in RV)."""
+    best = None
+    for s in sufs:
+        if len(s) > len(best or "") and w.endswith(s) \
+                and len(w) - len(s) >= rv:
+            if need_ajya:
+                i = len(w) - len(s) - 1
+                if i < rv or i < 0 or w[i] not in "ая":
+                    continue
+            best = s
+    return best
+
+
+def russian_stem(word: str) -> str:
+    """Snowball Russian (the published algorithm): RV-scoped suffix
+    groups — perfective gerund, reflexive, adjectival (adjective +
+    optional participle), verb, noun — then final-и removal, the
+    derivational ость/ост in R2, and the tidy-up step."""
+    w = word.replace("ё", "е")
+    n = len(w)
+    rv = n
+    for i in range(n):
+        if w[i] in _RU_V:
+            rv = i + 1
+            break
+    r1, r2 = _r1_r2(w, _RU_V)
+
+    # step 1: perfective gerund, else [reflexive] + adjectival|verb|noun
+    s = _ru_longest(w, rv, _RU_PGERUND_2)
+    s2 = _ru_longest(w, rv, _RU_PGERUND_1, need_ajya=True)
+    if s2 and (not s or len(s2) >= len(s)):
+        s = s2
+    if s:
+        w = w[: -len(s)]
+    else:
+        for refl in ("ся", "сь"):
+            if w.endswith(refl) and len(w) - 2 >= rv:
+                w = w[:-2]
+                break
+        adj = _ru_longest(w, rv, _RU_ADJECTIVE)
+        if adj:
+            w = w[: -len(adj)]
+            p = _ru_longest(w, rv, _RU_PARTICIPLE_2)
+            p2 = _ru_longest(w, rv, _RU_PARTICIPLE_1, need_ajya=True)
+            if p2 and (not p or len(p2) >= len(p)):
+                p = p2
+            if p:
+                w = w[: -len(p)]
+        else:
+            v = _ru_longest(w, rv, _RU_VERB_2)
+            v2 = _ru_longest(w, rv, _RU_VERB_1, need_ajya=True)
+            if v2 and (not v or len(v2) >= len(v)):
+                v = v2
+            if v:
+                w = w[: -len(v)]
+            else:
+                nn = _ru_longest(w, rv, _RU_NOUN)
+                if nn:
+                    w = w[: -len(nn)]
+
+    # step 2: final и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+    # step 3: derivational (R2)
+    for s3 in ("ость", "ост"):
+        if w.endswith(s3) and len(w) - len(s3) >= r2:
+            w = w[: -len(s3)]
+            break
+    # step 4: tidy up
+    if w.endswith("нн") and len(w) - 1 >= rv:
+        w = w[:-1]
+    else:
+        sup = _ru_longest(w, rv, ("ейше", "ейш"))
+        if sup:
+            w = w[: -len(sup)]
+            if w.endswith("нн") and len(w) - 1 >= rv:
+                w = w[:-1]
+    if w.endswith("ь") and len(w) - 1 >= rv:
+        w = w[:-1]
+    return w
+
+
+RUSSIAN_STOP_WORDS = frozenset("""
+и в во не что он на я с со как а то все она так его но да ты к у же
+вы за бы по только ее мне было вот от меня еще нет о из ему теперь
+когда даже ну вдруг ли если уже или ни быть был него до вас нибудь
+опять уж вам ведь там потом себя ничего ей может они тут где есть
+надо ней для мы тебя их чем была сам чтоб без будто чего раз тоже
+себе под будет ж тогда кто этот того потому этого какой совсем ним
+здесь этом один почти мой тем чтобы нее сейчас были куда зачем всех
+никогда можно при наконец два об другой хоть после над больше тот
+через эти нас про всего них какая много разве три эту моя впрочем
+хорошо свою этой перед иногда лучше чуть том нельзя такой им более
+всегда конечно всю между это
+""".split())
+
+
+# ---------------------------------------------------------------------------
 # Italian / Portuguese light stemmers (the "light" family of Savoy's
 # stemming papers — the it/ItalianLightStemmer.java and
 # pt/PortugueseMinimalStemmer.java shapes; plural/gender normalization
@@ -572,8 +708,14 @@ def portuguese_analyzer(**kw) -> StemmingAnalyzer:
                             portuguese_minimal_stem, **kw)
 
 
+def russian_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("russian", RUSSIAN_STOP_WORDS, russian_stem,
+                            **kw)
+
+
 register_analyzer("german", german_analyzer())
 register_analyzer("french", french_analyzer())
 register_analyzer("spanish", spanish_analyzer())
 register_analyzer("italian", italian_analyzer())
 register_analyzer("portuguese", portuguese_analyzer())
+register_analyzer("russian", russian_analyzer())

@@ -908,6 +908,11 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
             "Um livro sobre cada animal",
             "Livros para as crianças e os animais",
         ],
+        "russian": [
+            "Новые книги и красивые новости",
+            "Мы работали над книгами",
+            "Красивая книга для работы",
+        ],
     }
     rows = [{"lang": lang, "doc_id": i, "text": t}
             for lang, texts in corpus.items()

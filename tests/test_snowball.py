@@ -161,3 +161,34 @@ def test_italian_portuguese_light_stemmers():
     pt = get_analyzer("portuguese")
     toks = pt.tokens("Os livros e os animais")
     assert "livro" in toks and "animal" in toks and "os" not in toks
+
+
+def test_russian_snowball():
+    from lucene_solr_ray.analysis.snowball import russian_stem
+
+    fams = [
+        ("книга", "книги", "книгу", "книгой", "книгам", "книгами"),
+        ("красивый", "красивая", "красивые", "красивого", "красивыми"),
+        ("работать", "работаю", "работает", "работали", "работала"),
+        ("новость", "новости", "новостью"),
+    ]
+    for fam in fams:
+        stems = {russian_stem(w) for w in fam}
+        assert len(stems) == 1, (fam, stems)
+    assert russian_stem("книгами") == "книг"
+    assert russian_stem("красивый") == "красив"
+    # ё normalizes to е before stemming
+    assert russian_stem("всё") == russian_stem("все")
+
+    from lucene_solr_ray.analysis import get_analyzer
+
+    ru = get_analyzer("russian")
+    toks = ru.tokens("Новые книги и красивые новости")
+    assert "книг" in toks and "красив" in toks and "и" not in toks
+    # batch path (non-ASCII fallback) consistent with scalar path
+    texts = ["Новые книги", "работали без новостей", ""]
+    t, d, _p = ru.tokens_batch(texts)
+    per_doc = [[] for _ in texts]
+    for tok, di in zip(t, d):
+        per_doc[int(di)].append(tok)
+    assert per_doc == [ru.tokens(x) for x in texts]
