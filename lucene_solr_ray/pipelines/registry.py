@@ -944,6 +944,26 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
     })
 
 
+def q_group_percentiles(sf_dir: str) -> pa.Table:
+    """Per-group percentiles (StatsComponent + stats.facet:
+    solr/.../component/StatsValuesFactory.java percentiles per facet
+    bucket): exact distributed quantile_cont of n_chars per lang via
+    ONE (group, value) value-counts shuffle."""
+    from ..stages.sketches import group_percentiles_exact
+
+    ps = group_percentiles_exact(
+        _docs_ds(sf_dir, ["lang", "n_chars"]), "lang", "n_chars",
+        [0.5, 0.95])
+    langs = sorted(ps)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "p50": pa.array(_round4(np.asarray([ps[g][0.5] for g in langs])),
+                        pa.float64()),
+        "p95": pa.array(_round4(np.asarray([ps[g][0.95] for g in langs])),
+                        pa.float64()),
+    })
+
+
 def q_tdigest_quantiles(sf_dir: str) -> pa.Table:
     """t-digest percentiles on an UNBOUNDED float column (events.value) —
     the StatsComponent distributed-percentile scale path
@@ -1942,6 +1962,7 @@ QUERIES = {
     "pivot_facet": q_pivot_facet,
     "stats_percentiles": q_stats_percentiles,
     "tdigest_quantiles": q_tdigest_quantiles,
+    "group_percentiles": q_group_percentiles,
     "multilingual_stems": q_multilingual_stems,
     "json_facet_nested": q_json_facet_nested,
     "highlight_offsets": q_highlight_offsets,
@@ -2181,6 +2202,12 @@ SELECT r.lang, lg.lang_cnt, lg.lang_avg, r.source, r.src_cnt, r.src_avg,
        rn::BIGINT AS rn
 FROM r JOIN lg ON r.lang = lg.lang
 WHERE rn <= 2 ORDER BY lang_cnt DESC, r.lang, rn
+""",
+    "group_percentiles": """
+SELECT lang,
+       floor(quantile_cont(n_chars, 0.5)*10000 + 0.5)/10000 AS p50,
+       floor(quantile_cont(n_chars, 0.95)*10000 + 0.5)/10000 AS p95
+FROM documents GROUP BY lang ORDER BY lang
 """,
     # the Ray side returns each t-digest estimate's TRUE rank error as a
     # 0/1 flag; the oracle asserts the accuracy guarantee holds (the

@@ -257,3 +257,62 @@ def percentiles_exact(ds, column: str, qs: list[float]) -> dict[float, float]:
         hi_v = vals[np.searchsorted(cum, hi_rank + 1)]
         out[q] = lo_v + (t - lo_rank) * (hi_v - lo_v)
     return out
+
+
+def group_percentiles_exact(ds, group_col: str, value_col: str,
+                            qs: list[float]) -> dict:
+    """Per-group exact quantile_cont (StatsComponent + stats.facet
+    percentiles): ONE (group, value) value-counts shuffle, then the
+    interpolation runs per group on the tiny aggregate. Scales while
+    per-group value cardinality is bounded; the unbounded-cardinality
+    path is :func:`group_percentiles_tdigest`."""
+    counts = ds.groupby([group_col, value_col]).count().to_pandas()
+    out: dict = {}
+    for g, sub in counts.groupby(group_col):
+        sub = sub.sort_values(value_col)
+        vals = sub[value_col].to_numpy(np.float64)
+        cnts = sub["count()"].to_numpy(np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        res = {}
+        for q in qs:
+            t = (n - 1) * q
+            lo_r, hi_r = int(np.floor(t)), int(np.ceil(t))
+            lo_v = vals[np.searchsorted(cum, lo_r + 1)]
+            hi_v = vals[np.searchsorted(cum, hi_r + 1)]
+            res[q] = lo_v + (t - lo_r) * (hi_v - lo_v)
+        out[g] = res
+    return out
+
+
+def group_percentiles_tdigest(ds, group_col: str, value_col: str,
+                              qs: list[float], *,
+                              compression: float = 200.0) -> dict:
+    """Per-group approximate percentiles: one t-digest PER GROUP PER
+    BATCH (vectorized adds), merged driver-side by group — the shuffle
+    carries ~compression centroids per (group, batch), never values."""
+    def sketch(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], g[1:] != g[:-1])))
+        ends = np.append(starts[1:], g.size)
+        names, blobs = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            d = TDigest(compression)
+            d.add_array(v[s:e])
+            names.append(g[s])
+            blobs.append(d.to_bytes())
+        return pa.table({
+            "g": pa.array([str(x) for x in names], pa.string()),
+            "sketch": pa.array(blobs, pa.large_binary()),
+        })
+
+    merged: dict[str, TDigest] = {}
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        d = TDigest.from_bytes(row["sketch"])
+        cur = merged.get(row["g"])
+        merged[row["g"]] = d if cur is None else cur.merge(d)
+    return {g: {q: d.quantile(q) for q in qs} for g, d in merged.items()}

@@ -398,3 +398,31 @@ def test_rpt_bbox_prune_equals_exact(ray_session):
                 & (lon >= box[2]) & (lon <= box[3]))
         assert got["i"].to_numpy().tolist() == \
             np.flatnonzero(want).tolist(), box
+
+
+def test_group_percentiles_tdigest_vs_exact(ray_session):
+    """Per-group t-digest percentiles track the exact per-group
+    quantiles within rank tolerance (the stats.facet scale path)."""
+    import pandas as pd
+
+    from lucene_solr_ray.stages.sketches import (
+        group_percentiles_exact,
+        group_percentiles_tdigest,
+    )
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 30_000),
+        "v": rng.lognormal(0, 1.5, 30_000),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    approx = group_percentiles_tdigest(ds, "g", "v", [0.5, 0.99])
+    for g, sub in df.groupby("g"):
+        x = sub["v"].to_numpy()
+        for q in (0.5, 0.99):
+            est = approx[g][q]
+            rank = float((x <= est).mean())
+            assert abs(rank - q) < 0.01, (g, q, rank)
+    exact = group_percentiles_exact(ds, "g", "v", [0.5])
+    for g, sub in df.groupby("g"):
+        assert abs(exact[g][0.5] - np.quantile(sub["v"], 0.5)) < 1e-9
