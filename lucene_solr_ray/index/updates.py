@@ -130,3 +130,67 @@ def update_documents(index_dir: str, table: pa.Table, key_col: str) -> dict:
         delete_docs(index_dir, doomed)
     append_segment(index_dir, table)
     return {"deleted": int(doomed.size), "added": table.num_rows}
+
+
+def atomic_update(index_dir: str, key_col: str,
+                  ops: dict, *, default_row: dict | None = None) -> dict:
+    """Solr atomic updates (``solr/core/.../update/processor/
+    AtomicUpdateDocumentMerger.java`` — the ``{"set": v}``/``{"inc": n}``/
+    ``{"add": v}`` modifier syntax): partial field modifications by key.
+
+    ``ops`` maps key -> {field: (op, value)} with op in
+    ``set`` / ``inc`` / ``add`` (string-append with space — the
+    multiValued add flattened to the text pipeline) / ``remove``
+    (regex-free literal removal from a space-joined field).
+
+    Like the reference, the engine reads the CURRENT stored document,
+    merges the modifiers, and reindexes the result as a delete-then-add
+    (stored fields are the source of truth; inverted data rebuilds from
+    them). Keys absent from the index insert ``default_row`` merged with
+    the modifiers when provided, else raise.
+    Returns update_documents' {"deleted", "added"}.
+    """
+    from .build import IndexManifest
+    from .check import fetch_docs
+
+    man = IndexManifest.load(index_dir)
+    keys = np.asarray(sorted(ops), dtype=np.int64)
+    doc_ids = _matching_doc_ids(man, key_col, keys)
+    cur = fetch_docs(index_dir, doc_ids=doc_ids.tolist()) \
+        if doc_ids.size else None
+    rows_by_key: dict = {}
+    if cur is not None:
+        if cur.column_names.count("doc_id") > 1:
+            # the key column is itself named doc_id: drop the synthetic
+            # global-id column fetch_docs prepends
+            cur = cur.remove_column(0)
+        drop = {"doc_id"} - {key_col}
+        for r in cur.to_pylist():
+            rows_by_key[r[key_col]] = {
+                k: v for k, v in r.items() if k not in drop}
+    new_rows = []
+    for key, mods in ops.items():
+        row = rows_by_key.get(key)
+        if row is None:
+            if default_row is None:
+                raise KeyError(f"key {key!r} not in index and no "
+                               "default_row given")
+            row = dict(default_row)
+            row[key_col] = key
+        for f, (op, val) in mods.items():
+            if op == "set":
+                row[f] = val
+            elif op == "inc":
+                row[f] = (row.get(f) or 0) + val
+            elif op == "add":
+                row[f] = (str(row.get(f) or "") + " " + str(val)).strip()
+            elif op == "remove":
+                parts = str(row.get(f) or "").split()
+                row[f] = " ".join(p for p in parts if p != str(val))
+            else:
+                raise ValueError(f"unknown atomic op {op!r}")
+        new_rows.append(row)
+    cols = sorted({k for r in new_rows for k in r})
+    tbl = pa.table({c: pa.array([r.get(c) for r in new_rows])
+                    for c in cols})
+    return update_documents(index_dir, tbl, key_col)

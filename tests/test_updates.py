@@ -174,3 +174,38 @@ def test_incremental_merge_append(tmp_path_factory, ray_session):
         b = s2.search(TermQuery(t), k=10)
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), t
         assert a["score"].to_pylist() == b["score"].to_pylist(), t
+
+
+def test_atomic_update_ops(tmp_path_factory, ray_session):
+    """Atomic update modifiers (AtomicUpdateDocumentMerger): set / inc /
+    add / remove merge against the stored document and reindex."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.index.updates import atomic_update
+    from lucene_solr_ray.index.check import fetch_docs
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+
+    d = tmp_path_factory.mktemp("atomic_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array([1, 2], pa.int64()),
+        "content": pa.array(["alpha beta", "gamma delta"]),
+        "views": pa.array([10, 20], pa.int64()),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("atomic_idx") / "idx")
+    build_index(str(d), out, text_field="content", rows_per_partition=10)
+    r = atomic_update(out, "doc_key", {
+        1: {"content": ("add", "epsilon"), "views": ("inc", 5)},
+        2: {"content": ("remove", "gamma")},
+    })
+    assert r == {"deleted": 2, "added": 2}
+    s = IndexSearcher(out)
+    # new token searchable; removed token gone
+    assert s.search(TermQuery("epsilon"), k=5)["doc_id"].to_pylist() == [2]
+    assert len(s.search(TermQuery("gamma"), k=5)["doc_id"]) == 0
+    # stored fields reflect the merge
+    docs = fetch_docs(out, doc_ids=[2, 3]).to_pylist()
+    by_key = {r["doc_key"]: r for r in docs}
+    assert by_key[1]["content"] == "alpha beta epsilon"
+    assert by_key[1]["views"] == 15
+    assert by_key[2]["content"] == "delta"
