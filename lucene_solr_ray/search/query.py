@@ -39,6 +39,12 @@ class BooleanQuery(Query):
     clauses: tuple  # of (occur, Query)
     min_should_match: int = 0
 
+    def __post_init__(self):
+        if not isinstance(self.clauses, tuple) or any(
+                not isinstance(c, tuple) for c in self.clauses):
+            object.__setattr__(
+                self, "clauses", tuple(tuple(c) for c in self.clauses))
+
     @staticmethod
     def build(should=(), must=(), must_not=(), filter=(), msm: int = 0):
         cl = (
@@ -55,6 +61,12 @@ class PhraseQuery(Query):
     terms: tuple
     slop: int = 0
 
+    def __post_init__(self):
+        # normalize list input so the query stays hashable — an
+        # unhashable query silently defeats the queryResultCache
+        if not isinstance(self.terms, tuple):
+            object.__setattr__(self, "terms", tuple(self.terms))
+
 
 @dataclass(frozen=True)
 class MultiPhraseQuery(Query):
@@ -64,6 +76,12 @@ class MultiPhraseQuery(Query):
     fox"."""
 
     slots: tuple  # of tuples of terms
+
+    def __post_init__(self):
+        if not isinstance(self.slots, tuple) or any(
+                not isinstance(x, tuple) for x in self.slots):
+            object.__setattr__(
+                self, "slots", tuple(tuple(x) for x in self.slots))
 
 
 @dataclass(frozen=True)
