@@ -116,6 +116,19 @@ def _check_partition_body(index_dir: str, man: IndexManifest, part: dict,
          for o, ln in zip(q_off, q_len)]
         if man.store_positions else None
     )
+    off_col = pay_col = None
+    if "off_offset" in seg.schema.names:
+        off_col = [
+            bin_mv[int(o):int(o) + int(ln)]
+            for o, ln in zip(seg["off_offset"].to_numpy(),
+                             seg["off_length"].to_numpy())
+        ]
+    if "pay_offset" in seg.schema.names:
+        pay_col = [
+            bin_mv[int(o):int(o) + int(ln)]
+            for o, ln in zip(seg["pay_offset"].to_numpy(),
+                             seg["pay_length"].to_numpy())
+        ]
     idx = np.arange(len(terms))
     if sample_terms and len(terms) > sample_terms:
         rng = np.random.default_rng(pid)
@@ -129,6 +142,23 @@ def _check_partition_body(index_dir: str, man: IndexManifest, part: dict,
             if pv.size != int(f.sum()):
                 err(f"part {pid} term {terms[i]!r}: positions stream "
                     f"length {pv.size} != ttf {int(f.sum())}")
+        if off_col is not None:
+            from ..codec.postings import decode_values
+
+            ov = decode_values(off_col[i])
+            if ov.size != 2 * int(f.sum()):
+                err(f"part {pid} term {terms[i]!r}: offsets stream "
+                    f"length {ov.size} != 2*ttf {2 * int(f.sum())}")
+            elif ov.size and np.any(ov[1::2] == 0):
+                err(f"part {pid} term {terms[i]!r}: zero-length offset "
+                    "span")
+        if pay_col is not None:
+            from ..codec.postings import decode_values
+
+            yv = decode_values(pay_col[i])
+            if yv.size != int(f.sum()):
+                err(f"part {pid} term {terms[i]!r}: payload stream "
+                    f"length {yv.size} != ttf {int(f.sum())}")
         if d.size != dfs[i]:
             err(f"part {pid} term {terms[i]!r}: df {dfs[i]} != decoded "
                 f"{d.size}")

@@ -106,3 +106,13 @@ def test_offsets_error_without_flag(tmp_path_factory, ray_session):
     with pytest.raises(ValueError):
         build_index(str(d), out, text_field="content",
                     store_offsets=True)  # needs positions
+
+
+def test_checkindex_covers_offset_stream(off_idx):
+    """CheckIndex verifies the offsets stream (length == 2*ttf, no
+    zero-length spans) alongside postings/positions."""
+    from lucene_solr_ray.index.check import check_index
+
+    out, _docs = off_idx
+    rep = check_index(out)
+    assert rep["ok"] and rep["terms_checked"] > 0

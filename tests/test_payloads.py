@@ -75,3 +75,10 @@ def test_positions_intact_with_payloads(pay_idx):
     s = IndexSearcher(pay_idx)
     hits = s.search(PhraseQuery(["alpha", "beta"]), k=10)
     assert hits["doc_id"].to_pylist() == [0]
+
+
+def test_checkindex_covers_payload_stream(pay_idx):
+    from lucene_solr_ray.index.check import check_index
+
+    rep = check_index(pay_idx)
+    assert rep["ok"] and rep["terms_checked"] > 0

@@ -80,3 +80,50 @@ def test_fast_path_equals_regex_property(s):
 def test_tokenizer_never_crashes_and_tokens_nonempty(s):
     for t in tokenize(s):
         assert t and len(t) <= 255
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=128), min_size=1,
+                    max_size=30),
+    max_val=st.sampled_from([200, 70_000, 1 << 20]),
+    subset_stride=st.integers(min_value=1, max_value=3),
+)
+def test_values_batch_packed_roundtrip_property(counts, max_val,
+                                                subset_stride):
+    """encode_values_batch_packed == per-stream decode_values for
+    random widths, contiguous AND non-contiguous subsets."""
+    from lucene_solr_ray.codec.postings import (
+        decode_values,
+        encode_values_batch_packed,
+    )
+
+    rng = np.random.default_rng(0)
+    counts = np.asarray(counts, np.int64)
+    starts = np.zeros(counts.size, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    ends = starts + counts
+    vals = rng.integers(0, max_val, counts.sum()).astype(np.uint32)
+    sub = np.arange(0, counts.size, subset_stride)
+    buf, lens = encode_values_batch_packed(vals, starts[sub], ends[sub])
+    offs = np.zeros(sub.size + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    for k, ti in enumerate(sub.tolist()):
+        got = decode_values(buf[offs[k]:offs[k + 1]].tobytes())
+        assert np.array_equal(got, vals[starts[ti]:ends[ti]])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=2, max_size=400))
+def test_tdigest_quantile_bounds_property(xs):
+    """t-digest quantiles always lie within [min, max] and are monotone
+    in q."""
+    from lucene_solr_ray.stages.sketches import TDigest
+
+    d = TDigest(100)
+    d.add_array(np.asarray(xs))
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    est = [d.quantile(q) for q in qs]
+    assert all(min(xs) - 1e-9 <= e <= max(xs) + 1e-9 for e in est)
+    assert all(a <= b + 1e-9 for a, b in zip(est, est[1:]))
