@@ -944,6 +944,36 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
     })
 
 
+def q_expression_score(sf_dir: str) -> pa.Table:
+    """Compiled infix expression over docvalues columns
+    (lucene/expressions JavascriptCompiler analogue,
+    search/functions.py compile_expression): one vectorized closure per
+    batch, top-10 docs by expression value. The oracle restates the
+    formula in SQL."""
+    from ..search.functions import compile_expression
+
+    expr = compile_expression("sqrt(n_chars) + 2*ln(1 + doc_id % 97)")
+
+    def apply(b: pa.Table) -> pa.Table:
+        v = expr({
+            "n_chars": b["n_chars"].to_numpy().astype(np.float64),
+            "doc_id": b["doc_id"].to_numpy().astype(np.float64),
+        })
+        return pa.table({"doc_id": b["doc_id"], "expr": pa.array(v)})
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(apply, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["expr", "doc_id"], ascending=[False, True])
+        .head(10)
+    )
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "expr": pa.array(_round4(out["expr"].to_numpy()), pa.float64()),
+    })
+
+
 def q_group_percentiles(sf_dir: str) -> pa.Table:
     """Per-group percentiles (StatsComponent + stats.facet:
     solr/.../component/StatsValuesFactory.java percentiles per facet
@@ -1963,6 +1993,7 @@ QUERIES = {
     "stats_percentiles": q_stats_percentiles,
     "tdigest_quantiles": q_tdigest_quantiles,
     "group_percentiles": q_group_percentiles,
+    "expression_score": q_expression_score,
     "multilingual_stems": q_multilingual_stems,
     "json_facet_nested": q_json_facet_nested,
     "highlight_offsets": q_highlight_offsets,
@@ -2202,6 +2233,13 @@ SELECT r.lang, lg.lang_cnt, lg.lang_avg, r.source, r.src_cnt, r.src_avg,
        rn::BIGINT AS rn
 FROM r JOIN lg ON r.lang = lg.lang
 WHERE rn <= 2 ORDER BY lang_cnt DESC, r.lang, rn
+""",
+    "expression_score": """
+SELECT doc_id,
+       floor((sqrt(n_chars) + 2*ln(1 + doc_id % 97))*10000 + 0.5)/10000
+         AS expr
+FROM documents
+ORDER BY sqrt(n_chars) + 2*ln(1 + doc_id % 97) DESC, doc_id LIMIT 10
 """,
     "group_percentiles": """
 SELECT lang,

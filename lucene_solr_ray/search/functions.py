@@ -162,3 +162,64 @@ def boost_by_function(searcher, q, expr: str, k: int):
         "doc_id": pa.array(d),
         "score": pa.array(s, pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Compiled infix expressions (the lucene/expressions module:
+# expressions/js/JavascriptCompiler.java — infix arithmetic over value
+# sources compiled once, evaluated per doc). Here: Python-grammar infix
+# (same surface for arithmetic) compiled via the ast module into ONE
+# vectorized numpy closure over column bindings — no per-doc eval.
+# ---------------------------------------------------------------------------
+
+_EXPR_FUNCS = {
+    "sqrt": np.sqrt, "ln": np.log, "log": np.log, "log10": np.log10,
+    "abs": np.abs, "exp": np.exp, "floor": np.floor, "ceil": np.ceil,
+    "min": np.minimum, "max": np.maximum, "pow": np.power,
+}
+
+_ALLOWED_NODES = (
+    "Expression", "BinOp", "UnaryOp", "Call", "Name", "Constant",
+    "Add", "Sub", "Mult", "Div", "Mod", "Pow", "USub", "UAdd",
+    "Load", "Compare", "Gt", "GtE", "Lt", "LtE", "Eq", "NotEq",
+    "IfExp",
+)
+
+
+def compile_expression(src: str):
+    """Compile an infix expression ("sqrt(nchars) + 2*ln(1+views)") into
+    ``fn(bindings) -> np.ndarray`` — the JavascriptCompiler analogue.
+    Only arithmetic/comparison/ternary nodes and the whitelisted math
+    functions are admitted; names resolve in ``bindings`` (numpy arrays
+    or scalars)."""
+    import ast as _ast
+
+    tree = _ast.parse(src, mode="eval")
+    names: set[str] = set()
+    func_names: set[str] = set()
+    for node in _ast.walk(tree):
+        kind = type(node).__name__
+        if kind not in _ALLOWED_NODES:
+            raise ValueError(
+                f"expression node {kind} not allowed in {src!r}")
+        if isinstance(node, _ast.Name):
+            names.add(node.id)
+        if isinstance(node, _ast.Call):
+            if not isinstance(node.func, _ast.Name) \
+                    or node.func.id not in _EXPR_FUNCS:
+                raise ValueError(
+                    f"unknown function in expression: {src!r}")
+            func_names.add(node.func.id)
+    code = compile(tree, "<expression>", "eval")
+    var_names = frozenset(names - func_names)
+
+    def fn(bindings: dict) -> np.ndarray:
+        missing = var_names - set(bindings)
+        if missing:
+            raise KeyError(f"expression variables unbound: {missing}")
+        env = dict(_EXPR_FUNCS)
+        env.update({k: bindings[k] for k in var_names})
+        return np.asarray(eval(code, {"__builtins__": {}}, env))
+
+    fn.variables = var_names
+    return fn

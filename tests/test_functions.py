@@ -50,3 +50,27 @@ def test_scale_uses_global_extrema():
     assert np.allclose(got2, [(4 - 1) / 98])
     with pytest.raises(ValueError):
         evaluate(parse_func("scale(sum(x,1),0,1)"), _vals, DOCS)
+
+
+def test_compile_expression():
+    """lucene/expressions analogue: compiled infix expressions are
+    vectorized, variable-checked, and sandboxed."""
+    import numpy as np
+    import pytest
+
+    from lucene_solr_ray.search.functions import compile_expression
+
+    f = compile_expression("sqrt(x) + 2*ln(1+y)")
+    x = np.array([4.0, 9.0])
+    y = np.array([0.0, np.e - 1])
+    assert np.allclose(f({"x": x, "y": y}), np.sqrt(x) + 2 * np.log(1 + y))
+    assert f.variables == {"x", "y"}
+    # comparisons and scalar mixing
+    g = compile_expression("(x > 5) * x + (x <= 5) * 10")
+    assert np.allclose(g({"x": np.array([3.0, 8.0])}), [10.0, 8.0])
+    with pytest.raises(KeyError):
+        f({"x": x})  # y unbound
+    for bad in ("__import__('os')", "open('x')", "x.__class__",
+                "[i for i in x]", "lambda: 1"):
+        with pytest.raises(ValueError):
+            compile_expression(bad)
