@@ -84,6 +84,16 @@ def run_curation(
     from ..stages.textstats import bpe_token_count_batch, token_quality_batch
 
     src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(src):
+        # sharded corpus layout: documents-*.parquet under the dir (the
+        # 100 TB shape — one file per ingest shard)
+        import glob as _glob
+
+        src = sorted(_glob.glob(os.path.join(sf_dir,
+                                             "documents*.parquet")))
+        if not src:
+            raise FileNotFoundError(
+                f"no documents parquet under {sf_dir}")
 
     def fresh_read():
         return rd.read_parquet(src, columns=["doc_id", "text"])
