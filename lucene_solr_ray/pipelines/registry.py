@@ -944,6 +944,34 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
     })
 
 
+def q_percolate_matches(sf_dir: str) -> pa.Table:
+    """Distributed percolation (stages/percolate.py — the MemoryIndex
+    saved-search/alerting shape at stream scale): four registered
+    queries matched against every document in ONE shuffle-free pass;
+    the oracle restates each saved query as a regex predicate."""
+    import ray.data as rd
+
+    from ..search.query import BooleanQuery, PhraseQuery, TermQuery
+    from ..stages.percolate import percolate
+
+    queries = {
+        "q_term": TermQuery("table"),
+        "q_and": BooleanQuery.build(must=[TermQuery("index"),
+                                          TermQuery("merge")]),
+        "q_not": BooleanQuery.build(must=[TermQuery("vector")],
+                                    must_not=[TermQuery("table")]),
+        "q_phrase": PhraseQuery(("hash", "join")),
+    }
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = percolate(ds, queries).to_pandas()
+    out = out.sort_values(["query", "doc_id"])
+    return pa.table({
+        "query": pa.array(out["query"].tolist(), pa.string()),
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+    })
+
+
 def q_expression_score(sf_dir: str) -> pa.Table:
     """Compiled infix expression over docvalues columns
     (lucene/expressions JavascriptCompiler analogue,
@@ -1994,6 +2022,7 @@ QUERIES = {
     "tdigest_quantiles": q_tdigest_quantiles,
     "group_percentiles": q_group_percentiles,
     "expression_score": q_expression_score,
+    "percolate_matches": q_percolate_matches,
     "multilingual_stems": q_multilingual_stems,
     "json_facet_nested": q_json_facet_nested,
     "highlight_offsets": q_highlight_offsets,
@@ -2233,6 +2262,23 @@ SELECT r.lang, lg.lang_cnt, lg.lang_avg, r.source, r.src_cnt, r.src_avg,
        rn::BIGINT AS rn
 FROM r JOIN lg ON r.lang = lg.lang
 WHERE rn <= 2 ORDER BY lang_cnt DESC, r.lang, rn
+""",
+    "percolate_matches": """
+WITH m AS (
+  SELECT 'q_term' AS query, doc_id FROM documents
+  WHERE regexp_matches(text, '\\btable\\b')
+  UNION ALL
+  SELECT 'q_and', doc_id FROM documents
+  WHERE regexp_matches(text, '\\bindex\\b')
+    AND regexp_matches(text, '\\bmerge\\b')
+  UNION ALL
+  SELECT 'q_not', doc_id FROM documents
+  WHERE regexp_matches(text, '\\bvector\\b')
+    AND NOT regexp_matches(text, '\\btable\\b')
+  UNION ALL
+  SELECT 'q_phrase', doc_id FROM documents
+  WHERE regexp_matches(text, '\\bhash join\\b'))
+SELECT query, doc_id FROM m ORDER BY query, doc_id
 """,
     "expression_score": """
 SELECT doc_id,

@@ -66,7 +66,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "ft_phrase_search", "suggest_prefix", "spellcheck",
         "facet_on_query", "group_search_top2", "events_sliding_window",
         "unique_stream", "numeric_range", "agg_pricing_summary",
-        "join_orders_revenue", "stats_percentiles", "tdigest_quantiles", "group_percentiles", "expression_score",
+        "join_orders_revenue", "stats_percentiles", "tdigest_quantiles", "group_percentiles", "expression_score", "percolate_matches",
         "json_facet_nested", "geo_bbox", "geo_heatmap", "payload_score_top10", "update_processors",
         "stream_join_rollup", "stream_complement", "fact_join_revenue",
         "pivot_facet",
