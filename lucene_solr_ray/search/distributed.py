@@ -94,10 +94,14 @@ class SearcherActor:
     ``queries_ds.map_batches(SearcherActor, fn_constructor_args=(idx,),
     concurrency=N)``."""
 
-    def __init__(self, index_dir: str, k: int = 10, prune: bool = True):
+    def __init__(self, index_dir: str, k: int = 10, prune: bool = True,
+                 compact_terms: bool = False):
         from .searcher import IndexSearcher
 
-        self.searcher = IndexSearcher(index_dir)
+        # compact_terms: front-coded term dict (~10x less actor RAM at
+        # 10^7+ terms/shard; identical results — search/termdict.py)
+        self.searcher = IndexSearcher(index_dir,
+                                      compact_terms=compact_terms)
         self.k = k
         self.prune = prune
 
@@ -213,12 +217,13 @@ class ServingPool:
     are per-execution and would re-pay startup per call)."""
 
     def __init__(self, index_dir: str, *, k: int = 10, prune: bool = True,
-                 num_actors: int = 4):
+                 num_actors: int = 4, compact_terms: bool = False):
         import ray
 
         actor_cls = ray.remote(SearcherActor)
         self.actors = [
-            actor_cls.remote(index_dir, k, prune) for _ in range(num_actors)
+            actor_cls.remote(index_dir, k, prune, compact_terms)
+            for _ in range(num_actors)
         ]
         # block until every replica finished loading (warm pool)
         ray.get([a.ready.remote() for a in self.actors])
