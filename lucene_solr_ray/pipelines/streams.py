@@ -21,6 +21,8 @@ partitionKeys requirement).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -167,7 +169,8 @@ def merge_stream(a, b, by: list[str], descending: bool = False):
 
 def sort_merge_join(left, right, on: str, *,
                     lsuffix: str = "", rsuffix: str = "_r",
-                    num_parts: int | None = None):
+                    num_parts: int | None = None,
+                    out_path: str | None = None):
     """Distributed sort-merge equi-join for FACT x FACT inputs — the
     join shape the broadcast decorators above can't do (both sides too
     big to ``ray.put``). This is the reference's sorted-stream merge
@@ -182,6 +185,14 @@ def sort_merge_join(left, right, on: str, *,
        (repeat x tile index gathers, no Python per row);
     4. the <= 2 boundary key-groups per sorted block finish driver-side
        (same bounded-boundary invariant as the segment merge).
+
+    ``out_path=None`` materializes the join output in the object store
+    (fine when the OUTPUT is bounded — pre-aggregated or selective
+    joins). For corpus-scale outputs pass ``out_path``: each task then
+    WRITES its interior join rows to parquet and returns only its
+    boundary rows (the segment merge's write-inside-task economics —
+    nothing corpus-scale is ever pinned), and the function returns a
+    Dataset reading the written files.
 
     Skew caveat (documented, same as any shuffle join): one key's rows
     land in one place; a pathological hot key should be pre-aggregated
@@ -280,23 +291,54 @@ def sort_merge_join(left, right, on: str, *,
         return t.append_column(
             "_bside", pa.array(np.zeros(li.size, np.int8)))
 
-    joined = (
-        both.sort([on, "_side"])
-        .map_batches(join_block, batch_format="pyarrow",
-                     batch_size=None)
-        .materialize()
-    )
-    interior = joined.map_batches(
-        lambda t: t.filter(pc_.equal(t["_boundary"], 0)).drop_columns(
-            ["_boundary", "_bside"]),
-        batch_format="pyarrow",
-    )
-    boundary = joined.map_batches(
-        lambda t: t.filter(pc_.equal(t["_boundary"], 1)),
-        batch_format="pyarrow",
-    ).take_all()  # <= 2 key-groups per sorted block
-    if not boundary:
-        return interior
+    if out_path is not None:
+        # scale path: interior rows stream to parquet INSIDE the task;
+        # only the bounded boundary rows come back
+        import hashlib as _hashlib
+        import os as _os
+
+        _os.makedirs(out_path, exist_ok=True)
+
+        def join_block_write(b: pa.Table) -> pa.Table:
+            t = join_block(b)
+            interior_t = t.filter(
+                pc_.equal(t["_boundary"], 0)).drop_columns(
+                    ["_boundary", "_bside"])
+            if interior_t.num_rows:
+                import pyarrow.parquet as pq_
+
+                key0 = str(interior_t[on][0].as_py())
+                name = _hashlib.md5(
+                    f"{key0}:{interior_t.num_rows}".encode()
+                ).hexdigest()[:16]
+                p = _os.path.join(out_path, f"join-{name}.parquet")
+                pq_.write_table(interior_t, p + ".tmp")
+                _os.replace(p + ".tmp", p)
+            return t.filter(pc_.equal(t["_boundary"], 1))
+
+        boundary = (
+            both.sort([on, "_side"])
+            .map_batches(join_block_write, batch_format="pyarrow",
+                         batch_size=None)
+            .take_all()  # <= 2 key-groups per sorted block
+        )
+        interior = None
+    else:
+        joined = (
+            both.sort([on, "_side"])
+            .map_batches(join_block, batch_format="pyarrow",
+                         batch_size=None)
+            .materialize()  # bounded-output mode; see docstring
+        )
+        interior = joined.map_batches(
+            lambda t: t.filter(pc_.equal(t["_boundary"], 0)).drop_columns(
+                ["_boundary", "_bside"]),
+            batch_format="pyarrow",
+        )
+        boundary = joined.map_batches(
+            lambda t: t.filter(pc_.equal(t["_boundary"], 1)),
+            batch_format="pyarrow",
+        ).take_all()  # <= 2 key-groups per sorted block
     import collections
 
     by_key: dict = collections.defaultdict(lambda: ([], []))
@@ -312,6 +354,15 @@ def sort_merge_join(left, right, on: str, *,
                 for o in out_r:
                     row[o] = rrow[o]
                 rows.append(row)
+    if out_path is not None:
+        if rows:
+            import pyarrow.parquet as pq_
+
+            bt = pa.table({c: pa.array([r[c] for r in rows])
+                           for c in [on] + out_l + out_r})
+            pq_.write_table(
+                bt, os.path.join(out_path, "join-boundary.parquet"))
+        return rd.read_parquet(out_path)
     if rows:
         extra = rd.from_items(rows)
         return interior.union(extra)

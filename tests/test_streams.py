@@ -104,3 +104,28 @@ def test_sort_merge_join_one_sided_keys_dropped(ray_session):
     got = sort_merge_join(rd.from_pandas(left), rd.from_pandas(right),
                           on="k").to_pandas()
     assert got[["k", "lv", "rv"]].values.tolist() == [[2, 20, 200]]
+
+
+def test_sort_merge_join_out_path_streams_to_parquet(ray_session,
+                                                     tmp_path_factory):
+    """Scale mode: interior join rows stream to parquet inside tasks
+    (nothing corpus-scale pinned); result identical to in-memory mode."""
+    from lucene_solr_ray.pipelines.streams import sort_merge_join
+
+    rng = np.random.default_rng(12)
+    left = pd.DataFrame({"k": rng.integers(0, 40, 2000),
+                         "lv": rng.integers(0, 100, 2000)})
+    right = pd.DataFrame({"k": rng.integers(0, 40, 1500),
+                          "rv": rng.integers(0, 100, 1500)})
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+    out = str(tmp_path_factory.mktemp("smj") / "join_out")
+    got = sort_merge_join(lds, rds, on="k", out_path=out).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    assert len(got) == len(want)
+    gs = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    ws = want.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert gs[["k", "lv", "rv"]].equals(ws[["k", "lv", "rv"]])
+    import os
+
+    assert any(f.startswith("join-") for f in os.listdir(out))
