@@ -75,6 +75,16 @@ def main(argv=None) -> int:
     u.add_argument("--docs", required=True, help="parquet of new/changed rows")
     u.add_argument("--key", required=True, help="unique key column")
 
+    cu = sub.add_parser("curate",
+                        help="training-data curation funnel: quality -> "
+                             "exact dedup -> near-dup -> tokens -> "
+                             "bucketed parquet")
+    cu.add_argument("--input", required=True,
+                    help="dir containing documents*.parquet")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--min-tokens", type=int, default=20)
+    cu.add_argument("--jaccard", type=float, default=0.5)
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -93,6 +103,14 @@ def main(argv=None) -> int:
             merge_index(args.out)
             out["merged"] = True
         print(json.dumps(out))
+    elif args.cmd == "curate":
+        _ray_session()
+        from .pipelines.curation import run_curation
+
+        r = run_curation(args.input, args.out,
+                         min_tokens=args.min_tokens,
+                         jaccard_threshold=args.jaccard)
+        print(json.dumps(r))
     elif args.cmd == "merge":
         _ray_session()
         from .index import merge_index
