@@ -17,7 +17,10 @@ bytes/term is benchmarked in tests/test_termdict.py and BASELINE.md).
 
 Lookups bisect the block heads, then decode one 16-term block: O(log
 n_blocks + 16) per probe, same complexity as the numpy searchsorted
-path. The adapter :class:`NumpyTerms` gives the uncompressed object
+path. Building the blob is a one-time ~1.8 us/term pass at reader
+construction (18 s at 10^7 terms) — amortized over a serving actor's
+lifetime, and far cheaper than the memory it saves at billion-term
+shards. The adapter :class:`NumpyTerms` gives the uncompressed object
 array the same API, so readers switch representations behind one flag
 with identical query results (tests assert rank-identity).
 """
