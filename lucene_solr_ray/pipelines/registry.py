@@ -2645,3 +2645,335 @@ SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
 FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank
 """,
 }
+
+
+# --------------------------------------------------------------------------
+# round-3 continuation entries: spans / block join / elevation / streams /
+# significant terms / TextProfileSignature / terms-component regex
+# --------------------------------------------------------------------------
+
+def q_terms_regex(sf_dir: str) -> pa.Table:
+    """TermsComponent with terms.regex (solr/core/.../component/
+    TermsComponent.java): enumerate index terms matching a regex with
+    their doc freq — the term-dictionary walk, not a document scan."""
+    s, _ = _doc_index(sf_dir)
+    r = s.reader
+    pat = re.compile(r"s[a-z0-9]*")
+    terms = [t for t in r.unique_terms().tolist() if pat.fullmatch(t)]
+    dfs = r.doc_freqs(terms)
+    terms.sort()
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "df": pa.array([dfs[t] for t in terms], pa.int64()),
+    })
+
+
+def q_span_near_search(sf_dir: str) -> pa.Table:
+    """SpanNearQuery(hash, join, slop=3, inOrder) span enumeration
+    (lucene/core/.../search/spans/SpanNearQuery.java): per matching doc
+    the span count and SpanScorer sloppy freq (sum of 1/(1+width))."""
+    from ..search.spans import SpanNearQuery, SpanTermQuery, span_matches
+
+    s, doc_map = _doc_index(sf_dir)
+    q = SpanNearQuery((SpanTermQuery("hash"), SpanTermQuery("join")),
+                      slop=3, in_order=True)
+    docs, counts, freqs = span_matches(s, q)
+    order = np.argsort(doc_map[docs])
+    return pa.table({
+        "doc_id": pa.array(doc_map[docs][order], pa.int64()),
+        "n_spans": pa.array(counts[order], pa.int64()),
+        "sfreq": pa.array(_round4(freqs[order]), pa.float64()),
+    })
+
+
+def q_blockjoin_orders(sf_dir: str) -> pa.Table:
+    """ToParentBlockJoinQuery end-to-end (lucene/join/.../
+    ToParentBlockJoinQuery.java): lineitem child docs indexed
+    contiguously BEFORE their order parent (the addDocuments(block)
+    contract), child query = ConstantScore(flagr), ScoreMode.Total —
+    so each parent's score IS its count of returnflag=R children."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from ..index import build_index
+    from ..search import IndexSearcher
+    from ..search.blockjoin import ToParentBlockJoinQuery, score_to_parent
+    from ..search.query import ConstantScoreQuery, TermQuery
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:blockjoin:v{_FMT}".encode()
+    ).hexdigest()[:12]
+    out = f"/tmp/lsr_qidx/bj-{key}"
+    staged = out + ".corpus"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        li = rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_returnflag"])
+
+        def child(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "okey": b["l_orderkey"],
+                "sub": b["l_linenumber"].cast(pa.int64()),
+                "content": pa.array(
+                    ["childline flag" + f.lower()
+                     for f in b["l_returnflag"].to_pylist()], pa.string()),
+            })
+
+        orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderkey"])
+
+        def parent(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "okey": b["o_orderkey"],
+                "sub": pa.array(np.full(n, 1 << 40), pa.int64()),
+                "content": pa.array(["parentdoc"] * n, pa.string()),
+            })
+
+        blocks = li.map_batches(child, batch_format="pyarrow").union(
+            orders.map_batches(parent, batch_format="pyarrow")
+        ).sort(["okey", "sub"])
+        os.makedirs(staged, exist_ok=True)
+        blocks.write_parquet(staged)
+        os.makedirs(out, exist_ok=True)
+        build_index(staged, out, text_field="content", analyzer="simple",
+                    rows_per_partition=100_000)
+    s = IndexSearcher(out)
+    q = ToParentBlockJoinQuery(
+        child_query=ConstantScoreQuery(TermQuery("flagr"), 1.0),
+        parents_filter=TermQuery("parentdoc"), score_mode="total")
+    pdocs, scores = score_to_parent(s, q)
+    files = sorted(os.path.join(staged, f) for f in os.listdir(staged)
+                   if f.endswith(".parquet"))
+    okeys = pq_.read_table(files, columns=["okey"])["okey"].to_numpy()
+    return pa.table({
+        "o_orderkey": pa.array(okeys[pdocs], pa.int64()),
+        "matched_children": pa.array(
+            np.floor(scores.astype(np.float64) + 0.5).astype(np.int64),
+            pa.int64()),
+    })
+
+
+def q_elevate_query(sf_dir: str) -> pa.Table:
+    """QueryElevationComponent (solr/core/.../component/
+    QueryElevationComponent.java): doc ids 42 and 7 pinned (in that
+    order) above the organic BM25 ranking for q=table."""
+    from ..search.extras import elevate
+    from ..search.query import TermQuery
+
+    s, doc_map = _doc_index(sf_dir)
+    order = np.argsort(doc_map)
+    pinned_src = np.asarray([42, 7], np.int64)
+    internal = order[np.searchsorted(doc_map[order], pinned_src)]
+    t = elevate(s, TermQuery("table"), internal.tolist(), k=10)
+    return pa.table({
+        "rank": t["rank"],
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "elevated": t["elevated"],
+    })
+
+
+def q_fetch_stream(sf_dir: str) -> pa.Table:
+    """fetch() streaming decorator (solrj/io/stream/FetchStream.java):
+    top-10 BM25 hits enriched with stored fields by batched
+    predicate-pushdown lookups against the document store."""
+    import ray.data as rd
+
+    from ..search.query import TermQuery
+    from .streams import fetch
+
+    s, doc_map = _doc_index(sf_dir)
+    t = s.search(TermQuery("table"), k=10)
+    hits = pa.table({
+        "rank": t["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+    enriched = fetch(rd.from_arrow(hits),
+                     os.path.join(sf_dir, "documents.parquet"),
+                     on="doc_id", fields=["lang", "source", "n_chars"])
+    out = enriched.to_pandas().sort_values("rank")
+    return pa.table({
+        "rank": pa.array(out["rank"].to_numpy(), pa.int64()),
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "score": pa.array(out["score"].to_numpy(), pa.float64()),
+        "lang": pa.array(out["lang"].tolist(), pa.string()),
+        "source": pa.array(out["source"].tolist(), pa.string()),
+        "n_chars": pa.array(out["n_chars"].to_numpy(), pa.int64()),
+    })
+
+
+def q_having_stream(sf_dir: str) -> pa.Table:
+    """having(rollup(...)) streaming composition (solrj/io/stream/
+    HavingStream.java): grouped event aggregates kept when the compiled
+    boolean expression (avg value > 50) holds."""
+    import ray.data as rd
+
+    from .streams import having, rollup
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    agg = rollup(ev, ["event_type"],
+                 {"tot": ("sum", "value"), "cnt": ("count", "")})
+    out = having(agg, "tot / cnt > 50").to_pandas() \
+        .sort_values("event_type")
+    return pa.table({
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "tot": pa.array(_round4(out["tot"].to_numpy()), pa.float64()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+    })
+
+
+def q_significant_terms(sf_dir: str) -> pa.Table:
+    """significantTerms streaming expression (solrj/io/stream/
+    SignificantTermsStream.java): terms over-represented in the
+    foreground (docs matching 'vector') vs the collection; one
+    broadcast-foreground tokenize pass + a term-keyed groupby."""
+    from ..analysis import get_analyzer
+    from ..search.query import TermQuery
+    from .streams import significant_terms
+
+    s, doc_map = _doc_index(sf_dir)
+    fg_internal = s._docs_only(TermQuery("vector"))
+    t = significant_terms(
+        _docs_ds(sf_dir, ["doc_id", "text"]), doc_map[fg_internal],
+        analyzer=get_analyzer("simple"), min_fg_df=3, limit=10)
+    return pa.table({
+        "term": t["term"],
+        "fg_df": t["fg_df"],
+        "bg_df": t["bg_df"],
+        "lift": pa.array(
+            _round4(t["lift"].to_numpy()), pa.float64()),
+    })
+
+
+def q_text_profile_dedup(sf_dir: str) -> pa.Table:
+    """TextProfileSignature fuzzy dedup (solr/core/.../update/processor/
+    TextProfileSignature.java): quantized term-frequency profile md5 per
+    doc (vectorized tokenize/count), then a signature-keyed groupby for
+    duplicate-cluster stats — text never leaves the tasks."""
+    from ..stages.dedup import text_profile_batch
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: text_profile_batch(b, "text").select(["profile_sig"]),
+        batch_format="pyarrow")
+    n_docs = ds.count()
+    groups = ds.groupby("profile_sig").count().to_pandas()
+    n_sigs = len(groups)
+    dup_sigs = int((groups["count()"] > 1).sum())
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_sigs": pa.array([n_sigs], pa.int64()),
+        "dup_sigs": pa.array([dup_sigs], pa.int64()),
+    })
+
+
+QUERIES.update({
+    "terms_regex": q_terms_regex,
+    "span_near_search": q_span_near_search,
+    "blockjoin_orders": q_blockjoin_orders,
+    "elevate_query": q_elevate_query,
+    "fetch_stream": q_fetch_stream,
+    "having_stream": q_having_stream,
+    "significant_terms": q_significant_terms,
+    "text_profile_dedup": q_text_profile_dedup,
+})
+
+_POS_CTE = (
+    "toks AS (SELECT doc_id, string_split_regex(lower(text), "
+    "'[^a-z0-9]+') AS l FROM documents), "
+    "raw AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) "
+    "AS i FROM toks), "
+    "pos AS (SELECT doc_id, t AS term, "
+    "row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p "
+    "FROM raw WHERE t <> '' AND length(t) <= 255 "
+    f"AND t NOT IN ({_STOP_SQL}))"
+)
+
+ORACLE_SQL.update({
+    "terms_regex": f"""
+WITH {_TOKENS}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tokens
+WHERE regexp_full_match(term, 's[a-z0-9]*')
+GROUP BY term ORDER BY term
+""",
+    "span_near_search": f"""
+WITH {_POS_CTE},
+ a AS (SELECT doc_id, p FROM pos WHERE term = 'hash'),
+ b AS (SELECT doc_id, p FROM pos WHERE term = 'join'),
+ pairs AS (SELECT a.doc_id, b.p - a.p AS gap
+           FROM a JOIN b ON a.doc_id = b.doc_id
+           WHERE b.p - a.p BETWEEN 1 AND 4)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       floor(sum(1.0/gap)*10000 + 0.5)/10000 AS sfreq
+FROM pairs GROUP BY doc_id ORDER BY doc_id
+""",
+    "blockjoin_orders": """
+SELECT l_orderkey AS o_orderkey, count(*)::BIGINT AS matched_children
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_orderkey ORDER BY o_orderkey
+""",
+    "elevate_query": f"""
+WITH elev AS (SELECT * FROM (VALUES (42, 1), (7, 2)) t(doc_id, erank)),
+ hits AS (SELECT * FROM ({_bm25_sql(["table"], 12, "OR")})),
+ org AS (SELECT doc_id, rank FROM hits
+         WHERE doc_id NOT IN (SELECT doc_id FROM elev)
+         ORDER BY rank LIMIT 8),
+ comb AS (SELECT doc_id, 1 AS elevated, erank AS o1, 0 AS o2 FROM elev
+          UNION ALL SELECT doc_id, 0, 1000000, rank FROM org)
+SELECT CAST(row_number() OVER (ORDER BY o1, o2) AS BIGINT) AS rank,
+       doc_id, elevated::BIGINT AS elevated
+FROM comb ORDER BY rank LIMIT 10
+""",
+    "fetch_stream": f"""
+SELECT h.rank, h.doc_id, h.score, d.lang, d.source,
+       d.n_chars::BIGINT AS n_chars
+FROM ({_bm25_sql(["table"], 10, "OR")}) h
+JOIN documents d USING (doc_id)
+ORDER BY h.rank
+""",
+    "having_stream": """
+SELECT event_type, floor(sum(value)*10000 + 0.5)/10000 AS tot,
+       count(*)::BIGINT AS cnt
+FROM events GROUP BY event_type
+HAVING sum(value)/count(*) > 50 ORDER BY event_type
+""",
+    "significant_terms": f"""
+WITH {_TOKENS},
+ fg AS (SELECT DISTINCT doc_id FROM tokens WHERE term = 'vector'),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM fg)::DOUBLE AS fgn),
+ bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df
+        FROM tokens GROUP BY term),
+ fgc AS (SELECT term, count(DISTINCT t.doc_id)::BIGINT AS fg_df
+         FROM tokens t JOIN fg USING (doc_id) GROUP BY term),
+ scored AS (SELECT f.term, f.fg_df, b.bg_df,
+            (f.fg_df / stats.fgn) / (b.bg_df / stats.n) AS lift
+            FROM fgc f JOIN bg b USING (term), stats
+            WHERE f.fg_df >= 3)
+SELECT term, fg_df, bg_df, floor(lift*10000 + 0.5)/10000 AS lift
+FROM scored ORDER BY scored.lift DESC, term LIMIT 10
+""",
+    "text_profile_dedup": """
+WITH toks AS (SELECT doc_id, string_split_regex(lower(text),
+                '[^a-z0-9]+') AS l FROM documents),
+ raw AS (SELECT doc_id, unnest(l) AS t FROM toks),
+ tf AS (SELECT doc_id, t AS term, count(*)::BIGINT AS f FROM raw
+        WHERE length(t) >= 2 GROUP BY doc_id, t),
+ q AS (SELECT doc_id,
+         greatest(1, CAST(floor(max(f) * 0.2) AS BIGINT)) AS quant
+       FROM tf GROUP BY doc_id),
+ prof AS (SELECT tf.doc_id, term, (f // quant) * quant AS qf
+          FROM tf JOIN q USING (doc_id) WHERE f >= quant),
+ sig0 AS (SELECT doc_id,
+            md5(string_agg(term || ':' || qf, ' '
+                ORDER BY qf DESC, term)) AS sig
+          FROM prof GROUP BY doc_id),
+ sig AS (SELECT d.doc_id, coalesce(s.sig, md5('')) AS sig
+         FROM documents d LEFT JOIN sig0 s USING (doc_id))
+SELECT (SELECT count(*) FROM sig)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT sig) FROM sig)::BIGINT AS n_sigs,
+       (SELECT count(*) FROM (SELECT sig FROM sig GROUP BY sig
+                              HAVING count(*) > 1))::BIGINT AS dup_sigs
+""",
+})

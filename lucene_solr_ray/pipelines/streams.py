@@ -367,3 +367,182 @@ def sort_merge_join(left, right, on: str, *,
         extra = rd.from_items(rows)
         return interior.union(extra)
     return interior
+
+
+def having(ds, predicate: str):
+    """HavingStream (``solrj/io/stream/HavingStream.java``): keep tuples
+    for which a boolean expression over the tuple's fields evaluates
+    true. The expression is compiled ONCE through the sandboxed infix
+    compiler (functions.compile_expression — the stream-evaluator
+    analogue of Solr's BooleanEvaluator tree) and applied vectorized
+    per batch; typically wrapped around :func:`rollup`, which is exactly
+    the having(rollup(...)) composition the reference evaluates."""
+    from ..search.functions import compile_expression
+
+    fn = compile_expression(predicate)
+
+    def f(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return b
+        bindings = {c: b[c].to_numpy(zero_copy_only=False)
+                    for c in b.column_names if c in fn.variables}
+        mask = np.asarray(fn(bindings), bool)
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def fetch(ds, store_path: str, on: str, fields: list[str]):
+    """FetchStream (``solrj/io/stream/FetchStream.java``): enrich each
+    tuple with stored fields looked up by key from a document store —
+    Solr fetches in batches of ``batchSize`` docs against the collection;
+    here each Arrow batch issues ONE predicate-pushdown parquet read for
+    just its keys (row-group pruned, columns pruned), so the store is
+    never scanned fully and nothing materializes on the driver. For
+    stream×stream enrichment at fact scale use :func:`sort_merge_join`
+    instead (documented partitioning assumption)."""
+    import pyarrow.dataset as pads
+
+    want = [on] + [f for f in fields if f != on]
+
+    def f(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return b
+        keys = b[on].to_numpy(zero_copy_only=False)
+        dset = pads.dataset(store_path, format="parquet")
+        looked = dset.to_table(
+            columns=want, filter=pads.field(on).isin(pa.array(keys)))
+        lk = looked[on].to_numpy(zero_copy_only=False)
+        order = np.argsort(lk, kind="stable")
+        pos = np.searchsorted(lk[order], keys)
+        pos = np.minimum(pos, max(lk.size - 1, 0))
+        out = {c: b[c] for c in b.column_names}
+        if lk.size == 0:
+            for fld in want[1:]:
+                out[fld] = pa.nulls(b.num_rows,
+                                    looked.schema.field(fld).type)
+            return pa.table(out)
+        found = lk[order][pos] == keys
+        idx = order[pos]
+        for fld in want[1:]:
+            col = looked[fld].take(pa.array(idx))
+            if not bool(found.all()):
+                col = pa.array([
+                    v if ok else None
+                    for v, ok in zip(col.to_pylist(), found.tolist())
+                ], type=looked.schema.field(fld).type)
+            out[fld] = col
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def significant_terms(corpus_ds, fg_doc_ids, *, analyzer,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      min_fg_df: int = 1, limit: int = 10):
+    """SignificantTermsStream (``solrj/io/stream/SignificantTermsStream.
+    java`` / Solr's significantTerms streaming expression): terms that
+    occur in a foreground document set disproportionately often vs the
+    whole collection. One tokenize pass over the corpus computes, per
+    batch, each term's (background_df, foreground_df) partials — the
+    foreground id set is broadcast once via ``ray.put`` and read
+    zero-copy in every task — then a tiny term-keyed groupby sums the
+    partials and the driver scores the (bounded, vocabulary-sized)
+    result: lift = (fg_df/fg_N) / (bg_df/N).
+
+    Returns pa.Table (term, fg_df, bg_df, lift) — top ``limit`` by
+    (lift desc, term)."""
+    import ray
+
+    fg = np.asarray(fg_doc_ids, np.int64)
+    fg.sort()
+    fg_ref = ray.put(fg)
+    n_docs = corpus_ds.count()
+    fg_n = int(fg.size)
+
+    split_re = getattr(analyzer, "_split", None)
+    stop = getattr(analyzer, "stop_words", frozenset())
+    max_len = getattr(analyzer, "max_token_length", 255)
+
+    def partials(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fg_local = np.asarray(ray.get(fg_ref))
+        ids = b[id_col].to_numpy()
+        in_fg = np.zeros(ids.size, bool)
+        if fg_local.size:
+            pos = np.searchsorted(fg_local, ids)
+            ok = pos < fg_local.size
+            in_fg[ok] = fg_local[pos[ok]] == ids[ok]
+        if split_re is not None:
+            # vectorized path (regex-split analyzers): Arrow kernels
+            # split/lower, numpy dedups (doc, term) pairs — no row loop
+            lists = pc.split_pattern_regex(
+                pc.utf8_lower(b[text_col].combine_chunks()),
+                split_re.pattern)
+            flat = lists.flatten()
+            doc_idx = np.repeat(
+                np.arange(len(lists), dtype=np.int64),
+                pc.list_value_length(lists).to_numpy(zero_copy_only=False))
+            toks = np.asarray(flat.to_pylist(), object)
+            lens = flat.value_lengths() if hasattr(flat, "value_lengths") \
+                else pc.utf8_length(flat)
+            ln = np.asarray(lens.to_numpy(zero_copy_only=False))
+            keep = (ln > 0) & (ln <= max_len)
+            toks, doc_idx = toks[keep], doc_idx[keep]
+            if stop:
+                keep = ~np.isin(toks, np.asarray(sorted(stop), object))
+                toks, doc_idx = toks[keep], doc_idx[keep]
+            uterm, tcode = np.unique(toks, return_inverse=True)
+            pair = np.unique(doc_idx * np.int64(uterm.size) + tcode)
+            p_doc = pair // uterm.size
+            p_term = pair % uterm.size
+            bg = np.bincount(p_term, minlength=uterm.size)
+            fgc = np.bincount(p_term, weights=in_fg[p_doc].astype(
+                np.float64), minlength=uterm.size).astype(np.int64)
+            return pa.table({
+                "term": pa.array(uterm.tolist(), pa.string()),
+                "bg": pa.array(bg.astype(np.int64), pa.int64()),
+                "fg": pa.array(fgc, pa.int64()),
+            })
+        texts = b[text_col].to_pylist()
+        agg: dict[str, list[int]] = {}
+        for i, t in enumerate(texts):
+            for term in set(analyzer.tokens(t)):
+                cell = agg.get(term)
+                if cell is None:
+                    agg[term] = [1, int(in_fg[i])]
+                else:
+                    cell[0] += 1
+                    cell[1] += int(in_fg[i])
+        items = sorted(agg.items())
+        return pa.table({
+            "term": pa.array([k for k, _ in items], pa.string()),
+            "bg": pa.array([v[0] for _, v in items], pa.int64()),
+            "fg": pa.array([v[1] for _, v in items], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (corpus_ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("bg", alias_name="bg_df"),
+                      Sum("fg", alias_name="fg_df")))
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"term": pa.array([], pa.string()),
+                      "bg_df": pa.array([], pa.int64()),
+                      "fg_df": pa.array([], pa.int64())})])
+    fg_df = t["fg_df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bg_df = t["bg_df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = fg_df >= min_fg_df
+    terms = np.asarray(t["term"].to_pylist(), object)[keep]
+    fg_df, bg_df = fg_df[keep], bg_df[keep]
+    lift = (fg_df / max(fg_n, 1)) / (bg_df / max(n_docs, 1))
+    order = np.lexsort((terms, -lift))[:limit]
+    return pa.table({
+        "term": pa.array(terms[order].tolist(), pa.string()),
+        "fg_df": pa.array(fg_df[order], pa.int64()),
+        "bg_df": pa.array(bg_df[order], pa.int64()),
+        "lift": pa.array(lift[order], pa.float64()),
+    })

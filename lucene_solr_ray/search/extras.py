@@ -371,3 +371,28 @@ def payload_check(searcher: IndexSearcher, term: str,
     if searcher.live_docs is not None and arr.size:
         arr = arr[searcher.live_docs.mask(arr)]
     return arr
+
+
+def elevate(searcher: IndexSearcher, q, elevated_docs: list[int],
+            k: int = 10):
+    """QueryElevationComponent (``solr/core/.../handler/component/
+    QueryElevationComponent.java``): pin the configured doc ids at the
+    top of the result, in configuration order, then fill with the
+    organic ranking excluding the pinned docs. Returns pa.Table
+    (rank, doc_id, elevated) — ``elevated`` is 1 for pinned rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    pinned = [int(d) for d in elevated_docs][:k]
+    t = searcher.search(q, k=k + len(pinned))
+    organic = t["doc_id"].to_numpy(zero_copy_only=False)
+    mask = ~np.isin(organic, np.asarray(pinned, np.int64))
+    fill = organic[mask][: max(k - len(pinned), 0)]
+    docs = np.concatenate([np.asarray(pinned, np.int64), fill])[:k]
+    flags = np.zeros(docs.size, np.int64)
+    flags[: len(pinned)] = 1
+    return pa.table({
+        "rank": pa.array(np.arange(1, docs.size + 1, dtype=np.int64)),
+        "doc_id": pa.array(docs, pa.int64()),
+        "elevated": pa.array(flags, pa.int64()),
+    })

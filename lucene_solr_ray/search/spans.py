@@ -214,3 +214,52 @@ def score_spans(searcher, q: SpanQuery):
         freqs, searcher.norms.norm[docs], idf_sum, searcher._cache
     )
     return docs, scores
+
+
+def span_matches(searcher, q: SpanQuery):
+    """(docs, n_spans, sloppy_freq) for a span tree — the raw span
+    enumeration underneath :func:`score_spans` (``Spans.nextStartPosition``
+    walk), exposed so span semantics are checkable without the BM25
+    envelope. ``sloppy_freq`` is ``sum over spans of 1/(1 + width)`` with
+    ``width = (end - start) - min_length`` (SpanScorer.sloppyFreq)."""
+    score_terms = sorted(set(q.terms()))
+    terms = sorted(set(q.all_terms()))
+    datas = {t: searcher.reader.postings_with_positions(t) for t in terms}
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             np.empty(0, np.float64))
+    if not score_terms or all(
+        datas[t][0].size == 0 for t in score_terms
+    ):
+        return empty
+    cand = np.unique(np.concatenate([
+        datas[t][0] for t in score_terms if datas[t][0].size
+    ]))
+    if getattr(searcher, "live_docs", None) is not None and cand.size:
+        cand = cand[searcher.live_docs.mask[cand]]
+    lookups = {}
+    for t in terms:
+        docs, tfs, pos = datas[t]
+        cum = np.concatenate(([0], np.cumsum(tfs)))
+        lookups[t] = (docs, cum, pos)
+    min_len = q.min_length()
+    out_docs, out_counts, out_freqs = [], [], []
+    for d in cand.tolist():
+        def pos_of_term(t, _d=d):
+            docs, cum, pos = lookups[t]
+            j = int(np.searchsorted(docs, _d))
+            if j >= docs.size or docs[j] != _d:
+                return np.empty(0, np.int64)
+            return np.cumsum(pos[cum[j]:cum[j + 1]].astype(np.int64))
+
+        spans = q.spans_for_doc(pos_of_term)
+        if not spans:
+            continue
+        out_docs.append(d)
+        out_counts.append(len(spans))
+        out_freqs.append(
+            sum(1.0 / (1 + ((e - s) - min_len)) for s, e in spans))
+    if not out_docs:
+        return empty
+    return (np.asarray(out_docs, np.int64),
+            np.asarray(out_counts, np.int64),
+            np.asarray(out_freqs, np.float64))

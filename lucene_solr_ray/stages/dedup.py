@@ -660,3 +660,68 @@ def jaccard_pairs(texts_by_id: dict, pairs: list[tuple], shingle_k: int = 3,
         u = len(sa | sb)
         out.append((a, b, (len(sa & sb) / u) if u else 0.0))
     return out
+
+
+def text_profile_batch(batch: pa.Table, text_col: str, *,
+                       quant_rate: float = 0.2, min_token_len: int = 2,
+                       out_col: str = "profile_sig") -> pa.Table:
+    """TextProfileSignature (``solr/core/.../update/processor/
+    TextProfileSignature.java``): a fuzzy duplicate signature that
+    survives low-frequency noise. Per document: lowercase + split on
+    non-alphanumerics, drop tokens shorter than ``min_token_len``,
+    count term freqs, quantize by ``quant = max(1,
+    floor(max_freq * quant_rate))`` (``qf = freq // quant * quant``,
+    terms with freq < quant dropped), order by (qf desc, term), and
+    md5 the "term:qf" join. Spec'd variant: ordering ties and the join
+    separator are pinned so the signature is reproducible in SQL
+    (md5(string_agg(term || ':' || qf, ' ' ORDER BY qf DESC, term)));
+    the reference uses insertion order on ties, which is not.
+
+    Tokenize/count are vectorized (Arrow split + np.unique); only the
+    final md5-per-doc runs in Python (C-speed hashing, bounded work).
+    """
+    import hashlib as _hl
+
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(batch[text_col].combine_chunks()), "[^a-z0-9]+")
+    flat = lists.flatten()
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
+    toks = np.asarray(flat.to_pylist(), object)
+    ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = ln >= min_token_len
+    toks, doc_idx = toks[keep], doc_idx[keep]
+    sigs: list[str] = []
+    n_docs = len(lists)
+    if toks.size:
+        uterm, tcode = np.unique(toks, return_inverse=True)
+        pair = doc_idx * np.int64(uterm.size) + tcode
+        upair, freq = np.unique(pair, return_counts=True)
+        p_doc = (upair // uterm.size).astype(np.int64)
+        p_term = (upair % uterm.size).astype(np.int64)
+        # per-doc max freq via reduceat over the doc-sorted run
+        starts = np.searchsorted(p_doc, np.arange(n_docs))
+        ends = np.searchsorted(p_doc, np.arange(n_docs) + 1)
+        for d in range(n_docs):
+            s, e = int(starts[d]), int(ends[d])
+            if s == e:
+                sigs.append(_hl.md5(b"").hexdigest())
+                continue
+            f = freq[s:e]
+            quant = max(1, int(f.max() * quant_rate))
+            qf = (f // quant) * quant
+            m = qf >= quant
+            if not m.any():
+                sigs.append(_hl.md5(b"").hexdigest())
+                continue
+            terms_d = uterm[p_term[s:e]][m]
+            qf_d = qf[m]
+            order = np.lexsort((terms_d, -qf_d))
+            payload = " ".join(
+                f"{terms_d[i]}:{qf_d[i]}" for i in order.tolist())
+            sigs.append(_hl.md5(payload.encode()).hexdigest())
+    else:
+        sigs = [_hl.md5(b"").hexdigest()] * n_docs
+    return batch.append_column(out_col, pa.array(sigs, pa.string()))

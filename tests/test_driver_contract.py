@@ -76,6 +76,9 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "sampled_facet_lang", "embed_neardup", "ngram_jaccard",
         "mlt_top10", "func_boost", "bpe_token_count", "date_histogram",
         "events_top_stream", "group_stats", "events_sessionize",
+        "terms_regex", "span_near_search", "blockjoin_orders",
+        "elevate_query", "fetch_stream", "having_stream",
+        "significant_terms", "text_profile_dedup",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):

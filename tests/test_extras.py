@@ -203,3 +203,20 @@ def test_canned_collectors(tmp_path_factory, ray_session):
     facet = s.collect(q, FieldValueFacet(lang_vals))
     # rare docs are i % 3 == 0: evens {0,6,12,18,24}, odds {3,9,...,27}
     assert facet == {"a": 5, "b": 5}
+
+
+def test_elevate_pins_docs_then_organic(xidx):
+    from lucene_solr_ray.search.extras import elevate
+
+    idx, _ = xidx
+    s = IndexSearcher(idx)
+    q = TermQuery("return")
+    organic = s.search(q, k=10)["doc_id"].to_pylist()
+    pinned = [organic[-1], organic[0]] if len(organic) >= 2 else organic
+    t = elevate(s, q, pinned, k=5)
+    got = t["doc_id"].to_pylist()
+    assert got[: len(pinned)] == pinned
+    assert t["elevated"].to_pylist()[: len(pinned)] == [1] * len(pinned)
+    # organic fill excludes pinned and preserves organic order
+    rest = [d for d in organic if d not in pinned]
+    assert got[len(pinned):] == rest[: 5 - len(pinned)]

@@ -84,3 +84,27 @@ def test_span_nested(sidx):
     q = SpanNearQuery((SpanTermQuery("alpha"), inner), slop=0,
                       in_order=True)
     assert docs_of(sidx, q) == [0, 1, 3, 4]
+
+
+def test_span_matches_counts_and_sloppy_freq(sidx):
+    """span_matches exposes the raw span enumeration: counts and
+    sloppyFreq = sum 1/(1+width) agree with a hand walk of DOCS."""
+    import numpy as np
+
+    from lucene_solr_ray.search.spans import span_matches, score_spans
+
+    q = SpanNearQuery((SpanTermQuery("alpha"), SpanTermQuery("beta")),
+                      slop=1, in_order=True)
+    docs, counts, freqs = span_matches(sidx, q)
+    # doc0 "alpha beta ..." gap0 -> 1 span, freq 1/1
+    # doc1 "alpha gamma beta" gap1 -> 1 span, freq 1/2
+    # doc3 "... alpha beta zz" gap0; doc4 "alpha alpha beta": pairs
+    # (0,2) gap1 and (1,2) gap0 -> 2 spans, freq 1/2 + 1
+    by = dict(zip(docs.tolist(), zip(counts.tolist(), freqs.tolist())))
+    assert by[0] == (1, 1.0)
+    assert by[1] == (1, 0.5)
+    assert by[3] == (1, 1.0)
+    assert by[4] == (2, 1.5)
+    assert 2 not in by  # "beta alpha" is out of order
+    sdocs, _ = score_spans(sidx, q)
+    assert np.array_equal(docs, sdocs)

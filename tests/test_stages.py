@@ -426,3 +426,37 @@ def test_group_percentiles_tdigest_vs_exact(ray_session):
     exact = group_percentiles_exact(ds, "g", "v", [0.5])
     for g, sub in df.groupby("g"):
         assert abs(exact[g][0.5] - np.quantile(sub["v"], 0.5)) < 1e-9
+
+
+def test_text_profile_signature_quantizes(ray_session):
+    """TextProfileSignature: low-frequency noise below quant is dropped,
+    so near-identical docs collapse to one signature."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from lucene_solr_ray.stages.dedup import text_profile_batch
+
+    # maxfreq 10 -> quant = max(1, int(10*0.2)) = 2: singleton noise
+    # tokens drop, the repeated core survives
+    core = "spark " * 10 + "data " * 6
+    b = pa.table({"text": pa.array([core + "noisea",
+                                    core + "noiseb",
+                                    "totally different words"])})
+    t = text_profile_batch(b, "text")
+    sigs = t["profile_sig"].to_pylist()
+    assert sigs[0] == sigs[1]          # noise quantized away
+    assert sigs[2] != sigs[0]
+    assert sigs[0] == hashlib.md5(b"spark:10 data:6").hexdigest()
+
+
+def test_text_profile_empty_doc(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+
+    from lucene_solr_ray.stages.dedup import text_profile_batch
+
+    b = pa.table({"text": pa.array(["", "a", "!!"])})  # all tokenless
+    sigs = text_profile_batch(b, "text")["profile_sig"].to_pylist()
+    assert sigs == [hashlib.md5(b"").hexdigest()] * 3

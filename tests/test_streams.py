@@ -129,3 +129,86 @@ def test_sort_merge_join_out_path_streams_to_parquet(ray_session,
     import os
 
     assert any(f.startswith("join-") for f in os.listdir(out))
+
+
+def test_having_filters_aggregated_stream(join_data):
+    from lucene_solr_ray.pipelines.streams import having
+
+    lds, _, left, _ = join_data
+    agg = rollup(lds, ["k"], {"tot": ("sum", "v"), "cnt": ("count", "")})
+    out = having(agg, "tot / cnt > 50").to_pandas()
+    ref = left.groupby("k").agg(tot=("v", "sum"), cnt=("v", "count"))
+    ref = ref[ref.tot / ref.cnt > 50].reset_index()
+    assert sorted(out["k"].tolist()) == sorted(ref["k"].tolist())
+    assert len(out) < left["k"].nunique()  # actually filtered something
+
+
+def test_having_rejects_unsafe_expression(join_data):
+    from lucene_solr_ray.pipelines.streams import having
+
+    lds = join_data[0]
+    with pytest.raises(ValueError):
+        having(lds, "__import__('os').system('x')")
+
+
+def test_fetch_enriches_by_key(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.streams import fetch
+
+    store = pd.DataFrame({
+        "id": np.arange(100, dtype=np.int64),
+        "name": [f"doc{i}" for i in range(100)],
+        "size": np.arange(100, dtype=np.int64) * 10,
+    })
+    pq.write_table(pa.Table.from_pandas(store), tmp_path / "store.parquet")
+    stream = rd.from_pandas(pd.DataFrame({
+        "id": np.array([5, 93, 41, 5], np.int64),
+        "score": [1.0, 2.0, 3.0, 4.0],
+    }))
+    out = fetch(stream, str(tmp_path / "store.parquet"), on="id",
+                fields=["name", "size"]).to_pandas().sort_values("score")
+    assert out["name"].tolist() == ["doc5", "doc93", "doc41", "doc5"]
+    assert out["size"].tolist() == [50, 930, 410, 50]
+
+
+def test_fetch_misses_are_null(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.streams import fetch
+
+    store = pd.DataFrame({"id": np.array([1, 2], np.int64),
+                          "name": ["a", "b"]})
+    pq.write_table(pa.Table.from_pandas(store), tmp_path / "s.parquet")
+    stream = rd.from_pandas(pd.DataFrame({"id": np.array([2, 99], np.int64)}))
+    out = fetch(stream, str(tmp_path / "s.parquet"), on="id",
+                fields=["name"]).to_pandas().sort_values("id")
+    assert out["name"].tolist()[0] == "b"
+    assert pd.isna(out["name"].tolist()[1])
+
+
+def test_significant_terms_vs_reference(ray_session):
+    from lucene_solr_ray.analysis import get_analyzer
+    from lucene_solr_ray.pipelines.streams import significant_terms
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [
+            "apple banana", "apple cherry", "apple banana cherry",
+            "banana date", "cherry date", "date egg", "egg fig",
+            "fig apple",
+        ],
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+    # foreground = docs containing apple: 0,1,2,7
+    t = significant_terms(ds, [0, 1, 2, 7],
+                          analyzer=get_analyzer("simple"),
+                          min_fg_df=1, limit=20).to_pandas()
+    row = t[t.term == "apple"].iloc[0]
+    assert row.fg_df == 4 and row.bg_df == 4
+    assert row.lift == pytest.approx((4 / 4) / (4 / 8))  # = 2.0
+    row = t[t.term == "banana"].iloc[0]
+    assert row.fg_df == 2 and row.bg_df == 3
+    assert row.lift == pytest.approx((2 / 4) / (3 / 8))
+    # ranked by lift desc
+    assert (t.lift.values[:-1] >= t.lift.values[1:]).all()
