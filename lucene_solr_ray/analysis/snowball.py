@@ -719,3 +719,315 @@ register_analyzer("spanish", spanish_analyzer())
 register_analyzer("italian", italian_analyzer())
 register_analyzer("portuguese", portuguese_analyzer())
 register_analyzer("russian", russian_analyzer())
+
+
+# ---------------------------------------------------------------------------
+# Scandinavian Snowball stemmers (published algorithms; reference chains
+# sv/SwedishAnalyzer.java, no/NorwegianAnalyzer.java, da/DanishAnalyzer.java
+# each = StandardTokenizer + lowercase + stop + SnowballFilter)
+# ---------------------------------------------------------------------------
+
+_SV_V = frozenset("aeiouyäåö")
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+_SV_STEP1 = tuple(sorted(
+    """a arna erna heterna orna ad e ade ande arne are aste en anden aren
+    heten ern ar er heter or as arnas ernas ornas es ades andes ens arens
+    hetens erns at andet het ast""".split(),
+    key=len, reverse=True))
+_SV_STEP3 = tuple(sorted(("lig", "ig", "els", "löst", "fullt"),
+                         key=len, reverse=True))
+
+
+def swedish_stem(word: str) -> str:
+    w = word
+    r1, _ = _r1_r2(w, _SV_V)
+    r1 = max(r1, 3)
+    # step 1: longest suffix in R1 (list -> delete; s after valid s-end)
+    for suf in _SV_STEP1 + ("s",):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            if suf == "s":
+                if len(w) >= 2 and w[-2] in _SV_S_END:
+                    w = w[:-1]
+            else:
+                w = w[: -len(suf)]
+            break
+    # step 2: shorten dd gd nn dt gt kt tt in R1 by one
+    for suf in ("dd", "gd", "nn", "dt", "gt", "kt", "tt"):
+        if w.endswith(suf) and len(w) - 2 >= r1:
+            w = w[:-1]
+            break
+    # step 3: lig ig els delete; löst->lös fullt->full (in R1)
+    for suf in _SV_STEP3:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            if suf in ("löst", "fullt"):
+                w = w[:-1]
+            else:
+                w = w[: -len(suf)]
+            break
+    return w
+
+
+_NO_V = frozenset("aeiouyæåø")
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")
+_NO_STEP1 = tuple(sorted(
+    """a e ede ande ende ane ene hetene en heten ar er heter as es edes
+    endes enes hetenes ens hetens ers ets et het ast""".split(),
+    key=len, reverse=True))
+_NO_STEP3 = tuple(sorted(
+    ("leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+     "slov", "hetslov"), key=len, reverse=True))
+
+
+def norwegian_stem(word: str) -> str:
+    w = word
+    r1, _ = _r1_r2(w, _NO_V)
+    r1 = max(r1, 3)
+    # step 1: longest in R1 among (list -> delete | erte/ert -> er |
+    # s after valid s-ending, where k counts if not preceded by a vowel)
+    for suf in tuple(sorted(_NO_STEP1 + ("erte", "ert", "s"),
+                            key=len, reverse=True)):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            if suf in ("erte", "ert"):
+                w = w[: -len(suf)] + "er"
+            elif suf == "s":
+                prev = w[-2] if len(w) >= 2 else ""
+                ok = prev in _NO_S_END or (
+                    prev == "k" and (len(w) < 3 or w[-3] not in _NO_V))
+                if ok:
+                    w = w[:-1]
+            else:
+                w = w[: -len(suf)]
+            break
+    # step 2: dt vt in R1 -> drop the t
+    for suf in ("dt", "vt"):
+        if w.endswith(suf) and len(w) - 2 >= r1:
+            w = w[:-1]
+            break
+    # step 3: delete in R1
+    for suf in _NO_STEP3:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: -len(suf)]
+            break
+    return w
+
+
+_DA_V = frozenset("aeiouyæåø")
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+_DA_STEP1 = tuple(sorted(
+    """hed ethed ered e erede ende erende ene erne ere en heden eren er
+    heder erer heds es endes erendes enes ernes eres ens hedens erens
+    ers ets erets et eret""".split(),
+    key=len, reverse=True))
+
+
+def danish_stem(word: str) -> str:
+    w = word
+    r1, _ = _r1_r2(w, _DA_V)
+    r1 = max(r1, 3)
+
+    def step2(s: str) -> str:
+        for suf in ("gd", "dt", "gt", "kt"):
+            if s.endswith(suf) and len(s) - 2 >= r1:
+                return s[:-1]
+        return s
+
+    # step 1: longest in R1 (list -> delete; s after valid s-ending)
+    for suf in _DA_STEP1 + ("s",):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            if suf == "s":
+                if len(w) >= 2 and w[-2] in _DA_S_END:
+                    w = w[:-1]
+            else:
+                w = w[: -len(suf)]
+            break
+    w = step2(w)
+    # step 3: igst -> drop st; then ig lig elig els in R1 -> delete and
+    # redo step 2; løst -> løs
+    if w.endswith("igst"):
+        w = w[:-2]
+    for suf in ("elig", "lig", "els", "ig"):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = step2(w[: -len(suf)])
+            break
+    else:
+        if w.endswith("løst") and len(w) - 4 >= r1:
+            w = w[:-1]
+    # step 4 (undouble): final double consonant in R1 -> single
+    if (len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_V
+            and len(w) - 1 >= r1):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Dutch Snowball stemmer (published algorithm; reference chain
+# nl/DutchAnalyzer.java = StandardTokenizer + lowercase + stop +
+# SnowballFilter(Dutch))
+# ---------------------------------------------------------------------------
+
+_NL_V = frozenset("aeiouyè")
+_NL_ACCENTS = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def dutch_stem(word: str) -> str:
+    w = word.translate(_NL_ACCENTS)
+    ch = list(w)
+    n = len(ch)
+    # prelude: initial y / y after vowel -> Y; i between vowels -> I
+    for i in range(n):
+        if ch[i] == "y" and (i == 0 or ch[i - 1] in _NL_V):
+            ch[i] = "Y"
+        elif (ch[i] == "i" and 0 < i < n - 1 and ch[i - 1] in _NL_V
+              and ch[i + 1] in _NL_V):
+            ch[i] = "I"
+    w = "".join(ch)
+    r1, r2 = _r1_r2(w, _NL_V)
+    r1 = max(r1, 3)
+
+    def undouble(s: str) -> str:
+        for d in ("kk", "dd", "tt"):
+            if s.endswith(d):
+                return s[:-1]
+        return s
+
+    def del_en(s: str) -> str:
+        # delete en/ene in R1 after a valid en-ending (non-vowel, not
+        # gem), then undouble
+        for suf in ("ene", "en"):
+            if s.endswith(suf):
+                start = len(s) - len(suf)
+                if (start >= r1 and start >= 1
+                        and s[start - 1] not in _NL_V
+                        and not s.endswith("gem" + suf)):
+                    return undouble(s[:start])
+                break
+        return s
+
+    e_found = False
+    # step 1: longest of heden | ene en | se s
+    for suf in ("heden", "ene", "en", "se", "s"):
+        if not w.endswith(suf):
+            continue
+        start = len(w) - len(suf)
+        if suf == "heden":
+            if start >= r1:
+                w = w[:start] + "heid"
+        elif suf in ("ene", "en"):
+            w = del_en(w)
+        else:  # se / s
+            s_at = len(w) - 1
+            prev = w[s_at - len(suf)] if s_at - len(suf) + 1 >= 1 else ""
+            if start >= r1 and prev and prev not in _NL_V and prev != "j":
+                w = w[:start]
+        break
+    # step 2: e in R1 after non-vowel -> delete, undouble
+    if w.endswith("e") and len(w) - 1 >= r1 \
+            and len(w) >= 2 and w[-2] not in _NL_V:
+        w = undouble(w[:-1])
+        e_found = True
+    # step 3a: heid in R2 not after c -> delete, then the en-rule again
+    if (w.endswith("heid") and len(w) - 4 >= r2
+            and (len(w) < 5 or w[-5] != "c")):
+        w = del_en(w[:-4])
+    # step 3b: d-suffixes, longest first
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if not w.endswith(suf):
+            continue
+        start = len(w) - len(suf)
+        if suf in ("end", "ing"):
+            if start >= r2:
+                w = w[:start]
+                if (w.endswith("ig") and len(w) - 2 >= r2
+                        and not w.endswith("eig")):
+                    w = w[:-2]
+                else:
+                    w = undouble(w)
+        elif suf == "ig":
+            if start >= r2 and not w.endswith("eig"):
+                w = w[:start]
+        elif suf == "lijk":
+            if start >= r2:
+                w = w[:start]
+                if w.endswith("e") and len(w) - 1 >= r1 \
+                        and len(w) >= 2 and w[-2] not in _NL_V:
+                    w = undouble(w[:-1])
+        elif suf == "baar":
+            if start >= r2:
+                w = w[:start]
+        elif suf == "bar":
+            if start >= r2 and e_found:
+                w = w[:start]
+        break
+    # step 4: undouble vowel — C(aa|ee|oo|uu)D with D a non-vowel != I
+    if (len(w) >= 4 and w[-4] not in _NL_V
+            and w[-3] == w[-2] and w[-3] in "aeou"
+            and w[-1] not in _NL_V and w[-1] != "I"):
+        w = w[:-3] + w[-2:]
+    return w.replace("Y", "y").replace("I", "i")
+
+
+SWEDISH_STOP_WORDS = frozenset("""
+och det att i en jag hon som han på den med var sig för så till är men
+ett om hade de av icke mig du henne då sin nu har inte hans honom skulle
+hennes där min man ej vid kunde något från ut när efter upp vi dem vara
+vad över än dig kan sina här ha mot alla under någon eller allt mycket
+sedan ju denna själv detta åt utan varit hur ingen mitt ni bli blev oss
+din dessa några deras blir mina samma vilken er sådan vår blivit dess
+inom mellan sådant varför varje vilka ditt vem vilket sådana vart dina
+vars vårt våra ert era vilkas
+""".split())
+
+NORWEGIAN_STOP_WORDS = frozenset("""
+og i jeg det at en et den til er som på de med han av ikke ikkje der så
+var meg seg men ett har om vi min mitt ha hadde hun nå over da ved fra
+du ut sin dem oss opp man kan hans hvor eller hva skal selv sjøl her
+alle vil bli ble blei blitt kunne inn når være kom noen noe ville dere
+som deres kun ja etter ned skulle denne for deg si sine sitt mot å meget
+hvorfor dette disse uten hvordan ingen din ditt blir samme hvilken
+hvilke sånn inni mellom vår hver hvem hvis både bare enn fordi før
+mange også slik vært
+""".split())
+
+DANISH_STOP_WORDS = frozenset("""
+og i jeg det at en den til er som på de med han af ikke der var mig sig
+men et har om vi min havde ham hun nu over da fra du ud sin dem os op
+man hans hvor eller hvad skal selv her alle vil blev kunne ind når være
+dog noget ville jo deres efter ned skulle denne end dette mit også under
+have dig anden hende mine alt meget sit sine vor mod disse hvis din
+nogle hos blive mange ad bliver hendes været thi jer sådan
+""".split())
+
+DUTCH_STOP_WORDS = frozenset("""
+de en van ik te dat die in een hij het niet zijn is was op aan met als
+voor had er maar om hem dan zou of wat mijn men dit zo door over ze zich
+bij ook tot je mij uit der daar haar naar heb hoe heeft hebben deze u
+want nog zal me zij nu ge geen omdat iets worden toch al waren veel meer
+doen toen moet ben zonder kan hun dus alles onder ja eens hier wie werd
+altijd doch wordt wezen kunnen ons zelf tegen na reeds wil kon niets uw
+iemand geweest andere
+""".split())
+
+
+def swedish_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("swedish", SWEDISH_STOP_WORDS, swedish_stem,
+                            **kw)
+
+
+def norwegian_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("norwegian", NORWEGIAN_STOP_WORDS,
+                            norwegian_stem, **kw)
+
+
+def danish_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("danish", DANISH_STOP_WORDS, danish_stem,
+                            **kw)
+
+
+def dutch_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("dutch", DUTCH_STOP_WORDS, dutch_stem, **kw)
+
+
+register_analyzer("swedish", swedish_analyzer())
+register_analyzer("norwegian", norwegian_analyzer())
+register_analyzer("danish", danish_analyzer())
+register_analyzer("dutch", dutch_analyzer())

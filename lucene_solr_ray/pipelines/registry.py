@@ -913,6 +913,26 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
             "Мы работали над книгами",
             "Красивая книга для работы",
         ],
+        "swedish": [
+            "Flickorna och jackorna i husen",
+            "En flicka med en jacka vid huset",
+            "Alla flickor har jackor",
+        ],
+        "norwegian": [
+            "Eplene og husene til barna",
+            "Et eple ved huset",
+            "Alle epler i alle hus",
+        ],
+        "danish": [
+            "Husene og barnets bøger",
+            "Et hus med en bog",
+            "Alle huse har bøger",
+        ],
+        "dutch": [
+            "De katten lopen naar de huizen",
+            "Een kat loopt naar een huis",
+            "Alle katten in alle huizen",
+        ],
     }
     rows = [{"lang": lang, "doc_id": i, "text": t}
             for lang, texts in corpus.items()

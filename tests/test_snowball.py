@@ -192,3 +192,89 @@ def test_russian_snowball():
     for tok, di in zip(t, d):
         per_doc[int(di)].append(tok)
     assert per_doc == [ru.tokens(x) for x in texts]
+
+
+def test_swedish_snowball_goldens():
+    from lucene_solr_ray.analysis.snowball import swedish_stem
+
+    golds = {
+        "jackorna": "jack",      # step 1 "orna"
+        "friskt": "frisk",       # step 2 kt
+        "modigt": "mod",         # step 2 gt then step 3 ig
+        "kvinnor": "kvinn",      # "or"; nn outside R1 kept
+        "flickorna": "flick",
+        "klokast": "klok",       # "ast"
+        "betydelse": "betyd",    # "else"? -> "e" then "els"
+    }
+    for w, s in golds.items():
+        assert swedish_stem(w) == s, (w, swedish_stem(w), s)
+    # inflection family conflates ("flickan" is NOT in the suffix list:
+    # the definite singular keeps its form, as in the reference)
+    assert len({swedish_stem(w)
+                for w in ("flicka", "flickor", "flickorna")}) == 1
+
+
+def test_norwegian_snowball_goldens():
+    from lucene_solr_ray.analysis.snowball import norwegian_stem
+
+    golds = {
+        "huset": "hus",          # step 1 "et"
+        "epler": "epl",          # step 1 "er"
+        "billig": "bil",         # step 3 "lig"
+        "hans": "han",           # s after valid s-ending
+        "baserte": "baser",      # erte -> er
+        "hetene": "het",         # "ene" (word-initial het outside R1)
+    }
+    for w, s in golds.items():
+        assert norwegian_stem(w) == s, (w, norwegian_stem(w), s)
+
+
+def test_danish_snowball_goldens():
+    from lucene_solr_ray.analysis.snowball import danish_stem
+
+    golds = {
+        "huset": "hus",          # step 1 "et"
+        "barnets": "barn",       # step 1 "ets"
+        "hellig": "hel",         # step 3 "lig"
+        "vildt": "vild",         # step 2 dt
+        "hoppens": "hop",        # "ens" then step 4 undouble pp
+        "venligst": "ven",       # igst -> venlig -> step 3 lig
+    }
+    for w, s in golds.items():
+        assert danish_stem(w) == s, (w, danish_stem(w), s)
+
+
+def test_dutch_snowball_goldens():
+    from lucene_solr_ray.analysis.snowball import dutch_stem
+
+    golds = {
+        "katten": "kat",             # en-deletion + undouble tt
+        "grote": "grot",             # step 2 e
+        "maan": "man",               # step 4 vowel undouble
+        "lopen": "lop",
+        "mogelijkheden": "mogelijk", # heden->heid, then heid in R2
+        "lichamelijk": "licham",     # lijk then repeated step 2
+        "koninginnen": "koninginn",  # nn is not undoubled (only kk/dd/tt)
+    }
+    for w, s in golds.items():
+        assert dutch_stem(w) == s, (w, dutch_stem(w), s)
+    # accents fold before stemming
+    assert dutch_stem("privé") == dutch_stem("prive")
+
+
+def test_new_language_analyzers_registered():
+    from lucene_solr_ray.analysis import get_analyzer
+
+    for lang, text, want, stopped in [
+        ("swedish", "flickorna och jackorna", "flick", "och"),
+        ("norwegian", "huset og eplene", "hus", "og"),
+        ("danish", "huset og barnets", "barn", "og"),
+        ("dutch", "de katten lopen", "kat", "de"),
+    ]:
+        a = get_analyzer(lang)
+        toks = a.tokens(text)
+        assert want in toks, (lang, toks)
+        assert stopped not in toks
+        # batch path consistent
+        t, d, _ = a.tokens_batch([text, ""])
+        assert [tok for tok, di in zip(t, d) if di == 0] == toks
