@@ -77,29 +77,137 @@ def _sort_key(req: dict):
     return key, asc
 
 
-def _terms_table(ds, path: list[str], field: str, stats: dict,
-                 ) -> pd.DataFrame:
-    from ray.data.aggregate import Count
+def _need_for(stats: dict):
+    """Base aggregates needed to derive these stat leaves by rollup:
+    {(fn, col)} with fn in sum/min/max (avg -> sum + count). None when a
+    stat is not decomposable from sub-bucket partials."""
+    need = set()
+    for e in stats.values():
+        if e == "count":
+            continue
+        m = _STAT_RE.match(e)
+        if not m or m.group(1) is None or m.group(1) == "unique":
+            return None
+        fn, col = m.group(1), m.group(2)
+        need.add(("sum" if fn == "avg" else fn, col))
+    return need
 
-    # a "count" stat leaf aliases the bucket count — no extra aggregate
-    aggs = [Count(alias_name="count")] + [
-        _stat_agg(n, e) for n, e in stats.items() if e != "count"]
+
+def _node_key(path: list[str], field: str) -> tuple:
     # re-faceting a field already in the parent path degenerates to the
     # parent grouping (each parent bucket contains one value of it)
-    key = path + ([field] if field not in path else [])
+    return tuple(path + ([field] if field not in path else []))
+
+
+def _walk_chains(req: dict, path: list[str]):
+    """Yield (leaf_key, union_need) per root->leaf terms chain;
+    union_need is None when any node on the chain is not rollup-safe."""
+    key = list(_node_key(path, req["field"]))
+    stats, subs = _split_node(req)
+    need = _need_for(stats)
+    tsubs = [v for v in subs.values()
+             if isinstance(v, dict) and v.get("type", "terms") == "terms"]
+    bad = need is None or len(tsubs) != len(subs)
+    if not tsubs:
+        yield tuple(key), (None if bad else frozenset(need))
+        return
+    for sub in tsubs:
+        for lk, ln in _walk_chains(sub, key):
+            if bad or ln is None:
+                yield lk, None
+            else:
+                yield lk, frozenset(set(ln) | need)
+
+
+class _AggPlan:
+    """ONE distributed grouped aggregate per root->leaf terms chain
+    (the deepest key, carrying every ancestor's base aggregates);
+    ancestor tables are pandas rollups of the (bucket-sized) result.
+    This is the 100-TB-relevant property: facet-tree DEPTH no longer
+    multiplies the number of all-to-all shuffles — only branching does,
+    and each shuffle moves (key, partial) rows only."""
+
+    def __init__(self, ds, root_req: dict):
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        self.ds = ds
+        self.tables: dict[tuple, tuple[pd.DataFrame, frozenset]] = {}
+        mk = {"sum": Sum, "min": Min, "max": Max}
+        for key, need in _walk_chains(root_req, []):
+            if need is None:
+                continue
+            prev = self.tables.get(key)
+            if prev is not None and need <= prev[1]:
+                continue
+            if prev is not None:
+                need = frozenset(need | prev[1])
+            aggs = [Count(alias_name="count")]
+            for fn, col in sorted(need):
+                aggs.append(mk[fn](col, alias_name=f"__{fn}_{col}"))
+            self.tables[key] = (
+                ds.groupby(list(key)).aggregate(*aggs).to_pandas(), need)
+
+    def table(self, key: tuple, stats: dict) -> pd.DataFrame | None:
+        need = _need_for(stats)
+        if need is None:
+            return None
+        found = None
+        for k2, (df2, have2) in self.tables.items():
+            if k2[: len(key)] == tuple(key) and need <= have2:
+                found = (k2, df2)
+                break
+        if found is None:
+            return None
+        k2, df2 = found
+        if k2 == tuple(key):
+            df = df2.copy()
+        else:
+            spec = {"count": ("count", "sum")}
+            for fn, col in sorted(need):
+                a = f"__{fn}_{col}"
+                spec[a] = (a, {"sum": "sum", "min": "min",
+                               "max": "max"}[fn])
+            df = df2.groupby(list(key), as_index=False, sort=False) \
+                .agg(**spec)
+        for name, e in stats.items():
+            if e == "count":
+                continue
+            m = _STAT_RE.match(e)
+            fn, col = m.group(1), m.group(2)
+            if fn == "avg":
+                df[name] = df[f"__sum_{col}"] / df["count"]
+            else:
+                df[name] = df[f"__{'sum' if fn == 'sum' else fn}_{col}"]
+        return df
+
+
+def _terms_table(ds, path: list[str], field: str, stats: dict,
+                 plan: "_AggPlan | None" = None) -> pd.DataFrame:
+    key = list(_node_key(path, field))
+    if plan is not None:
+        df = plan.table(tuple(key), stats)
+        if df is not None:
+            return df
+    from ray.data.aggregate import Count
+
+    # fallback: a direct grouped aggregate for this node alone
+    aggs = [Count(alias_name="count")] + [
+        _stat_agg(n, e) for n, e in stats.items() if e != "count"]
     return ds.groupby(key).aggregate(*aggs).to_pandas()
 
 
 def _assemble_terms(
     ds, req: dict, path: list[str], parent_keys: list[tuple] | None,
+    plan: "_AggPlan | None" = None,
 ) -> dict[tuple, list[dict]]:
-    """One grouped aggregate for this node; returns parent-key ->
+    """Bucket tree for this node (table from the chain plan's rollup
+    when possible, else one grouped aggregate); returns parent-key ->
     ordered bucket list. ``parent_keys`` (surviving parents after the
     parent's own limit) prunes assembly, never the shuffle."""
     field = req["field"]
     limit = int(req.get("limit", 10))
     stats, subs = _split_node(req)
-    t = _terms_table(ds, path, field, stats)
+    t = _terms_table(ds, path, field, stats, plan)
     key, asc = _sort_key(req)
     if key not in t.columns:
         raise ValueError(f"sort key {key!r} is not a facet stat")
@@ -136,7 +244,7 @@ def _assemble_terms(
         if sub_req.get("type", "terms") != "terms":
             raise ValueError("nested facets must be terms facets")
         child = _assemble_terms(ds, sub_req, path + [field],
-                                child_parents)
+                                child_parents, plan)
         for pkey, bs in out.items():
             for b in bs:
                 b[sub_name] = {
@@ -169,7 +277,8 @@ def json_facet(ds, request: dict, *, count: int | None = None) -> dict:
             continue
         if node.get("type", "terms") == "terms":
             resp[name] = {
-                "buckets": _assemble_terms(ds, node, [], None)[()]}
+                "buckets": _assemble_terms(ds, node, [], None,
+                                           _AggPlan(ds, node))[()]}
         elif node["type"] == "query":
             sub = ds.filter(expr=node["q"]) if isinstance(node.get("q"),
                                                           str) else \
@@ -189,7 +298,7 @@ def json_facet(ds, request: dict, *, count: int | None = None) -> dict:
                         ent[n2] = ent["count"]
             for sub_name, sub_req in subs_q.items():
                 ent[sub_name] = {"buckets": _assemble_terms(
-                    sub, sub_req, [], None)[()]}
+                    sub, sub_req, [], None, _AggPlan(sub, sub_req))[()]}
             resp[name] = ent
         elif node["type"] == "range":
             resp[name] = _range_facet(ds, node)

@@ -97,3 +97,65 @@ def test_metric_sort(facet_ds):
     })
     avgs = [b["avg_x"] for b in resp["facets"]["cats"]["buckets"]]
     assert avgs == sorted(avgs)
+
+
+def test_chain_plan_single_shuffle_and_rollup(facet_ds):
+    """A depth-3 terms chain plans ONE distributed aggregate (at the
+    deepest key) and derives ancestor tables by rollup; values match
+    the per-node direct aggregates."""
+    from lucene_solr_ray.stages.jsonfacet import _AggPlan
+
+    ds, df = facet_ds
+    req = {
+        "type": "terms", "field": "cat", "limit": 3,
+        "facet": {
+            "sum_x": "sum(x)", "mx": "max(x)",
+            "subs": {
+                "type": "terms", "field": "sub", "limit": 6,
+                "facet": {
+                    "avg_x": "avg(x)",
+                    "again": {"type": "terms", "field": "cat",
+                              "facet": {"mn": "min(x)"}},
+                },
+            },
+        },
+    }
+    plan = _AggPlan(ds, req)
+    # one chain -> one planned table, keyed by the deduped deepest path
+    assert list(plan.tables) == [("cat", "sub")]
+    # ancestor rollup == direct pandas aggregate
+    t = plan.table(("cat",), {"sum_x": "sum(x)", "mx": "max(x)"})
+    ref = df.groupby("cat").agg(sum_x=("x", "sum"), mx=("x", "max"),
+                                count=("x", "count"))
+    for _, row in t.iterrows():
+        assert row["count"] == ref.loc[row["cat"], "count"]
+        assert row["sum_x"] == ref.loc[row["cat"], "sum_x"]
+        assert row["mx"] == ref.loc[row["cat"], "mx"]
+    # full tree still assembles correctly through the plan
+    resp = json_facet(ds, {"cats": req})
+    b0 = resp["facets"]["cats"]["buckets"][0]
+    g = df[df["cat"] == b0["val"]]
+    assert b0["count"] == len(g) and b0["sum_x"] == g["x"].sum()
+    sb = b0["subs"]["buckets"][0]
+    gg = g[g["sub"] == sb["val"]]
+    assert sb["count"] == len(gg)
+    assert abs(sb["avg_x"] - gg["x"].mean()) < 1e-9
+    # re-facet on cat under (cat, sub): degenerate single bucket with min
+    again = sb["again"]["buckets"]
+    assert len(again) == 1 and again[0]["mn"] == gg["x"].min()
+
+
+def test_branching_tree_plans_one_table_per_leaf(facet_ds):
+    from lucene_solr_ray.stages.jsonfacet import _AggPlan
+
+    ds, df = facet_ds
+    req = {
+        "type": "terms", "field": "cat",
+        "facet": {
+            "by_sub": {"type": "terms", "field": "sub",
+                       "facet": {"s": "sum(x)"}},
+            "top_x": {"type": "terms", "field": "x", "limit": 1},
+        },
+    }
+    plan = _AggPlan(ds, req)
+    assert set(plan.tables) == {("cat", "sub"), ("cat", "x")}
