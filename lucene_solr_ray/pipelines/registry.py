@@ -2997,3 +2997,113 @@ SELECT (SELECT count(*) FROM sig)::BIGINT AS n_docs,
                               HAVING count(*) > 1))::BIGINT AS dup_sigs
 """,
 })
+
+
+# --------------------------------------------------------------------------
+# graph streaming expressions (gatherNodes / shortestPath)
+# --------------------------------------------------------------------------
+
+def _edges_ds(sf_dir: str, table: str, cols: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=cols)
+
+
+def q_graph_gather(sf_dir: str) -> pa.Table:
+    """gatherNodes 4-hop co-purchase walk (solr/solrj/.../io/graph/
+    GatherNodesStream.java): seed customers -> their orders -> parts on
+    those orders (hub-pruned at global in-degree <= 25, the reference's
+    maxDocFreq) -> other orders with those parts -> other customers.
+    trackTraversal excludes already-reached ids per namespace."""
+    from .graph import Hop, graph_walk
+
+    orders_fwd = _edges_ds(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    items_fwd = _edges_ds(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    t = graph_walk(
+        np.array([1, 4, 7], np.int64), "custkey",
+        [
+            Hop(orders_fwd, "o_custkey", "o_orderkey",
+                namespace="orderkey"),
+            Hop(items_fwd, "l_orderkey", "l_partkey", max_doc_freq=25,
+                namespace="partkey"),
+            Hop(items_fwd, "l_partkey", "l_orderkey",
+                namespace="orderkey"),
+            Hop(orders_fwd, "o_orderkey", "o_custkey",
+                namespace="custkey"),
+        ])
+    idx = np.lexsort((t["node"].to_numpy(), t["level"].to_numpy()))
+    return t.take(pa.array(idx))
+
+
+def q_graph_shortest_path(sf_dir: str) -> pa.Table:
+    """shortestPath (solr/solrj/.../io/graph/ShortestPathStream.java):
+    BFS between two customers where one step is the composite
+    customer->order->part(global degree <= 18)->order->customer hop."""
+    from .graph import Hop, shortest_path
+
+    orders_fwd = _edges_ds(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    items_fwd = _edges_ds(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    step = [
+        Hop(orders_fwd, "o_custkey", "o_orderkey"),
+        Hop(items_fwd, "l_orderkey", "l_partkey", max_doc_freq=18),
+        Hop(items_fwd, "l_partkey", "l_orderkey"),
+        Hop(orders_fwd, "o_orderkey", "o_custkey"),
+    ]
+    depth, reached = shortest_path(
+        np.array([0], np.int64), np.array([37], np.int64), step,
+        max_depth=4)
+    return pa.table({
+        "node": pa.array(reached.astype(np.int64), pa.int64()),
+        "depth": pa.array([depth] * reached.size, pa.int64()),
+    })
+
+
+QUERIES.update({
+    "graph_gather": q_graph_gather,
+    "graph_shortest_path": q_graph_shortest_path,
+})
+
+ORACLE_SQL.update({
+    "graph_gather": """
+WITH seeds(node) AS (SELECT * FROM (VALUES (1),(4),(7))),
+h1 AS (SELECT DISTINCT o_orderkey AS node FROM orders
+       JOIN seeds s ON o_custkey = s.node),
+hubs AS (SELECT l_partkey FROM lineitem GROUP BY l_partkey
+         HAVING count(*) <= 25),
+h2 AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+       JOIN h1 ON l_orderkey = h1.node
+       WHERE l_partkey IN (SELECT l_partkey FROM hubs)),
+h3 AS (SELECT DISTINCT l_orderkey AS node FROM lineitem
+       JOIN h2 ON l_partkey = h2.node
+       WHERE l_orderkey NOT IN (SELECT node FROM h1)),
+h4 AS (SELECT DISTINCT o_custkey AS node FROM orders
+       JOIN h3 ON o_orderkey = h3.node
+       WHERE o_custkey NOT IN (SELECT node FROM seeds))
+SELECT node::BIGINT AS node, field, level::BIGINT AS level FROM (
+  SELECT node, 'orderkey' AS field, 1 AS level FROM h1
+  UNION ALL SELECT node, 'partkey', 2 FROM h2
+  UNION ALL SELECT node, 'orderkey', 3 FROM h3
+  UNION ALL SELECT node, 'custkey', 4 FROM h4)
+ORDER BY level, node
+""",
+    "graph_shortest_path": """
+WITH RECURSIVE
+hubs AS (SELECT l_partkey FROM lineitem GROUP BY l_partkey
+         HAVING count(*) <= 18),
+cc AS (SELECT DISTINCT o1.o_custkey AS a, o2.o_custkey AS b
+       FROM orders o1
+       JOIN lineitem l1 ON l1.l_orderkey = o1.o_orderkey
+       JOIN hubs h ON h.l_partkey = l1.l_partkey
+       JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey
+       JOIN orders o2 ON o2.o_orderkey = l2.l_orderkey
+       WHERE o2.o_custkey <> o1.o_custkey),
+bfs(node, depth) AS (
+  SELECT 0, 0
+  UNION
+  SELECT cc.b, bfs.depth + 1 FROM bfs JOIN cc ON cc.a = bfs.node
+  WHERE bfs.depth < 4)
+SELECT node::BIGINT AS node, min(depth)::BIGINT AS depth
+FROM bfs WHERE node = 37 GROUP BY node
+""",
+})
