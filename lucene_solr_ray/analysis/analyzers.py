@@ -282,6 +282,7 @@ def get_analyzer(name: str) -> Analyzer:
         else:
             from . import filters  # noqa: F401  registers english/code
             from . import snowball  # noqa: F401  registers de/fr/es
+            from . import cjk  # noqa: F401  registers cjk/icu_folded
 
             if name not in _REGISTRY:
                 raise KeyError(f"unknown analyzer: {name}")

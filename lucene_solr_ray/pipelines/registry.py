@@ -933,6 +933,18 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
             "Een kat loopt naar een huis",
             "Alle katten in alle huizen",
         ],
+        # CJKAnalyzer: overlapping character bigrams (cjk.py)
+        "cjk": [
+            "日本語の検索エンジン",
+            "全文検索は楽しい",
+            "検索システムの実装",
+        ],
+        # ICUFoldingFilter analogue: accents/width/case fold (cjk.py)
+        "icu_folded": [
+            "Über das Résumé",
+            "Uber ein resume schreiben",
+            "Das RÉSUMÉ über alles",
+        ],
     }
     rows = [{"lang": lang, "doc_id": i, "text": t}
             for lang, texts in corpus.items()
