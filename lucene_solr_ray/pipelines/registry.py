@@ -3119,3 +3119,42 @@ SELECT node::BIGINT AS node, min(depth)::BIGINT AS depth
 FROM bfs WHERE node = 37 GROUP BY node
 """,
 })
+
+
+def q_ann_pq_top5(sf_dir: str) -> pa.Table:
+    """Product-quantized ANN (Jégou et al. 2011; stages/ann.py PQ/ADC):
+    16-byte codes per 64-dim vector (16x compression), asymmetric
+    distance scan. Rows-only (approximate by construction); recall vs
+    exact cosine is pytest-bounded in tests/test_pq.py."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.ann import pq_encode, pq_topk, pq_train
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=16, ksub=256, iters=8, sample_cap=4096)
+    enc = pq_encode(ds, books)
+    head = pq.read_table(path, filters=[("vec_id", "in", [0, 1, 2])])
+    qv = np.array(head["embedding"].to_pylist(), np.float64)
+    qids = head["vec_id"].to_numpy()
+    t = pq_topk(enc, books, qv, k=6, round_decimals=3)
+    tt = t.to_pydict()
+    out = {"query_id": [], "rank": [], "vec_id": [], "score": []}
+    for qi, real in enumerate(qids):
+        rows = [(v, s) for q, v, s in zip(tt["query_id"], tt["vec_id"],
+                                          tt["score"])
+                if q == qi and v != real][:5]
+        out["query_id"].extend([int(real)] * len(rows))
+        out["rank"].extend(range(1, len(rows) + 1))
+        out["vec_id"].extend(int(v) for v, _ in rows)
+        out["score"].extend(float(s) for _, s in rows)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+    })
+
+
+QUERIES.update({"ann_pq_top5": q_ann_pq_top5})

@@ -279,3 +279,151 @@ def hyperplane_buckets(
         return batch.append_column("bucket", pa.array(bucket))
 
     return ds.map_batches(add_bucket, batch_format="pyarrow"), planes
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / IVF-PQ) — the compressed-vector scale path
+# ---------------------------------------------------------------------------
+# Jégou et al., "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011 — public algorithm): split each d-dim vector into m
+# subvectors, k-means each subspace to ksub codes, store m uint8 codes per
+# vector (d*4 bytes -> m bytes). Search = asymmetric distance computation
+# (ADC): per query build an (m, ksub) LUT of subvector distances once,
+# then each candidate's distance is m LUT lookups summed — vectorized as
+# one np.take + reduce per batch. Vectors are unit-normalized so L2 ADC is
+# monotone with cosine (|a-b|^2 = 2 - 2cos for unit vectors).
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def _sample_matrix(ds, vec_col: str, sample_cap: int, seed: int
+                   ) -> np.ndarray:
+    """Fixed-count streaming sample (driver peak = sample_cap * dim)."""
+    try:
+        n_rows = ds.count()
+    except Exception:
+        n_rows = None
+    frac = min(1.0, 1.25 * sample_cap / n_rows) if n_rows else 1.0
+    sample = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    mats, have = [], 0
+    for b in sample.iter_batches(batch_format="pyarrow"):
+        m = _to_matrix(b[vec_col])
+        mats.append(m)
+        have += m.shape[0]
+        if have >= sample_cap:
+            break
+    return np.concatenate(mats)[:sample_cap]
+
+
+def _kmeans(x: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    cent = x[rng.choice(len(x), min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = _sq_dists(x, cent).argmin(1)
+        for c in range(cent.shape[0]):
+            sel = assign == c
+            if sel.any():
+                cent[c] = x[sel].mean(0)
+    return cent
+
+
+def pq_train(ds, *, vec_col: str = "embedding", m: int = 8,
+             ksub: int = 256, iters: int = 10, sample_cap: int = 262_144,
+             seed: int = 17) -> np.ndarray:
+    """Train per-subspace codebooks on a fixed-count sample. Returns
+    codebooks of shape (m, ksub', dsub) — ksub' may be smaller than
+    requested when the sample is tiny."""
+    x = _normalize_rows(_sample_matrix(ds, vec_col, sample_cap, seed))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    k_eff = min(ksub, len(x))
+    books = np.empty((m, k_eff, dsub), np.float64)
+    for j in range(m):
+        books[j] = _kmeans(x[:, j * dsub:(j + 1) * dsub], k_eff, iters,
+                           rng)
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, vec_col: str = "embedding",
+              keep_vec: bool = False, center: np.ndarray | None = None):
+    """Append a ``pq_code`` (list<uint8> of length m) column; drops the
+    raw vector column unless ``keep_vec`` (the point of PQ is that the
+    raw vectors stay in cold storage). ``center``: optional vector
+    subtracted before encoding (IVF-PQ residual encoding)."""
+    import ray
+
+    cb_ref = ray.put((codebooks, center))
+    m_, _, dsub = codebooks.shape
+
+    def enc(batch: pa.Table) -> pa.Table:
+        cb, ctr = ray.get(cb_ref)
+        x = _normalize_rows(_to_matrix(batch[vec_col]))
+        if ctr is not None:
+            x = x - ctr[None, :]
+        n = x.shape[0]
+        codes = np.empty((n, m_), np.uint8)
+        for j in range(m_):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            codes[:, j] = _sq_dists(sub, cb[j]).argmin(1).astype(np.uint8)
+        out = batch.drop_columns([vec_col]) if not keep_vec else batch
+        return out.append_column(
+            "pq_code",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m_))
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def _adc_lut(q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(m, ksub) table of squared subvector distances for one query."""
+    m_, ksub, dsub = codebooks.shape
+    lut = np.empty((m_, ksub), np.float64)
+    for j in range(m_):
+        diff = codebooks[j] - q[j * dsub:(j + 1) * dsub][None, :]
+        lut[j] = (diff * diff).sum(1)
+    return lut
+
+
+def pq_topk(encoded_ds, codebooks: np.ndarray, query_vecs: np.ndarray,
+            k: int = 10, *, id_col: str = "vec_id",
+            round_decimals: int = 4) -> pa.Table:
+    """ADC scan: stream the code column, score every candidate with m
+    uint8 gathers per query, keep per-batch top-k, merge on the driver
+    (bounded: nq * k rows per batch partial)."""
+    import ray
+
+    q = _normalize_rows(np.asarray(query_vecs, np.float64))
+    luts = np.stack([_adc_lut(qi, codebooks) for qi in q])  # (nq, m, ksub)
+    l_ref = ray.put(luts)
+    m_ = codebooks.shape[0]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        lt = ray.get(l_ref)  # (nq, m, ksub)
+        codes_col = batch["pq_code"].combine_chunks()
+        codes = codes_col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.int64).reshape(-1, m_)
+        ids = batch[id_col].to_numpy()
+        nq = lt.shape[0]
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, codes.shape[0])
+        for qi in range(nq):
+            # d2 = sum_j lut[qi, j, code[:, j]]
+            d2 = lt[qi][np.arange(m_)[None, :], codes].sum(1)
+            sim = 1.0 - d2 / 2.0  # unit-vector identity: cos = 1 - d2/2
+            idx = np.argpartition(-sim, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, np.int64))
+            out_id.append(ids[idx])
+            out_s.append(sim[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+    parts = (encoded_ds.map_batches(local_topk, batch_format="pyarrow")
+             .take_all())
+    return _merge_local_topk(parts, k, id_col, round_decimals)
