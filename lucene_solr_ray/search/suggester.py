@@ -84,3 +84,79 @@ class AnalyzingSuggester:
                                 pa.string()),
             "weight": pa.array(w[order], pa.float64()),
         })
+
+
+class FuzzySuggester(AnalyzingSuggester):
+    """Typo-tolerant suggester (``lucene/suggest/src/java/org/apache/
+    lucene/search/suggest/analyzing/FuzzySuggester.java``): suggestions
+    whose analyzed key has SOME prefix within ``max_edits`` Levenshtein
+    edits of the analyzed input. Reference defaults mirrored: maxEdits=1,
+    nonFuzzyPrefix=1 (first char must match exactly — this also bounds
+    the scan to one sorted-array block), minFuzzyLength=3 (shorter
+    inputs match exact-prefix only). Ranking is weight desc, exactly the
+    reference (edit distance does not re-rank).
+
+    The candidate check is one vectorized edit-distance DP: all block
+    keys' first ``len(input)+max_edits`` chars form an (N, L) char
+    matrix; the DP runs len(input) x L numpy ops over N-vectors, and a
+    key qualifies when the final DP row's minimum is <= max_edits (the
+    min over p of dist(input, key[:p]) — the automaton's prefix
+    intersection restated).
+    """
+
+    def __init__(self, keys, surfaces, weights, *, max_edits: int = 1,
+                 non_fuzzy_prefix: int = 1, min_fuzzy_length: int = 3):
+        super().__init__(keys, surfaces, weights)
+        self.max_edits = max_edits
+        self.non_fuzzy_prefix = non_fuzzy_prefix
+        self.min_fuzzy_length = min_fuzzy_length
+
+    def _fuzzy_mask(self, prefix: str, block: np.ndarray) -> np.ndarray:
+        m = len(prefix)
+        L = m + self.max_edits
+        codes = np.zeros((block.size, L), np.uint32)
+        for i, k in enumerate(block.tolist()):
+            cut = k[:L]
+            codes[i, :len(cut)] = np.frombuffer(
+                cut.encode("utf-32-le"), np.uint32)
+        klen = np.minimum(np.char.str_len(block.astype(np.str_)), L)
+        q = np.frombuffer(prefix.encode("utf-32-le"), np.uint32)
+        INF = 1 << 20
+        # D[p] over candidates; iterate query chars as DP rows
+        prev = np.tile(np.arange(L + 1), (block.size, 1)).astype(np.int64)
+        # positions beyond a key's length are invalid
+        pos_valid = np.arange(L + 1)[None, :] <= klen[:, None]
+        prev = np.where(pos_valid, prev, INF)
+        for i in range(1, m + 1):
+            cur = np.full_like(prev, INF)
+            cur[:, 0] = i
+            for p in range(1, L + 1):
+                sub = prev[:, p - 1] + (codes[:, p - 1] != q[i - 1])
+                ins = prev[:, p] + 1
+                cur[:, p] = np.minimum(sub, ins)
+                np.minimum(cur[:, p], cur[:, p - 1] + 1, out=cur[:, p])
+            cur = np.where(pos_valid, cur, INF)
+            prev = cur
+        return prev.min(1) <= self.max_edits
+
+    def suggest(self, text: str, analyzer, n: int = 5) -> pa.Table:
+        toks = analyzer.tokens(text)
+        prefix = " ".join(toks) if toks else text.lower().strip()
+        if len(prefix) < self.min_fuzzy_length or not prefix:
+            return super().suggest(text, analyzer, n)
+        # the nonFuzzyPrefix block of the sorted key array
+        anchor = prefix[:self.non_fuzzy_prefix]
+        lo = int(np.searchsorted(self.keys, anchor, "left"))
+        hi = int(np.searchsorted(self.keys, anchor + "\U0010FFFF", "right"))
+        block = self.keys[lo:hi]
+        if not block.size:
+            return super().suggest(text, analyzer, n)
+        hit = self._fuzzy_mask(prefix, block)
+        idx = np.flatnonzero(hit) + lo
+        w = self.weights[idx]
+        order = np.lexsort((self.surfaces[idx], -w))[:n]
+        return pa.table({
+            "surface": pa.array(self.surfaces[idx][order].tolist(),
+                                pa.string()),
+            "weight": pa.array(w[order], pa.float64()),
+        })

@@ -4,7 +4,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from lucene_solr_ray.analysis import get_analyzer
-from lucene_solr_ray.search.suggester import AnalyzingSuggester
+from lucene_solr_ray.search.suggester import AnalyzingSuggester, FuzzySuggester
 
 PAIRS = [
     ("The Ghost Writer", 50.0),
@@ -30,6 +30,42 @@ def test_analyzed_prefix_and_weights():
     t3 = sug.suggest("ghost wr", ana)
     assert t3["surface"].to_pylist() == ["The Ghost Writer"]
     assert sug.suggest("zzz", ana).num_rows == 0
+
+
+def test_fuzzy_one_edit():
+    ana = get_analyzer("standard")
+    sug = FuzzySuggester.from_pairs(PAIRS, ana)
+    # one deletion: "gost" ~ "ghost..."
+    t = sug.suggest("gost", ana)
+    assert t["surface"].to_pylist() == [
+        "Ghostbusters", "The Ghost Writer", "ghost stories"]
+    assert t["weight"].to_pylist() == [100.0, 50.0, 20.0]
+    # one substitution at the tail
+    assert sug.suggest("ghosr", ana)["surface"].to_pylist() == [
+        "Ghostbusters", "The Ghost Writer", "ghost stories"]
+    # two edits exceed maxEdits=1
+    assert sug.suggest("gsot", ana).num_rows == 0
+    # nonFuzzyPrefix=1: a wrong FIRST char never matches
+    assert sug.suggest("xhost", ana).num_rows == 0
+
+
+def test_fuzzy_short_input_is_exact_prefix():
+    ana = get_analyzer("standard")
+    sug = FuzzySuggester.from_pairs(PAIRS, ana)
+    # below minFuzzyLength=3 -> falls back to exact-prefix semantics
+    assert sug.suggest("go", ana)["surface"].to_pylist() == ["The Godfather"]
+    assert sug.suggest("gx", ana).num_rows == 0
+
+
+def test_fuzzy_matches_exact_superset():
+    """Every exact-prefix hit is also a fuzzy hit (0 edits <= maxEdits)."""
+    ana = get_analyzer("standard")
+    exact = AnalyzingSuggester.from_pairs(PAIRS, ana)
+    fuzzy = FuzzySuggester.from_pairs(PAIRS, ana)
+    for q in ["ghost", "ghost wr", "godf", "ghostbusters"]:
+        e = set(exact.suggest(q, ana)["surface"].to_pylist())
+        f = set(fuzzy.suggest(q, ana, n=10)["surface"].to_pylist())
+        assert e <= f, q
 
 
 def test_from_dataset(ray_session):
