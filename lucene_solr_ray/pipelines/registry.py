@@ -3158,3 +3158,83 @@ def q_ann_pq_top5(sf_dir: str) -> pa.Table:
 
 
 QUERIES.update({"ann_pq_top5": q_ann_pq_top5})
+
+
+def q_suggest_fuzzy(sf_dir: str) -> pa.Table:
+    """FuzzySuggester (``suggest/.../analyzing/FuzzySuggester.java``):
+    typo-tolerant suggestions from the index term dictionary, weight =
+    total term frequency. Input "sman" is one edit from a prefix of
+    both "scan" and "small"."""
+    from ..analysis import get_analyzer
+    from ..search.suggester import FuzzySuggester
+
+    s, _ = _doc_index(sf_dir)
+    terms = s.reader.terms_in_range(None, None)
+    ttf = np.array([s.reader.total_term_freq(t) for t in terms],
+                   np.float64)
+    sug = FuzzySuggester(np.asarray(terms, object),
+                         np.asarray(terms, object), ttf)
+    t = sug.suggest("sman", get_analyzer("simple"), n=10)
+    return pa.table({
+        "term": t["surface"],
+        "ttf": t["weight"].combine_chunks().cast(pa.int64()),
+    })
+
+
+def q_suggest_infix(sf_dir: str) -> pa.Table:
+    """AnalyzingInfixSuggester: the input prefix may match ANY token of
+    the suggestion key (dictionary = each document's first-4-word
+    phrase, weight = n_chars)."""
+    import ray.data as rd  # noqa: F401
+
+    from ..analysis import get_analyzer
+    from ..search.suggester import AnalyzingInfixSuggester
+
+    def phrases(b: pa.Table) -> pa.Table:
+        s = [" ".join((t or "").split()[:4]) for t in
+             b["text"].to_pylist()]
+        return pa.table({
+            "s": pa.array(s, pa.string()),
+            "w": b["n_chars"].combine_chunks().cast(pa.float64()),
+        })
+
+    ds = _docs_ds(sf_dir, ["text", "n_chars"]).map_batches(
+        phrases, batch_format="pyarrow")
+    sug = AnalyzingInfixSuggester.from_dataset(ds, "s", "w")
+    t = sug.suggest("fa", get_analyzer("standard"), n=10)
+    return pa.table({
+        "surface": t["surface"],
+        "weight": t["weight"],
+    })
+
+
+QUERIES.update({
+    "suggest_fuzzy": q_suggest_fuzzy,
+    "suggest_infix": q_suggest_infix,
+})
+
+ORACLE_SQL.update({
+    # prefix-min Levenshtein: a key qualifies when SOME prefix is within
+    # maxEdits=1 of the input; nonFuzzyPrefix=1 anchors the first char.
+    # Prefixes longer than len('sman')+1 = 5 can never be within 1 edit.
+    "suggest_fuzzy": f"""
+WITH {_TOKENS},
+ dict AS (SELECT term, count(*)::BIGINT AS ttf FROM tokens GROUP BY term),
+ cand AS (SELECT d.term, d.ttf,
+          min(levenshtein('sman', substr(d.term, 1, CAST(t.p AS INT))))
+            AS pd
+          FROM dict d CROSS JOIN generate_series(1, 5) AS t(p)
+          WHERE d.term LIKE 's%' GROUP BY d.term, d.ttf)
+SELECT term, ttf FROM cand WHERE pd <= 1
+ORDER BY ttf DESC, term LIMIT 10
+""",
+    "suggest_infix": """
+WITH phr AS (SELECT array_to_string(list_slice(string_split(text, ' '),
+                                               1, 4), ' ') AS surface,
+                    n_chars::DOUBLE AS weight FROM documents),
+ cand AS (SELECT surface, weight FROM phr
+          WHERE len(list_filter(string_split(surface, ' '),
+                                t -> t LIKE 'fa%')) > 0)
+SELECT surface, weight FROM cand ORDER BY weight DESC, surface LIMIT 10
+""",
+})

@@ -86,6 +86,60 @@ class AnalyzingSuggester:
         })
 
 
+class AnalyzingInfixSuggester(AnalyzingSuggester):
+    """Infix suggester (``lucene/suggest/src/java/org/apache/lucene/
+    search/suggest/analyzing/AnalyzingInfixSuggester.java:114``):
+    the input may match at ANY token position of the analyzed key —
+    "wr" suggests "The Ghost Writer". The reference indexes every key
+    into an internal Lucene index with edge-ngrammed tokens; here the
+    same lookup is an inverted (token -> entry row) pair of parallel
+    sorted arrays binary-searched per query. Multi-token input follows
+    the reference: all tokens but the last must match exactly, the
+    last token is a prefix; ranking is weight desc (no per-position
+    boost, matching allTermsRequired=true defaults).
+    """
+
+    def __init__(self, keys: np.ndarray, surfaces: np.ndarray,
+                 weights: np.ndarray):
+        super().__init__(keys, surfaces, weights)
+        toks: list[str] = []
+        rows: list[int] = []
+        for i, k in enumerate(self.keys.tolist()):
+            for t in dict.fromkeys(k.split()):
+                toks.append(t)
+                rows.append(i)
+        tok_arr = np.asarray(toks, object)
+        order = np.argsort(tok_arr, kind="stable")
+        self._tok = tok_arr[order]
+        self._row = np.asarray(rows, np.int64)[order]
+
+    def _rows_for(self, tok: str, prefix: bool) -> np.ndarray:
+        hi_key = tok + ("\U0010FFFF" if prefix else "")
+        lo = int(np.searchsorted(self._tok, tok, "left"))
+        hi = int(np.searchsorted(self._tok, hi_key, "right"))
+        return np.unique(self._row[lo:hi])
+
+    def suggest(self, text: str, analyzer, n: int = 5) -> pa.Table:
+        toks = analyzer.tokens(text)
+        if not toks:
+            t = text.lower().strip()
+            toks = [t] if t else []
+        if not toks:
+            rows = np.empty(0, np.int64)
+        else:
+            rows = self._rows_for(toks[-1], prefix=True)
+            for t in toks[:-1]:
+                rows = np.intersect1d(rows, self._rows_for(t, prefix=False),
+                                      assume_unique=True)
+        w = self.weights[rows]
+        order = np.lexsort((self.surfaces[rows], -w))[:n]
+        return pa.table({
+            "surface": pa.array(self.surfaces[rows][order].tolist(),
+                                pa.string()),
+            "weight": pa.array(w[order], pa.float64()),
+        })
+
+
 class FuzzySuggester(AnalyzingSuggester):
     """Typo-tolerant suggester (``lucene/suggest/src/java/org/apache/
     lucene/search/suggest/analyzing/FuzzySuggester.java``): suggestions

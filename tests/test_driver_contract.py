@@ -80,6 +80,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "elevate_query", "fetch_stream", "having_stream",
         "significant_terms", "text_profile_dedup",
         "graph_gather", "graph_shortest_path",
+        "suggest_fuzzy", "suggest_infix",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):

@@ -4,7 +4,11 @@ import pyarrow as pa
 import ray.data as rd
 
 from lucene_solr_ray.analysis import get_analyzer
-from lucene_solr_ray.search.suggester import AnalyzingSuggester, FuzzySuggester
+from lucene_solr_ray.search.suggester import (
+    AnalyzingInfixSuggester,
+    AnalyzingSuggester,
+    FuzzySuggester,
+)
 
 PAIRS = [
     ("The Ghost Writer", 50.0),
@@ -29,6 +33,24 @@ def test_analyzed_prefix_and_weights():
     # true multi-token analyzed prefix
     t3 = sug.suggest("ghost wr", ana)
     assert t3["surface"].to_pylist() == ["The Ghost Writer"]
+    assert sug.suggest("zzz", ana).num_rows == 0
+
+
+def test_infix_any_position():
+    ana = get_analyzer("standard")
+    sug = AnalyzingInfixSuggester.from_pairs(PAIRS, ana)
+    # "wr" matches the SECOND token of "ghost writer"
+    t = sug.suggest("wr", ana)
+    assert t["surface"].to_pylist() == ["The Ghost Writer"]
+    # first-token prefix still works, ranked by weight
+    t2 = sug.suggest("gho", ana)
+    assert t2["surface"].to_pylist() == [
+        "Ghostbusters", "The Ghost Writer", "ghost stories"]
+    # multi-token: earlier tokens exact, last is a prefix
+    t3 = sug.suggest("stories gh", ana)
+    assert t3["surface"].to_pylist() == ["ghost stories"]
+    # exact-token requirement: "ghos" is not a full token of any key
+    assert sug.suggest("ghos wr", ana).num_rows == 0
     assert sug.suggest("zzz", ana).num_rows == 0
 
 
