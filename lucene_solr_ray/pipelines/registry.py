@@ -3238,3 +3238,193 @@ WITH phr AS (SELECT array_to_string(list_slice(string_split(text, ' '),
 SELECT surface, weight FROM cand ORDER BY weight DESC, surface LIMIT 10
 """,
 })
+
+
+# --------------------------------------------------------------------------
+# LLM-curation operators: PII, decontamination, chunking, mixture sampling
+# --------------------------------------------------------------------------
+
+def q_pii_redact(sf_dir: str) -> pa.Table:
+    """PII scan + redact (stages/pii.py, the RegexReplaceProcessor shape):
+    testdata text is clean [a-z0-9 ], so each doc gets deterministic
+    planted PII (email + phone + ip, ssn on every 3rd doc) synthesized
+    identically in the SQL oracle; the operator under test is the
+    vectorized Arrow scan/redact. Output: per-source match counts and
+    redacted-corpus char sum (verifies the replacements themselves)."""
+    import pyarrow.compute as pc
+
+    from ..stages.pii import pii_redact_batch, pii_scan_batch
+
+    def synth(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy()
+        parts = [
+            b["text"].combine_chunks(),
+            pa.array([
+                f" contact user{d}@mail.example.com call 415-555-"
+                f"{d % 10000:04d} ip 10.{d % 256}.{d % 100}.7"
+                + (" ssn 123-45-6789" if d % 3 == 0 else "")
+                for d in did], pa.string()),
+        ]
+        raw = pc.binary_join_element_wise(*parts, "")
+        return pa.table({"source": b["source"], "raw": raw})
+
+    def scan_redact(b: pa.Table) -> pa.Table:
+        b = pii_scan_batch(b, "raw")
+        b = pii_redact_batch(b, "raw")
+        return pa.table({
+            "source": b["source"],
+            "n_email": b["n_email"], "n_ssn": b["n_ssn"],
+            "n_phone": b["n_phone"], "n_ipv4": b["n_ipv4"],
+            "red_chars": pc.utf8_length(b["raw"]).cast(pa.int64()),
+        })
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(synth, batch_format="pyarrow")
+        .map_batches(scan_redact, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_email", "n_ssn", "n_phone", "n_ipv4", "red_chars"])
+        .to_pandas()
+    )
+    out.columns = ["source", "n_email", "n_ssn", "n_phone", "n_ipv4",
+                   "red_chars"]
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_decontam(sf_dir: str) -> pa.Table:
+    """Benchmark 5-gram decontamination (stages/decontam.py): docs with
+    doc_id % 97 == 0 form the benchmark set; every other doc sharing a
+    word 5-gram with it is contaminated. Per-lang contaminated counts."""
+    from ..stages.decontam import benchmark_gram_hashes, flag_contaminated
+
+    docs = _docs_ds(sf_dir, ["doc_id", "text", "lang"])
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 97 == 0))
+
+    grams = benchmark_gram_hashes(
+        docs.map_batches(bench_only, batch_format="pyarrow"), n=5)
+    flagged = flag_contaminated(docs, grams, n=5, concurrency=2)
+
+    def hits(b: pa.Table) -> pa.Table:
+        mask = (b["contaminated"].to_numpy(zero_copy_only=False)
+                & (b["doc_id"].to_numpy() % 97 != 0))
+        return b.filter(pa.array(mask)).select(["lang"])
+
+    out = (flagged.map_batches(hits, batch_format="pyarrow")
+           .groupby("lang").count().to_pandas())
+    out.columns = ["lang", "n_contaminated"]
+    out["n_contaminated"] = out["n_contaminated"].astype("int64")
+    out = out.sort_values("lang").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_chunk_windows(sf_dir: str) -> pa.Table:
+    """Token-window chunking (stages/chunking.py): 64-token windows,
+    16-token overlap; md5 of each window text is value-checked."""
+    from ..stages.chunking import chunk_dataset
+
+    out = (chunk_dataset(_docs_ds(sf_dir, ["doc_id", "text"]),
+                         size=64, overlap=16)
+           .to_pandas().sort_values(["doc_id", "chunk"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_mixture_sample(sf_dir: str) -> pa.Table:
+    """Deterministic weighted mixture sampling (stages/sampling.py):
+    source srcN keeps at rate ((N % 8) + 1)/16, decided by a salted md5
+    of doc_id — reproduced exactly by the DuckDB oracle."""
+    from ..stages.sampling import mixture_sample
+
+    rates = {f"src{i}": ((i % 8) + 1) / 16 for i in range(64)}
+    ds = mixture_sample(
+        _docs_ds(sf_dir, ["doc_id", "source", "n_chars"]), rates)
+    out = (ds.groupby("source")
+           .sum("n_chars")
+           .to_pandas())
+    out.columns = ["source", "chars"]
+    kept = (ds.groupby("source").count().to_pandas())
+    kept.columns = ["source", "kept"]
+    out = out.merge(kept, on="source")
+    out["chars"] = out["chars"].astype("int64")
+    out["kept"] = out["kept"].astype("int64")
+    out = (out[["source", "kept", "chars"]]
+           .sort_values("source").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+QUERIES.update({
+    "pii_redact": q_pii_redact,
+    "decontam": q_decontam,
+    "chunk_windows": q_chunk_windows,
+    "mixture_sample": q_mixture_sample,
+})
+
+from ..stages.pii import PII_PATTERNS as _PII  # noqa: E402
+
+_PII_RAW_SQL = (
+    "raw0 AS (SELECT doc_id, source, text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@mail.example.com call 415-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || '.7' || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' "
+    "ELSE '' END AS raw FROM documents)"
+)
+_PII_RED_EXPR = "raw"
+for _name in ["email", "ssn", "phone", "ipv4"]:
+    _PII_RED_EXPR = ("regexp_replace(" + _PII_RED_EXPR + ", '"
+                     + _PII[_name] + "', '<" + _name + ">', 'g')")
+
+ORACLE_SQL.update({
+    "pii_redact": (
+        "WITH " + _PII_RAW_SQL + ",\n"
+        " red AS (SELECT source,\n"
+        "   len(regexp_extract_all(raw, '" + _PII["email"] + "')) AS e,\n"
+        "   len(regexp_extract_all(raw, '" + _PII["ssn"] + "')) AS s2,\n"
+        "   len(regexp_extract_all(raw, '" + _PII["phone"] + "')) AS p,\n"
+        "   len(regexp_extract_all(raw, '" + _PII["ipv4"] + "')) AS i,\n"
+        "   length(" + _PII_RED_EXPR + ") AS L FROM raw0)\n"
+        "SELECT source, sum(e)::BIGINT AS n_email, sum(s2)::BIGINT AS"
+        " n_ssn,\n"
+        "  sum(p)::BIGINT AS n_phone, sum(i)::BIGINT AS n_ipv4,\n"
+        "  sum(L)::BIGINT AS red_chars\n"
+        "FROM red GROUP BY source ORDER BY source"
+    ),
+    "decontam": """
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+              FROM documents),
+ grams AS (SELECT doc_id, lang,
+             array_to_string(list_slice(l, CAST(p AS INT),
+                                        CAST(p AS INT) + 4), ' ') AS g
+           FROM toks CROSS JOIN generate_series(1, 200) t(p)
+           WHERE CAST(p AS INT) + 4 <= len(l)),
+ bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+ flagged AS (SELECT DISTINCT doc_id, lang FROM grams
+             WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench))
+SELECT lang, count(*)::BIGINT AS n_contaminated FROM flagged
+GROUP BY lang ORDER BY lang
+""",
+    "chunk_windows": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ ch AS (SELECT doc_id, CAST(p AS BIGINT) AS chunk,
+          CAST(p AS BIGINT) * 48 AS start_tok,
+          least(64, len(l) - CAST(p AS BIGINT) * 48)::BIGINT AS len_tok,
+          md5(array_to_string(list_slice(l, CAST(p AS BIGINT) * 48 + 1,
+                                         CAST(p AS BIGINT) * 48 + 64),
+                              ' ')) AS chunk_md5
+        FROM toks CROSS JOIN generate_series(0, 63) t(p)
+        WHERE CAST(p AS BIGINT) * 48 < len(l))
+SELECT doc_id, chunk, start_tok, len_tok, chunk_md5 FROM ch
+ORDER BY doc_id, chunk
+""",
+    "mixture_sample": """
+WITH sel AS (SELECT source, n_chars FROM documents
+  WHERE substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4)
+        < printf('%04x',
+                 ((CAST(substr(source, 4) AS INT) % 8) + 1) * 4096))
+SELECT source, count(*)::BIGINT AS kept, sum(n_chars)::BIGINT AS chars
+FROM sel GROUP BY source ORDER BY source
+""",
+})

@@ -1,0 +1,120 @@
+"""PII, decontamination, chunking, mixture-sampling stage unit tests."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.stages.chunking import chunk_tokens_batch
+from lucene_solr_ray.stages.decontam import (
+    ContaminationFlagger,
+    _gram_hashes,
+)
+from lucene_solr_ray.stages.pii import pii_redact_batch, pii_scan_batch
+from lucene_solr_ray.stages.sampling import mixture_sample_batch
+
+
+def _tbl(**cols):
+    return pa.table(cols)
+
+
+def test_pii_scan_counts():
+    t = _tbl(text=pa.array([
+        "mail a@b.co and c.d-e@f.org now",
+        "ssn 123-45-6789 phone 415-555-0042 ip 10.0.0.1",
+        "clean text with no pii at all",
+        "dots phone 415.555.0042",
+    ]))
+    out = pii_scan_batch(t)
+    assert out["n_email"].to_pylist() == [2, 0, 0, 0]
+    assert out["n_ssn"].to_pylist() == [0, 1, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 1, 0, 1]
+    assert out["n_ipv4"].to_pylist() == [0, 1, 0, 0]
+
+
+def test_pii_no_cross_matches():
+    """SSN never counts as phone and vice versa (3-2-4 vs 3-3-4)."""
+    t = _tbl(text=pa.array(["123-45-6789", "415-555-0042"]))
+    out = pii_scan_batch(t)
+    assert out["n_ssn"].to_pylist() == [1, 0]
+    assert out["n_phone"].to_pylist() == [0, 1]
+
+
+def test_pii_redact_replaces_all():
+    t = _tbl(text=pa.array(
+        ["write a@b.co or a@b.co ssn 123-45-6789 ip 1.2.3.4"]))
+    out = pii_redact_batch(t)
+    assert out["text"].to_pylist() == [
+        "write <email> or <email> ssn <ssn> ip <ipv4>"]
+    # out_col keeps the original
+    out2 = pii_redact_batch(t, out_col="clean")
+    assert out2["text"].to_pylist()[0].startswith("write a@b.co")
+    assert "<email>" in out2["clean"].to_pylist()[0]
+
+
+def test_gram_hashes_no_cross_doc_windows():
+    """5-grams never span document boundaries."""
+    texts = ["a b c d e", "f g h i j"]
+    rows, g = _gram_hashes(texts, 5)
+    assert rows.tolist() == [0, 1]
+    assert np.unique(g).size == 2
+    # the cross-boundary window "b c d e f" must NOT be present
+    _, g2 = _gram_hashes(["b c d e f"], 5)
+    assert not np.isin(g2, g).any()
+
+
+def test_gram_hashes_short_and_empty_docs():
+    rows, g = _gram_hashes(["a b", "", "a b c d e f"], 5)
+    assert rows.tolist() == [2, 2]  # only the 6-token doc has windows
+    assert g.size == 2
+
+
+def test_contamination_flagger():
+    bench = _gram_hashes(["one two three four five six"], 5)[1]
+    f = ContaminationFlagger(np.unique(bench), n=5)
+    batch = _tbl(
+        doc_id=pa.array([0, 1, 2], pa.int64()),
+        text=pa.array([
+            "zzz one two three four five zzz",   # shares a 5-gram
+            "one two three junk four five six",  # broken window
+            "totally different text here now",
+        ]))
+    out = f(batch)
+    assert out["contaminated"].to_pylist() == [True, False, False]
+
+
+def test_chunking_spans_and_md5():
+    toks = [f"t{i}" for i in range(100)]
+    t = _tbl(doc_id=pa.array([7], pa.int64()),
+             text=pa.array([" ".join(toks)]))
+    out = chunk_tokens_batch(t, size=64, overlap=16)
+    assert out["chunk"].to_pylist() == [0, 1, 2]
+    assert out["start_tok"].to_pylist() == [0, 48, 96]
+    assert out["len_tok"].to_pylist() == [64, 52, 4]
+    want = hashlib.md5(" ".join(toks[48:100]).encode()).hexdigest()
+    assert out["chunk_md5"].to_pylist()[1] == want
+
+
+def test_chunking_short_doc_single_window():
+    t = _tbl(doc_id=pa.array([1], pa.int64()), text=pa.array(["a b c"]))
+    out = chunk_tokens_batch(t, size=64, overlap=16)
+    assert out["chunk"].to_pylist() == [0]
+    assert out["len_tok"].to_pylist() == [3]
+
+
+def test_mixture_sample_deterministic_and_rate():
+    n = 4000
+    t = _tbl(doc_id=pa.array(range(n), pa.int64()),
+             source=pa.array(["web"] * n))
+    out1 = mixture_sample_batch(t, {"web": 0.25})
+    out2 = mixture_sample_batch(t, {"web": 0.25})
+    assert out1["doc_id"].to_pylist() == out2["doc_id"].to_pylist()
+    assert abs(out1.num_rows / n - 0.25) < 0.03
+    # unknown source drops at default_rate=0
+    t2 = _tbl(doc_id=pa.array([1, 2], pa.int64()),
+              source=pa.array(["unknown", "unknown"]))
+    assert mixture_sample_batch(t2, {"web": 1.0}).num_rows == 0
+    # monotone: raising the rate only adds rows
+    lo = set(mixture_sample_batch(t, {"web": 0.25})["doc_id"].to_pylist())
+    hi = set(mixture_sample_batch(t, {"web": 0.5})["doc_id"].to_pylist())
+    assert lo <= hi

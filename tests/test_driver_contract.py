@@ -81,6 +81,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "significant_terms", "text_profile_dedup",
         "graph_gather", "graph_shortest_path",
         "suggest_fuzzy", "suggest_infix",
+        "pii_redact", "decontam", "chunk_windows", "mixture_sample",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):
