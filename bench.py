@@ -133,9 +133,13 @@ def run_bench() -> dict:
     from lucene_solr_ray.pipelines.curation import run_curation
     from lucene_solr_ray.pipelines.registry import (
         q_ann_cosine_top5,
+        q_chunk_windows,
+        q_decontam,
         q_facet_lang,
         q_json_facet_nested,
         q_minhash_candidates,
+        q_mixture_sample,
+        q_pii_redact,
         q_quality_tokens,
         q_tdigest_quantiles,
     )
@@ -147,6 +151,10 @@ def run_bench() -> dict:
         ("ann_cosine_top5", q_ann_cosine_top5),
         ("json_facet_nested", q_json_facet_nested),
         ("tdigest_quantiles", q_tdigest_quantiles),
+        ("pii_redact", q_pii_redact),
+        ("decontam", q_decontam),
+        ("chunk_windows", q_chunk_windows),
+        ("mixture_sample", q_mixture_sample),
         ("curation_funnel", run_curation),
     ]:
         tq0 = time.perf_counter()

@@ -933,6 +933,27 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
             "Een kat loopt naar een huis",
             "Alle katten in alle huizen",
         ],
+        # light stemmers / normalizers (analysis/light.py)
+        "arabic": [
+            "والكتاب في المدرسة",
+            "كتابها عن المدارس",
+            "الكتاب والمدرسة معا",
+        ],
+        "persian": [
+            "كتاب‌ها در خانه",
+            "یک کتاب خوب",
+            "خانه و کتابها",
+        ],
+        "czech": [
+            "nejkrásnějšího města v Praze",
+            "krásná města a Praha",
+            "ve městě krásném",
+        ],
+        "hindi": [
+            "लड़का किताबें पढ़ता",
+            "लड़के की किताब",
+            "किताबों वाला लड़का",
+        ],
         # CJKAnalyzer: overlapping character bigrams (cjk.py)
         "cjk": [
             "日本語の検索エンジン",
@@ -3305,7 +3326,7 @@ def q_decontam(sf_dir: str) -> pa.Table:
 
     grams = benchmark_gram_hashes(
         docs.map_batches(bench_only, batch_format="pyarrow"), n=5)
-    flagged = flag_contaminated(docs, grams, n=5, concurrency=2)
+    flagged = flag_contaminated(docs, grams, n=5)
 
     def hits(b: pa.Table) -> pa.Table:
         mask = (b["contaminated"].to_numpy(zero_copy_only=False)
@@ -3339,15 +3360,14 @@ def q_mixture_sample(sf_dir: str) -> pa.Table:
     from ..stages.sampling import mixture_sample
 
     rates = {f"src{i}": ((i % 8) + 1) / 16 for i in range(64)}
+    from ray.data.aggregate import Count, Sum
+
     ds = mixture_sample(
         _docs_ds(sf_dir, ["doc_id", "source", "n_chars"]), rates)
     out = (ds.groupby("source")
-           .sum("n_chars")
+           .aggregate(Count(), Sum("n_chars"))
            .to_pandas())
-    out.columns = ["source", "chars"]
-    kept = (ds.groupby("source").count().to_pandas())
-    kept.columns = ["source", "kept"]
-    out = out.merge(kept, on="source")
+    out.columns = ["source", "kept", "chars"]
     out["chars"] = out["chars"].astype("int64")
     out["kept"] = out["kept"].astype("int64")
     out = (out[["source", "kept", "chars"]]

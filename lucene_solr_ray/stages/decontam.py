@@ -99,13 +99,17 @@ class ContaminationFlagger:
         return batch.append_column("contaminated", pa.array(hit))
 
 
-def flag_contaminated(ds, gram_hashes: np.ndarray, n: int = 5,
-                      concurrency: int = 4):
-    """Stream the corpus through the flagging actor pool."""
+def flag_contaminated(ds, gram_hashes: np.ndarray, n: int = 5):
+    """Stream the corpus through stateless flagging tasks. The
+    benchmark array ships once via ``ray.put``; each task's ``ray.get``
+    is a zero-copy plasma read (numpy over shared memory), so plain
+    tasks beat an actor pool here — no per-stage process spawn, workers
+    are reused across stages."""
     import ray
 
     ref = ray.put(gram_hashes)
-    return ds.map_batches(
-        ContaminationFlagger,
-        fn_constructor_kwargs={"gram_ref": ref, "n": n},
-        batch_format="pyarrow", concurrency=concurrency)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return ContaminationFlagger(ref, n=n)(batch)
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -1,0 +1,80 @@
+# -*- coding: utf-8 -*-
+"""Arabic / Persian / Czech / Hindi light analyzer golden tests
+(analysis/light.py; reference chains ar/ fa/ cz/ hi/ under
+lucene/analysis/common)."""
+
+from lucene_solr_ray.analysis import get_analyzer
+from lucene_solr_ray.analysis.light import (
+    arabic_normalize,
+    arabic_stem,
+    czech_stem,
+    hindi_normalize,
+    hindi_stem,
+    persian_normalize,
+)
+
+
+def test_arabic_normalize():
+    # hamza forms fold to bare alef; teh marbuta -> heh; dotless yeh -> yeh
+    assert arabic_normalize("أآإ") == "ااا"
+    assert arabic_normalize("مدرسة") == "مدرسه"
+    assert arabic_normalize("مصطفى") == "مصطفي"
+    # harakat and tatweel removed
+    assert arabic_normalize("مُحَمَّد") == "محمد"
+    assert arabic_normalize("كتـــاب") == "كتاب"
+
+
+def test_arabic_stem_light10():
+    assert arabic_stem("والكتاب") == "كتاب"      # wal- prefix
+    assert arabic_stem("المدرسة") == "مدرس"      # al- prefix + ta marbuta
+    assert arabic_stem("كتابها") == "كتاب"        # -ha suffix
+    assert arabic_stem("مدرسون") == "مدرس"        # -un plural
+    # bare waw prefix needs >= 3 remaining chars
+    assert arabic_stem("وله")[0] == "و"
+
+
+def test_persian_normalize():
+    # arabic kaf/yeh -> farsi forms; ZWNJ removed
+    assert persian_normalize("كتاب") == "کتاب"
+    assert persian_normalize("علي") == "علی"
+    assert persian_normalize("كتاب‌ها") == "کتابها"
+
+
+def test_czech_stem():
+    assert czech_stem("města") == "měst"       # case ending
+    assert czech_stem("městě") == "měst"
+    assert czech_stem("Praze".lower()) == "prah"   # palatalization z->h
+    # possessive -in stripped, then the palatalized č folds back to k
+    assert czech_stem("matčin") == "matk"
+    assert czech_stem("pánové") == "pán"       # -ové
+    # keeps >= 3 chars
+    assert czech_stem("les") == "les"
+
+
+def test_hindi_stem():
+    assert hindi_normalize("लड़का") == "लडका"    # nukta folded
+    assert hindi_stem("लड़का") == "लडक"          # final aa matraa
+    assert hindi_stem("किताबें") == "किताब"       # -en plural
+    assert hindi_stem("किताबों") == "किताब"
+    # too short to strip
+    assert hindi_stem("की") == "की"
+
+
+def test_analyzer_chains_registered():
+    assert get_analyzer("arabic").tokens("والكتاب كتابها") == [
+        "كتاب", "كتاب"]
+    assert get_analyzer("persian").tokens("يك كتاب") == ["یک", "کتاب"]
+    assert get_analyzer("czech").tokens("krásná města") == [
+        "krásn", "měst"]
+    assert get_analyzer("hindi").tokens("किताबें और लड़का") == [
+        "किताब", "लडक"]
+
+
+def test_batch_path_matches_single():
+    texts = ["والكتاب كتابها", "", "المدرسة"]
+    a = get_analyzer("arabic")
+    t, d, p = a.tokens_batch(texts)
+    flat = []
+    for x in texts:
+        flat += a.tokens(x)
+    assert t == flat
