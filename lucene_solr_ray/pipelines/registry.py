@@ -3448,3 +3448,48 @@ SELECT source, count(*)::BIGINT AS kept, sum(n_chars)::BIGINT AS chars
 FROM sel GROUP BY source ORDER BY source
 """,
 })
+
+
+def q_suggest_freetext(sf_dir: str) -> pa.Table:
+    """FreeTextSuggester (``suggest/.../analyzing/FreeTextSuggester
+    .java``): bigram LM prediction of the token after "stream", stupid
+    backoff to unigrams (ALPHA=0.4) for unseen continuations. The SQL
+    oracle reproduces the full backoff ranking."""
+    from ..analysis import get_analyzer
+    from ..search.suggester import FreeTextSuggester
+
+    sug = FreeTextSuggester.from_dataset(
+        _docs_ds(sf_dir, ["text"]), "text", "standard_nostop", grams=2)
+    t = sug.suggest("stream ", get_analyzer("standard_nostop"), n=10)
+    return pa.table({
+        "term": t["term"],
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
+QUERIES.update({"suggest_freetext": q_suggest_freetext})
+
+ORACLE_SQL.update({
+    "suggest_freetext": """
+WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+ tok1 AS (SELECT l[CAST(p AS INT)] AS term
+          FROM toks CROSS JOIN generate_series(1, 200) t(p)
+          WHERE CAST(p AS INT) <= len(l)),
+ pairs AS (SELECT l[CAST(p AS INT)] AS a, l[CAST(p AS INT) + 1] AS b
+           FROM toks CROSS JOIN generate_series(1, 200) t(p)
+           WHERE CAST(p AS INT) < len(l)),
+ unis AS (SELECT term AS cand, count(*)::DOUBLE AS c FROM tok1
+          GROUP BY term),
+ tot AS (SELECT count(*)::DOUBLE AS n FROM tok1),
+ ctxn AS (SELECT c AS n FROM unis WHERE cand = 'stream'),
+ big AS (SELECT b AS cand, count(*)::DOUBLE AS c FROM pairs
+         WHERE a = 'stream' GROUP BY b),
+ scored AS (
+   SELECT cand, c / (SELECT n FROM ctxn) AS s FROM big
+   UNION ALL
+   SELECT u.cand, 0.4 * u.c / (SELECT n FROM tot) FROM unis u
+   WHERE u.cand NOT IN (SELECT cand FROM big))
+SELECT cand AS term, floor(s * 10000 + 0.5) / 10000 AS score
+FROM scored ORDER BY s DESC, cand LIMIT 10
+""",
+})

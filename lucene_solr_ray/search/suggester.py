@@ -86,6 +86,115 @@ class AnalyzingSuggester:
         })
 
 
+class FreeTextSuggester:
+    """N-gram language-model suggester (``lucene/suggest/src/java/org/
+    apache/lucene/search/suggest/analyzing/FreeTextSuggester.java``):
+    predicts the next token (or completes the last partial token) from
+    an n-gram model over the suggestion corpus, scored with "stupid
+    backoff" (Brants et al. 2007) — score at order k is
+    ``ALPHA^(grams-1-k) * count(context+cand) / count(context)``,
+    backing off one order when a context is unseen, exactly the
+    reference's ranking (``FreeTextSuggester.java`` lookup loop).
+
+    Distributed build: per-batch gram counting (a Counter per block is
+    the combiner) -> one small ``groupby(gram).sum`` shuffle over the
+    pre-aggregated partials -> the finished model (vocab-bounded, like
+    the reference's in-RAM FST) broadcasts to serving actors.
+    """
+
+    SEP = "\x1e"
+    ALPHA = 0.4
+
+    def __init__(self, counts: dict[str, int], grams: int = 2):
+        self.grams = grams
+        self.counts = counts
+        self.total = sum(
+            c for g, c in counts.items() if self.SEP not in g)
+        # candidate index: context-key -> sorted (token, count) arrays
+        by_ctx: dict[str, list[tuple[str, int]]] = {}
+        for g, c in counts.items():
+            parts = g.split(self.SEP)
+            if len(parts) < 2:
+                continue
+            by_ctx.setdefault(self.SEP.join(parts[:-1]), []).append(
+                (parts[-1], c))
+        self._by_ctx = {k: sorted(v) for k, v in by_ctx.items()}
+
+    # ---- builders ----
+    @classmethod
+    def from_texts(cls, texts: list[str], analyzer,
+                   grams: int = 2) -> "FreeTextSuggester":
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in texts:
+            toks = analyzer.tokens(t)
+            for k in range(1, grams + 1):
+                for i in range(len(toks) - k + 1):
+                    counts[cls.SEP.join(toks[i:i + k])] += 1
+        return cls(dict(counts), grams)
+
+    @classmethod
+    def from_dataset(cls, ds, text_col: str, analyzer_name: str = "standard",
+                     grams: int = 2) -> "FreeTextSuggester":
+        from collections import Counter
+
+        from ..analysis import get_analyzer
+
+        def emit(b: pa.Table) -> pa.Table:
+            ana = get_analyzer(analyzer_name)
+            c: Counter = Counter()
+            for t in b[text_col].to_pylist():
+                toks = ana.tokens(t or "")
+                for k in range(1, grams + 1):
+                    for i in range(len(toks) - k + 1):
+                        c[cls.SEP.join(toks[i:i + k])] += 1
+            return pa.table({
+                "gram": pa.array(list(c.keys()), pa.string()),
+                "count": pa.array(list(c.values()), pa.int64()),
+            })
+
+        rows = (ds.map_batches(emit, batch_format="pyarrow")
+                .groupby("gram").sum("count").take_all())
+        return cls({r["gram"]: int(r["sum(count)"]) for r in rows}, grams)
+
+    # ---- lookup ----
+    def suggest(self, text: str, analyzer, n: int = 5) -> pa.Table:
+        """Trailing whitespace = predict the NEXT token; otherwise the
+        last token is a prefix to complete (reference behavior)."""
+        predict_next = text != text.rstrip()
+        toks = analyzer.tokens(text)
+        if predict_next:
+            context, prefix = toks, ""
+        else:
+            context, prefix = toks[:-1], (toks[-1] if toks else "")
+        best: dict[str, float] = {}
+        max_ctx = min(self.grams - 1, len(context))
+        for k in range(max_ctx, -1, -1):
+            ctx = context[len(context) - k:]
+            key = self.SEP.join(ctx)
+            denom = (self.counts.get(key) if k else self.total) or 0
+            if not denom:
+                continue
+            scale = self.ALPHA ** (self.grams - 1 - k)
+            if k:
+                cands = self._by_ctx.get(key, [])
+            else:
+                cands = [(g, c) for g, c in self.counts.items()
+                         if self.SEP not in g]
+            for tok, c in cands:
+                if prefix and not tok.startswith(prefix):
+                    continue
+                s = scale * c / denom
+                if tok not in best:  # higher-order hit always wins
+                    best[tok] = s
+        order = sorted(best.items(), key=lambda x: (-x[1], x[0]))[:n]
+        return pa.table({
+            "term": pa.array([t for t, _ in order], pa.string()),
+            "score": pa.array([s for _, s in order], pa.float64()),
+        })
+
+
 class AnalyzingInfixSuggester(AnalyzingSuggester):
     """Infix suggester (``lucene/suggest/src/java/org/apache/lucene/
     search/suggest/analyzing/AnalyzingInfixSuggester.java:114``):

@@ -82,6 +82,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "graph_gather", "graph_shortest_path",
         "suggest_fuzzy", "suggest_infix",
         "pii_redact", "decontam", "chunk_windows", "mixture_sample",
+        "suggest_freetext",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):

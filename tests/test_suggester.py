@@ -7,6 +7,7 @@ from lucene_solr_ray.analysis import get_analyzer
 from lucene_solr_ray.search.suggester import (
     AnalyzingInfixSuggester,
     AnalyzingSuggester,
+    FreeTextSuggester,
     FuzzySuggester,
 )
 
@@ -88,6 +89,55 @@ def test_fuzzy_matches_exact_superset():
         e = set(exact.suggest(q, ana)["surface"].to_pylist())
         f = set(fuzzy.suggest(q, ana, n=10)["surface"].to_pylist())
         assert e <= f, q
+
+
+FT_CORPUS = [
+    "big data engine", "big data table", "big data engine",
+    "small data frame", "engine room",
+]
+
+
+def test_freetext_predict_next():
+    ana = get_analyzer("standard_nostop")
+    sug = FreeTextSuggester.from_texts(FT_CORPUS, ana, grams=2)
+    # after "data": engine 2/4, table 1/4, frame 1/4
+    t = sug.suggest("data ", ana)
+    assert t["term"].to_pylist()[:1] == ["engine"]
+    d = dict(zip(t["term"].to_pylist(), t["score"].to_pylist()))
+    assert d["engine"] == 0.5 and d["table"] == 0.25
+
+
+def test_freetext_prefix_completion():
+    ana = get_analyzer("standard_nostop")
+    sug = FreeTextSuggester.from_texts(FT_CORPUS, ana, grams=2)
+    # complete "data e..." -> engine via the bigram
+    t = sug.suggest("data e", ana)
+    assert t["term"].to_pylist() == ["engine"]
+    assert t["score"].to_pylist() == [0.5]
+
+
+def test_freetext_stupid_backoff():
+    ana = get_analyzer("standard_nostop")
+    sug = FreeTextSuggester.from_texts(FT_CORPUS, ana, grams=2)
+    # "room" has no following token: back off to unigrams * 0.4
+    t = sug.suggest("room d", ana)
+    got = dict(zip(t["term"].to_pylist(), t["score"].to_pylist()))
+    # unigram counts: data 4 of 14 tokens -> 0.4 * 4/14
+    assert abs(got["data"] - 0.4 * 4 / 14) < 1e-12
+    # higher-order candidates are never overridden by backoff
+    t2 = sug.suggest("data ", ana)
+    d2 = dict(zip(t2["term"].to_pylist(), t2["score"].to_pylist()))
+    assert d2["engine"] == 0.5  # not the unigram 0.4*3/14
+
+
+def test_freetext_from_dataset(ray_session):
+    ds = rd.from_items([{"t": s} for s in FT_CORPUS])
+    sug = FreeTextSuggester.from_dataset(ds, "t", "standard_nostop")
+    ana = get_analyzer("standard_nostop")
+    ref = FreeTextSuggester.from_texts(FT_CORPUS, ana)
+    assert sug.counts == ref.counts
+    assert sug.suggest("big ", ana).to_pydict() == \
+        ref.suggest("big ", ana).to_pydict()
 
 
 def test_from_dataset(ray_session):
