@@ -279,6 +279,8 @@ def get_analyzer(name: str) -> Analyzer:
             _REGISTRY[name] = EdgeNGramAnalyzer()
         elif name == "shingle":
             _REGISTRY[name] = ShingleAnalyzer()
+        elif name == "common_grams":
+            _REGISTRY[name] = CommonGramsAnalyzer()
         else:
             from . import filters  # noqa: F401  registers english/code
             from . import snowball  # noqa: F401  registers de/fr/es
@@ -366,3 +368,41 @@ class ShingleAnalyzer(Analyzer):
         for i in range(len(toks) - n + 1):
             out.append(self.sep.join(toks[i : i + n]))
         return out
+
+
+class CommonGramsAnalyzer(Analyzer):
+    """CommonGramsFilter (``lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java:63-88``): alongside every unigram, emit a
+    bigram ``a_b`` for each adjacent pair where either side is a common
+    word, so phrase queries on stop-heavy phrases ("to be or not to be")
+    hit pre-joined grams instead of huge stopword postings. Grams overlap
+    the FIRST token of the pair (posIncr 0 on the gram), matching the
+    reference's position handling. Index-side variant (unigrams + grams);
+    the query-side CommonGramsQueryFilter drop-unigram behavior is the
+    ``output_unigrams=False`` flag."""
+
+    name = "common_grams"
+
+    def __init__(self, common_words=ENGLISH_STOP_WORDS, sep: str = "_",
+                 output_unigrams: bool = True, base: str = "standard_nostop"):
+        self.common = frozenset(common_words)
+        self.sep = sep
+        self.output_unigrams = output_unigrams
+        self.base = get_analyzer(base)
+
+    def tokens(self, text: str) -> list[str]:
+        return self.tokens_with_positions(text)[0]
+
+    def tokens_with_positions(self, text: str) -> tuple[list[str], list[int]]:
+        toks, pos = self.base.tokens_with_positions(text)
+        out: list[str] = []
+        opos: list[int] = []
+        common = self.common
+        for i, t in enumerate(toks):
+            if self.output_unigrams:
+                out.append(t)
+                opos.append(pos[i])
+            if i + 1 < len(toks) and (t in common or toks[i + 1] in common):
+                out.append(t + self.sep + toks[i + 1])
+                opos.append(pos[i])
+        return out, opos

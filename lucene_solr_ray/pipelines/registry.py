@@ -3493,3 +3493,179 @@ SELECT cand AS term, floor(s * 10000 + 0.5) / 10000 AS score
 FROM scored ORDER BY s DESC, cand LIMIT 10
 """,
 })
+
+
+# -- Shingles / common grams / interval facets (round 3 session B) ----------
+
+
+def q_shingle_top10(sf_dir: str) -> pa.Table:
+    """Top-10 word bigram shingles corpus-wide (``analysis/common/.../
+    shingle/ShingleFilter.java``): per-batch partial Counter -> Ray
+    groupby-sum shuffle of (term, cnt) partials -> per-block partial
+    top-10 -> tiny driver merge. Nothing corpus-scale is collected."""
+    from ..analysis.analyzers import ShingleAnalyzer
+
+    def partial(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ana = ShingleAnalyzer(base="simple_nostop", output_unigrams=False)
+        c: Counter = Counter()
+        for t in b["text"].to_pylist():
+            c.update(ana.tokens(t))
+        return pa.table({
+            "term": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array(list(c.values()), pa.int64()),
+        })
+
+    agg = (
+        _docs_ds(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term").sum("cnt")
+    )
+
+    def blk_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["sum(cnt)", "term"],
+                             ascending=[False, True]).head(10)
+
+    out = (
+        agg.map_batches(blk_top, batch_format="pandas").to_pandas()
+        .sort_values(["sum(cnt)", "term"], ascending=[False, True]).head(10)
+    )
+    return pa.table({
+        "term": pa.array(out["term"].tolist(), pa.string()),
+        "cnt": pa.array(out["sum(cnt)"].to_numpy(), pa.int64()),
+    })
+
+
+def q_common_grams_stats(sf_dir: str) -> pa.Table:
+    """CommonGrams gram production per language (``commongrams/
+    CommonGramsFilter.java:63-88``): how many stop-adjacent bigrams the
+    filter would add to the index, and how many are distinct."""
+    from ..analysis.analyzers import CommonGramsAnalyzer
+
+    def partial(b: pa.Table) -> pa.Table:
+        ana = CommonGramsAnalyzer(base="simple_nostop",
+                                  output_unigrams=False)
+        langs, grams = [], []
+        for lang, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            for g in ana.tokens(t):
+                langs.append(lang)
+                grams.append(g)
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "gram": pa.array(grams, pa.string()),
+        })
+
+    import ray.data.aggregate as agg
+
+    out = (
+        _docs_ds(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(agg.Count(alias_name="n_grams"))
+        .to_pandas().sort_values("lang")
+    )
+    # distinct grams per lang: dedupe inside blocks first, then exact
+    distinct = (
+        _docs_ds(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda b: b.group_by(["lang", "gram"]).aggregate([]),
+                     batch_format="pyarrow")
+        .groupby(["lang", "gram"]).count()
+        .groupby("lang").count()
+        .to_pandas().rename(columns={"count()": "n_distinct"})
+        .sort_values("lang")
+    )
+    m = out.merge(distinct, on="lang")
+    return pa.table({
+        "lang": pa.array(m["lang"].tolist(), pa.string()),
+        "n_grams": pa.array(m["n_grams"].to_numpy(), pa.int64()),
+        "n_distinct": pa.array(m["n_distinct"].to_numpy(), pa.int64()),
+    })
+
+
+def q_interval_facet(sf_dir: str) -> pa.Table:
+    """Solr interval facets (``solr/core/.../request/IntervalFacets.java``):
+    arbitrary, possibly OVERLAPPING intervals counted in one pass (unlike
+    range facets' disjoint buckets). One map_batches partial per block,
+    summed driver-side (bounded: n_intervals rows per block)."""
+    intervals = [("short", 0, 800), ("mid", 400, 1600), ("long", 1200, 10**9)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nc = b["n_chars"]
+        names, cnts = [], []
+        for name, lo, hi in intervals:
+            m = pc.and_(pc.greater_equal(nc, lo), pc.less(nc, hi))
+            names.append(name)
+            cnts.append(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)
+        return pa.table({
+            "interval": pa.array(names, pa.string()),
+            "cnt": pa.array(cnts, pa.int64()),
+        })
+
+    out = (
+        _docs_ds(sf_dir, ["n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("interval").sum("cnt")
+        .to_pandas().sort_values("interval")
+    )
+    return pa.table({
+        "interval": pa.array(out["interval"].tolist(), pa.string()),
+        "cnt": pa.array(out["sum(cnt)"].to_numpy(), pa.int64()),
+    })
+
+
+QUERIES.update({
+    "shingle_top10": q_shingle_top10,
+    "common_grams_stats": q_common_grams_stats,
+    "interval_facet": q_interval_facet,
+})
+
+_SIMPLE_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS l
+  FROM documents)
+"""
+
+ORACLE_SQL.update({
+    "shingle_top10": "WITH " + _SIMPLE_TOKS_CTE + """,
+ sh AS (SELECT unnest(list_transform(range(1, len(l)),
+                                     i -> l[i] || ' ' || l[i+1])) AS term
+        FROM toks)
+SELECT term, count(*)::BIGINT AS cnt FROM sh
+GROUP BY term ORDER BY cnt DESC, term LIMIT 10
+""",
+    "interval_facet": """
+SELECT 'long' AS interval,
+       count(*) FILTER (n_chars >= 1200)::BIGINT AS cnt FROM documents
+UNION ALL
+SELECT 'mid', count(*) FILTER (n_chars >= 400 AND n_chars < 1600)::BIGINT
+FROM documents
+UNION ALL
+SELECT 'short', count(*) FILTER (n_chars >= 0 AND n_chars < 800)::BIGINT
+FROM documents
+ORDER BY interval
+""",
+})
+
+from ..analysis.analyzers import ENGLISH_STOP_WORDS as _ESW  # noqa: E402
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in sorted(_ESW))
+
+ORACLE_SQL["common_grams_stats"] = "WITH " + _SIMPLE_TOKS_CTE + f""",
+ pairs AS (
+  SELECT lang, unnest(list_transform(range(1, len(l)),
+                                     i -> l[i] || '_' || l[i+1])) AS g,
+         unnest(list_transform(range(1, len(l)), i -> l[i])) AS a,
+         unnest(list_transform(range(1, len(l)), i -> l[i+1])) AS b2
+  FROM toks),
+ grams AS (SELECT lang, g FROM pairs
+           WHERE a IN ({_STOP_LIST_SQL}) OR b2 IN ({_STOP_LIST_SQL}))
+SELECT lang, count(*)::BIGINT AS n_grams,
+       count(DISTINCT g)::BIGINT AS n_distinct
+FROM grams GROUP BY lang ORDER BY lang
+"""

@@ -177,3 +177,25 @@ def test_edge_ngram_analyzer():
     # long token keeps the full surface form too
     toks = ana.tokens("extraordinarily")
     assert toks[0] == "ex" and toks[-1] == "extraordinarily"
+
+
+def test_common_grams_analyzer():
+    from lucene_solr_ray.analysis.analyzers import CommonGramsAnalyzer
+
+    ana = CommonGramsAnalyzer()  # standard_nostop base, English commons
+    toks, pos = ana.tokens_with_positions("to be or not to be")
+    # every adjacent pair touches a common word -> gram after each unigram
+    assert toks == [
+        "to", "to_be", "be", "be_or", "or", "or_not", "not", "not_to",
+        "to", "to_be", "be",
+    ]
+    # grams overlap the FIRST token of the pair (posIncr 0)
+    assert pos == [0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5]
+
+    # no common word adjacent -> unigrams only
+    assert ana.tokens("hash join") == ["hash", "join"]
+    # one side common is enough
+    assert ana.tokens("the parquet") == ["the", "the_parquet", "parquet"]
+
+    q = CommonGramsAnalyzer(output_unigrams=False)
+    assert q.tokens("the quick fox") == ["the_quick"]

@@ -83,6 +83,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "suggest_fuzzy", "suggest_infix",
         "pii_redact", "decontam", "chunk_windows", "mixture_sample",
         "suggest_freetext",
+        "shingle_top10", "common_grams_stats", "interval_facet",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):
