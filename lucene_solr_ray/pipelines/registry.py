@@ -3669,3 +3669,157 @@ SELECT lang, count(*)::BIGINT AS n_grams,
        count(DISTINCT g)::BIGINT AS n_distinct
 FROM grams GROUP BY lang ORDER BY lang
 """
+
+
+def q_gopher_quality(sf_dir: str) -> pa.Table:
+    """Gopher quality-rule funnel stats per language (Rae et al. 2021
+    A1.1): docs, passes, and average signals. One vectorized pass +
+    a tiny per-lang aggregate — the shape of a 100 TB quality gate."""
+    import ray.data.aggregate as agg
+
+    from ..stages.textstats import gopher_quality_batch
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(
+            lambda b: gopher_quality_batch(b).select(
+                ["lang", "n_words", "mean_word_len", "gopher_pass"]),
+            batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            agg.Count(alias_name="n_docs"),
+            agg.Sum("gopher_pass", alias_name="n_pass"),
+            agg.Mean("n_words", alias_name="avg_words"),
+            agg.Mean("mean_word_len", alias_name="avg_mwl"),
+        )
+        .to_pandas().sort_values("lang")
+    )
+    return pa.table({
+        "lang": pa.array(out["lang"].tolist(), pa.string()),
+        "n_docs": pa.array(out["n_docs"].to_numpy(), pa.int64()),
+        "n_pass": pa.array(out["n_pass"].to_numpy(), pa.int64()),
+        "avg_words": pa.array(_round4(out["avg_words"].to_numpy()),
+                              pa.float64()),
+        "avg_mwl": pa.array(_round4(out["avg_mwl"].to_numpy()),
+                            pa.float64()),
+    })
+
+
+QUERIES.update({"gopher_quality": q_gopher_quality})
+
+ORACLE_SQL["gopher_quality"] = """
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+ base AS (
+  SELECT doc_id, lang, len(l) AS n_words,
+         list_aggregate(list_transform(l, x -> length(x)), 'sum')::DOUBLE
+           / len(l) AS mwl,
+         len(list_filter(l, x -> list_contains(
+           ['the','be','to','of','and','that','have','with'], x)))
+           AS stop_hits,
+         len(list_filter(l, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+           / len(l) AS alpha_frac
+  FROM w WHERE len(l) > 0),
+ gcnt AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+                                 i -> l[i] || ' ' || l[i+1])) AS g
+        FROM w)
+  GROUP BY doc_id, g),
+ tb AS (SELECT doc_id,
+               max(c)::DOUBLE / sum(c)::DOUBLE AS top_bigram_frac
+        FROM gcnt GROUP BY doc_id),
+ sig AS (SELECT base.*, coalesce(tb.top_bigram_frac, 0.0) AS tbf
+         FROM base LEFT JOIN tb USING (doc_id)),
+ p AS (SELECT lang, n_words, mwl,
+         CASE WHEN n_words BETWEEN 50 AND 100000
+               AND mwl BETWEEN 3 AND 10
+               AND stop_hits >= 2
+               AND alpha_frac >= 0.8
+               AND tbf <= 0.18 THEN 1 ELSE 0 END AS pass
+       FROM sig)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(pass)::BIGINT AS n_pass,
+       floor(avg(n_words) * 10000 + 0.5) / 10000 AS avg_words,
+       floor(avg(mwl) * 10000 + 0.5) / 10000 AS avg_mwl
+FROM p GROUP BY lang ORDER BY lang
+"""
+
+
+def q_lm_perplexity(sf_dir: str) -> pa.Table:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train a
+    stupid-backoff bigram LM on 2/3 of the corpus, score the held-out
+    third, report per-lang mean NLL. Model is vocabulary-bounded and
+    broadcast once; scoring is a vectorized searchsorted join."""
+    import ray.data.aggregate as agg
+
+    from ..stages.lmfilter import PerplexityScorer, train_bigram_lm
+
+    def _split(b: pa.Table, keep_train: bool) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        m = (ids % 3 != 0) if keep_train else (ids % 3 == 0)
+        return b.filter(pa.array(m))
+
+    ds = _docs_ds(sf_dir, ["doc_id", "lang", "text"])
+    ref, _ = train_bigram_lm(
+        ds.map_batches(lambda b: _split(b, True), batch_format="pyarrow"))
+    scored = (
+        ds.map_batches(lambda b: _split(b, False), batch_format="pyarrow")
+        .map_batches(PerplexityScorer, fn_constructor_args=(ref,),
+                     batch_format="pyarrow", concurrency=2)
+        .map_batches(
+            lambda b: b.filter(pc.is_valid(b["nll"])).select(
+                ["lang", "nll"]),
+            batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(agg.Count(alias_name="n_docs"),
+                   agg.Mean("nll", alias_name="avg_nll"))
+        .to_pandas().sort_values("lang")
+    )
+    return pa.table({
+        "lang": pa.array(scored["lang"].tolist(), pa.string()),
+        "n_docs": pa.array(scored["n_docs"].to_numpy(), pa.int64()),
+        "avg_nll": pa.array(_round4(scored["avg_nll"].to_numpy()),
+                            pa.float64()),
+    })
+
+
+QUERIES.update({"lm_perplexity": q_lm_perplexity})
+
+ORACLE_SQL["lm_perplexity"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+ train AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+ test AS (SELECT * FROM toks WHERE doc_id % 3 = 0 AND len(l) >= 2),
+ tok1 AS (SELECT unnest(l) AS w FROM train),
+ unis AS (SELECT w, count(*)::DOUBLE AS c FROM tok1 GROUP BY w),
+ tot AS (SELECT count(*)::DOUBLE AS n FROM tok1),
+ bigs AS (
+  SELECT a, b, count(*)::DOUBLE AS c
+  FROM (SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS a,
+               unnest(list_transform(range(1, len(l)), i -> l[i+1])) AS b
+        FROM train)
+  GROUP BY a, b),
+ spairs AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(l)), i -> l[i])) AS a,
+         unnest(list_transform(range(1, len(l)), i -> l[i+1])) AS b
+  FROM test),
+ probs AS (
+  SELECT s.doc_id, s.lang,
+         CASE WHEN bg.c IS NOT NULL THEN bg.c / ua.c
+              ELSE 0.4 * coalesce(ub.c, 1.0) / (SELECT n FROM tot)
+         END AS p
+  FROM spairs s
+  LEFT JOIN bigs bg ON bg.a = s.a AND bg.b = s.b
+  LEFT JOIN unis ua ON ua.w = s.a
+  LEFT JOIN unis ub ON ub.w = s.b),
+ perdoc AS (SELECT doc_id, lang, avg(-ln(p)) AS nll
+            FROM probs GROUP BY doc_id, lang)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       floor(avg(nll) * 10000 + 0.5) / 10000 AS avg_nll
+FROM perdoc GROUP BY lang ORDER BY lang
+"""

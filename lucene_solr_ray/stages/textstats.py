@@ -166,3 +166,65 @@ def text_profile_signature_batch(
         s = " ".join(f"{t2} {f}" for t2, f in prof)
         out.append(hashlib.md5(s.encode()).hexdigest())
     return batch.append_column("signature", pa.array(out, pa.string()))
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1 —
+# public thresholds). The 8 "must contain >=2 of" stop words:
+GOPHER_STOPS = frozenset(
+    ["the", "be", "to", "of", "and", "that", "have", "with"])
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.18
+_ALPHA_RE = re.compile(r"[a-z]")
+
+
+def gopher_quality_batch(batch: pa.Table,
+                         text_col: str = "text") -> pa.Table:
+    """Per-doc Gopher quality signals + pass flag: word count bounds,
+    mean word length bounds, >=2 stop-word hits, alpha-word fraction,
+    and the repetition rule (fraction of bigram occurrences taken by the
+    single most frequent bigram). Whitespace words, like the paper.
+    Docs with zero words are dropped (no signals to compute)."""
+    from collections import Counter
+
+    texts = batch[text_col].to_pylist()
+    keep, nw, mwl, sh, af, tbf = [], [], [], [], [], []
+    for i, t in enumerate(texts):
+        words = (t or "").split()
+        n = len(words)
+        if n == 0:
+            continue
+        keep.append(i)
+        nw.append(n)
+        mwl.append(sum(map(len, words)) / n)
+        sh.append(sum(1 for w in words if w in GOPHER_STOPS))
+        af.append(sum(1 for w in words if _ALPHA_RE.search(w)) / n)
+        if n >= 2:
+            c = Counter(zip(words, words[1:]))
+            tbf.append(max(c.values()) / (n - 1))
+        else:
+            tbf.append(0.0)
+    nw_a = np.asarray(nw, np.int64)
+    mwl_a = np.asarray(mwl, np.float64)
+    sh_a = np.asarray(sh, np.int64)
+    af_a = np.asarray(af, np.float64)
+    tbf_a = np.asarray(tbf, np.float64)
+    passes = (
+        (nw_a >= GOPHER_MIN_WORDS) & (nw_a <= GOPHER_MAX_WORDS)
+        & (mwl_a >= GOPHER_MIN_MWL) & (mwl_a <= GOPHER_MAX_MWL)
+        & (sh_a >= 2) & (af_a >= GOPHER_MIN_ALPHA_FRAC)
+        & (tbf_a <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+    ).astype(np.int64)
+    out = batch.take(pa.array(keep, pa.int64()))
+    for name, arr in [("n_words", pa.array(nw_a)),
+                      ("mean_word_len", pa.array(mwl_a)),
+                      ("gopher_stop_hits", pa.array(sh_a)),
+                      ("alpha_frac", pa.array(af_a)),
+                      ("top_bigram_frac", pa.array(tbf_a)),
+                      ("gopher_pass", pa.array(passes))]:
+        out = out.append_column(name, arr)
+    return out

@@ -460,3 +460,54 @@ def test_text_profile_empty_doc(ray_session):
     b = pa.table({"text": pa.array(["", "a", "!!"])})  # all tokenless
     sigs = text_profile_batch(b, "text")["profile_sig"].to_pylist()
     assert sigs == [hashlib.md5(b"").hexdigest()] * 3
+
+
+def test_lm_perplexity_stupid_backoff(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from lucene_solr_ray.stages.lmfilter import (
+        PerplexityScorer, train_bigram_lm, perplexity_score)
+
+    train = rd.from_arrow(pa.table({
+        "text": ["a b c", "a b d", "a b c"],
+    }))
+    ref, n = train_bigram_lm(train)
+    assert n == 9.0
+    s = PerplexityScorer(ref)
+    # seen bigram: p(b|a) = c(a,b)/c(a) = 3/3
+    out = s(pa.table({"text": ["a b"]}))
+    assert abs(out["nll"][0].as_py() - (-np.log(1.0))) < 1e-12
+    # backoff: (b, b) unseen -> 0.4 * c(b)/N = 0.4 * 3/9
+    out = s(pa.table({"text": ["b b"]}))
+    assert abs(out["nll"][0].as_py() - (-np.log(0.4 * 3 / 9))) < 1e-12
+    # unknown word z: 0.4 * 1/N
+    out = s(pa.table({"text": ["z z"]}))
+    assert abs(out["nll"][0].as_py() - (-np.log(0.4 * 1 / 9))) < 1e-12
+    # mean over pairs + ppl = exp(nll); short docs -> null
+    out = s(pa.table({"text": ["a b c", "x"]}))
+    want = -(np.log(1.0) + np.log(2 / 3)) / 2
+    assert abs(out["nll"][0].as_py() - want) < 1e-12
+    assert abs(out["ppl"][0].as_py() - np.exp(want)) < 1e-12
+    assert out["nll"][1].as_py() is None
+    # end-to-end self-scoring helper
+    scored = perplexity_score(train).to_pandas()
+    assert len(scored) == 3 and scored["nll"].notna().all()
+
+
+def test_gopher_quality_rules():
+    import pyarrow as pa
+    from lucene_solr_ray.stages.textstats import gopher_quality_batch
+
+    good = " ".join(
+        ["the quick brown fox jumps over something with energy and"] * 6)
+    repet = " ".join(["the fox"] * 40)   # top bigram dominates
+    short = "too short to pass"
+    b = pa.table({"doc_id": [0, 1, 2, 3],
+                  "text": [good, repet, short, ""]})
+    out = gopher_quality_batch(b).to_pandas()
+    assert len(out) == 3  # empty doc dropped
+    g = out[out.doc_id == 0].iloc[0]
+    assert g.gopher_pass == 1 and g.n_words == 60
+    assert out[out.doc_id == 1].iloc[0].gopher_pass == 0  # repetition
+    assert out[out.doc_id == 2].iloc[0].gopher_pass == 0  # word count
