@@ -3823,3 +3823,62 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        floor(avg(nll) * 10000 + 0.5) / 10000 AS avg_nll
 FROM perdoc GROUP BY lang ORDER BY lang
 """
+
+
+def q_semdedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023) per-cluster keep/drop stats with
+    FIXED centroids (the first 8 vectors) so DuckDB can replay the
+    assignment + greedy within-cluster cosine drop exactly; the trained
+    k-means path is ``stages.dedup.semdedup`` (tested separately)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.ann import _to_matrix
+    from ..stages.dedup import semdedup
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cent = _to_matrix(
+        pq.read_table(path, filters=[("vec_id", "<", 8)],
+                      columns=["vec_id", "embedding"])
+        .sort_by("vec_id")["embedding"])
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    import ray.data.aggregate as agg
+
+    m = (
+        semdedup(ds, eps=0.45, centroids=cent)
+        .groupby("cluster")
+        .aggregate(agg.Count(alias_name="n"),
+                   agg.Sum("keep", alias_name="n_keep"))
+        .to_pandas().sort_values("cluster")
+    )
+    return pa.table({
+        "cluster": pa.array(m["cluster"].to_numpy(), pa.int64()),
+        "n": pa.array(m["n"].to_numpy(), pa.int64()),
+        "n_keep": pa.array(m["n_keep"].to_numpy(), pa.int64()),
+    })
+
+
+QUERIES.update({"semdedup": q_semdedup})
+
+ORACLE_SQL["semdedup"] = """
+WITH cent AS (SELECT vec_id AS c, embedding AS ce FROM embeddings
+              WHERE vec_id < 8),
+ asg AS (
+  SELECT e.vec_id,
+         arg_min(c, -CAST(list_cosine_similarity(e.embedding, ce)
+                          AS DOUBLE)) AS cluster
+  FROM embeddings e CROSS JOIN cent
+  GROUP BY e.vec_id),
+ drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a
+  JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE)
+        >= 0.45)
+SELECT cluster, count(*)::BIGINT AS n,
+       count(*) FILTER (vec_id NOT IN (SELECT vec_id FROM drops))::BIGINT
+         AS n_keep
+FROM asg GROUP BY cluster ORDER BY cluster
+"""

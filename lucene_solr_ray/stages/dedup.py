@@ -725,3 +725,75 @@ def text_profile_batch(batch: pa.Table, text_col: str, *,
     else:
         sigs = [_hl.md5(b"").hexdigest()] * n_docs
     return batch.append_column(out_col, pa.array(sigs, pa.string()))
+
+
+# -- SemDeDup (Abbas et al. 2023, public): semantic dedup via k-means ------
+# clusters over embeddings + within-cluster cosine threshold.
+
+
+def semdedup_assign(ds, centroids: np.ndarray, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Assign every vector to its nearest (max-cosine) centroid.
+    ``centroids`` is small and ships by value with the task closure
+    (the broadcast-small-side pattern). Ties -> lowest centroid id."""
+    from .ann import _normalize_rows, _to_matrix
+
+    cn = _normalize_rows(centroids.astype(np.float64))
+
+    def assign(b: pa.Table) -> pa.Table:
+        m = _normalize_rows(_to_matrix(b[vec_col]).astype(np.float64))
+        sims = m @ cn.T
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array(sims.argmax(1).astype(np.int64)),
+            vec_col: b[vec_col],
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+             k: int = 16, eps: float = 0.95, iters: int = 10,
+             sample_cap: int = 65_536, seed: int = 17,
+             centroids: np.ndarray | None = None):
+    """SemDeDup: k-means partition + greedy within-cluster drop. A vector
+    is DROPPED when an earlier (lower-id) vector in the same cluster has
+    cosine >= eps with it. Returns a Dataset of (id, cluster, keep).
+
+    Partitioning assumption (the paper's): each cluster fits one worker —
+    size k so corpus/k is worker-sized (SemDeDup uses k≈10^5 at web
+    scale). Training samples ``sample_cap`` vectors (driver peak bounded);
+    per-cluster work is a groupby shuffle, never all-pairs across
+    clusters."""
+    from .ann import _kmeans, _normalize_rows, _sample_matrix, _to_matrix
+
+    if centroids is None:
+        x = _normalize_rows(
+            _sample_matrix(ds, vec_col, sample_cap, seed).astype(np.float64))
+        centroids = _kmeans(x, k, iters, np.random.default_rng(seed))
+    assigned = semdedup_assign(ds, centroids, vec_col=vec_col,
+                               id_col=id_col)
+
+    def dedupe_group(g) -> "pa.Table":
+        import pandas as pd
+
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize_rows(np.stack([
+            np.asarray(g[vec_col].iloc[i], np.float64) for i in order]))
+        sims = m @ m.T
+        n = len(ids)
+        iu = np.triu_indices(n, 1)
+        drop = np.zeros(n, bool)
+        hit = sims[iu] >= eps
+        if hit.any():
+            drop[np.unique(iu[1][hit])] = True
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": g["cluster"].to_numpy()[order],
+            "keep": (~drop).astype(np.int64),
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        dedupe_group, batch_format="pandas")

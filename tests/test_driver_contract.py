@@ -84,7 +84,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "pii_redact", "decontam", "chunk_windows", "mixture_sample",
         "suggest_freetext",
         "shingle_top10", "common_grams_stats", "interval_facet",
-        "gopher_quality", "lm_perplexity",
+        "gopher_quality", "lm_perplexity", "semdedup",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):

@@ -511,3 +511,35 @@ def test_gopher_quality_rules():
     assert g.gopher_pass == 1 and g.n_words == 60
     assert out[out.doc_id == 1].iloc[0].gopher_pass == 0  # repetition
     assert out[out.doc_id == 2].iloc[0].gopher_pass == 0  # word count
+
+
+def test_semdedup_trained_kmeans(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from lucene_solr_ray.stages.dedup import semdedup
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=8)
+    b = rng.normal(size=8)
+    vecs, ids = [], []
+    # two tight clusters of near-identical vectors + one outlier each
+    for i in range(10):
+        vecs.append(a + rng.normal(scale=1e-3, size=8))
+        ids.append(i)
+    for i in range(10, 20):
+        vecs.append(b + rng.normal(scale=1e-3, size=8))
+        ids.append(i)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs]),
+    }))
+    out = semdedup(ds, k=2, eps=0.99, sample_cap=20, seed=5).to_pandas()
+    assert len(out) == 20
+    # exactly one survivor per tight cluster: the lowest id
+    keep = out[out.keep == 1].vec_id.tolist()
+    assert sorted(keep) == [0, 10]
+    # clusters are coherent: ids 0-9 share a cluster, 10-19 the other
+    c0 = set(out[out.vec_id < 10].cluster)
+    c1 = set(out[out.vec_id >= 10].cluster)
+    assert len(c0) == 1 and len(c1) == 1 and c0 != c1
