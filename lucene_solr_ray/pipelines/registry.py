@@ -3882,3 +3882,51 @@ SELECT cluster, count(*)::BIGINT AS n,
          AS n_keep
 FROM asg GROUP BY cluster ORDER BY cluster
 """
+
+
+# -- Parallel SQL (solr/core/.../handler/sql/ analogue) ---------------------
+
+_SQL_GROUP_AGG = (
+    "SELECT lang, count(*) AS cnt, avg(n_chars) AS avg_nc FROM documents "
+    "WHERE n_chars >= 200 GROUP BY lang ORDER BY cnt DESC, lang LIMIT 3")
+_SQL_SELECT_TOPK = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_totalprice > 100000 "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10")
+
+
+def q_sql_group_agg(sf_dir: str) -> pa.Table:
+    """ParallelSQL: grouped aggregate compiled to read->filter->shuffle
+    aggregate (``solr/core/.../handler/sql/SQLHandler.java`` shape)."""
+    from .sql import execute_sql
+
+    return execute_sql(_SQL_GROUP_AGG, sf_dir)
+
+
+def q_sql_select_topk(sf_dir: str) -> pa.Table:
+    """ParallelSQL: projection + predicate + distributed sort + limit."""
+    from .sql import execute_sql
+
+    return execute_sql(_SQL_SELECT_TOPK, sf_dir)
+
+
+QUERIES.update({
+    "sql_group_agg": q_sql_group_agg,
+    "sql_select_topk": q_sql_select_topk,
+})
+
+ORACLE_SQL.update({
+    # identical SQL, floats wrapped in the repo-wide round4 convention
+    "sql_group_agg": """
+SELECT lang, cnt, floor(avg_nc * 10000 + 0.5) / 10000 AS avg_nc
+FROM (SELECT lang, count(*)::BIGINT AS cnt, avg(n_chars) AS avg_nc
+      FROM documents WHERE n_chars >= 200 GROUP BY lang)
+ORDER BY cnt DESC, lang LIMIT 3
+""",
+    "sql_select_topk": """
+SELECT o_orderkey,
+       floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
+FROM orders WHERE o_totalprice > 100000
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+})

@@ -1,0 +1,265 @@
+"""Parallel SQL over Ray Data — the Solr ParallelSQLHandler analogue
+(``solr/core/src/java/org/apache/solr/handler/sql/`` — Solr 6's
+Calcite-planned SQL that compiles to streaming expressions; here the
+plan compiles to a Ray Data pipeline).
+
+Supported subset (what the Solr handler's MVP supported):
+
+    SELECT col | agg(col) [AS alias] [, ...]
+    FROM <table>
+    [WHERE col op literal [AND ...]]        op: = <> < <= > >=
+    [GROUP BY col [, ...]]
+    [ORDER BY name [ASC|DESC] [, ...]]
+    [LIMIT n]
+
+aggs: count(*), count(col), sum, min, max, avg.
+
+Scale notes: the read prunes to referenced columns; WHERE runs as Arrow
+compute inside ``map_batches``; GROUP BY is Ray's shuffle aggregate;
+ORDER BY on an ungrouped query uses the distributed ``Dataset.sort`` +
+streaming limit (no driver materialization); ORDER BY after GROUP BY
+sorts the (small) aggregate result driver-side. Float aggregate outputs
+are rounded to 4 decimals (the repo-wide oracle convention).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_AGG_FNS = {"count", "sum", "min", "max", "avg"}
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<str>'(?:[^']|'')*')|(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<op><=|>=|<>|=|<|>)|(?P<punc>[(),*])"
+    r"|(?P<word>[A-Za-z_][A-Za-z0-9_]*))"
+)
+
+
+def _tokenize(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    q = q.strip().rstrip(";")
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise ValueError(f"SQL parse error at: {q[i:i+20]!r}")
+        i = m.end()
+        for kind in ("str", "num", "op", "punc", "word"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+@dataclass
+class SelectItem:
+    agg: str | None  # None = plain column
+    col: str         # "*" only for count(*)
+    alias: str
+
+
+@dataclass
+class Plan:
+    table: str
+    items: list[SelectItem]
+    where: list[tuple[str, str, object]] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # desc?
+    limit: int | None = None
+
+
+class _P:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.t = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.t[self.i][1] if self.i < len(self.t) else None
+
+    def kw(self, *words: str) -> bool:
+        p = self.peek()
+        return p is not None and p.upper() in words
+
+    def take(self) -> str:
+        v = self.t[self.i][1]
+        self.i += 1
+        return v
+
+    def expect(self, w: str) -> None:
+        v = self.take()
+        if v.upper() != w and v != w:
+            raise ValueError(f"expected {w}, got {v}")
+
+
+def parse_sql(q: str) -> Plan:
+    p = _P(_tokenize(q))
+    p.expect("SELECT")
+    items: list[SelectItem] = []
+    while True:
+        w = p.take()
+        if w.lower() in _AGG_FNS and p.peek() == "(":
+            p.expect("(")
+            col = p.take()
+            p.expect(")")
+            agg = w.lower()
+            alias = f"{agg}_{col}" if col != "*" else agg
+        else:
+            agg, col, alias = None, w, w
+        if p.kw("AS"):
+            p.take()
+            alias = p.take()
+        items.append(SelectItem(agg, col, alias))
+        if p.peek() == ",":
+            p.take()
+            continue
+        break
+    p.expect("FROM")
+    plan = Plan(table=p.take(), items=items)
+    if p.kw("WHERE"):
+        p.take()
+        while True:
+            col = p.take()
+            op = p.take()
+            kind, raw = p.t[p.i]
+            p.i += 1
+            if kind == "num":
+                val: object = float(raw) if "." in raw else int(raw)
+            elif kind == "str":
+                val = raw[1:-1].replace("''", "'")
+            else:
+                raise ValueError(f"bad literal {raw}")
+            plan.where.append((col, op, val))
+            if p.kw("AND"):
+                p.take()
+                continue
+            break
+    if p.kw("GROUP"):
+        p.take()
+        p.expect("BY")
+        while True:
+            plan.group_by.append(p.take())
+            if p.peek() == ",":
+                p.take()
+                continue
+            break
+    if p.kw("ORDER"):
+        p.take()
+        p.expect("BY")
+        while True:
+            name = p.take()
+            desc = False
+            if p.kw("ASC", "DESC"):
+                desc = p.take().upper() == "DESC"
+            plan.order_by.append((name, desc))
+            if p.peek() == ",":
+                p.take()
+                continue
+            break
+    if p.kw("LIMIT"):
+        p.take()
+        plan.limit = int(p.take())
+    if p.i != len(p.t):
+        raise ValueError(f"trailing tokens: {p.t[p.i:]}")
+    return plan
+
+
+_OPS = {
+    "=": pc.equal, "<>": pc.not_equal, "<": pc.less,
+    "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
+}
+
+
+def _filter_batch(b: pa.Table, where) -> pa.Table:
+    m = None
+    for col, op, val in where:
+        cm = _OPS[op](b[col], val)
+        m = cm if m is None else pc.and_(m, cm)
+    return b.filter(m) if m is not None else b
+
+
+def _round4_floats(t: pa.Table) -> pa.Table:
+    cols = {}
+    for name in t.column_names:
+        c = t[name]
+        if pa.types.is_floating(c.type):
+            v = np.asarray(c.to_pandas(), np.float64)
+            cols[name] = pa.array(np.floor(v * 10000 + 0.5) / 10000,
+                                  pa.float64())
+        else:
+            cols[name] = c
+    return pa.table(cols)
+
+
+def execute_sql(q: str, sf_dir: str) -> pa.Table:
+    """Parse + plan + run ``q`` against the parquet tables in ``sf_dir``.
+    Returns a pyarrow Table with the SELECT's column aliases."""
+    import ray.data as rd
+    import ray.data.aggregate as agg
+
+    plan = parse_sql(q)
+    needed = sorted({
+        c for c in (
+            [i.col for i in plan.items if i.col != "*"]
+            + [w[0] for w in plan.where] + plan.group_by)
+    })
+    path = os.path.join(sf_dir, f"{plan.table}.parquet")
+    ds = rd.read_parquet(path, columns=needed or None)
+    if plan.where:
+        where = plan.where
+        ds = ds.map_batches(lambda b: _filter_batch(b, where),
+                            batch_format="pyarrow")
+
+    aggs = [i for i in plan.items if i.agg]
+    if plan.group_by or aggs:
+        specs = []
+        for it in aggs:
+            if it.agg == "count":
+                specs.append(agg.Count(alias_name=it.alias))
+            elif it.agg == "sum":
+                specs.append(agg.Sum(it.col, alias_name=it.alias))
+            elif it.agg == "min":
+                specs.append(agg.Min(it.col, alias_name=it.alias))
+            elif it.agg == "max":
+                specs.append(agg.Max(it.col, alias_name=it.alias))
+            elif it.agg == "avg":
+                specs.append(agg.Mean(it.col, alias_name=it.alias))
+        if plan.group_by:
+            res = ds.groupby(plan.group_by).aggregate(*specs).to_pandas()
+        else:
+            row = ds.aggregate(*specs)
+            res = pa.table({k: [row[k]] for k in [i.alias for i in aggs]}
+                           ).to_pandas()
+        # post-aggregate: bounded by group cardinality -> driver sort ok
+        if plan.order_by:
+            res = res.sort_values(
+                [n for n, _ in plan.order_by],
+                ascending=[not d for _, d in plan.order_by],
+                kind="mergesort")
+        if plan.limit is not None:
+            res = res.head(plan.limit)
+        out_cols = [i.alias for i in plan.items]
+        t = pa.Table.from_pandas(res[out_cols], preserve_index=False)
+        return _round4_floats(t)
+
+    # plain projection: distributed sort + streaming limit
+    alias_to_col = {i.alias: i.col for i in plan.items}
+    if plan.order_by:
+        keys = [alias_to_col.get(n, n) for n, _ in plan.order_by]
+        ds = ds.sort(keys, descending=[d for _, d in plan.order_by])
+    if plan.limit is not None:
+        ds = ds.limit(plan.limit)
+        t = pa.Table.from_pandas(ds.to_pandas(),  # bounded by LIMIT
+                                 preserve_index=False)
+    else:
+        t = pa.concat_tables(
+            [b for b in ds.iter_batches(batch_format="pyarrow")],
+            promote_options="default")
+    t = t.select([i.col for i in plan.items])
+    t = t.rename_columns([i.alias for i in plan.items])
+    return _round4_floats(t)

@@ -1,0 +1,57 @@
+"""ParallelSQL planner (pipelines/sql.py) — parser goldens + execution."""
+
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.pipelines.sql import execute_sql, parse_sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parse_full_query():
+    p = parse_sql(
+        "SELECT lang, count(*) AS cnt, avg(n_chars) AS a FROM documents "
+        "WHERE n_chars >= 200 AND lang = 'en' "
+        "GROUP BY lang ORDER BY cnt DESC, lang LIMIT 3;")
+    assert p.table == "documents"
+    assert [(i.agg, i.col, i.alias) for i in p.items] == [
+        (None, "lang", "lang"), ("count", "*", "cnt"), ("avg", "n_chars", "a")]
+    assert p.where == [("n_chars", ">=", 200), ("lang", "=", "en")]
+    assert p.group_by == ["lang"]
+    assert p.order_by == [("cnt", True), ("lang", False)]
+    assert p.limit == 3
+
+
+def test_parse_default_aliases_and_strings():
+    p = parse_sql("SELECT sum(x), count(*) FROM t WHERE s = 'it''s'")
+    assert p.items[0].alias == "sum_x"
+    assert p.items[1].alias == "count"
+    assert p.where == [("s", "=", "it's")]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse_sql("SELECT a FROM t WHERE a = b")  # non-literal rhs
+    with pytest.raises(ValueError):
+        parse_sql("SELECT a FROM t GROUP a")
+    with pytest.raises(ValueError):
+        parse_sql("SELECT a FROM t LIMIT 5 extra")
+
+
+def test_execute_projection_and_agg(ray_session):
+    t = execute_sql(
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE n_chars > 0 ORDER BY n_chars DESC, doc_id LIMIT 5", SF)
+    assert t.num_rows == 5
+    nc = t["n_chars"].to_pylist()
+    assert nc == sorted(nc, reverse=True)
+
+    t2 = execute_sql(
+        "SELECT count(*) AS n, min(n_chars) AS lo FROM documents", SF)
+    assert t2.num_rows == 1 and t2["n"][0].as_py() > 0
+    assert t2.schema.names == ["n", "lo"]
+
+    t3 = execute_sql(
+        "SELECT lang, max(n_chars) AS hi FROM documents GROUP BY lang "
+        "ORDER BY lang", SF)
+    assert t3["lang"].to_pylist() == sorted(t3["lang"].to_pylist())
