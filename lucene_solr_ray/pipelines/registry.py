@@ -3930,3 +3930,59 @@ FROM orders WHERE o_totalprice > 100000
 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """,
 })
+
+
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join (events pick the latest order at-or-before their ts by
+    the same user) aggregated per event_type. Ties — several orders on
+    one (custkey, orderdate) — resolve to the max orderkey via the
+    join's vectorized right_tiebreak, matching SQL arg_max."""
+    import ray.data as rd
+    import ray.data.aggregate as agg
+
+    from .streams import asof_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(
+            ["o_orderkey", "user_id", "o_orderdate", "o_totalprice"]),
+        batch_format="pyarrow")
+    j = asof_join(ev, orders, on="user_id", left_ts="ts",
+                  right_ts="o_orderdate",
+                  right_cols=["o_orderkey", "o_totalprice"],
+                  right_tiebreak="o_orderkey")
+    out = (
+        j.groupby("event_type")
+        .aggregate(agg.Count(alias_name="n"),
+                   agg.Mean("o_totalprice", alias_name="avg_price"))
+        .to_pandas().sort_values("event_type")
+    )
+    return pa.table({
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "n": pa.array(out["n"].to_numpy(), pa.int64()),
+        "avg_price": pa.array(_round4(out["avg_price"].to_numpy()),
+                              pa.float64()),
+    })
+
+
+QUERIES.update({"asof_join": q_asof_join})
+
+ORACLE_SQL["asof_join"] = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate),
+ j AS (
+  SELECT e.event_type, o.o_totalprice
+  FROM events e ASOF JOIN o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+SELECT event_type, count(*)::BIGINT AS n,
+       floor(avg(o_totalprice) * 10000 + 0.5) / 10000 AS avg_price
+FROM j GROUP BY event_type ORDER BY event_type
+"""

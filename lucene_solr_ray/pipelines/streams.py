@@ -546,3 +546,78 @@ def significant_terms(corpus_ds, fg_doc_ids, *, analyzer,
         "bg_df": pa.array(bg_df[order], pa.int64()),
         "lift": pa.array(lift[order], pa.float64()),
     })
+
+
+def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
+              right_cols: list[str], right_tiebreak: str | None = None):
+    """As-of join: each left row picks the LATEST right row with the same
+    key and ``right_ts <= left_ts`` (DuckDB ``ASOF JOIN`` semantics; the
+    Solr-streams relative is a sorted ``reducerStream`` over a merged
+    stream). Unmatched left rows are dropped (inner as-of).
+
+    ``right_tiebreak``: when several right rows share (key, ts), keep
+    only the one with the max tiebreak column — makes the pick
+    well-defined, vectorized inside the per-key merge (a separate
+    pre-dedupe shuffle of the right side would cost a second exchange).
+
+    Distributed shape: tag + widen both inputs to one schema, ONE
+    hash-shuffle on the key (``groupby(on)``), then a per-key vectorized
+    merge (sort by ts with right-before-left at equal ts, forward-fill
+    the last right row onto left rows). Keys are assumed high-cardinality
+    (users, series ids) so groups are small and parallelism is wide."""
+    import pandas as pd
+
+    lt = left.schema()
+    rt = right.schema()
+    ltypes = dict(zip(lt.names, lt.types))
+    rtypes = dict(zip(rt.names, rt.types))
+    lcols = list(lt.names)
+    out_schema = lcols + [c for c in right_cols if c not in lcols]
+
+    def widen_left(b: pa.Table) -> pa.Table:
+        cols = {c: b[c] for c in lcols}
+        cols["__ts"] = b[left_ts]
+        cols["__tag"] = pa.array(
+            np.ones(b.num_rows, np.int8))  # left sorts after right
+        for c in right_cols:
+            if c not in lcols:
+                cols[c] = pa.nulls(b.num_rows, rtypes[c])
+        return pa.table(cols)
+
+    def widen_right(b: pa.Table) -> pa.Table:
+        cols = {}
+        for c in lcols:
+            if c == on:
+                cols[c] = b[on]
+            else:
+                cols[c] = pa.nulls(b.num_rows, ltypes[c])
+        cols["__ts"] = b[right_ts]
+        cols["__tag"] = pa.array(np.zeros(b.num_rows, np.int8))
+        for c in right_cols:
+            if c not in lcols:
+                cols[c] = b[c]
+        return pa.table(cols)
+
+    u = left.map_batches(widen_left, batch_format="pyarrow").union(
+        right.map_batches(widen_right, batch_format="pyarrow"))
+
+    fill_cols = [c for c in right_cols if c not in lcols]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        if right_tiebreak is not None:
+            is_r = g["__tag"].to_numpy() == 0
+            r = g[is_r].sort_values(["__ts", right_tiebreak],
+                                    ascending=[True, False],
+                                    kind="mergesort")
+            r = r.drop_duplicates(subset="__ts", keep="first")
+            g = pd.concat([r, g[~is_r]])
+        g = g.sort_values(["__ts", "__tag"], kind="mergesort")
+        filled = g[fill_cols].ffill()
+        is_left = g["__tag"].to_numpy() == 1
+        matched = filled.notna().all(axis=1).to_numpy() & is_left
+        out = g.loc[matched, lcols].copy()
+        for c in fill_cols:
+            out[c] = filled.loc[matched, c].to_numpy()
+        return out
+
+    return u.groupby(on).map_groups(per_key, batch_format="pandas")

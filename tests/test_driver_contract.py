@@ -85,7 +85,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "suggest_freetext",
         "shingle_top10", "common_grams_stats", "interval_facet",
         "gopher_quality", "lm_perplexity", "semdedup",
-        "sql_group_agg", "sql_select_topk",
+        "sql_group_agg", "sql_select_topk", "asof_join",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):

@@ -212,3 +212,30 @@ def test_significant_terms_vs_reference(ray_session):
     assert row.lift == pytest.approx((2 / 4) / (3 / 8))
     # ranked by lift desc
     assert (t.lift.values[:-1] >= t.lift.values[1:]).all()
+
+
+def test_asof_join_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from lucene_solr_ray.pipelines.streams import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([7, 7, 7, 9], pa.int64()),
+        "t": pa.array([5, 10, 2, 5], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([7, 7, 7, 8], pa.int64()),
+        "rt": pa.array([3, 10, 10, 1], pa.int64()),
+        "rk": pa.array([100, 200, 300, 400], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+    }))
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                    right_cols=["rk", "v"], right_tiebreak="rk"
+                    ).to_pandas().sort_values("id").reset_index(drop=True)
+    # id=3 (t=2): no right row at/before 2 -> dropped (inner as-of)
+    # id=4 (k=9): key has no right rows -> dropped
+    assert out.id.tolist() == [1, 2]
+    # id=1 t=5 -> rt=3 (rk=100); id=2 t=10 -> tie at rt=10 -> max rk=300
+    assert out.rk.tolist() == [100, 300]
+    assert out.v.tolist() == [1.0, 3.0]
