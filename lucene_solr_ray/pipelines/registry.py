@@ -3986,3 +3986,22 @@ SELECT event_type, count(*)::BIGINT AS n,
        floor(avg(o_totalprice) * 10000 + 0.5) / 10000 AS avg_price
 FROM j GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_cluster_docs(sf_dir: str) -> pa.Table:
+    """ClusteringComponent: labeled k-means document clusters (rows-only
+    entry — k-means isn't SQL). Output: one row per cluster with size
+    and top-3 label terms, deterministic seed."""
+    from ..stages.clustering import kmeans_cluster_docs
+
+    _, labels = kmeans_cluster_docs(
+        _docs_ds(sf_dir, ["doc_id", "text"]), k=6, iters=3)
+    labels = [l for l in labels if l[2] > 0]
+    return pa.table({
+        "cluster": pa.array([l[0] for l in labels], pa.int64()),
+        "size": pa.array([l[2] for l in labels], pa.int64()),
+        "label": pa.array([" ".join(l[1]) for l in labels], pa.string()),
+    })
+
+
+QUERIES.update({"cluster_docs": q_cluster_docs})

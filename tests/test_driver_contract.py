@@ -105,7 +105,8 @@ def test_query_matches_oracle(contract, duck, name):
                                   "media_image_stats", "ann_lsh_top5",
                                   "hll_users", "nb_lang_classify",
                                   "curation_funnel", "simhash_pairs",
-                                  "multilingual_stems", "highlight_offsets", "ann_pq_top5"])
+                                  "multilingual_stems", "highlight_offsets", "ann_pq_top5",
+                                  "cluster_docs"])
 def test_rows_only_queries_run(contract, name):
     queries, _ = contract
     df = _to_df(queries[name](SF_DIR))

@@ -543,3 +543,36 @@ def test_semdedup_trained_kmeans(ray_session):
     c0 = set(out[out.vec_id < 10].cluster)
     c1 = set(out[out.vec_id >= 10].cluster)
     assert len(c0) == 1 and len(c1) == 1 and c0 != c1
+
+
+def test_kmeans_doc_clustering(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from lucene_solr_ray.stages.clustering import kmeans_cluster_docs
+
+    docs, ids = [], []
+    for i in range(30):
+        docs.append("parquet columnar storage compression encoding scan")
+        ids.append(i)
+    for i in range(30, 60):
+        docs.append("neural embedding vector similarity cosine index")
+        ids.append(i)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }))
+    asg, labels = kmeans_cluster_docs(ds, k=2, iters=4, dim=256)
+    df = asg.to_pandas()
+    # the two topic groups separate perfectly
+    c0 = set(df[df.doc_id < 30].cluster)
+    c1 = set(df[df.doc_id >= 30].cluster)
+    assert len(c0) == 1 and len(c1) == 1 and c0 != c1
+    # labels come from the right vocabularies and sizes are 30/30
+    by_cluster = {cl: (terms, size) for cl, terms, size in labels}
+    t0, s0 = by_cluster[c0.pop()]
+    t1, s1 = by_cluster[c1.pop()]
+    assert s0 == 30 and s1 == 30
+    assert set(t0) <= {"parquet", "columnar", "storage", "compression",
+                       "encoding", "scan"}
+    assert set(t1) <= {"neural", "embedding", "vector", "similarity",
+                       "cosine", "index"}
