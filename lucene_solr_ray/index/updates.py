@@ -194,3 +194,33 @@ def atomic_update(index_dir: str, key_col: str,
     tbl = pa.table({c: pa.array([r.get(c) for r in new_rows])
                     for c in cols})
     return update_documents(index_dir, tbl, key_col)
+
+
+def realtime_get(index_dir: str, key_col: str, keys) -> pa.Table:
+    """RealTimeGet — Solr's ``/get`` handler
+    (``solr/core/.../handler/component/RealTimeGetComponent.java``):
+    fetch the CURRENT live version of documents by key, seeing keyed
+    updates immediately (delta segments are searchable the moment
+    ``update_documents`` returns; superseded versions are masked by the
+    delete gen). Returns stored fields, one row per found key, in input
+    key order; missing / deleted keys are simply absent."""
+    from .check import fetch_docs
+    from .deletes import LiveDocs
+
+    man = IndexManifest.load(index_dir)
+    keys = np.asarray(keys)
+    ids = _matching_doc_ids(man, key_col, keys)
+    if ids.size and os.path.isdir(os.path.join(index_dir, "deletes")):
+        ids = ids[LiveDocs(index_dir, man.max_doc).mask[ids]]
+    if not ids.size:
+        return pa.table({})
+    t = fetch_docs(index_dir, doc_ids=np.sort(ids).tolist())
+    if t.column_names.count("doc_id") > 1:
+        # key column is itself named doc_id: drop the synthetic global-id
+        # column fetch_docs prepends (same convention as atomic_update)
+        t = t.remove_column(0)
+    # order rows by the input key order
+    kc = t.column(key_col).to_numpy(zero_copy_only=False)
+    pos = {k: i for i, k in enumerate(kc.tolist())}
+    take = [pos[k] for k in keys.tolist() if k in pos]
+    return t.take(pa.array(take, pa.int64()))

@@ -4005,3 +4005,47 @@ def q_cluster_docs(sf_dir: str) -> pa.Table:
 
 
 QUERIES.update({"cluster_docs": q_cluster_docs})
+
+
+def q_suggest_blended(sf_dir: str) -> pa.Table:
+    """BlendedInfixSuggester: infix hits re-ranked by weight/(1+pos) of
+    the best matched token position (POSITION_RECIPROCAL blender)."""
+    from ..analysis import get_analyzer
+    from ..search.suggester import BlendedInfixSuggester
+
+    def phrases(b: pa.Table) -> pa.Table:
+        s = [" ".join((t or "").split()[:4]) for t in
+             b["text"].to_pylist()]
+        return pa.table({
+            "s": pa.array(s, pa.string()),
+            "w": b["n_chars"].combine_chunks().cast(pa.float64()),
+        })
+
+    ds = _docs_ds(sf_dir, ["text", "n_chars"]).map_batches(
+        phrases, batch_format="pyarrow")
+    sug = BlendedInfixSuggester.from_dataset(
+        ds, "s", "w", analyzer_name="simple_nostop")
+    t = sug.suggest("fa", get_analyzer("simple_nostop"), n=10)
+    return pa.table({
+        "surface": t["surface"],
+        "weight": pa.array(_round4(t["weight"].to_numpy()), pa.float64()),
+    })
+
+
+QUERIES.update({"suggest_blended": q_suggest_blended})
+
+ORACLE_SQL["suggest_blended"] = """
+WITH phr AS (SELECT array_to_string(list_slice(string_split(text, ' '),
+                                               1, 4), ' ') AS surface,
+                    n_chars::DOUBLE AS weight FROM documents),
+ cand AS (
+  SELECT surface, weight,
+         list_filter(range(1, len(string_split(surface, ' ')) + 1),
+                     i -> string_split(surface, ' ')[i] LIKE 'fa%')[1]
+           AS idx
+  FROM phr),
+ hits AS (SELECT surface, weight / (1.0 + (idx - 1)) AS blended
+          FROM cand WHERE idx IS NOT NULL)
+SELECT surface, floor(blended * 10000 + 0.5) / 10000 AS weight
+FROM hits ORDER BY blended DESC, surface LIMIT 10
+"""

@@ -323,3 +323,79 @@ class FuzzySuggester(AnalyzingSuggester):
                                 pa.string()),
             "weight": pa.array(w[order], pa.float64()),
         })
+
+
+class BlendedInfixSuggester(AnalyzingInfixSuggester):
+    """Position-blended infix suggester (``lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java:60-120``): infix matches re-rank by
+    ``weight * coefficient(position)`` where position is the BEST
+    (minimum) matched token position in the analyzed key. Blender types
+    mirror the reference: ``reciprocal`` -> 1/(1+pos) and ``linear`` ->
+    max(0.1, 1 - 0.10*pos)."""
+
+    def __init__(self, keys: np.ndarray, surfaces: np.ndarray,
+                 weights: np.ndarray, blender: str = "reciprocal"):
+        super().__init__(keys, surfaces, weights)
+        if blender not in ("reciprocal", "linear"):
+            raise ValueError(f"unknown blender: {blender!r}")
+        self.blender = blender
+        toks: list[str] = []
+        rows: list[int] = []
+        poss: list[int] = []
+        for i, k in enumerate(self.keys.tolist()):
+            seen: dict[str, int] = {}
+            for p, t in enumerate(k.split()):
+                if t not in seen:
+                    seen[t] = p
+            for t, p in seen.items():
+                toks.append(t)
+                rows.append(i)
+                poss.append(p)
+        tok_arr = np.asarray(toks, object)
+        order = np.argsort(tok_arr, kind="stable")
+        self._tok = tok_arr[order]
+        self._row = np.asarray(rows, np.int64)[order]
+        self._pos = np.asarray(poss, np.int64)[order]
+
+    def _rows_minpos(self, tok: str, prefix: bool
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        hi_key = tok + ("\U0010FFFF" if prefix else "")
+        lo = int(np.searchsorted(self._tok, tok, "left"))
+        hi = int(np.searchsorted(self._tok, hi_key, "right"))
+        rows = self._row[lo:hi]
+        pos = self._pos[lo:hi]
+        if not rows.size:
+            return rows, pos
+        order = np.argsort(rows, kind="stable")
+        rows, pos = rows[order], pos[order]
+        urows, starts = np.unique(rows, return_index=True)
+        return urows, np.minimum.reduceat(pos, starts)
+
+    def _coef(self, pos: np.ndarray) -> np.ndarray:
+        if self.blender == "reciprocal":
+            return 1.0 / (1.0 + pos)
+        return np.maximum(0.1, 1.0 - 0.10 * pos)
+
+    def suggest(self, text: str, analyzer, n: int = 5) -> pa.Table:
+        toks = analyzer.tokens(text)
+        if not toks:
+            t = text.lower().strip()
+            toks = [t] if t else []
+        if not toks:
+            rows = np.empty(0, np.int64)
+            best = np.empty(0, np.int64)
+        else:
+            rows, best = self._rows_minpos(toks[-1], prefix=True)
+            for t in toks[:-1]:
+                r2, p2 = self._rows_minpos(t, prefix=False)
+                keep = np.isin(rows, r2, assume_unique=True)
+                keep2 = np.isin(r2, rows, assume_unique=True)
+                rows = rows[keep]
+                best = np.minimum(best[keep], p2[keep2])
+        blended = self.weights[rows] * self._coef(best.astype(np.float64))
+        order = np.lexsort((self.surfaces[rows], -blended))[:n]
+        return pa.table({
+            "surface": pa.array(self.surfaces[rows][order].tolist(),
+                                pa.string()),
+            "weight": pa.array(blended[order], pa.float64()),
+        })

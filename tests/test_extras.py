@@ -220,3 +220,29 @@ def test_elevate_pins_docs_then_organic(xidx):
     # organic fill excludes pinned and preserves organic order
     rest = [d for d in organic if d not in pinned]
     assert got[len(pinned):] == rest[: 5 - len(pinned)]
+
+
+def test_blended_infix_suggester():
+    import numpy as np
+    from lucene_solr_ray.analysis import get_analyzer
+    from lucene_solr_ray.search.suggester import BlendedInfixSuggester
+
+    ana = get_analyzer("simple_nostop")
+    s = BlendedInfixSuggester.from_pairs(
+        [("fast merge join", 10.0), ("merge fast sort", 10.0),
+         ("sort scan fast", 10.0), ("nothing here", 5.0)], ana)
+    t = s.suggest("fa", ana, n=5).to_pandas()
+    # reciprocal blender: pos 0 -> 10, pos 1 -> 5, pos 2 -> 3.33...
+    assert t.surface.tolist() == [
+        "fast merge join", "merge fast sort", "sort scan fast"]
+    assert np.allclose(t.weight.tolist(), [10.0, 5.0, 10 / 3])
+
+    # linear blender + multi-token query (all-terms-required semantics)
+    s2 = BlendedInfixSuggester.from_pairs(
+        [("alpha beta gamma", 10.0), ("beta gamma alpha", 10.0)], ana)
+    s2.blender = "linear"
+    t2 = s2.suggest("gamma al", ana, n=5).to_pandas()
+    # best matched position: key1 min(pos(gamma)=2, pos(al*)=0)=0 -> 1.0
+    # key2 min(pos(gamma)=1, pos(al*)=2)=1 -> 0.9
+    assert t2.surface.tolist() == ["alpha beta gamma", "beta gamma alpha"]
+    assert np.allclose(t2.weight.tolist(), [10.0, 9.0])

@@ -209,3 +209,30 @@ def test_atomic_update_ops(tmp_path_factory, ray_session):
     assert by_key[1]["content"] == "alpha beta epsilon"
     assert by_key[1]["views"] == 15
     assert by_key[2]["content"] == "delta"
+
+
+def test_realtime_get(ray_session, tmp_path):
+    from lucene_solr_ray.index.updates import realtime_get, update_documents
+
+    src = tmp_path / "rtg_corpus"
+    src.mkdir()
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "content": pa.array(["alpha beta", "gamma delta", "epsilon zeta"]),
+    })
+    pq.write_table(t, str(src / "c.parquet"))
+    d = str(tmp_path / "rtg_index")
+    build_index(str(src), d, text_field="content")
+
+    got = realtime_get(d, "doc_id", [11, 10])
+    assert got.column("doc_id").to_pylist() == [11, 10]
+    assert got.column("content").to_pylist() == ["gamma delta",
+                                                 "alpha beta"]
+
+    update_documents(d, pa.table({
+        "doc_id": pa.array([11], pa.int64()),
+        "content": pa.array(["gamma UPDATED"]),
+    }), "doc_id")
+    got = realtime_get(d, "doc_id", [11, 99, 12])
+    assert got.column("doc_id").to_pylist() == [11, 12]
+    assert got.column("content").to_pylist()[0] == "gamma UPDATED"
