@@ -133,14 +133,18 @@ def run_bench() -> dict:
     from lucene_solr_ray.pipelines.curation import run_curation
     from lucene_solr_ray.pipelines.registry import (
         q_ann_cosine_top5,
+        q_asof_join,
         q_chunk_windows,
         q_decontam,
         q_facet_lang,
+        q_gopher_quality,
         q_json_facet_nested,
+        q_lm_perplexity,
         q_minhash_candidates,
         q_mixture_sample,
         q_pii_redact,
         q_quality_tokens,
+        q_semdedup,
         q_tdigest_quantiles,
     )
 
@@ -155,6 +159,10 @@ def run_bench() -> dict:
         ("decontam", q_decontam),
         ("chunk_windows", q_chunk_windows),
         ("mixture_sample", q_mixture_sample),
+        ("gopher_quality", q_gopher_quality),
+        ("lm_perplexity", q_lm_perplexity),
+        ("semdedup", q_semdedup),
+        ("asof_join", q_asof_join),
         ("curation_funnel", run_curation),
     ]:
         tq0 = time.perf_counter()

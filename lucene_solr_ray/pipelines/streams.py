@@ -548,6 +548,26 @@ def significant_terms(corpus_ds, fg_doc_ids, *, analyzer,
     })
 
 
+def _asof_fill(keys: np.ndarray, tag: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Core as-of kernel over a (key, ts, tag)-sorted slice: for every
+    row, the index of the latest right row (tag==0) at or before it
+    within the same key run. Returns (run_start, last_right_idx, valid)."""
+    n = keys.size
+    idx = np.arange(n, dtype=np.int64)
+    change = np.empty(n, bool)
+    if n:
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    run_start = starts[np.searchsorted(starts, idx, "right") - 1] if n \
+        else idx
+    rmark = np.where(tag == 0, idx, -1)
+    last_right = np.maximum.accumulate(rmark) if n else rmark
+    valid = last_right >= run_start
+    return run_start, last_right, valid
+
+
 def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
               right_cols: list[str], right_tiebreak: str | None = None):
     """As-of join: each left row picks the LATEST right row with the same
@@ -555,69 +575,144 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
     Solr-streams relative is a sorted ``reducerStream`` over a merged
     stream). Unmatched left rows are dropped (inner as-of).
 
-    ``right_tiebreak``: when several right rows share (key, ts), keep
-    only the one with the max tiebreak column — makes the pick
-    well-defined, vectorized inside the per-key merge (a separate
-    pre-dedupe shuffle of the right side would cost a second exchange).
+    ``right_tiebreak``: when several right rows share (key, ts), the one
+    with the max tiebreak column wins (sorted into last place among the
+    ties, so the accumulate kernel picks it naturally).
 
-    Distributed shape: tag + widen both inputs to one schema, ONE
-    hash-shuffle on the key (``groupby(on)``), then a per-key vectorized
-    merge (sort by ts with right-before-left at equal ts, forward-fill
-    the last right row onto left rows). Keys are assumed high-cardinality
-    (users, series ids) so groups are small and parallelism is wide."""
-    import pandas as pd
-
+    Distributed shape — the repo's interior/boundary discipline (same as
+    ``sort_merge_join``): tag + widen both inputs to one superset schema,
+    ONE ``Dataset.sort`` on (key, ts, tag) co-locates and orders every
+    key's timeline; each batch resolves its rows VECTORIZED with a
+    cummax kernel (no per-key dispatch); only the <=2 edge key-runs per
+    batch — where a key may span batches — return raw rows, and the
+    driver re-runs the same kernel over that bounded boundary set."""
     lt = left.schema()
     rt = right.schema()
     ltypes = dict(zip(lt.names, lt.types))
     rtypes = dict(zip(rt.names, rt.types))
     lcols = list(lt.names)
-    out_schema = lcols + [c for c in right_cols if c not in lcols]
+    fill_cols = [c for c in right_cols if c not in lcols]
+    tb = right_tiebreak
 
     def widen_left(b: pa.Table) -> pa.Table:
         cols = {c: b[c] for c in lcols}
         cols["__ts"] = b[left_ts]
-        cols["__tag"] = pa.array(
-            np.ones(b.num_rows, np.int8))  # left sorts after right
-        for c in right_cols:
-            if c not in lcols:
-                cols[c] = pa.nulls(b.num_rows, rtypes[c])
+        cols["__tag"] = pa.array(np.ones(b.num_rows, np.int8))
+        # lefts sort AFTER every tied right: +inf beats any tiebreak
+        cols["__ord"] = pa.array(np.full(b.num_rows, np.inf, np.float64))
+        for c in fill_cols:
+            cols[c] = pa.nulls(b.num_rows, rtypes[c])
         return pa.table(cols)
 
     def widen_right(b: pa.Table) -> pa.Table:
         cols = {}
         for c in lcols:
-            if c == on:
-                cols[c] = b[on]
-            else:
-                cols[c] = pa.nulls(b.num_rows, ltypes[c])
+            cols[c] = b[on] if c == on else pa.nulls(b.num_rows,
+                                                     ltypes[c])
         cols["__ts"] = b[right_ts]
         cols["__tag"] = pa.array(np.zeros(b.num_rows, np.int8))
-        for c in right_cols:
-            if c not in lcols:
-                cols[c] = b[c]
+        # among tied rights the max tiebreak sorts LAST (kernel picks it)
+        ordv = (b[tb].to_numpy(zero_copy_only=False).astype(np.float64)
+                if tb else np.zeros(b.num_rows, np.float64))
+        cols["__ord"] = pa.array(ordv)
+        for c in fill_cols:
+            cols[c] = b[c]
         return pa.table(cols)
 
     u = left.map_batches(widen_left, batch_format="pyarrow").union(
         right.map_batches(widen_right, batch_format="pyarrow"))
+    # ties on (key, ts): rights before lefts, winning right last among
+    # tied rights — all encoded in the single numeric __ord column
+    u = u.sort([on, "__ts", "__ord"])
 
-    fill_cols = [c for c in right_cols if c not in lcols]
+    out_names = lcols + fill_cols
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        if right_tiebreak is not None:
-            is_r = g["__tag"].to_numpy() == 0
-            r = g[is_r].sort_values(["__ts", right_tiebreak],
-                                    ascending=[True, False],
-                                    kind="mergesort")
-            r = r.drop_duplicates(subset="__ts", keep="first")
-            g = pd.concat([r, g[~is_r]])
-        g = g.sort_values(["__ts", "__tag"], kind="mergesort")
-        filled = g[fill_cols].ffill()
-        is_left = g["__tag"].to_numpy() == 1
-        matched = filled.notna().all(axis=1).to_numpy() & is_left
-        out = g.loc[matched, lcols].copy()
+    def fill_block(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return b.append_column("_boundary",
+                                   pa.array([], pa.int8()))
+        keys = b[on].to_numpy(zero_copy_only=False)
+        tag = b["__tag"].to_numpy()
+        run_start, last_right, valid = _asof_fill(keys, tag)
+        is_left = tag == 1
+        first_run = run_start == 0
+        last_run = run_start == run_start[-1]
+        edge = first_run | last_run
+        matched = is_left & valid
+        emit = matched & ~(first_run & ~valid)  # matched lefts are final
+        # boundary export: edge-run RIGHT rows (next/prev batch may need
+        # them) + edge-run UNMATCHED lefts (their predecessor may be in a
+        # neighboring batch)
+        bmask = edge & ((~is_left) | (is_left & ~valid))
+        emit_idx = np.flatnonzero(emit)
+        src = last_right[emit_idx]
+        cols = {}
+        for c in lcols:
+            cols[c] = b[c].take(pa.array(emit_idx))
         for c in fill_cols:
-            out[c] = filled.loc[matched, c].to_numpy()
-        return out
+            cols[c] = b[c].take(pa.array(src))
+        t = pa.table(cols).append_column(
+            "_boundary", pa.array(np.zeros(emit_idx.size, np.int8)))
+        bidx = np.flatnonzero(bmask)
+        if bidx.size:
+            raw = b.select(out_names).take(pa.array(bidx))
+            for extra in ("__ts", "__tag", "__ord"):
+                raw = raw.append_column(
+                    extra, b[extra].take(pa.array(bidx)))
+            raw = raw.append_column(
+                "_boundary", pa.array(np.ones(bidx.size, np.int8)))
+            t = t.append_column("__ts", pa.nulls(
+                emit_idx.size, b.schema.field("__ts").type))
+            t = t.append_column("__tag",
+                                pa.nulls(emit_idx.size, pa.int8()))
+            t = t.append_column("__ord",
+                                pa.nulls(emit_idx.size, pa.float64()))
+            t = t.select(raw.column_names)
+            return pa.concat_tables([t, raw], promote_options="default")
+        t = t.append_column("__ts", pa.nulls(
+            emit_idx.size, b.schema.field("__ts").type))
+        t = t.append_column("__tag", pa.nulls(emit_idx.size, pa.int8()))
+        t = t.append_column("__ord", pa.nulls(emit_idx.size,
+                                              pa.float64()))
+        return t
 
-    return u.groupby(on).map_groups(per_key, batch_format="pandas")
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    res = (u.map_batches(fill_block, batch_format="pyarrow",
+                         batch_size=None)  # whole blocks: fewer edges
+           .materialize())
+    interior = res.map_batches(
+        lambda t: t.filter(pc_.equal(t["_boundary"], 0))
+        .select(out_names),
+        batch_format="pyarrow")
+    bnd_parts = [
+        t for t in res.map_batches(
+            lambda t: t.filter(pc_.equal(t["_boundary"], 1)),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    ]  # bounded: <= 2 edge key-runs per sorted block
+    bnd = (pa.concat_tables(bnd_parts, promote_options="default")
+           .combine_chunks() if bnd_parts else None)
+    if bnd is not None and bnd.num_rows:
+        import pandas as pd
+
+        df = bnd.to_pandas().sort_values([on, "__ts", "__ord"],
+                                         kind="mergesort")
+        keys = df[on].to_numpy()
+        tag = df["__tag"].to_numpy().astype(np.int8)
+        _, last_right, valid = _asof_fill(keys, tag)
+        emit = (tag == 1) & valid
+        out = df.loc[emit, lcols].copy()
+        src = df.index.to_numpy()[last_right[np.flatnonzero(emit)]]
+        for c in fill_cols:
+            out[c] = df.loc[src, c].to_numpy()
+        resolved = pa.Table.from_pandas(
+            out[out_names].reset_index(drop=True), preserve_index=False)
+        # match interior's column types (boundary lefts carry null fill
+        # cols in pandas -> float64; cast back)
+        resolved = resolved.cast(
+            pa.schema([bnd.schema.field(c) for c in out_names]))
+        if resolved.num_rows:
+            interior = interior.union(rd.from_arrow(resolved))
+    return interior
