@@ -4049,3 +4049,96 @@ WITH phr AS (SELECT array_to_string(list_slice(string_split(text, ' '),
 SELECT surface, floor(blended * 10000 + 0.5) / 10000 AS weight
 FROM hits ORDER BY blended DESC, surface LIMIT 10
 """
+
+
+def q_facet_prefix(sf_dir: str) -> pa.Table:
+    """facet.prefix + facet.mincount (``solr/core/.../request/
+    SimpleFacets.java:486`` prefix-bounded term enumeration): term facet
+    over source restricted to values starting with 'src1', mincount 2."""
+    out = (
+        _docs_ds(sf_dir, ["source"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.starts_with(b["source"].combine_chunks(), "src1")),
+            batch_format="pyarrow")
+        .groupby("source").count().to_pandas()
+        .rename(columns={"count()": "cnt"})
+    )
+    out = out[out["cnt"] >= 2].sort_values(
+        ["cnt", "source"], ascending=[False, True])
+    return pa.table({
+        "source": pa.array(out["source"].tolist(), pa.string()),
+        "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+    })
+
+
+def q_ann_filtered_top5(sf_dir: str) -> pa.Table:
+    """Pre-filtered vector search (Lucene KnnVectorQuery-with-filter
+    shape): brute-force cosine top-5 restricted to label=3 rows; the
+    predicate prunes INSIDE the streamed scan, before any matmul."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.ann import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, filters=[("vec_id", "in", [0, 1, 2])])
+    qv = np.array(head["embedding"].to_pylist(), np.float64)
+    qids = head["vec_id"].to_numpy()
+    ds = (
+        rd.read_parquet(path, columns=["vec_id", "embedding", "label"])
+        .map_batches(lambda b: b.filter(pc.equal(b["label"], 3))
+                     .select(["vec_id", "embedding"]),
+                     batch_format="pyarrow")
+    )
+    t = brute_force_topk(ds, qv, k=6, round_decimals=3)
+    out = {"query_id": [], "rank": [], "vec_id": [], "score": []}
+    tt = t.to_pydict()
+    for qi, real in enumerate(qids):
+        rows = [
+            (v, s) for q, v, s in zip(tt["query_id"], tt["vec_id"],
+                                      tt["score"])
+            if q == qi and v != real
+        ][:5]
+        out["query_id"].extend([int(real)] * len(rows))
+        out["rank"].extend(range(1, len(rows) + 1))
+        out["vec_id"].extend(v for v, _ in rows)
+        out["score"].extend(s for _, s in rows)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+    })
+
+
+QUERIES.update({
+    "facet_prefix": q_facet_prefix,
+    "ann_filtered_top5": q_ann_filtered_top5,
+})
+
+ORACLE_SQL.update({
+    "facet_prefix": """
+SELECT source, count(*)::BIGINT AS cnt FROM documents
+WHERE source LIKE 'src1%' GROUP BY source HAVING count(*) >= 2
+ORDER BY cnt DESC, source
+""",
+    "ann_filtered_top5": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+ scored AS (
+  SELECT q.query_id, e.vec_id,
+         floor(CAST(list_cosine_similarity(q.embedding, e.embedding)
+                    AS DOUBLE) * 1000 + 0.5) / 1000 AS score,
+         CAST(list_cosine_similarity(q.embedding, e.embedding) AS DOUBLE)
+           AS raw
+  FROM q JOIN embeddings e ON e.label = 3 AND e.vec_id <> q.query_id),
+ ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, rank::BIGINT AS rank, vec_id, score FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+""",
+})

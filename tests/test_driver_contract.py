@@ -86,7 +86,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "shingle_top10", "common_grams_stats", "interval_facet",
         "gopher_quality", "lm_perplexity", "semdedup",
         "sql_group_agg", "sql_select_topk", "asof_join",
-        "suggest_blended",
+        "suggest_blended", "facet_prefix", "ann_filtered_top5",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):
