@@ -148,7 +148,7 @@ def run_bench() -> dict:
         q_tdigest_quantiles,
     )
 
-    for name, fn in [
+    secondary = [] if os.environ.get("GRAFT_SKIP_SECONDARY") else [
         ("facet_lang", q_facet_lang),
         ("quality_tokens", q_quality_tokens),
         ("minhash_candidates", q_minhash_candidates),
@@ -164,7 +164,8 @@ def run_bench() -> dict:
         ("semdedup", q_semdedup),
         ("asof_join", q_asof_join),
         ("curation_funnel", run_curation),
-    ]:
+    ]
+    for name, fn in secondary:
         tq0 = time.perf_counter()
         fn(SF_DIR)
         timings[name] = time.perf_counter() - tq0
@@ -201,7 +202,11 @@ def run_scaling() -> None:
         # dominate: default the paired runs to the 1M-doc corpus
         # (15.6k-doc partitions ~ the per-task size real segment builds
         # use) unless the caller pinned a size
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # the scaling criterion is the BUILD pipeline (north_rule);
+        # the sf0.1 secondary queries carry fixed driver-side costs that
+        # only add noise to the paired measurement
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SKIP_SECONDARY="1")
         env.setdefault("GRAFT_BENCH_DOCS", "1000000")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
