@@ -4142,3 +4142,31 @@ SELECT query_id, rank::BIGINT AS rank, vec_id, score FROM ranked
 WHERE rank <= 5 ORDER BY query_id, rank
 """,
 })
+
+
+_SQL_JOIN_AGG = (
+    "SELECT c_mktsegment, count(*) AS cnt, sum(o_totalprice) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "WHERE o_totalprice > 1000 GROUP BY c_mktsegment "
+    "HAVING cnt >= 5 ORDER BY revenue DESC, c_mktsegment LIMIT 4")
+
+
+def q_sql_join_agg(sf_dir: str) -> pa.Table:
+    """ParallelSQL: broadcast dimension join + grouped aggregate +
+    HAVING, all planned from the SQL text."""
+    from .sql import execute_sql
+
+    return execute_sql(_SQL_JOIN_AGG, sf_dir)
+
+
+QUERIES.update({"sql_join_agg": q_sql_join_agg})
+
+ORACLE_SQL["sql_join_agg"] = """
+SELECT c_mktsegment, cnt, floor(revenue * 10000 + 0.5) / 10000 AS revenue
+FROM (SELECT c_mktsegment, count(*)::BIGINT AS cnt,
+             sum(o_totalprice) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 1000 GROUP BY c_mktsegment
+      HAVING count(*) >= 5)
+ORDER BY revenue DESC, c_mktsegment LIMIT 4
+"""

@@ -7,12 +7,16 @@ Supported subset (what the Solr handler's MVP supported):
 
     SELECT col | agg(col) [AS alias] [, ...]
     FROM <table>
+    [JOIN <table> ON a = b [JOIN ...]]      broadcast hash join
     [WHERE col op literal [AND ...]]        op: = <> < <= > >=
     [GROUP BY col [, ...]]
+    [HAVING alias op literal [AND ...]]
     [ORDER BY name [ASC|DESC] [, ...]]
     [LIMIT n]
 
-aggs: count(*), count(col), sum, min, max, avg.
+aggs: count(*), count(col), sum, min, max, avg. Joined tables are
+broadcast (``ray.put`` once, probed per batch) — the dimension-table
+pattern; fact x fact joins go through ``streams.sort_merge_join``.
 
 Scale notes: the read prunes to referenced columns; WHERE runs as Arrow
 compute inside ``map_batches``; GROUP BY is Ray's shuffle aggregate;
@@ -68,8 +72,10 @@ class SelectItem:
 class Plan:
     table: str
     items: list[SelectItem]
+    joins: list[tuple[str, str, str]] = field(default_factory=list)
     where: list[tuple[str, str, object]] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    having: list[tuple[str, str, object]] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # desc?
     limit: int | None = None
 
@@ -121,6 +127,14 @@ def parse_sql(q: str) -> Plan:
         break
     p.expect("FROM")
     plan = Plan(table=p.take(), items=items)
+    while p.kw("JOIN"):
+        p.take()
+        jt = p.take()
+        p.expect("ON")
+        a = p.take()
+        p.expect("=")
+        b = p.take()
+        plan.joins.append((jt, a, b))
     if p.kw("WHERE"):
         p.take()
         while True:
@@ -145,6 +159,20 @@ def parse_sql(q: str) -> Plan:
         while True:
             plan.group_by.append(p.take())
             if p.peek() == ",":
+                p.take()
+                continue
+            break
+    if p.kw("HAVING"):
+        p.take()
+        while True:
+            col = p.take()
+            op = p.take()
+            kind, raw = p.t[p.i]
+            p.i += 1
+            val = (float(raw) if "." in raw else int(raw)) \
+                if kind == "num" else raw[1:-1].replace("''", "'")
+            plan.having.append((col, op, val))
+            if p.kw("AND"):
                 p.take()
                 continue
             break
@@ -203,13 +231,40 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
     import ray.data.aggregate as agg
 
     plan = parse_sql(q)
-    needed = sorted({
+    referenced = sorted({
         c for c in (
             [i.col for i in plan.items if i.col != "*"]
-            + [w[0] for w in plan.where] + plan.group_by)
+            + [w[0] for w in plan.where] + plan.group_by
+            + [k for j in plan.joins for k in (j[1], j[2])])
     })
+    import pyarrow.parquet as pq_
+
     path = os.path.join(sf_dir, f"{plan.table}.parquet")
+    if plan.joins:
+        base_names = set(pq_.read_schema(path).names)
+        needed = [c for c in referenced if c in base_names]
+    else:
+        needed = referenced
     ds = rd.read_parquet(path, columns=needed or None)
+    have = set(needed or pq_.read_schema(path).names)
+    for jt, a, b in plan.joins:
+        from .streams import inner_join
+
+        jpath = os.path.join(sf_dir, f"{jt}.parquet")
+        rnames = set(pq_.read_schema(jpath).names)
+        # which side of ON lives in the joined table
+        rkey, lkey = (b, a) if b in rnames and a in have else (a, b)
+        rcols = sorted({c for c in referenced
+                        if c in rnames and c not in have} | {rkey})
+        right = rd.read_parquet(jpath, columns=rcols)
+        if rkey != lkey:
+            right = right.map_batches(
+                lambda t, _rk=rkey, _lk=lkey: t.rename_columns(
+                    [_lk if n == _rk else n for n in t.column_names]),
+                batch_format="pyarrow")
+        # dimension side broadcast once; probed vectorized per batch
+        ds = inner_join(ds, right, on=lkey)
+        have |= {c for c in rcols if c != rkey}
     if plan.where:
         where = plan.where
         ds = ds.map_batches(lambda b: _filter_batch(b, where),
@@ -235,6 +290,13 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
             row = ds.aggregate(*specs)
             res = pa.table({k: [row[k]] for k in [i.alias for i in aggs]}
                            ).to_pandas()
+        if plan.having:
+            import operator as _op
+
+            hops = {"=": _op.eq, "<>": _op.ne, "<": _op.lt,
+                    "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+            for col, op, val in plan.having:
+                res = res[hops[op](res[col], val)]
         # post-aggregate: bounded by group cardinality -> driver sort ok
         if plan.order_by:
             res = res.sort_values(

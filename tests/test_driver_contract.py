@@ -87,6 +87,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "gopher_quality", "lm_perplexity", "semdedup",
         "sql_group_agg", "sql_select_topk", "asof_join",
         "suggest_blended", "facet_prefix", "ann_filtered_top5",
+        "sql_join_agg",
     ],
 )
 def test_query_matches_oracle(contract, duck, name):

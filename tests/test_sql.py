@@ -55,3 +55,33 @@ def test_execute_projection_and_agg(ray_session):
         "SELECT lang, max(n_chars) AS hi FROM documents GROUP BY lang "
         "ORDER BY lang", SF)
     assert t3["lang"].to_pylist() == sorted(t3["lang"].to_pylist())
+
+
+def test_parse_join_and_having():
+    p = parse_sql(
+        "SELECT a, count(*) AS c FROM t JOIN u ON x = y "
+        "JOIN v ON p = q WHERE a > 1 GROUP BY a HAVING c >= 2 "
+        "ORDER BY c LIMIT 1")
+    assert p.joins == [("u", "x", "y"), ("v", "p", "q")]
+    assert p.having == [("c", ">=", 2)]
+
+
+def test_execute_join(ray_session):
+    t = execute_sql(
+        "SELECT c_mktsegment, count(*) AS cnt FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment", SF)
+    assert t.num_rows >= 2
+    assert t.schema.names == ["c_mktsegment", "cnt"]
+    # spot-check against a driver-side pandas join
+    import duckdb
+
+    con = duckdb.connect()
+    for tb in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    want = con.execute(
+        "SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment").df()
+    assert t.to_pandas().reset_index(drop=True).equals(want)
