@@ -26,7 +26,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
-CORPUS_DIR = f"/tmp/lsr_bench_corpus_{BENCH_DOCS}"
+# file size scales with corpus so build partitions are never capped by
+# tiny input files (plan_partitions slices within files; small-file
+# corpora should be compacted first — sources.loaders.compact_corpus)
+DOCS_PER_FILE = max(5000, min(100_000, BENCH_DOCS // 100))
+CORPUS_DIR = f"/tmp/lsr_bench_corpus_{BENCH_DOCS}_{DOCS_PER_FILE}"
 
 QUERY_MIX = [
     "return value", "def run", "+parseToken -getList", "hashKey",
@@ -55,7 +59,7 @@ def run_bench() -> dict:
 
     # corpus: cached across runs (generation is not part of the headline)
     if not os.path.isdir(CORPUS_DIR):
-        write_corpus(CORPUS_DIR, BENCH_DOCS, docs_per_file=5000)
+        write_corpus(CORPUS_DIR, BENCH_DOCS, docs_per_file=DOCS_PER_FILE)
     # warm OS page cache so we measure compute+shuffle, not first-touch IO
     for f in os.listdir(CORPUS_DIR):
         with open(os.path.join(CORPUS_DIR, f), "rb") as fh:
@@ -122,8 +126,12 @@ def run_bench() -> dict:
     many = [f"{a} {b}" for a in ("return", "def", "hashKey", "getMap")
             for b in ("value", "scan", "merge", "block", "token")]
     reps = 50 if BENCH_DOCS <= 200_000 else 10
+    # big indexes: compact front-coded term dict (9.2 B/term) and fewer
+    # replicas — 8 full python-str dicts at 10M+ docs OOM a 128 GB host
+    big = BENCH_DOCS > 2_000_000
     pool = ServingPool(idx_dir, k=10, prune=False,
-                       num_actors=min(8, NUM_CPUS))
+                       num_actors=4 if big else min(8, NUM_CPUS),
+                       compact_terms=big)
     pool.search_many(many)  # warm postings caches
     tq0 = time.perf_counter()
     pool.search_many(many * reps)

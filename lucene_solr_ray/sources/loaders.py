@@ -145,3 +145,28 @@ def load_solr_xml(path: str):
 
     return ds.map_batches(parse, batch_size=1,
                            batch_format="numpy")
+
+
+def compact_corpus(src: str, out_dir: str, *,
+                   rows_per_file: int = 100_000) -> str:
+    """Small-file compaction — the standard lakehouse pre-index step.
+
+    ``plan_partitions`` (index/build.py) slices WITHIN input files but
+    never spans them, so a corpus of many small parquet files caps the
+    partition size at the file size (5k-doc files -> 5k-doc build tasks,
+    which BASELINE.md shows drop build efficiency to ~0.4 from fixed
+    costs, and ~3x the merge's term-row count from cross-partition
+    duplicate terms). Compaction is ONE streaming Ray Data pass:
+    read -> write with a row budget per output file; no driver
+    materialization. Idempotent: skips when out_dir already has files.
+    """
+    import os
+
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    if any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return out_dir
+    (rd.read_parquet(src)
+       .write_parquet(out_dir, min_rows_per_file=rows_per_file))
+    return out_dir
