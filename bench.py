@@ -83,8 +83,12 @@ def run_bench() -> dict:
 
     idx_dir = f"/tmp/lsr_bench_idx_{os.getpid()}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    # ~64 partitions: enough waves for 32 CPUs, amortizes per-task cost
-    rpp = max(1000, BENCH_DOCS // 64)
+    # enough waves for 32 CPUs, amortized per-task cost — but capped at
+    # 25k docs/task: the invert's working set (unique over ~2M tokens)
+    # falls out of cache above that (10M point: 100k-doc tasks built at
+    # 25.7k docs/s vs 49k at 5k docs; merge prefers the bigger tasks, so
+    # 25k is the measured sweet spot for both)
+    rpp = max(1000, min(BENCH_DOCS // 64, 25_000))
     t0 = time.perf_counter()
     man = build_index(CORPUS_DIR, idx_dir, rows_per_partition=rpp)
     t1 = time.perf_counter()
@@ -93,17 +97,21 @@ def run_bench() -> dict:
     t2 = time.perf_counter()
     timings["segment_merge"] = t2 - t1
 
+    big = BENCH_DOCS > 2_000_000
     s = IndexSearcher(idx_dir)
     ana = get_analyzer("standard")
     qs = [parse_query(q, ana) for q in QUERY_MIX]
+    # at 10M+ docs the exhaustive path scores multi-million-df hot ORs
+    # (~10 s/query); block-max pruning is rank-identical, so big runs
+    # measure the pruned path only (the deployment path at that scale)
     for q in qs:
-        s.search(q, k=10)  # warm postings cache
+        s.search(q, k=10, prune=big)  # warm postings cache
     lat = []
     for _ in range(5):
         s._result_cache.clear()  # measure scoring, not result-cache hits
         for q in qs:
             tq0 = time.perf_counter()
-            s.search(q, k=10)
+            s.search(q, k=10, prune=big)
             lat.append(time.perf_counter() - tq0)
     timings["query_p50"] = float(np.percentile(lat, 50))
     timings["query_p99"] = float(np.percentile(lat, 99))
@@ -125,11 +133,12 @@ def run_bench() -> dict:
 
     many = [f"{a} {b}" for a in ("return", "def", "hashKey", "getMap")
             for b in ("value", "scan", "merge", "block", "token")]
-    reps = 50 if BENCH_DOCS <= 200_000 else 10
+    reps = 50 if BENCH_DOCS <= 200_000 else (2 if big else 10)
     # big indexes: compact front-coded term dict (9.2 B/term) and fewer
     # replicas — 8 full python-str dicts at 10M+ docs OOM a 128 GB host
-    big = BENCH_DOCS > 2_000_000
-    pool = ServingPool(idx_dir, k=10, prune=False,
+    # block-max pruning is rank-identical; at 10M docs the exhaustive
+    # path scores multi-million-df ORs per query (4 s p99), pruned ~ms
+    pool = ServingPool(idx_dir, k=10, prune=big,
                        num_actors=4 if big else min(8, NUM_CPUS),
                        compact_terms=big)
     pool.search_many(many)  # warm postings caches
