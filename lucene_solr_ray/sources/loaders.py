@@ -167,6 +167,10 @@ def compact_corpus(src: str, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
     if any(f.endswith(".parquet") for f in os.listdir(out_dir)):
         return out_dir
-    (rd.read_parquet(src)
-       .write_parquet(out_dir, min_rows_per_file=rows_per_file))
+    ds = rd.read_parquet(src)
+    n_rows = ds.count()  # parquet metadata only — no scan
+    n_files = max(1, -(-n_rows // rows_per_file))
+    # repartition to exactly one even block per output file
+    # (min_rows_per_file alone is a per-write-task hint, not a guarantee)
+    ds.repartition(n_files).write_parquet(out_dir)
     return out_dir
