@@ -239,3 +239,49 @@ def test_asof_join_semantics(ray_session):
     # id=1 t=5 -> rt=3 (rk=100); id=2 t=10 -> tie at rt=10 -> max rk=300
     assert out.rk.tolist() == [100, 300]
     assert out.v.tolist() == [1.0, 3.0]
+
+
+def test_asof_join_randomized_vs_duckdb(ray_session):
+    """Boundary-discipline stress: many small blocks force the edge-run
+    export/resolve paths; ties on (key, ts) exercise the tiebreak."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from lucene_solr_ray.pipelines.streams import asof_join
+
+    rng = np.random.default_rng(11)
+    nl, nr = 400, 300
+    left = pd.DataFrame({
+        "id": np.arange(nl, dtype=np.int64),
+        "k": rng.integers(0, 12, nl).astype(np.int64),
+        "t": rng.integers(0, 40, nl).astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 14, nr).astype(np.int64),
+        "rt": rng.integers(0, 40, nr).astype(np.int64),
+        "rk": np.arange(nr, dtype=np.int64),
+        "v": rng.normal(size=nr),
+    })
+    # many blocks -> every batch has edge runs
+    lds = rd.from_pandas(left).repartition(16)
+    rds = rd.from_pandas(right).repartition(16)
+    got = (asof_join(lds, rds, on="k", left_ts="t", right_ts="rt",
+                     right_cols=["rk", "v"], right_tiebreak="rk")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute("""
+        WITH rr AS (SELECT k, rt, arg_max(rk, rk) AS rk,
+                           arg_max(v, rk) AS v
+                    FROM r GROUP BY k, rt)
+        SELECT l.id, l.k, l.t, rr.rk, rr.v
+        FROM l ASOF JOIN rr ON l.k = rr.k AND l.t >= rr.rt
+        ORDER BY l.id
+    """).df()
+    assert got.id.tolist() == want.id.tolist()
+    assert got.rk.astype(int).tolist() == want.rk.astype(int).tolist()
+    assert np.allclose(got.v.to_numpy(), want.v.to_numpy())
