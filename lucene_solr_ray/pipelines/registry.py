@@ -4170,3 +4170,25 @@ FROM (SELECT c_mktsegment, count(*)::BIGINT AS cnt,
       HAVING count(*) >= 5)
 ORDER BY revenue DESC, c_mktsegment LIMIT 4
 """
+
+
+_SQL_DISTINCT = (
+    "SELECT DISTINCT lang, source FROM documents "
+    "WHERE n_chars > 200 ORDER BY lang ASC, source ASC LIMIT 40")
+
+
+def q_sql_distinct(sf_dir: str) -> pa.Table:
+    """ParallelSQL: SELECT DISTINCT — per-block Arrow pre-dedupe then a
+    key-only shuffle groupby (Solr's `unique` stream shape,
+    solr/core/.../sql/SQLHandler.java SELECT DISTINCT branch)."""
+    from .sql import execute_sql
+
+    return execute_sql(_SQL_DISTINCT, sf_dir)
+
+
+QUERIES.update({"sql_distinct": q_sql_distinct})
+
+ORACLE_SQL["sql_distinct"] = """
+SELECT DISTINCT lang, source FROM documents
+WHERE n_chars > 200 ORDER BY lang, source LIMIT 40
+"""

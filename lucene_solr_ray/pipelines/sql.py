@@ -5,7 +5,7 @@ plan compiles to a Ray Data pipeline).
 
 Supported subset (what the Solr handler's MVP supported):
 
-    SELECT col | agg(col) [AS alias] [, ...]
+    SELECT [DISTINCT] col | agg(col) [AS alias] [, ...]
     FROM <table>
     [JOIN <table> ON a = b [JOIN ...]]      broadcast hash join
     [WHERE col op literal [AND ...]]        op: = <> < <= > >=
@@ -72,6 +72,7 @@ class SelectItem:
 class Plan:
     table: str
     items: list[SelectItem]
+    distinct: bool = False
     joins: list[tuple[str, str, str]] = field(default_factory=list)
     where: list[tuple[str, str, object]] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
@@ -106,6 +107,10 @@ class _P:
 def parse_sql(q: str) -> Plan:
     p = _P(_tokenize(q))
     p.expect("SELECT")
+    distinct = False
+    if p.kw("DISTINCT"):
+        p.take()
+        distinct = True
     items: list[SelectItem] = []
     while True:
         w = p.take()
@@ -126,7 +131,7 @@ def parse_sql(q: str) -> Plan:
             continue
         break
     p.expect("FROM")
-    plan = Plan(table=p.take(), items=items)
+    plan = Plan(table=p.take(), items=items, distinct=distinct)
     while p.kw("JOIN"):
         p.take()
         jt = p.take()
@@ -269,6 +274,27 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
         where = plan.where
         ds = ds.map_batches(lambda b: _filter_batch(b, where),
                             batch_format="pyarrow")
+
+    if plan.distinct:
+        # DISTINCT = shuffle-dedupe on the projected columns (Solr's
+        # unique/facet stream); composes with ORDER BY / LIMIT after
+        cols = [i.col for i in plan.items]
+        ds = ds.map_batches(
+            lambda b: b.select(cols).group_by(cols).aggregate([]),
+            batch_format="pyarrow",
+        ).groupby(cols).count()
+        res = ds.to_pandas()[cols]
+        res.columns = [i.alias for i in plan.items]
+        if plan.order_by:
+            res = res.sort_values(
+                [n for n, _ in plan.order_by],
+                ascending=[not d for _, d in plan.order_by],
+                kind="mergesort")
+        if plan.limit is not None:
+            res = res.head(plan.limit)
+        return _round4_floats(
+            pa.Table.from_pandas(res.reset_index(drop=True),
+                                 preserve_index=False))
 
     aggs = [i for i in plan.items if i.agg]
     if plan.group_by or aggs:

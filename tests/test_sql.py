@@ -85,3 +85,24 @@ def test_execute_join(ray_session):
         "JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_mktsegment ORDER BY c_mktsegment").df()
     assert t.to_pandas().reset_index(drop=True).equals(want)
+
+
+def test_parse_distinct():
+    p = parse_sql("SELECT DISTINCT a, b FROM t ORDER BY a LIMIT 3")
+    assert p.distinct and [i.col for i in p.items] == ["a", "b"]
+    assert not parse_sql("SELECT a FROM t").distinct
+
+
+def test_execute_distinct(ray_session):
+    t = execute_sql(
+        "SELECT DISTINCT lang, source FROM documents "
+        "WHERE n_chars > 200 ORDER BY lang ASC, source ASC LIMIT 40", SF)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(
+        "SELECT DISTINCT lang, source FROM documents WHERE n_chars > 200 "
+        "ORDER BY lang, source LIMIT 40").df()
+    assert t.to_pandas().reset_index(drop=True).equals(want)
