@@ -4192,3 +4192,27 @@ ORACLE_SQL["sql_distinct"] = """
 SELECT DISTINCT lang, source FROM documents
 WHERE n_chars > 200 ORDER BY lang, source LIMIT 40
 """
+
+
+_SQL_COUNT_DISTINCT = (
+    "SELECT lang, count(DISTINCT source) AS nsrc, count(*) AS n "
+    "FROM documents WHERE n_chars > 100 GROUP BY lang "
+    "ORDER BY n DESC, lang ASC LIMIT 4")
+
+
+def q_sql_count_distinct(sf_dir: str) -> pa.Table:
+    """ParallelSQL: count(DISTINCT col) — per-block pre-dedupe, one keyed
+    shuffle on (group, col), distributed per-group count; merged with the
+    plain aggregates at group cardinality on the driver."""
+    from .sql import execute_sql
+
+    return execute_sql(_SQL_COUNT_DISTINCT, sf_dir)
+
+
+QUERIES.update({"sql_count_distinct": q_sql_count_distinct})
+
+ORACLE_SQL["sql_count_distinct"] = """
+SELECT lang, count(DISTINCT source)::BIGINT AS nsrc, count(*)::BIGINT AS n
+FROM documents WHERE n_chars > 100 GROUP BY lang
+ORDER BY n DESC, lang LIMIT 4
+"""

@@ -116,9 +116,14 @@ def parse_sql(q: str) -> Plan:
         w = p.take()
         if w.lower() in _AGG_FNS and p.peek() == "(":
             p.expect("(")
+            agg = w.lower()
+            if agg == "count" and p.kw("DISTINCT"):
+                p.take()
+                agg = "count_distinct"
             col = p.take()
             p.expect(")")
-            agg = w.lower()
+            if agg == "count_distinct" and col == "*":
+                raise ValueError("count(DISTINCT *) is not supported")
             alias = f"{agg}_{col}" if col != "*" else agg
         else:
             agg, col, alias = None, w, w
@@ -298,10 +303,18 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
 
     aggs = [i for i in plan.items if i.agg]
     if plan.group_by or aggs:
+        cd_items = [i for i in aggs if i.agg == "count_distinct"]
+        plain_aggs = [i for i in aggs if i.agg != "count_distinct"]
         specs = []
-        for it in aggs:
+        for it in plain_aggs:
             if it.agg == "count":
-                specs.append(agg.Count(alias_name=it.alias))
+                # Count(on=None) only counts via the parquet-metadata
+                # fast path; after any map_batches it returns 0 — always
+                # target a concrete column. count(*) keeps nulls,
+                # count(col) skips them (SQL semantics).
+                on = sorted(have)[0] if it.col == "*" else it.col
+                specs.append(agg.Count(on=on, ignore_nulls=it.col != "*",
+                                       alias_name=it.alias))
             elif it.agg == "sum":
                 specs.append(agg.Sum(it.col, alias_name=it.alias))
             elif it.agg == "min":
@@ -310,12 +323,43 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
                 specs.append(agg.Max(it.col, alias_name=it.alias))
             elif it.agg == "avg":
                 specs.append(agg.Mean(it.col, alias_name=it.alias))
+        def _count_distinct(it: SelectItem):
+            # distinct = per-block Arrow pre-dedupe, then ONE keyed
+            # shuffle on (group keys, col); the per-group count of the
+            # resulting distinct rows stays distributed — only
+            # group-cardinality rows reach the driver
+            keys = plan.group_by + [it.col]
+            d = ds.map_batches(
+                lambda b, _k=keys: b.select(_k).group_by(_k).aggregate([]),
+                batch_format="pyarrow",
+            ).groupby(keys).count()
+            if plan.group_by:
+                out = d.groupby(plan.group_by).count().to_pandas()
+                return out.rename(columns={"count()": it.alias})
+            import pandas as pd
+
+            return pd.DataFrame({it.alias: [d.count()]})
+
         if plan.group_by:
-            res = ds.groupby(plan.group_by).aggregate(*specs).to_pandas()
-        else:
+            frames = []
+            if specs:
+                frames.append(
+                    ds.groupby(plan.group_by).aggregate(*specs).to_pandas())
+            frames.extend(_count_distinct(it) for it in cd_items)
+            res = frames[0]
+            for f in frames[1:]:
+                res = res.merge(f, on=plan.group_by)
+        elif specs:
             row = ds.aggregate(*specs)
-            res = pa.table({k: [row[k]] for k in [i.alias for i in aggs]}
-                           ).to_pandas()
+            res = pa.table(
+                {i.alias: [row[i.alias]] for i in plain_aggs}).to_pandas()
+            for f in (_count_distinct(it) for it in cd_items):
+                res[f.columns[0]] = f.iloc[0, 0]
+        else:
+            import pandas as pd
+
+            res = pd.concat([_count_distinct(it) for it in cd_items],
+                            axis=1)
         if plan.having:
             import operator as _op
 

@@ -106,3 +106,39 @@ def test_execute_distinct(ray_session):
         "SELECT DISTINCT lang, source FROM documents WHERE n_chars > 200 "
         "ORDER BY lang, source LIMIT 40").df()
     assert t.to_pandas().reset_index(drop=True).equals(want)
+
+
+def test_parse_count_distinct():
+    p = parse_sql("SELECT count(DISTINCT a) FROM t")
+    assert p.items[0].agg == "count_distinct" and p.items[0].col == "a"
+    assert p.items[0].alias == "count_distinct_a"
+    with pytest.raises(ValueError):
+        parse_sql("SELECT count(DISTINCT *) FROM t")
+
+
+def test_execute_count_distinct(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    t = execute_sql(
+        "SELECT lang, count(DISTINCT source) AS nsrc, count(*) AS n "
+        "FROM documents WHERE n_chars > 100 GROUP BY lang "
+        "ORDER BY n DESC, lang ASC", SF)
+    want = con.execute(
+        "SELECT lang, count(DISTINCT source)::BIGINT AS nsrc, "
+        "count(*)::BIGINT AS n FROM documents WHERE n_chars > 100 "
+        "GROUP BY lang ORDER BY n DESC, lang").df()
+    assert t.to_pandas().reset_index(drop=True).equals(want)
+
+    # ungrouped, alone and mixed with plain aggs over a filtered scan
+    t2 = execute_sql(
+        "SELECT count(DISTINCT lang) AS nl, count(*) AS n "
+        "FROM documents WHERE n_chars > 100", SF)
+    want2 = con.execute(
+        "SELECT count(DISTINCT lang)::BIGINT nl, count(*)::BIGINT n "
+        "FROM documents WHERE n_chars > 100").df()
+    assert t2.to_pandas().equals(want2)
+    t3 = execute_sql("SELECT count(DISTINCT lang) AS nl FROM documents", SF)
+    assert t3["nl"][0].as_py() == 5
