@@ -3910,9 +3910,28 @@ def q_sql_select_topk(sf_dir: str) -> pa.Table:
     return execute_sql(_SQL_SELECT_TOPK, sf_dir)
 
 
+_SQL_WHERE_EXPR = (
+    "SELECT lang, count(*) AS n, count(DISTINCT source) AS nsrc "
+    "FROM documents "
+    "WHERE (lang IN ('en', 'de', 'fr') OR n_chars BETWEEN 120 AND 400) "
+    "AND NOT source LIKE 'cc%' AND lang IS NOT NULL "
+    "GROUP BY lang HAVING n >= 2 OR lang = 'xx' "
+    "ORDER BY n DESC, lang ASC LIMIT 5")
+
+
+def q_sql_where_expr(sf_dir: str) -> pa.Table:
+    """ParallelSQL: boolean WHERE tree (OR/NOT/parens) with IN, BETWEEN,
+    LIKE and IS NOT NULL predicates, compiled to one Arrow-kernel
+    map_batches filter; HAVING runs the same tree post-aggregate."""
+    from .sql import execute_sql
+
+    return execute_sql(_SQL_WHERE_EXPR, sf_dir)
+
+
 QUERIES.update({
     "sql_group_agg": q_sql_group_agg,
     "sql_select_topk": q_sql_select_topk,
+    "sql_where_expr": q_sql_where_expr,
 })
 
 ORACLE_SQL.update({
@@ -3928,6 +3947,14 @@ SELECT o_orderkey,
        floor(o_totalprice * 10000 + 0.5) / 10000 AS o_totalprice
 FROM orders WHERE o_totalprice > 100000
 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+    "sql_where_expr": """
+SELECT lang, count(*)::BIGINT AS n, count(DISTINCT source)::BIGINT AS nsrc
+FROM documents
+WHERE (lang IN ('en', 'de', 'fr') OR n_chars BETWEEN 120 AND 400)
+  AND NOT source LIKE 'cc%' AND lang IS NOT NULL
+GROUP BY lang HAVING n >= 2 OR lang = 'xx'
+ORDER BY n DESC, lang ASC LIMIT 5
 """,
 })
 

@@ -8,9 +8,12 @@ Supported subset (what the Solr handler's MVP supported):
     SELECT [DISTINCT] col | agg(col) [AS alias] [, ...]
     FROM <table>
     [JOIN <table> ON a = b [JOIN ...]]      broadcast hash join
-    [WHERE col op literal [AND ...]]        op: = <> < <= > >=
+    [WHERE <bool expr>]                     AND/OR/NOT, parentheses;
+                                            predicates: = <> < <= > >=,
+                                            [NOT] IN (...), [NOT] BETWEEN,
+                                            [NOT] LIKE, IS [NOT] NULL
     [GROUP BY col [, ...]]
-    [HAVING alias op literal [AND ...]]
+    [HAVING <bool expr over aliases>]
     [ORDER BY name [ASC|DESC] [, ...]]
     [LIMIT n]
 
@@ -74,9 +77,10 @@ class Plan:
     items: list[SelectItem]
     distinct: bool = False
     joins: list[tuple[str, str, str]] = field(default_factory=list)
-    where: list[tuple[str, str, object]] = field(default_factory=list)
+    # boolean expression trees (nested tuples, see _parse_expr) or None
+    where: object = None
     group_by: list[str] = field(default_factory=list)
-    having: list[tuple[str, str, object]] = field(default_factory=list)
+    having: object = None
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # desc?
     limit: int | None = None
 
@@ -102,6 +106,100 @@ class _P:
         v = self.take()
         if v.upper() != w and v != w:
             raise ValueError(f"expected {w}, got {v}")
+
+    def literal(self) -> object:
+        kind, raw = self.t[self.i]
+        self.i += 1
+        if kind == "num":
+            return float(raw) if "." in raw else int(raw)
+        if kind == "str":
+            return raw[1:-1].replace("''", "'")
+        raise ValueError(f"bad literal {raw}")
+
+
+# boolean expression tree nodes (plain tuples so the tree pickles into
+# map_batches closures cheaply):
+#   ("or", [n...]) ("and", [n...]) ("not", n)
+#   ("cmp", col, op, val) ("in", col, [v...]) ("between", col, lo, hi)
+#   ("like", col, pattern) ("isnull", col)
+
+
+def _parse_pred(p: _P):
+    if p.peek() == "(":
+        p.take()
+        node = _parse_expr(p)
+        p.expect(")")
+        return node
+    if p.kw("NOT"):
+        p.take()
+        return ("not", _parse_pred(p))
+    col = p.take()
+    if p.kw("IS"):
+        p.take()
+        neg = False
+        if p.kw("NOT"):
+            p.take()
+            neg = True
+        p.expect("NULL")
+        node = ("isnull", col)
+        return ("not", node) if neg else node
+    neg = False
+    if p.kw("NOT"):
+        p.take()
+        neg = True
+        if not p.kw("IN", "BETWEEN", "LIKE"):
+            raise ValueError("NOT must precede IN/BETWEEN/LIKE here")
+    if p.kw("IN"):
+        p.take()
+        p.expect("(")
+        vals = [p.literal()]
+        while p.peek() == ",":
+            p.take()
+            vals.append(p.literal())
+        p.expect(")")
+        node = ("in", col, vals)
+    elif p.kw("BETWEEN"):
+        p.take()
+        lo = p.literal()
+        p.expect("AND")  # binds to BETWEEN, not the boolean AND
+        node = ("between", col, lo, p.literal())
+    elif p.kw("LIKE"):
+        p.take()
+        pat = p.literal()
+        if not isinstance(pat, str):
+            raise ValueError("LIKE pattern must be a string")
+        node = ("like", col, pat)
+    else:
+        op = p.take()
+        if op not in _OPS:
+            raise ValueError(f"unknown operator {op}")
+        node = ("cmp", col, op, p.literal())
+    return ("not", node) if neg else node
+
+
+def _parse_expr(p: _P):
+    """OR-of-ANDs with standard precedence (OR < AND < NOT)."""
+    def and_expr():
+        parts = [_parse_pred(p)]
+        while p.kw("AND"):
+            p.take()
+            parts.append(_parse_pred(p))
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    parts = [and_expr()]
+    while p.kw("OR"):
+        p.take()
+        parts.append(and_expr())
+    return parts[0] if len(parts) == 1 else ("or", parts)
+
+
+def _expr_cols(node) -> set[str]:
+    tag = node[0]
+    if tag in ("or", "and"):
+        return set().union(*(_expr_cols(n) for n in node[1]))
+    if tag == "not":
+        return _expr_cols(node[1])
+    return {node[1]}
 
 
 def parse_sql(q: str) -> Plan:
@@ -147,22 +245,7 @@ def parse_sql(q: str) -> Plan:
         plan.joins.append((jt, a, b))
     if p.kw("WHERE"):
         p.take()
-        while True:
-            col = p.take()
-            op = p.take()
-            kind, raw = p.t[p.i]
-            p.i += 1
-            if kind == "num":
-                val: object = float(raw) if "." in raw else int(raw)
-            elif kind == "str":
-                val = raw[1:-1].replace("''", "'")
-            else:
-                raise ValueError(f"bad literal {raw}")
-            plan.where.append((col, op, val))
-            if p.kw("AND"):
-                p.take()
-                continue
-            break
+        plan.where = _parse_expr(p)
     if p.kw("GROUP"):
         p.take()
         p.expect("BY")
@@ -174,18 +257,7 @@ def parse_sql(q: str) -> Plan:
             break
     if p.kw("HAVING"):
         p.take()
-        while True:
-            col = p.take()
-            op = p.take()
-            kind, raw = p.t[p.i]
-            p.i += 1
-            val = (float(raw) if "." in raw else int(raw)) \
-                if kind == "num" else raw[1:-1].replace("''", "'")
-            plan.having.append((col, op, val))
-            if p.kw("AND"):
-                p.take()
-                continue
-            break
+        plan.having = _parse_expr(p)
     if p.kw("ORDER"):
         p.take()
         p.expect("BY")
@@ -213,12 +285,75 @@ _OPS = {
 }
 
 
+def _eval_expr(b: pa.Table, node):
+    """Evaluate a WHERE tree to a boolean mask with Arrow kernels.
+    Three-valued-logic note: masks are null-filled to False at the leaf
+    comparisons, so NOT composes like SQL's NOT over a WHERE result."""
+    tag = node[0]
+    if tag == "and":
+        m = _eval_expr(b, node[1][0])
+        for n in node[1][1:]:
+            m = pc.and_(m, _eval_expr(b, n))
+        return m
+    if tag == "or":
+        m = _eval_expr(b, node[1][0])
+        for n in node[1][1:]:
+            m = pc.or_(m, _eval_expr(b, n))
+        return m
+    if tag == "not":
+        return pc.invert(_eval_expr(b, node[1]))
+    if tag == "isnull":
+        return pc.is_null(b[node[1]])
+    if tag == "cmp":
+        return pc.fill_null(_OPS[node[2]](b[node[1]], node[3]), False)
+    if tag == "in":
+        col = b[node[1]]
+        vals = pa.array(node[2]).cast(col.type)
+        return pc.fill_null(pc.is_in(col, value_set=vals), False)
+    if tag == "between":
+        col = b[node[1]]
+        return pc.fill_null(pc.and_(pc.greater_equal(col, node[2]),
+                                    pc.less_equal(col, node[3])), False)
+    if tag == "like":
+        return pc.fill_null(pc.match_like(b[node[1]], node[2]), False)
+    raise ValueError(f"unknown node {tag}")
+
+
 def _filter_batch(b: pa.Table, where) -> pa.Table:
-    m = None
-    for col, op, val in where:
-        cm = _OPS[op](b[col], val)
-        m = cm if m is None else pc.and_(m, cm)
-    return b.filter(m) if m is not None else b
+    return b.filter(_eval_expr(b, where)) if where is not None else b
+
+
+def _eval_expr_pd(df, node):
+    """Same tree over a pandas DataFrame (HAVING runs post-aggregate)."""
+    import operator as _op
+
+    ops = {"=": _op.eq, "<>": _op.ne, "<": _op.lt,
+           "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+    tag = node[0]
+    if tag == "and":
+        m = _eval_expr_pd(df, node[1][0])
+        for n in node[1][1:]:
+            m = m & _eval_expr_pd(df, n)
+        return m
+    if tag == "or":
+        m = _eval_expr_pd(df, node[1][0])
+        for n in node[1][1:]:
+            m = m | _eval_expr_pd(df, n)
+        return m
+    if tag == "not":
+        return ~_eval_expr_pd(df, node[1])
+    if tag == "isnull":
+        return df[node[1]].isna()
+    if tag == "cmp":
+        return ops[node[2]](df[node[1]], node[3]).fillna(False)
+    if tag == "in":
+        return df[node[1]].isin(node[2])
+    if tag == "between":
+        return df[node[1]].between(node[2], node[3])
+    if tag == "like":
+        pat = re.escape(node[2]).replace("%", ".*").replace("_", ".")
+        return df[node[1]].str.fullmatch(pat).fillna(False)
+    raise ValueError(f"unknown node {tag}")
 
 
 def _round4_floats(t: pa.Table) -> pa.Table:
@@ -241,12 +376,11 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
     import ray.data.aggregate as agg
 
     plan = parse_sql(q)
-    referenced = sorted({
-        c for c in (
-            [i.col for i in plan.items if i.col != "*"]
-            + [w[0] for w in plan.where] + plan.group_by
-            + [k for j in plan.joins for k in (j[1], j[2])])
-    })
+    referenced = sorted(
+        {i.col for i in plan.items if i.col != "*"}
+        | (_expr_cols(plan.where) if plan.where is not None else set())
+        | set(plan.group_by)
+        | {k for j in plan.joins for k in (j[1], j[2])})
     import pyarrow.parquet as pq_
 
     path = os.path.join(sf_dir, f"{plan.table}.parquet")
@@ -275,7 +409,7 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
         # dimension side broadcast once; probed vectorized per batch
         ds = inner_join(ds, right, on=lkey)
         have |= {c for c in rcols if c != rkey}
-    if plan.where:
+    if plan.where is not None:
         where = plan.where
         ds = ds.map_batches(lambda b: _filter_batch(b, where),
                             batch_format="pyarrow")
@@ -360,13 +494,8 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
 
             res = pd.concat([_count_distinct(it) for it in cd_items],
                             axis=1)
-        if plan.having:
-            import operator as _op
-
-            hops = {"=": _op.eq, "<>": _op.ne, "<": _op.lt,
-                    "<=": _op.le, ">": _op.gt, ">=": _op.ge}
-            for col, op, val in plan.having:
-                res = res[hops[op](res[col], val)]
+        if plan.having is not None:
+            res = res[_eval_expr_pd(res, plan.having)]
         # post-aggregate: bounded by group cardinality -> driver sort ok
         if plan.order_by:
             res = res.sort_values(

@@ -16,7 +16,8 @@ def test_parse_full_query():
     assert p.table == "documents"
     assert [(i.agg, i.col, i.alias) for i in p.items] == [
         (None, "lang", "lang"), ("count", "*", "cnt"), ("avg", "n_chars", "a")]
-    assert p.where == [("n_chars", ">=", 200), ("lang", "=", "en")]
+    assert p.where == ("and", [("cmp", "n_chars", ">=", 200),
+                               ("cmp", "lang", "=", "en")])
     assert p.group_by == ["lang"]
     assert p.order_by == [("cnt", True), ("lang", False)]
     assert p.limit == 3
@@ -26,7 +27,7 @@ def test_parse_default_aliases_and_strings():
     p = parse_sql("SELECT sum(x), count(*) FROM t WHERE s = 'it''s'")
     assert p.items[0].alias == "sum_x"
     assert p.items[1].alias == "count"
-    assert p.where == [("s", "=", "it's")]
+    assert p.where == ("cmp", "s", "=", "it's")
 
 
 def test_parse_errors():
@@ -63,7 +64,7 @@ def test_parse_join_and_having():
         "JOIN v ON p = q WHERE a > 1 GROUP BY a HAVING c >= 2 "
         "ORDER BY c LIMIT 1")
     assert p.joins == [("u", "x", "y"), ("v", "p", "q")]
-    assert p.having == [("c", ">=", 2)]
+    assert p.having == ("cmp", "c", ">=", 2)
 
 
 def test_execute_join(ray_session):
@@ -106,6 +107,47 @@ def test_execute_distinct(ray_session):
         "SELECT DISTINCT lang, source FROM documents WHERE n_chars > 200 "
         "ORDER BY lang, source LIMIT 40").df()
     assert t.to_pandas().reset_index(drop=True).equals(want)
+
+
+def test_parse_where_expr():
+    p = parse_sql(
+        "SELECT a FROM t WHERE (x = 1 OR y IN (2, 3)) AND NOT z LIKE 'ab%' "
+        "AND w BETWEEN 1 AND 5 AND v IS NOT NULL")
+    assert p.where == ("and", [
+        ("or", [("cmp", "x", "=", 1), ("in", "y", [2, 3])]),
+        ("not", ("like", "z", "ab%")),
+        ("between", "w", 1, 5),
+        ("not", ("isnull", "v")),
+    ])
+    with pytest.raises(ValueError):
+        parse_sql("SELECT a FROM t WHERE x LIKE 5")
+    with pytest.raises(ValueError):
+        parse_sql("SELECT a FROM t WHERE x NOT = 1")
+
+
+def test_execute_where_expr(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    for tb in ("documents", "orders"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    q = ("SELECT lang, count(*) AS n FROM documents "
+         "WHERE (lang IN ('en', 'de') OR n_chars BETWEEN 100 AND 150) "
+         "AND NOT source LIKE 'cc%' "
+         "GROUP BY lang ORDER BY n DESC, lang")
+    t = execute_sql(q, SF)
+    want = con.execute(q.replace("count(*)", "count(*)::BIGINT")).df()
+    assert t.to_pandas().equals(want)
+
+    # OR + HAVING expression
+    q2 = ("SELECT o_orderpriority, count(*) AS n FROM orders "
+          "WHERE o_totalprice < 50000 OR o_totalprice > 200000 "
+          "GROUP BY o_orderpriority HAVING n > 5 OR o_orderpriority = 'zz' "
+          "ORDER BY o_orderpriority")
+    t2 = execute_sql(q2, SF)
+    want2 = con.execute(q2.replace("count(*)", "count(*)::BIGINT")).df()
+    assert t2.to_pandas().equals(want2)
 
 
 def test_parse_count_distinct():
