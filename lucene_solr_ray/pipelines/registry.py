@@ -3928,10 +3928,27 @@ def q_sql_where_expr(sf_dir: str) -> pa.Table:
     return execute_sql(_SQL_WHERE_EXPR, sf_dir)
 
 
+_SQL_LEFT_JOIN = (
+    "SELECT c_mktsegment, count(*) AS n, count(o_orderkey) AS n_orders, "
+    "sum(o_totalprice) AS revenue FROM customer "
+    "LEFT JOIN orders ON c_custkey = o_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+
+
+def q_sql_left_join(sf_dir: str) -> pa.Table:
+    """ParallelSQL: LEFT OUTER JOIN (broadcast right side, vectorized
+    1:N fan-out per batch; unmatched customers keep NULL order columns —
+    count(col) skips them, count(*) doesn't)."""
+    from .sql import execute_sql
+
+    return execute_sql(_SQL_LEFT_JOIN, sf_dir)
+
+
 QUERIES.update({
     "sql_group_agg": q_sql_group_agg,
     "sql_select_topk": q_sql_select_topk,
     "sql_where_expr": q_sql_where_expr,
+    "sql_left_join": q_sql_left_join,
 })
 
 ORACLE_SQL.update({
@@ -3955,6 +3972,13 @@ WHERE (lang IN ('en', 'de', 'fr') OR n_chars BETWEEN 120 AND 400)
   AND NOT source LIKE 'cc%' AND lang IS NOT NULL
 GROUP BY lang HAVING n >= 2 OR lang = 'xx'
 ORDER BY n DESC, lang ASC LIMIT 5
+""",
+    "sql_left_join": """
+SELECT c_mktsegment, count(*)::BIGINT AS n,
+       count(o_orderkey)::BIGINT AS n_orders,
+       floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS revenue
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
 })
 

@@ -235,14 +235,22 @@ def parse_sql(q: str) -> Plan:
         break
     p.expect("FROM")
     plan = Plan(table=p.take(), items=items, distinct=distinct)
-    while p.kw("JOIN"):
-        p.take()
+    while p.kw("JOIN", "LEFT", "INNER"):
+        kind = "inner"
+        if p.kw("LEFT"):
+            p.take()
+            kind = "left"
+            if p.kw("OUTER"):
+                p.take()
+        elif p.kw("INNER"):
+            p.take()
+        p.expect("JOIN")
         jt = p.take()
         p.expect("ON")
         a = p.take()
         p.expect("=")
         b = p.take()
-        plan.joins.append((jt, a, b))
+        plan.joins.append((jt, a, b, kind))
     if p.kw("WHERE"):
         p.take()
         plan.where = _parse_expr(p)
@@ -391,8 +399,8 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
         needed = referenced
     ds = rd.read_parquet(path, columns=needed or None)
     have = set(needed or pq_.read_schema(path).names)
-    for jt, a, b in plan.joins:
-        from .streams import inner_join
+    for jt, a, b, kind in plan.joins:
+        from .streams import inner_join, left_outer_join
 
         jpath = os.path.join(sf_dir, f"{jt}.parquet")
         rnames = set(pq_.read_schema(jpath).names)
@@ -407,7 +415,8 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
                     [_lk if n == _rk else n for n in t.column_names]),
                 batch_format="pyarrow")
         # dimension side broadcast once; probed vectorized per batch
-        ds = inner_join(ds, right, on=lkey)
+        join_fn = left_outer_join if kind == "left" else inner_join
+        ds = join_fn(ds, right, on=lkey)
         have |= {c for c in rcols if c != rkey}
     if plan.where is not None:
         where = plan.where

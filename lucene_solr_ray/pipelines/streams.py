@@ -40,70 +40,73 @@ def _key_arr(t: pa.Table, on: str) -> np.ndarray:
     return t[on].to_numpy(zero_copy_only=False)
 
 
+def _join_batch(b: pa.Table, rt: pa.Table, on: str, outer: bool,
+                right_prefix: str) -> pa.Table:
+    """Vectorized 1:N equi-join of one left batch against the broadcast
+    right table: every right match produces an output row (SQL join
+    semantics, not a first-match lookup). ``outer`` keeps unmatched left
+    rows with nulls on the right side."""
+    import pyarrow.compute as pc
+
+    if not b.num_rows or (not rt.num_rows and not outer):
+        out = b.slice(0, 0) if not outer else b
+        for name in rt.column_names:
+            if name != on:
+                out = out.append_column(
+                    right_prefix + name,
+                    pa.nulls(out.num_rows, rt.schema.field(name).type))
+        return out
+    rk = _key_arr(rt, on)
+    order = np.argsort(rk, kind="stable")
+    rk_s = rk[order]
+    lk = _key_arr(b, on)
+    lo = np.searchsorted(rk_s, lk, side="left")
+    hi = np.searchsorted(rk_s, lk, side="right")
+    counts = hi - lo
+    out_counts = np.maximum(counts, 1) if outer else counts
+    total = int(out_counts.sum())
+    left_idx = np.repeat(np.arange(lk.size, dtype=np.int64), out_counts)
+    starts = np.repeat(np.cumsum(out_counts) - out_counts, out_counts)
+    ridx = np.repeat(lo, out_counts) + (np.arange(total) - starts)
+    matched = np.repeat(counts > 0, out_counts)
+    src = order[np.minimum(ridx, max(rk_s.size - 1, 0))]
+    out = b.take(pa.array(left_idx))
+    if outer:
+        idx_arr = pa.array(np.where(matched, src, 0), mask=~matched)
+    else:
+        idx_arr = pa.array(src)
+    for name in rt.column_names:
+        if name == on:
+            continue
+        col = pc.take(rt[name], idx_arr)  # null index -> null value
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        out = out.append_column(right_prefix + name, col)
+    return out
+
+
 def inner_join(left, right, on: str, *, right_prefix: str = ""):
-    """InnerJoinStream: keep left rows with a right match, appending the
-    right side's other columns (first match per key — the equi-join the
-    stream decorator does over unique right keys)."""
+    """InnerJoinStream: SQL inner equi-join; duplicate right keys fan
+    out (1:N). Right side broadcast once via ``ray.put``."""
     import ray
 
     r_ref = _broadcast_table(right)
 
     def join(b: pa.Table) -> pa.Table:
-        rt = ray.get(r_ref)
-        if not rt.num_rows or not b.num_rows:
-            return b.slice(0, 0)
-        rk = _key_arr(rt, on)
-        order = np.argsort(rk, kind="stable")
-        rk_s = rk[order]
-        lk = _key_arr(b, on)
-        pos = np.searchsorted(rk_s, lk)
-        hit = (pos < rk_s.size) & (rk_s[np.minimum(pos, rk_s.size - 1)]
-                                   == lk)
-        out = b.filter(pa.array(hit))
-        src = order[pos[hit]]
-        for name in rt.column_names:
-            if name == on:
-                continue
-            col = rt[name].to_numpy(zero_copy_only=False)[src]
-            out = out.append_column(right_prefix + name, pa.array(col))
-        return out
+        return _join_batch(b, ray.get(r_ref), on, False, right_prefix)
 
     return left.map_batches(join, batch_format="pyarrow")
 
 
 def left_outer_join(left, right, on: str, *, right_prefix: str = ""):
-    """LeftOuterJoinStream: every left row; right columns null when
-    unmatched."""
+    """LeftOuterJoinStream: every left row appears (nulls when
+    unmatched); duplicate right keys fan out (1:N)."""
     import ray
 
     r_ref = _broadcast_table(right)
 
     def join(b: pa.Table) -> pa.Table:
-        rt = ray.get(r_ref)
-        lk = _key_arr(b, on)
-        if rt.num_rows:
-            rk = _key_arr(rt, on)
-            order = np.argsort(rk, kind="stable")
-            rk_s = rk[order]
-            pos = np.searchsorted(rk_s, lk)
-            hit = (pos < rk_s.size) & (
-                rk_s[np.minimum(pos, rk_s.size - 1)] == lk)
-            src = order[np.minimum(pos, rk_s.size - 1)]
-        else:
-            hit = np.zeros(lk.size, bool)
-            src = np.zeros(lk.size, np.int64)
-        out = b
-        for name in (rt.column_names if rt.num_rows else []):
-            if name == on:
-                continue
-            vals = rt[name].to_numpy(zero_copy_only=False)[src]
-            arr = pa.array(vals)
-            out = out.append_column(
-                right_prefix + name,
-                pa.array([v if h else None
-                          for v, h in zip(arr.to_pylist(),
-                                          hit.tolist())]))
-        return out
+        return _join_batch(b, ray.get(r_ref), on, True, right_prefix)
 
     return left.map_batches(join, batch_format="pyarrow")
 

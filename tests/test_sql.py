@@ -63,7 +63,7 @@ def test_parse_join_and_having():
         "SELECT a, count(*) AS c FROM t JOIN u ON x = y "
         "JOIN v ON p = q WHERE a > 1 GROUP BY a HAVING c >= 2 "
         "ORDER BY c LIMIT 1")
-    assert p.joins == [("u", "x", "y"), ("v", "p", "q")]
+    assert p.joins == [("u", "x", "y", "inner"), ("v", "p", "q", "inner")]
     assert p.having == ("cmp", "c", ">=", 2)
 
 
@@ -86,6 +86,24 @@ def test_execute_join(ray_session):
         "JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_mktsegment ORDER BY c_mktsegment").df()
     assert t.to_pandas().reset_index(drop=True).equals(want)
+
+
+def test_execute_left_join(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    for tb in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{tb}.parquet')")
+    # customers with no orders keep a NULL order side
+    q = ("SELECT c_mktsegment, count(*) AS n, count(o_orderkey) AS no "
+         "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+         "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+    t = execute_sql(q, SF)
+    want = con.execute(
+        q.replace("count(*)", "count(*)::BIGINT")
+         .replace("count(o_orderkey)", "count(o_orderkey)::BIGINT")).df()
+    assert t.to_pandas().equals(want)
 
 
 def test_parse_distinct():

@@ -46,6 +46,21 @@ def test_inner_and_left_outer_join(join_data):
     assert miss["name"].isna().all()
 
 
+def test_join_duplicate_right_keys(ray_session):
+    # 1:N fan-out: each left row joins EVERY matching right row
+    left = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+    right = pd.DataFrame({"k": [1, 1, 2], "name": ["a", "b", "c"]})
+    lds, rds = rd.from_pandas(left).repartition(2), rd.from_pandas(right)
+    got = inner_join(lds, rds, on="k").to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    assert got.sort_values(["k", "name"]).reset_index(drop=True).equals(
+        want.sort_values(["k", "name"]).reset_index(drop=True))
+    got = left_outer_join(lds, rds, on="k").to_pandas()
+    want = left.merge(right, on="k", how="left")
+    assert got.sort_values(["k", "name"]).reset_index(drop=True).equals(
+        want.sort_values(["k", "name"]).reset_index(drop=True))
+
+
 def test_intersect_complement(join_data):
     lds, rds, left, right = join_data
     inter = intersect(lds, rds, on="k").to_pandas()
