@@ -206,6 +206,375 @@ HINDI_STOP_WORDS = frozenset("""
 
 
 # ---------------------------------------------------------------------------
+# Finnish (light stemmer, Savoy CLEF-2003; reference chain
+# fi/FinnishAnalyzer.java uses Snowball, fi/FinnishLightStemmer.java is
+# the published light alternative restated here)
+# ---------------------------------------------------------------------------
+
+_FI_V = frozenset("aeiouy")
+_FI_FOLD = str.maketrans("äåö", "aao")
+
+
+def _fi_step1(w: str) -> str:
+    if len(w) > 8:
+        if w.endswith("kin"):
+            return _fi_step1(w[:-3])  # clitics stack: talossakinko...
+        if w.endswith("ko"):
+            return _fi_step1(w[:-2])
+    if len(w) > 11:
+        if w.endswith("dellinen"):
+            return w[:-8]
+        if w.endswith("dellisuus"):
+            return w[:-9]
+    return w
+
+
+def _fi_step2(w: str) -> str:
+    if len(w) > 5:
+        if w.endswith(("lla", "tse", "sti")):
+            return w[:-3]
+        if w.endswith("ni"):
+            return w[:-2]
+        if w.endswith("aa"):
+            return w[:-1]
+    return w
+
+
+def _fi_step3(w: str) -> str:
+    if len(w) > 8:
+        if w.endswith("nnen"):
+            return w[:-4] + "s"
+        if w.endswith("ntena"):
+            return w[:-5] + "s"
+        if w.endswith("tten"):
+            return w[:-4]
+        if w.endswith("eiden"):
+            return w[:-5]
+    if len(w) > 6:
+        if w.endswith(("neen", "niin", "seen", "teen", "inen")):
+            return w[:-4]
+        if w[-3] == "h" and w[-2] in _FI_V and w[-1] == "n":
+            return w[:-3]
+        if w.endswith("den"):
+            return w[:-3] + "s"
+        if w.endswith("ksen"):
+            return w[:-4] + "s"
+        if w.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            return w[:-3]
+    if len(w) > 5:
+        if w.endswith(("na", "ne")):
+            return w[:-2]
+        if w.endswith("nei"):
+            return w[:-3]
+    if len(w) > 4:
+        if w.endswith(("ja", "ta")):
+            return w[:-2]
+        if w[-1] == "a":
+            return w[:-1]
+        if w[-1] == "n":
+            return w[:-2] if w[-2] in _FI_V else w[:-1]
+    return w
+
+
+def finnish_light_stem(word: str) -> str:
+    """Savoy's CLEF-2003 Finnish light stemmer: fold ä/å/ö, strip
+    clitics, case endings, then normalize final vowels and degeminate
+    k/p/t (``fi/FinnishLightStemmer.java`` documents the same steps)."""
+    if len(word) < 4:
+        return word
+    w = word.translate(_FI_FOLD)
+    w = _fi_step3(_fi_step2(_fi_step1(w)))
+    # norm1: hde -> ksi rewrite (in place), then final-letter strips
+    if len(w) > 5 and w.endswith("hde"):
+        w = w[:-3] + "ksi"
+    if len(w) > 4 and w.endswith(("ei", "at")):
+        w = w[:-2]
+    elif len(w) > 3 and w[-1] in "tsjeai":
+        w = w[:-1]
+    # norm2: long-word final e/o/u, then final i, then degeminate kpt
+    if len(w) > 8 and w[-1] in "eou":
+        w = w[:-1]
+    if len(w) > 4:
+        if w[-1] == "i":
+            w = w[:-1]
+        if len(w) > 4:
+            out = [w[0]]
+            for ch in w[1:]:
+                if ch == out[-1] and ch in "kpt":
+                    continue
+                out.append(ch)
+            w = "".join(out)
+    return w
+
+
+FINNISH_STOP_WORDS = frozenset("""
+olla olen olet on olemme olette ovat ole oli olisi olisit olisin
+olisimme olisitte olisivat olit olin olimme olitte olivat ollut olleet
+en et ei emme ette eivät minä minun minut minua minussa minusta minuun
+minulla minulta minulle sinä sinun sinut sinua hän hänen häntä se sen
+sitä me meidän meidät te teidän he heidän tämä tämän tätä nämä näiden
+joka jonka mikä mitä ja jos koska kuin mutta niin sekä sillä tai vaan
+vai vaikka kanssa mukaan noin poikki yli kun nyt itse
+""".split())
+
+# ---------------------------------------------------------------------------
+# Hungarian (light stemmer, Savoy UniNE "Light Stemming Approaches for
+# the French, Portuguese, German and Hungarian Languages"; reference
+# hu/HungarianAnalyzer.java + hu/HungarianLightStemmer.java)
+# ---------------------------------------------------------------------------
+
+_HU_V = frozenset("aeiouy")
+_HU_FOLD = {ord(a): b for a, b in zip("áëéíóőõöúűũûü",
+                                      "aeeioooouuuuu")}
+
+
+def _hu_case(w: str) -> str:
+    if len(w) > 6 and w.endswith("kent"):
+        return w[:-4]
+    if len(w) > 5:
+        if w.endswith(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                       "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+            return w[:-3]
+        if w.endswith(("al", "el")) and w[-3] not in _HU_V \
+                and w[-3] == w[-4]:
+            return w[:-3]
+    if len(w) > 4:
+        if w.endswith(("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                       "be", "ul", "ig")):
+            return w[:-2]
+        if w.endswith(("on", "en")) and w[-3] not in _HU_V:
+            return w[:-2]
+        if w[-1] in "tn":
+            return w[:-1]
+        if w[-1] in "ae" and w[-2] == w[-3] and w[-2] not in _HU_V:
+            return w[:-2]
+    return w
+
+
+def _hu_possessive(w: str) -> str:
+    if len(w) > 6:
+        if w[-5] not in _HU_V and w.endswith(("atok", "otok", "etek")):
+            return w[:-4]
+        if w.endswith(("itek", "itok")):
+            return w[:-4]
+    if len(w) > 5:
+        if w[-4] not in _HU_V and w.endswith(("unk", "tok", "tek")):
+            return w[:-3]
+        if w[-4] in _HU_V and w.endswith("juk"):
+            return w[:-3]
+        if w.endswith("ink"):
+            return w[:-3]
+    if len(w) > 4:
+        if w[-3] not in _HU_V and w.endswith(
+                ("am", "em", "om", "ad", "ed", "od", "uk")):
+            return w[:-2]
+        if w[-3] in _HU_V and w.endswith(("nk", "ja", "je")):
+            return w[:-2]
+        if w.endswith(("im", "id", "ik")):
+            return w[:-2]
+    if len(w) > 3:
+        if w[-1] in "ae" and w[-2] not in _HU_V:
+            return w[:-1]
+        if w[-1] in "md" and w[-2] in _HU_V:
+            return w[:-1]
+        if w[-1] == "i":
+            return w[:-1]
+    return w
+
+
+def hungarian_light_stem(word: str) -> str:
+    """Savoy UniNE Hungarian light stemmer: fold accents, strip case
+    then possessive then plural endings, drop a trailing a/e/i/o
+    (``hu/HungarianLightStemmer.java`` documents the same steps)."""
+    w = word.translate(_HU_FOLD)
+    w = _hu_possessive(_hu_case(w))
+    if len(w) > 3 and w[-1] == "k":
+        w = w[:-2] if (w[-2] in "aoe" and len(w) > 4) else w[:-1]
+    if len(w) > 3 and w[-1] in "aeio":
+        w = w[:-1]
+    return w
+
+
+HUNGARIAN_STOP_WORDS = frozenset("""
+a az egy és vagy hogy nem is de ha már csak meg mint el volt lesz van
+vannak lehet minden ez azt ezt ami aki amely ahol mikor akkor így úgy
+még majd itt ott őt ők mi ti én te ő be ki le fel át rá se sem pedig
+mert ezért tehát illetve például saját volt
+""".split())
+
+# ---------------------------------------------------------------------------
+# Bulgarian (BulStem, Nakov 2003; reference bg/BulgarianAnalyzer.java +
+# bg/BulgarianStemmer.java)
+# ---------------------------------------------------------------------------
+
+
+def _bg_article(w: str) -> str:
+    if len(w) > 6 and w.endswith("ият"):
+        return w[:-3]
+    if len(w) > 5 and w.endswith(("ът", "то", "те", "та", "ия")):
+        return w[:-2]
+    if len(w) > 4 and w.endswith("ят"):
+        return w[:-2]
+    return w
+
+
+def _bg_plural(w: str) -> str:
+    if len(w) > 6:
+        if w.endswith("овци"):
+            return w[:-3]
+        if w.endswith("ове"):
+            return w[:-3]
+        if w.endswith("еве"):
+            return w[:-3] + "й"
+    if len(w) > 5:
+        if w.endswith("ища"):
+            return w[:-3]
+        if w.endswith("та"):
+            return w[:-2]
+        if w.endswith("ци"):
+            return w[:-2] + "к"
+        if w.endswith("зи"):
+            return w[:-2] + "г"
+        if w[-3] == "е" and w[-1] == "и":
+            return w[:-3] + "я" + w[-2]
+    if len(w) > 4:
+        if w.endswith("си"):
+            return w[:-2] + "х"
+        if w.endswith("и"):
+            return w[:-1]
+    return w
+
+
+def bulgarian_stem(word: str) -> str:
+    """BulStem light stemmer: strip the definite article and plural
+    endings, final-vowel cleanup, ен->н and ъN->N folds
+    (``bg/BulgarianStemmer.java`` documents the same steps)."""
+    w = word
+    if len(w) < 4:
+        return w
+    if len(w) > 5 and w.endswith("ища"):
+        return w[:-3]
+    w = _bg_plural(_bg_article(w))
+    if len(w) > 3:
+        if w.endswith("я"):
+            w = w[:-1]
+        if len(w) > 3 and w[-1] in "аое":
+            w = w[:-1]
+    if len(w) > 4 and w.endswith("ен"):
+        w = w[:-2] + "н"
+    if len(w) > 5 and w[-2] == "ъ":
+        w = w[:-2] + w[-1]
+    return w
+
+
+BULGARIAN_STOP_WORDS = frozenset("""
+а аз ако але без беше би бил била били било благодаря близо бъдат бъде
+в вас ваш ваша вероятно вече взема ви вие винаги все всеки всички всичко
+всяка във въпреки върху г ги главен главна главно глас го д да дали до
+докато докога дори досега доста е едва един ето за зад заедно заради
+засега затова защо защото и из или им има имат иска й каза как каква
+какво както какъв като кога когато което които кой който колко която
+къде където към ли м ме между мен ми мнозина мога могат може моля
+момента му н на над назад най направи напред например нас не него нея
+ни ние никой нито но нужда нужно няма обаче около освен особено от
+отгоре отново още пак по повече повечето под поне поради после почти
+прави пред преди през при пък първо с са само се сега си скоро след
+сме според сред срещу сте съм със също т тази така такива такъв там
+твой те тези ти то това тогава този той толкова точно трябва тук тъй
+тя тях у харесва ч че често чрез ще щом я
+""".split())
+
+# ---------------------------------------------------------------------------
+# Turkish (reference tr/TurkishAnalyzer.java = StandardTokenizer ->
+# ApostropheFilter -> TurkishLowerCaseFilter -> StopFilter -> Snowball;
+# here: apostrophe strip + Turkish-aware case fold + stop words. The
+# Snowball Turkish stemmer is out of scope; the chain is registered
+# without stemming, like the reference's Persian chain.)
+# ---------------------------------------------------------------------------
+
+_TR_APOSTROPHES = "'’ʼ"
+# Turkish casing: dotted capital İ -> i, dotless capital I -> ı
+_TR_CASE = {0x130: "i", 0x49: "ı"}
+
+
+def turkish_fold(token: str) -> str | None:
+    """ApostropheFilter (``tr/ApostropheFilter.java`` — keep the part
+    before the first apostrophe: Türkiye'nin -> türkiye) + Turkish
+    lowercase (``tr/TurkishLowerCaseFilter.java`` İ->i, I->ı)."""
+    for ap in _TR_APOSTROPHES:
+        i = token.find(ap)
+        if i >= 0:
+            token = token[:i]
+    return token.translate(_TR_CASE).lower()
+
+
+TURKISH_STOP_WORDS = frozenset("""
+acaba altı ama ancak arada aslında ayrıca bana bazı belki ben benden
+beni benim beri beş bile bin bir biri birkaç birkez birçok birşey biz
+bizden bize bizi bizim bu buna bunda bundan bunlar bunları bunların
+bunu bunun burada böyle böylece da daha dahi de defa değil diye diğer
+doksan dokuz dolayı dört edecek eden ederek edilecek ediliyor edilmesi
+ediyor elli en etmesi etti ettiği gibi göre halen hangi hatta hem henüz
+hep hepsi her herhangi herkesin hiç iki ile ilgili ise itibaren itibariyle
+için işte kadar karşın kez ki kim kimden kime kimi kimse kırk milyar
+milyon mu mü mı nasıl ne neden nedenle nerde nerede nereye niye niçin
+o olan olarak oldu olduklarını olduğu olduğunu olmadı olmadığı olmak
+olması olmayan olmaz olsa olsun olup olur olursa oluyor on ona ondan
+onlar onlardan onları onların onu onun otuz oysa pek rağmen sadece
+sanki sekiz seksen sen senden seni senin siz sizden sizi sizin tarafından
+trilyon tüm var vardı ve veya ya yani yapacak yapılan yapılması yapıyor
+yapmak yaptı yaptığı yaptığını yapılan yedi yerine yetmiş yine yirmi
+yoksa yüz zaten çok çünkü öyle üzere üç şey şeyden şeyi şeyler şu şuna
+şunda şundan şunları şunu
+""".split())
+
+
+class TurkishAnalyzer(Analyzer):
+    """Apostrophe strip + Turkish case fold BEFORE the stop filter
+    (apostrophe/case both affect stop matching: O'nun -> o)."""
+
+    name = "turkish"
+
+    def __init__(self):
+        self.base = StandardAnalyzer(stop_words=frozenset())
+
+    def _one(self, t: str) -> str | None:
+        t = turkish_fold(t)
+        if not t or t in TURKISH_STOP_WORDS:
+            return None
+        return t
+
+    def tokens(self, text: str) -> list[str]:
+        return [s for t in self.base.tokens(text)
+                if (s := self._one(t)) is not None]
+
+    def tokens_with_positions(self, text: str):
+        toks, pos = self.base.tokens_with_positions(text)
+        out_t, out_p = [], []
+        for t, p in zip(toks, pos):
+            s = self._one(t)
+            if s is not None:
+                out_t.append(s)
+                out_p.append(p)
+        return out_t, out_p
+
+    def tokens_batch(self, texts: list[str]):
+        import numpy as np
+        import pandas as pd
+
+        tokens, doc_idx, positions = self.base.tokens_batch(texts)
+        if not tokens:
+            return tokens, doc_idx, positions
+        codes, vocab = pd.factorize(np.asarray(tokens, dtype=object))
+        mapped = np.asarray([self._one(t) for t in vocab], dtype=object)
+        keep_vocab = np.fromiter((m is not None for m in mapped), bool,
+                                 count=len(mapped))
+        keep = keep_vocab[codes]
+        out = mapped[codes][keep].tolist()
+        return out, doc_idx[keep], positions[keep]
+
+
+# ---------------------------------------------------------------------------
 # Analyzer registration (StemmingAnalyzer shape from snowball.py)
 # ---------------------------------------------------------------------------
 
@@ -240,7 +609,32 @@ def hindi_analyzer(**kw) -> Analyzer:
     return StemmingAnalyzer("hindi", HINDI_STOP_WORDS, hindi_stem, **kw)
 
 
+def finnish_analyzer(**kw) -> Analyzer:
+    from .snowball import StemmingAnalyzer
+
+    return StemmingAnalyzer("finnish", FINNISH_STOP_WORDS,
+                            finnish_light_stem, **kw)
+
+
+def hungarian_analyzer(**kw) -> Analyzer:
+    from .snowball import StemmingAnalyzer
+
+    return StemmingAnalyzer("hungarian", HUNGARIAN_STOP_WORDS,
+                            hungarian_light_stem, **kw)
+
+
+def bulgarian_analyzer(**kw) -> Analyzer:
+    from .snowball import StemmingAnalyzer
+
+    return StemmingAnalyzer("bulgarian", BULGARIAN_STOP_WORDS,
+                            bulgarian_stem, **kw)
+
+
 register_analyzer("arabic", arabic_analyzer())
 register_analyzer("persian", persian_analyzer())
 register_analyzer("czech", czech_analyzer())
 register_analyzer("hindi", hindi_analyzer())
+register_analyzer("finnish", finnish_analyzer())
+register_analyzer("hungarian", hungarian_analyzer())
+register_analyzer("bulgarian", bulgarian_analyzer())
+register_analyzer("turkish", TurkishAnalyzer())

@@ -954,6 +954,26 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
             "लड़के की किताब",
             "किताबों वाला लड़का",
         ],
+        "finnish": [
+            "Taloissa ja talossakin kirjat",
+            "Presidentin talo ja kirjat",
+            "Kirja jokaisessa talossa",
+        ],
+        "hungarian": [
+            "A házak és a királynak könyvei",
+            "Egy ház és egy könyv",
+            "Házak között a király",
+        ],
+        "bulgarian": [
+            "Градът и книгите на децата",
+            "Книга за градовете",
+            "Градове и книги навсякъде",
+        ],
+        "turkish": [
+            "Türkiye'nin İstanbul şehri",
+            "İstanbul'da ve Ankara'da kitaplar",
+            "Kitap ve şehirler Türkiye",
+        ],
         # CJKAnalyzer: overlapping character bigrams (cjk.py)
         "cjk": [
             "日本語の検索エンジン",

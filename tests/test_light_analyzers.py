@@ -78,3 +78,57 @@ def test_batch_path_matches_single():
     for x in texts:
         flat += a.tokens(x)
     assert t == flat
+
+
+def test_finnish_light_stem():
+    from lucene_solr_ray.analysis.light import finnish_light_stem as fi
+
+    assert fi("taloissa") == "talo"        # inessive plural
+    assert fi("talossakin") == "talo"      # -kin clitic stacks
+    assert fi("kirjat") == "kirj"          # nominative plural
+    assert fi("presidentin") == "presiden"  # genitive
+    assert fi("kauniisti") == "kaun"       # -sti adverb + final-i norms
+    assert fi("abc") == "abc"              # len < 4 untouched
+    # ä/å/ö fold before stemming
+    assert fi("määrä")[0] == "m" and "ä" not in fi("määrä")
+
+
+def test_hungarian_light_stem():
+    from lucene_solr_ray.analysis.light import hungarian_light_stem as hu
+
+    assert hu("házak") == "haz"            # accent fold + -ak plural
+    assert hu("királynak") == "kiraly"     # dative -nak
+    assert hu("alma") == "alm"             # possessive final -a
+    assert hu("kertben") == "kert"         # inessive -ben
+    assert hu("könyvei") == "konyv"        # possessive -i + final vowel
+
+
+def test_bulgarian_stem():
+    from lucene_solr_ray.analysis.light import bulgarian_stem as bg
+
+    assert bg("градът") == "град"          # masculine definite article
+    assert bg("книгите") == "книг"         # plural + article
+    assert bg("градове") == "град"         # -ове plural
+    assert bg("ден") == "ден"              # len < 4 untouched
+
+
+def test_turkish_fold_and_chain():
+    from lucene_solr_ray.analysis.light import turkish_fold
+
+    assert turkish_fold("Türkiye'nin") == "türkiye"  # apostrophe strip
+    assert turkish_fold("İstanbul") == "istanbul"    # dotted capital I
+    assert turkish_fold("ISPARTA") == "ısparta"      # dotless lowercase
+    a = get_analyzer("turkish")
+    assert a.tokens("Türkiye'nin İstanbul şehri") == [
+        "türkiye", "istanbul", "şehri"]
+    t, d, p = a.tokens_batch(["İstanbul'da ve Ankara'da", ""])
+    assert t == a.tokens("İstanbul'da ve Ankara'da")
+
+
+def test_new_chains_registered():
+    assert get_analyzer("finnish").tokens("Taloissa ja kirjat") == [
+        "talo", "kirj"]
+    assert get_analyzer("hungarian").tokens("a házak és király") == [
+        "haz", "kiraly"]
+    assert get_analyzer("bulgarian").tokens("градът и книгите") == [
+        "град", "книг"]
