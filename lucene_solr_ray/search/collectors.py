@@ -34,15 +34,19 @@ class TopN:
 
 
 class ScoreHistogram:
-    """A faceting-style accumulator: score histogram over fixed bins."""
+    """A faceting-style accumulator: score histogram over fixed bins.
+    Pass an explicit ``range`` when histograms from different shards
+    must be mergeable (the CollectorManager path requires it)."""
 
-    def __init__(self, bins: int = 10):
+    def __init__(self, bins: int = 10,
+                 range: tuple[float, float] | None = None):
         self.bins = bins
+        self.range = range
 
     def __call__(self, docs, scores):
         if not docs.size:
             return np.zeros(self.bins, np.int64)
-        hist, _ = np.histogram(scores, bins=self.bins)
+        hist, _ = np.histogram(scores, bins=self.bins, range=self.range)
         return hist.astype(np.int64)
 
 
@@ -70,3 +74,65 @@ class FieldValueFacet:
         vals = self.values[docs]
         uniq, counts = np.unique(vals, return_counts=True)
         return dict(zip(uniq.tolist(), counts.tolist()))
+
+
+# ---------------------------------------------------------------------------
+# CollectorManager (``search/CollectorManager.java``): newCollector()
+# per leaf slice / shard, reduce(results) once — the parallel-safe
+# collector contract. Drive with
+# ``distributed.collect_sharded(index_dir, q, manager)``.
+# ---------------------------------------------------------------------------
+
+class CollectorManager:
+    """Subclass contract: ``new_collector()`` returns a fresh collector
+    callable for one shard; ``reduce(results)`` folds the per-shard
+    outputs (given in shard-id order) into the final answer."""
+
+    def new_collector(self):
+        raise NotImplementedError
+
+    def reduce(self, results: list):
+        raise NotImplementedError
+
+
+class TotalHitCountManager(CollectorManager):
+    def new_collector(self):
+        return TotalHitCount()
+
+    def reduce(self, results):
+        return int(sum(results))
+
+
+class TopNManager(CollectorManager):
+    """TopDocs.merge semantics: score desc, earlier shard wins ties,
+    then in-shard hit order."""
+
+    def __init__(self, n: int = 10):
+        self.n = n
+
+    def new_collector(self):
+        return TopN(self.n)
+
+    def reduce(self, results):
+        rows = [(-score, shard, hit, doc)
+                for shard, part in enumerate(results)
+                for hit, (doc, score) in enumerate(part)]
+        rows.sort()
+        return [(doc, -negscore)
+                for negscore, _, _, doc in rows[: self.n]]
+
+
+class ScoreHistogramManager(CollectorManager):
+    def __init__(self, bins: int = 10,
+                 range: tuple[float, float] = (0.0, 20.0)):
+        self.bins = bins
+        self.range = range
+
+    def new_collector(self):
+        return ScoreHistogram(self.bins, self.range)
+
+    def reduce(self, results):
+        out = np.zeros(self.bins, np.int64)
+        for r in results:
+            out += np.asarray(r, np.int64)
+        return out

@@ -441,3 +441,74 @@ def search_sharded(
         "doc_id": pa.array(out["doc_id"], pa.int64()),
         "score": pa.array(np.asarray(out["score"], dtype)),
     })
+
+
+def collect_sharded(
+    index_dir: str,
+    q: Query,
+    manager,
+    *,
+    num_shards: int = 8,
+    precise: bool = False,
+):
+    """CollectorManager execution (``search/CollectorManager.java`` +
+    ``IndexSearcher.search(Query, CollectorManager)``): one fresh
+    collector per shard runs inside a Ray Data task against that
+    shard's partitions (global stats broadcast, like search_sharded);
+    the driver folds the per-shard outputs with ``manager.reduce`` in
+    shard-id order (the reference reduces in leaf-slice order).
+    Per-shard payloads are small collector outputs, never postings."""
+    import pickle
+
+    import ray
+    import ray.data as rd
+
+    man = IndexManifest.load(index_dir)
+    shards = plan_shards(man, num_shards)
+    terms = sorted(query_terms(q))
+
+    def shard_stats(batch: dict) -> dict:
+        from .readers import SegmentsReader
+
+        out = []
+        for pids in batch["partition_ids"]:
+            r = SegmentsReader(index_dir, partition_ids=list(pids))
+            dfs = r.doc_freqs(terms) if terms else {}
+            out.append([dfs.get(t, 0) for t in terms])
+        return {"dfs": np.array(out, np.int64)}
+
+    df_global = np.zeros(len(terms), np.int64)
+    if terms:
+        for row in (
+            rd.from_items(shards).map_batches(shard_stats).take_all()
+        ):
+            df_global += np.asarray(row["dfs"], np.int64)
+    stats = {
+        "max_doc": man.max_doc,
+        "sum_ttf": man.sum_total_term_freq,
+        "df": dict(zip(terms, df_global.tolist())),
+    }
+    stats_ref = ray.put(stats)
+    mgr_ref = ray.put(manager)
+    q_ref = ray.put(q)
+
+    def shard_collect(batch: dict) -> dict:
+        st = ray.get(stats_ref)
+        mgr = ray.get(mgr_ref)
+        qq = ray.get(q_ref)
+        sids, blobs = [], []
+        for sid, pids in zip(batch["shard_id"], batch["partition_ids"]):
+            s = _shard_searcher(index_dir, list(pids), st, precise)
+            res = s.collect(qq, mgr.new_collector())
+            sids.append(int(sid))
+            blobs.append(pickle.dumps(res))
+        return {"shard_id": np.asarray(sids, np.int64),
+                "payload": np.asarray(blobs, object)}
+
+    parts = []
+    for row in (
+        rd.from_items(shards).map_batches(shard_collect).take_all()
+    ):
+        parts.append((int(row["shard_id"]), row["payload"]))
+    parts.sort()
+    return manager.reduce([pickle.loads(p) for _, p in parts])
