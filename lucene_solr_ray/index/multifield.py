@@ -52,17 +52,29 @@ def build_multi_index(
     for fname, cfg in fields.items():
         fdir = os.path.join(out_dir, "fields", fname)
         os.makedirs(fdir, exist_ok=True)
+        # per-field codec granularity (PerFieldPostingsFormat.java):
+        # each field picks its own postings codec + index options
         man = build_index(
             source, fdir, text_field=cfg.get("source_column", fname),
             analyzer=cfg.get("analyzer", "standard"),
             store_positions=cfg.get("positions", False),
+            store_offsets=cfg.get("offsets", False),
+            store_payloads=cfg.get("payloads", False),
+            byte_aligned=cfg.get("byte_aligned", True),
             rows_per_partition=rows_per_partition, **kw,
         )
         if merge:
             merge_index(fdir)
         manifests[fname] = {"dir": f"fields/{fname}",
                             "analyzer": man.analyzer,
-                            "max_doc": man.max_doc}
+                            "max_doc": man.max_doc,
+                            "codec": {
+                                "byte_aligned": cfg.get("byte_aligned",
+                                                        True),
+                                "positions": cfg.get("positions", False),
+                                "offsets": cfg.get("offsets", False),
+                                "payloads": cfg.get("payloads", False),
+                            }}
     top = {"fields": manifests,
            "default_field": next(iter(fields))}
     tmp = os.path.join(out_dir, MULTI_MANIFEST + ".tmp")
