@@ -3964,11 +3964,33 @@ def q_sql_left_join(sf_dir: str) -> pa.Table:
     return execute_sql(_SQL_LEFT_JOIN, sf_dir)
 
 
+_SQL_TPCH_Q1 = (
+    "SELECT l_returnflag, l_linestatus, "
+    "sum(l_quantity) AS sum_qty, "
+    "sum(l_extendedprice) AS sum_base_price, "
+    "sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
+    "avg(l_quantity) AS avg_qty, avg(l_discount) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_quantity < 45 "
+    "GROUP BY l_returnflag, l_linestatus "
+    "ORDER BY l_returnflag, l_linestatus")
+
+
+def q_sql_tpch_q1(sf_dir: str) -> pa.Table:
+    """ParallelSQL: TPC-H-Q1-shaped pricing summary — arithmetic
+    expressions inside aggregates compile to one Arrow-kernel
+    map_batches (derived column) feeding the shuffle aggregate."""
+    from .sql import execute_sql
+
+    return execute_sql(_SQL_TPCH_Q1, sf_dir)
+
+
 QUERIES.update({
     "sql_group_agg": q_sql_group_agg,
     "sql_select_topk": q_sql_select_topk,
     "sql_where_expr": q_sql_where_expr,
     "sql_left_join": q_sql_left_join,
+    "sql_tpch_q1": q_sql_tpch_q1,
 })
 
 ORACLE_SQL.update({
@@ -3999,6 +4021,20 @@ SELECT c_mktsegment, count(*)::BIGINT AS n,
        floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS revenue
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    "sql_tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       floor(sum(l_quantity) * 10000 + 0.5) / 10000 AS sum_qty,
+       floor(sum(l_extendedprice) * 10000 + 0.5) / 10000
+         AS sum_base_price,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+         / 10000 AS sum_disc_price,
+       floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+       floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_quantity < 45
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
 """,
 })
 

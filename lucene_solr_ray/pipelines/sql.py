@@ -42,8 +42,8 @@ import pyarrow.compute as pc
 _AGG_FNS = {"count", "sum", "min", "max", "avg"}
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<str>'(?:[^']|'')*')|(?P<num>-?\d+(?:\.\d+)?)"
-    r"|(?P<op><=|>=|<>|=|<|>)|(?P<punc>[(),*])"
+    r"\s*(?:(?P<str>'(?:[^']|'')*')|(?P<num>\d+(?:\.\d+)?)"
+    r"|(?P<op><=|>=|<>|=|<|>)|(?P<punc>[(),*+\-/])"
     r"|(?P<word>[A-Za-z_][A-Za-z0-9_]*))"
 )
 
@@ -108,11 +108,16 @@ class _P:
             raise ValueError(f"expected {w}, got {v}")
 
     def literal(self) -> object:
+        neg = False
+        if self.peek() == "-":
+            self.i += 1
+            neg = True
         kind, raw = self.t[self.i]
         self.i += 1
         if kind == "num":
-            return float(raw) if "." in raw else int(raw)
-        if kind == "str":
+            v = float(raw) if "." in raw else int(raw)
+            return -v if neg else v
+        if kind == "str" and not neg:
             return raw[1:-1].replace("''", "'")
         raise ValueError(f"bad literal {raw}")
 
@@ -202,6 +207,69 @@ def _expr_cols(node) -> set[str]:
     return {node[1]}
 
 
+# arithmetic value expressions (SELECT sum(a * (1 - b)), SELECT a+1):
+#   ("col", name) ("lit", v) ("bin", op, left, right)
+
+
+def _parse_arith(p: _P):
+    def factor():
+        if p.peek() == "(":
+            p.take()
+            n = expr()
+            p.expect(")")
+            return n
+        if p.peek() == "-":
+            p.take()
+            return ("bin", "-", ("lit", 0), factor())
+        kind, raw = p.t[p.i]
+        if kind == "num":
+            p.i += 1
+            return ("lit", float(raw) if "." in raw else int(raw))
+        if kind == "word":
+            p.i += 1
+            return ("col", raw)
+        raise ValueError(f"bad arithmetic factor {raw!r}")
+
+    def term():
+        n = factor()
+        while p.peek() in ("*", "/"):
+            n = ("bin", p.take(), n, factor())
+        return n
+
+    def expr():
+        n = term()
+        while p.peek() in ("+", "-"):
+            n = ("bin", p.take(), n, term())
+        return n
+
+    return expr()
+
+
+def _arith_cols(node) -> set[str]:
+    if isinstance(node, str):
+        return {node} if node != "*" else set()
+    if node[0] == "col":
+        return {node[1]}
+    if node[0] == "bin":
+        return _arith_cols(node[2]) | _arith_cols(node[3])
+    return set()
+
+
+def _eval_arith(b: pa.Table, node):
+    """Arrow-kernel evaluation of an arithmetic tree over one batch."""
+    if node[0] == "col":
+        c = b[node[1]]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    if node[0] == "lit":
+        return pa.scalar(node[1])
+    l, r = _eval_arith(b, node[2]), _eval_arith(b, node[3])
+    if node[1] == "/":
+        # SQL division yields double (DuckDB semantics)
+        return pc.divide(pc.cast(l, pa.float64()), pc.cast(r, pa.float64()))
+    fns = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}
+    return fns[node[1]](l, r)
+
+
 def parse_sql(q: str) -> Plan:
     p = _P(_tokenize(q))
     p.expect("SELECT")
@@ -218,11 +286,25 @@ def parse_sql(q: str) -> Plan:
             if agg == "count" and p.kw("DISTINCT"):
                 p.take()
                 agg = "count_distinct"
-            col = p.take()
-            p.expect(")")
-            if agg == "count_distinct" and col == "*":
-                raise ValueError("count(DISTINCT *) is not supported")
-            alias = f"{agg}_{col}" if col != "*" else agg
+            if agg in ("count", "count_distinct"):
+                col = p.take()
+                p.expect(")")
+                if agg == "count_distinct" and col == "*":
+                    raise ValueError("count(DISTINCT *) is not supported")
+                alias = f"{agg}_{col}" if col != "*" else agg
+            else:
+                node = _parse_arith(p)
+                p.expect(")")
+                if node[0] == "col":  # plain column keeps its name
+                    col = node[1]
+                    alias = f"{agg}_{col}"
+                else:                 # arithmetic expression
+                    col = node
+                    alias = agg
+        elif p.peek() in ("+", "-", "*", "/") and p.peek() != ",":
+            p.i -= 1
+            col = _parse_arith(p)
+            agg, alias = None, "expr"
         else:
             agg, col, alias = None, w, w
         if p.kw("AS"):
@@ -385,7 +467,7 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
 
     plan = parse_sql(q)
     referenced = sorted(
-        {i.col for i in plan.items if i.col != "*"}
+        set().union(*(_arith_cols(i.col) for i in plan.items))
         | (_expr_cols(plan.where) if plan.where is not None else set())
         | set(plan.group_by)
         | {k for j in plan.joins for k in (j[1], j[2])})
@@ -422,6 +504,23 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
         where = plan.where
         ds = ds.map_batches(lambda b: _filter_batch(b, where),
                             batch_format="pyarrow")
+
+    # materialize arithmetic select expressions as derived columns so
+    # aggregation / projection downstream sees plain names
+    expr_specs = []
+    for i, it in enumerate(plan.items):
+        if isinstance(it.col, tuple):
+            name = f"__expr_{i}"
+            expr_specs.append((name, it.col))
+            it.col = name
+    if expr_specs:
+        def add_exprs(b: pa.Table, _specs=tuple(expr_specs)) -> pa.Table:
+            for name, node in _specs:
+                b = b.append_column(name, _eval_arith(b, node))
+            return b
+
+        ds = ds.map_batches(add_exprs, batch_format="pyarrow")
+        have |= {n for n, _ in expr_specs}
 
     if plan.distinct:
         # DISTINCT = shuffle-dedupe on the projected columns (Solr's

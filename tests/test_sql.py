@@ -202,3 +202,49 @@ def test_execute_count_distinct(ray_session):
     assert t2.to_pandas().equals(want2)
     t3 = execute_sql("SELECT count(DISTINCT lang) AS nl FROM documents", SF)
     assert t3["nl"][0].as_py() == 5
+
+
+def test_parse_arith_expr():
+    p = parse_sql(
+        "SELECT sum(l_extendedprice * (1 - l_discount)) AS rev, "
+        "avg(a + 2) AS x FROM t")
+    assert p.items[0].agg == "sum"
+    assert p.items[0].col == (
+        "bin", "*", ("col", "l_extendedprice"),
+        ("bin", "-", ("lit", 1), ("col", "l_discount")))
+    assert p.items[1].col == ("bin", "+", ("col", "a"), ("lit", 2))
+    # negative literal in WHERE still parses
+    p2 = parse_sql("SELECT a FROM t WHERE a > -5")
+    assert p2.where == ("cmp", "a", ">", -5)
+
+
+def test_execute_arith_agg(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    q = ("SELECT l_returnflag, l_linestatus, "
+         "sum(l_quantity) AS sum_qty, "
+         "sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
+         "avg(l_discount) AS avg_disc, count(*) AS n "
+         "FROM lineitem WHERE l_quantity < 30 "
+         "GROUP BY l_returnflag, l_linestatus "
+         "ORDER BY l_returnflag, l_linestatus")
+    t = execute_sql(q, SF).to_pandas()
+    want = con.execute(
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 4) AS sum_qty, "
+        "floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) "
+        "  / 10000 AS sum_disc_price, "
+        "floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc, "
+        "count(*)::BIGINT AS n "
+        "FROM lineitem WHERE l_quantity < 30 "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus").df()
+    import numpy as np
+    assert t[["l_returnflag", "l_linestatus", "n"]].equals(
+        want[["l_returnflag", "l_linestatus", "n"]])
+    np.testing.assert_allclose(t["sum_disc_price"], want["sum_disc_price"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(t["avg_disc"], want["avg_disc"], atol=1e-4)
