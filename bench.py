@@ -208,9 +208,33 @@ def run_bench() -> dict:
         "bench_docs": man.max_doc,
         "index_docs_per_sec": round(docs_per_sec, 1),
         "index_gb_per_sec": round(gb_per_sec, 4),
+        "host_calibration": host_calibration(),
     }
     ray.shutdown()
     return result
+
+
+def host_calibration() -> dict:
+    """Stamp the machine's state into the bench artifact: engine numbers
+    are only interpretable against the host's same-minute capability.
+    ``fresh_page_gbps`` is the hypervisor first-touch page-allocation
+    bandwidth (lazy host backing makes this 0.03-1.5 GB/s on a cold or
+    oversubscribed VM vs >5 warm — it bounds every allocation-heavy
+    stage); ``sort20m_warm_s`` is pure in-cache CPU+memory throughput."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.zeros(1_000_000_000, np.uint8)
+    a[::4096] = 1
+    fresh = 1.0 / (time.perf_counter() - t0)
+    del a
+    x = np.random.default_rng(0).integers(0, 1 << 40, 20_000_000)
+    np.sort(x.copy())  # fault the working set in
+    t0 = time.perf_counter()
+    np.sort(x.copy())
+    warm_sort = time.perf_counter() - t0
+    return {"fresh_page_gbps": round(fresh, 3),
+            "sort20m_warm_s": round(warm_sort, 3)}
 
 
 def run_scaling() -> None:
@@ -249,6 +273,8 @@ def run_scaling() -> None:
         "build_scaling_efficiency": round((b_lo / b_hi) / (hi / lo), 3),
         f"queries_{lo}": r_lo["queries"],
         f"queries_{hi}": r_hi["queries"],
+        f"host_calibration_{lo}": r_lo.get("host_calibration"),
+        f"host_calibration_{hi}": r_hi.get("host_calibration"),
     }))
 
 
