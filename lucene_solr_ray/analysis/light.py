@@ -485,6 +485,169 @@ BULGARIAN_STOP_WORDS = frozenset("""
 """.split())
 
 # ---------------------------------------------------------------------------
+# Indonesian (confix-stripping stemmer, Tala 2003 "A Study of Stemming
+# Effects on Information Retrieval in Bahasa Indonesia"; reference
+# id/IndonesianAnalyzer.java + id/IndonesianStemmer.java)
+# ---------------------------------------------------------------------------
+
+_ID_V = frozenset("aeiou")
+
+
+def indonesian_stem(word: str, derivational: bool = True) -> str:
+    """Confix-stripping: particles and possessive pronouns come off when
+    the word keeps > 2 syllables; derivational prefixes strip in two
+    orders with sound-change substitutions (meny-/peny- -> s, pen- ->
+    t), and suffixes are blocked by the removed-prefix combinations the
+    morphology disallows (e.g. ke- ... -kan never co-occur)."""
+    w = word
+    syl = sum(c in _ID_V for c in w)
+    removed: set[str] = set()
+
+    def particle(w):
+        nonlocal syl
+        if w.endswith(("kah", "lah", "pun")):
+            syl -= 1
+            return w[:-3]
+        return w
+
+    def possessive(w):
+        nonlocal syl
+        if w.endswith(("ku", "mu")):
+            syl -= 1
+            return w[:-2]
+        if w.endswith("nya"):
+            syl -= 1
+            return w[:-3]
+        return w
+
+    def first_prefix(w):
+        nonlocal syl
+        rules = [
+            ("meng", "MENG", 4, None),
+            ("meny", "MENG", 3, "s"),   # meny+V -> s+V
+            ("men", "MENG", 3, None),
+            ("mem", "MENG", 3, None),
+            ("me", "MENG", 2, None),
+            ("peng", "PENG", 4, None),
+            ("peny", "PENG", 3, "s"),   # peny+V -> s+V
+            ("peny", "PENG", 4, None),
+            ("pen", "PENG", 2, "t"),    # pen+V -> t+V
+            ("pen", "PENG", 3, None),
+            ("pem", "PENG", 3, None),
+            ("di", "DI", 2, None),
+            ("ter", "TER", 3, None),
+            ("ke", "KE", 2, None),
+        ]
+        for pre, flag, ndel, subst in rules:
+            if not w.startswith(pre):
+                continue
+            if subst is not None:
+                # sound-change rules only apply before a vowel:
+                # meny+V -> s+V, peny+V -> s+V, pen+V -> t+V
+                if len(w) <= len(pre) or w[len(pre)] not in _ID_V:
+                    continue
+                removed.add(flag)
+                syl -= 1
+                return subst + w[len(pre):]
+            removed.add(flag)
+            syl -= 1
+            return w[ndel:]
+        return w
+
+    def second_prefix(w):
+        nonlocal syl
+        if w.startswith("ber") or w == "belajar":
+            removed.add("BER")
+            syl -= 1
+            return w[3:]
+        if (w.startswith("be") and len(w) > 4 and w[2] not in _ID_V
+                and w[3] == "e" and w[4] == "r"):
+            removed.add("BER")
+            syl -= 1
+            return w[2:]
+        if w.startswith("per") or w == "pelajar":
+            syl -= 1
+            return w[3:]
+        if w.startswith("pe"):
+            removed.add("PE")
+            syl -= 1
+            return w[2:]
+        return w
+
+    def suffix(w):
+        nonlocal syl
+        if w.endswith("kan") and not removed & {"KE", "PENG", "PE"}:
+            syl -= 1
+            return w[:-3]
+        if w.endswith("an") and not removed & {"DI", "MENG", "TER"}:
+            syl -= 1
+            return w[:-2]
+        if (w.endswith("i") and not w.endswith("si")
+                and not removed & {"BER", "KE", "PENG"}):
+            syl -= 1
+            return w[:-1]
+        return w
+
+    if syl > 2:
+        w = particle(w)
+    if syl > 2:
+        w = possessive(w)
+    if not derivational:
+        return w
+    old = w
+    if syl > 2:
+        w = first_prefix(w)
+    if w != old:  # a first-order rule fired -> suffix, then 2nd order
+        old = w
+        if syl > 2:
+            w = suffix(w)
+        if w != old and syl > 2:
+            w = second_prefix(w)
+    else:
+        if syl > 2:
+            w = second_prefix(w)
+        if syl > 2:
+            w = suffix(w)
+    return w
+
+
+INDONESIAN_STOP_WORDS = frozenset("""
+ada adalah adanya adapun agak agaknya agar akan akankah akhirnya aku
+akulah amat amatlah anda andalah antar antara antaranya apa apaan apabila
+apakah apalagi apatah atau ataukah ataupun bagai bagaikan bagaimana
+bagaimanakah bagaimanapun bagi bahkan bahwa bahwasanya banyak beberapa
+begini beginian beginikah beginilah begitu begitukah begitulah begitupun
+belum belumlah berapa berapakah berapalah berapapun bila bilakah bisa
+bisakah boleh bolehkah buat bukan bukankah bukanlah bukannya dahulu dalam
+dan dapat dari daripada dekat demi demikian dengan depan di dia dialah
+dini diri dirinya engkau hanya hanyalah harus haruslah harusnya hendak
+ia ialah ingin inginkah ini inikah inilah itu itukah itulah jangan
+jangankan janganlah jika jikalau juga justru kala kalau kalaulah kami
+kamilah kamu kamulah kan kapan kapankah kapanpun karena ke kecil kemudian
+kenapa kepada kepadanya ketika kini kita kitalah kok lagi lagian lah lain
+lainnya lalu lama lamanya lebih maka makanya makin malah malahan mampu
+mana manakala manalagi masih masihkah masing mau maupun melainkan melalui
+memang mengapa mereka merekalah meski meskipun mungkin mungkinkah nanti
+nantinya nyaris oleh olehnya pada padahal padanya paling pantas para per
+percuma pernah pula pun rasa rasanya saat saatnya saja sajalah saling
+sama sambil sampai sana sangat sangatlah saya sayalah se sebab sebabnya
+sebagai sebagaimana sebagainya sebaliknya sebanyak sebegini sebegitu
+sebelum sebelumnya sebenarnya seberapa sebetulnya sebisanya sebuah sedang
+sedangkan sedikit sedikitnya segala segalanya segera seharusnya sehingga
+sejak sejenak sekali sekalian sekalipun sekarang sekecil seketika sekiranya
+sekitar sekitarnya sela selagi selain selaku selalu selama selamanya
+seluruh seluruhnya semacam semakin semasih semaunya sementara sempat
+semua semuanya semula sendiri sendirinya seolah seorang sepanjang sepantasnya
+seperti sepertinya sering seringnya serta serupa sesaat sesama sesegera
+sesekali seseorang sesuatu sesuatunya sesudah sesudahnya setelah setempat
+setengah seterusnya setiap setiba setibanya setidaknya sewaktu siapa
+siapakah siapapun sini sinilah suatu sudah sudahkah sudahlah supaya tadi
+tadinya tak tanpa tapi telah tentang tentu tentulah tentunya terdiri
+terhadap terhadapnya tetapi tiap tiba tidak tidakkah tidaklah toh waduh
+wah wahai walau walaupun yaitu yakni yang
+""".split())
+
+# ---------------------------------------------------------------------------
 # Turkish (reference tr/TurkishAnalyzer.java = StandardTokenizer ->
 # ApostropheFilter -> TurkishLowerCaseFilter -> StopFilter -> Snowball;
 # here: apostrophe strip + Turkish-aware case fold + stop words. The
@@ -630,6 +793,13 @@ def bulgarian_analyzer(**kw) -> Analyzer:
                             bulgarian_stem, **kw)
 
 
+def indonesian_analyzer(**kw) -> Analyzer:
+    from .snowball import StemmingAnalyzer
+
+    return StemmingAnalyzer("indonesian", INDONESIAN_STOP_WORDS,
+                            indonesian_stem, **kw)
+
+
 register_analyzer("arabic", arabic_analyzer())
 register_analyzer("persian", persian_analyzer())
 register_analyzer("czech", czech_analyzer())
@@ -637,4 +807,5 @@ register_analyzer("hindi", hindi_analyzer())
 register_analyzer("finnish", finnish_analyzer())
 register_analyzer("hungarian", hungarian_analyzer())
 register_analyzer("bulgarian", bulgarian_analyzer())
+register_analyzer("indonesian", indonesian_analyzer())
 register_analyzer("turkish", TurkishAnalyzer())

@@ -974,6 +974,11 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
             "İstanbul'da ve Ankara'da kitaplar",
             "Kitap ve şehirler Türkiye",
         ],
+        "indonesian": [
+            "membaca bukunya di rumah",
+            "pembaca buku dan perjanjian",
+            "mereka berlari dan membaca",
+        ],
         # CJKAnalyzer: overlapping character bigrams (cjk.py)
         "cjk": [
             "日本語の検索エンジン",

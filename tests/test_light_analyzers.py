@@ -132,3 +132,38 @@ def test_new_chains_registered():
         "haz", "kiraly"]
     assert get_analyzer("bulgarian").tokens("градът и книгите") == [
         "град", "книг"]
+
+
+def test_indonesian_stem_reference_vectors():
+    """The published examples from Tala's thesis, as pinned by the
+    reference's own TestIndonesianStemmer.java."""
+    from lucene_solr_ray.analysis.light import indonesian_stem as st
+
+    vectors = [
+        ("bukukah", "buku"), ("adalah", "ada"), ("bukupun", "buku"),
+        ("bukuku", "buku"), ("bukumu", "buku"), ("bukunya", "buku"),
+        ("mengukur", "ukur"), ("menyapu", "sapu"), ("menduga", "duga"),
+        ("menuduh", "uduh"), ("membaca", "baca"), ("merusak", "rusak"),
+        ("pengukur", "ukur"), ("penyapu", "sapu"), ("penduga", "duga"),
+        ("pembaca", "baca"), ("diukur", "ukur"), ("tersapu", "sapu"),
+        ("kekasih", "kasih"), ("berlari", "lari"), ("belajar", "ajar"),
+        ("bekerja", "kerja"), ("perjelas", "jelas"), ("pelajar", "ajar"),
+        ("pekerja", "kerja"), ("tarikkan", "tarik"),
+        ("ambilkan", "ambil"), ("mengambilkan", "ambil"),
+        ("makanan", "makan"), ("janjian", "janji"),
+        ("perjanjian", "janji"), ("tandai", "tanda"),
+        ("dapati", "dapat"), ("mendapati", "dapat"), ("pantai", "panta"),
+        ("penyalahgunaan", "salahguna"),
+        ("menyalahgunakan", "salahguna"),
+        ("disalahgunakan", "salahguna"),
+        ("pertanggungjawaban", "tanggungjawab"),
+        ("mempertanggungjawabkan", "tanggungjawab"),
+        ("dipertanggungjawabkan", "tanggungjawab"),
+    ]
+    for w, want in vectors:
+        assert st(w) == want, (w, st(w), want)
+    # inflectional-only mode stops after particles/possessives
+    assert st("bukukah", derivational=False) == "buku"
+    assert st("mengukur", derivational=False) == "mengukur"
+    assert get_analyzer("indonesian").tokens(
+        "membaca bukunya di perjanjian") == ["baca", "buku", "janji"]
