@@ -375,6 +375,15 @@ _OPS = {
 }
 
 
+def _coerce(col, val):
+    """SQL literal -> column-type scalar: ISO date/timestamp strings
+    compare against temporal columns (DuckDB-style implicit cast)."""
+    if isinstance(val, str) and (pa.types.is_timestamp(col.type)
+                                 or pa.types.is_date(col.type)):
+        return pa.scalar(val).cast(col.type)
+    return val
+
+
 def _eval_expr(b: pa.Table, node):
     """Evaluate a WHERE tree to a boolean mask with Arrow kernels.
     Three-valued-logic note: masks are null-filled to False at the leaf
@@ -395,15 +404,19 @@ def _eval_expr(b: pa.Table, node):
     if tag == "isnull":
         return pc.is_null(b[node[1]])
     if tag == "cmp":
-        return pc.fill_null(_OPS[node[2]](b[node[1]], node[3]), False)
+        col = b[node[1]]
+        return pc.fill_null(
+            _OPS[node[2]](col, _coerce(col, node[3])), False)
     if tag == "in":
         col = b[node[1]]
+        # .cast covers ISO-string -> temporal coercion for the list form
         vals = pa.array(node[2]).cast(col.type)
         return pc.fill_null(pc.is_in(col, value_set=vals), False)
     if tag == "between":
         col = b[node[1]]
-        return pc.fill_null(pc.and_(pc.greater_equal(col, node[2]),
-                                    pc.less_equal(col, node[3])), False)
+        return pc.fill_null(
+            pc.and_(pc.greater_equal(col, _coerce(col, node[2])),
+                    pc.less_equal(col, _coerce(col, node[3]))), False)
     if tag == "like":
         return pc.fill_null(pc.match_like(b[node[1]], node[2]), False)
     raise ValueError(f"unknown node {tag}")
@@ -466,6 +479,20 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
     import ray.data.aggregate as agg
 
     plan = parse_sql(q)
+    import pyarrow.parquet as pq_  # noqa: F811 (pruned-read planning)
+
+    # SELECT * expands to the base table's columns (join columns are
+    # named explicitly when needed)
+    if any(i.agg is None and i.col == "*" for i in plan.items):
+        names = pq_.read_schema(
+            os.path.join(sf_dir, f"{plan.table}.parquet")).names
+        expanded: list[SelectItem] = []
+        for it in plan.items:
+            if it.agg is None and it.col == "*":
+                expanded.extend(SelectItem(None, c, c) for c in names)
+            else:
+                expanded.append(it)
+        plan.items = expanded
     referenced = sorted(
         set().union(*(_arith_cols(i.col) for i in plan.items))
         | (_expr_cols(plan.where) if plan.where is not None else set())

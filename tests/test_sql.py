@@ -248,3 +248,32 @@ def test_execute_arith_agg(ray_session):
     np.testing.assert_allclose(t["sum_disc_price"], want["sum_disc_price"],
                                rtol=1e-9)
     np.testing.assert_allclose(t["avg_disc"], want["avg_disc"], atol=1e-4)
+
+
+def test_select_star_and_date_literals(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    # SELECT * expands to the table's columns
+    t = execute_sql(
+        "SELECT * FROM events ORDER BY event_id LIMIT 3", SF)
+    want = con.execute(
+        "SELECT * FROM events ORDER BY event_id LIMIT 3").df()
+    assert t.column_names == list(want.columns)
+    assert t.num_rows == 3
+    # ISO timestamp strings coerce against the ts column
+    lo, hi = con.execute(
+        "SELECT min(ts), max(ts) FROM events").fetchone()
+    mid = (lo + (hi - lo) / 2).isoformat(sep=" ")
+    q = (f"SELECT count(*) AS n FROM events WHERE ts >= '{mid}'")
+    t2 = execute_sql(q, SF)
+    want2 = con.execute(q).fetchone()[0]
+    assert t2["n"][0].as_py() == want2 > 0
+    # BETWEEN with date strings
+    q3 = (f"SELECT count(*) AS n FROM events "
+          f"WHERE ts BETWEEN '{lo.isoformat(sep=' ')}' AND '{mid}'")
+    t3 = execute_sql(q3, SF)
+    want3 = con.execute(q3).fetchone()[0]
+    assert t3["n"][0].as_py() == want3 > 0
