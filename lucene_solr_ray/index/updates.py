@@ -224,3 +224,77 @@ def realtime_get(index_dir: str, key_col: str, keys) -> pa.Table:
     pos = {k: i for i, k in enumerate(kc.tolist())}
     take = [pos[k] for k in keys.tolist() if k in pos]
     return t.take(pa.array(take, pa.int64()))
+
+
+def update_numeric_docvalues(index_dir: str, key_col: str, field: str,
+                             updates: pa.Table) -> int:
+    """``IndexWriter.updateNumericDocValues(Term, field, value)``: set a
+    numeric docvalues field for every doc whose key matches, WITHOUT
+    reindexing — written as a docvalues-update generation file
+    (Lucene's .dvd update generations) that readers overlay at open.
+    ``updates`` has columns (key_col, field); duplicate keys in one
+    batch resolve last-row-wins. Returns the number of docs updated.
+
+    The key scan is distributed (one task per partition reads only its
+    key column); the generation file holds (doc_id, value) pairs only —
+    update-sized, never corpus-sized."""
+    import ray
+    import ray.data as rd
+
+    man = IndexManifest.load(index_dir)
+    keys = np.asarray(updates.column(key_col).to_numpy(
+        zero_copy_only=False))
+    vals = np.asarray(updates.column(field).to_numpy(
+        zero_copy_only=False))
+    # last-row-wins dedupe, then sort for the searchsorted probe
+    _, last = np.unique(keys[::-1], return_index=True)
+    keep = keys.size - 1 - last
+    order = np.argsort(keys[keep], kind="stable")
+    keys_s = keys[keep][order]
+    vals_s = vals[keep][order]
+    lut_ref = ray.put((keys_s, vals_s))
+
+    def scan(batch: dict) -> dict:
+        want, wv = ray.get(lut_ref)
+        ids, out_v = [], []
+        for i in range(len(batch["partition_id"])):
+            pf = pq.ParquetFile(str(batch["file"][i]))
+            base = int(batch["doc_base"][i])
+            off = 0
+            for rg in [int(x) for x in batch["row_groups"][i]]:
+                col = pf.read_row_group(rg, columns=[key_col]) \
+                    .column(key_col).to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(want, col)
+                ok = (pos < want.size) & (
+                    want[np.minimum(pos, want.size - 1)] == col)
+                ids.append(base + off + np.flatnonzero(ok))
+                out_v.append(wv[pos[ok]])
+                off += col.size
+        return {
+            "doc_id": np.concatenate(ids) if ids
+            else np.empty(0, np.int64),
+            "value": np.concatenate(out_v) if out_v
+            else np.empty(0, vals_s.dtype),
+        }
+
+    parts = [
+        {"partition_id": p["partition_id"], "file": p["file"],
+         "row_groups": list(p["row_groups"]), "doc_base": p["doc_base"]}
+        for p in man.partitions
+    ]
+    rows = rd.from_items(parts).map_batches(scan, batch_size=1).take_all()
+    doc_ids = np.array([int(r["doc_id"]) for r in rows], np.int64)
+    values = np.array([r["value"] for r in rows])
+    if not doc_ids.size:
+        return 0
+    gen_dir = os.path.join(index_dir, "docvalues_updates", field)
+    os.makedirs(gen_dir, exist_ok=True)
+    gen = len([f for f in os.listdir(gen_dir) if f.endswith(".parquet")])
+    path = os.path.join(gen_dir, f"gen-{gen:05d}.parquet")
+    srt = np.argsort(doc_ids)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(doc_ids[srt], pa.int64()),
+        "value": pa.array(values[srt]),
+    }), path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return int(doc_ids.size)

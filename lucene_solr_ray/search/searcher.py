@@ -943,6 +943,20 @@ class IndexSearcher:
                             .column(field).to_numpy(zero_copy_only=False)
                         )
                 v = np.concatenate(parts)
+            # overlay docvalues-update generations in order (the .dvd
+            # update-gen files of IndexWriter.updateNumericDocValues;
+            # a reopened searcher sees them — NRT semantics)
+            ud = os.path.join(self.manifest.index_dir,
+                              "docvalues_updates", field)
+            if os.path.isdir(ud):
+                v = v.copy()
+                for f in sorted(os.listdir(ud)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    t = pq.read_table(os.path.join(ud, f))
+                    ids = t.column("doc_id").to_numpy()
+                    v[ids[ids < v.size]] = \
+                        t.column("value").to_numpy()[ids < v.size]
             cache[field] = v
         return v
 
