@@ -485,6 +485,94 @@ BULGARIAN_STOP_WORDS = frozenset("""
 """.split())
 
 # ---------------------------------------------------------------------------
+# Latvian (light stemmer; reference lv/LatvianStemmer.java restates the
+# same published approach: strip the longest primary inflectional
+# suffix — case/number for nouns, +gender/definitiveness for
+# adjectives — keeping >= 3 chars and >= 1 vowel; un-palatalize when a
+# declension II/V/VI suffix came off)
+# ---------------------------------------------------------------------------
+
+_LV_V = frozenset("aeiouāīēū")
+# (suffix, vowel-count-required-beyond, palatalizes)
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False),
+    ("ajam", 2, False), ("ajām", 2, False),
+    ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False),
+    ("ais", 2, False), ("ai", 2, False),
+    ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False),
+    ("īm", 1, False), ("im", 1, False),
+    ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False),
+    ("es", 1, False), ("os", 1, True),
+    ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False),
+    ("ie", 1, False), ("u", 1, True),
+    ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False),
+    ("ē", 1, False), ("ī", 1, False),
+    ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+)
+_LV_UNPAL = (
+    ("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+    ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll"),
+)
+
+
+def _lv_unpalatalize(w: str, removed: str) -> str:
+    if removed == "u":
+        # gen.pl.-only folds
+        if w.endswith("kš"):
+            return w[:-2] + "kst"
+        if w.endswith("ņņ"):
+            return w[:-2] + "nn"
+    if w.endswith(("pj", "bj", "mj", "vj")):  # labial consonant + j
+        return w[:-1]
+    for pal, base in _LV_UNPAL:
+        if w.endswith(pal):
+            return w[:-2] + base
+    if w and w[-1] in "čļņ":
+        return w[:-1] + {"č": "c", "ļ": "l", "ņ": "n"}[w[-1]]
+    return w
+
+
+def latvian_stem(word: str) -> str:
+    n_vowels = sum(c in _LV_V for c in word)
+    for suf, vc, pal in _LV_AFFIXES:
+        if (n_vowels > vc and len(word) >= len(suf) + 3
+                and word.endswith(suf)):
+            w = word[: -len(suf)]
+            return _lv_unpalatalize(w, suf[0]) if pal else w
+    return word
+
+
+LATVIAN_STOP_WORDS = frozenset("""
+aiz ap ar apakš ārpus augšpus bez caur dēļ gar iekš iz kopš labad lejpus
+līdz no otrpus pa par pār pēc pie pirms pret priekš starp šaipus uz viņpus
+virs virspus zem apakšpus un bet jo ja ka lai tomēr tikko turpretī arī
+kaut gan tādēļ tā ne tikvien vien kā ir te vai kamēr ar diezin droši
+diemžēl nebūt ik it taču nu pat tiklab iekšpus nedz tik nevis turpretim
+jeb iekam iekām iekāms kolīdz līdzko tiklīdz jebšu tālab tāpēc nekā
+itin jā jau jel nē nezin tad tikai vis tak iekams vien būt biju biji
+bija bijām bijāt esmu esi esam esat būšu būsi būs būsim būsiet tikt
+tiku tiki tika tikām tikāt tieku tiec tiek tiekam tiekat tikšu tiks
+tiksim tiksiet tapt tapi tapāt topat tapšu tapsi taps tapsim tapsiet
+kļūt kļuvu kļuvi kļuva kļuvām kļuvāt kļūstu kļūsti kļūst kļūstam
+kļūstat kļūšu kļūsi kļūs kļūsim kļūsiet varēt varēju varējām varēšu
+varēsim var varēji varējāt varēsi varēsiet varat varēja varēs
+""".split())
+
+
+def latvian_analyzer(**kw) -> Analyzer:
+    from .snowball import StemmingAnalyzer
+
+    return StemmingAnalyzer("latvian", LATVIAN_STOP_WORDS, latvian_stem,
+                            **kw)
+
+
+# ---------------------------------------------------------------------------
 # Indonesian (confix-stripping stemmer, Tala 2003 "A Study of Stemming
 # Effects on Information Retrieval in Bahasa Indonesia"; reference
 # id/IndonesianAnalyzer.java + id/IndonesianStemmer.java)
@@ -808,4 +896,5 @@ register_analyzer("finnish", finnish_analyzer())
 register_analyzer("hungarian", hungarian_analyzer())
 register_analyzer("bulgarian", bulgarian_analyzer())
 register_analyzer("indonesian", indonesian_analyzer())
+register_analyzer("latvian", latvian_analyzer())
 register_analyzer("turkish", TurkishAnalyzer())

@@ -979,6 +979,11 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
             "pembaca buku dan perjanjian",
             "mereka berlari dan membaca",
         ],
+        "latvian": [
+            "lāči un lapas mežā",
+            "akmeņi pie lāča",
+            "tēvs lasa lapu",
+        ],
         # CJKAnalyzer: overlapping character bigrams (cjk.py)
         "cjk": [
             "日本語の検索エンジン",

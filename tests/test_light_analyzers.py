@@ -167,3 +167,36 @@ def test_indonesian_stem_reference_vectors():
     assert st("mengukur", derivational=False) == "mengukur"
     assert get_analyzer("indonesian").tokens(
         "membaca bukunya di perjanjian") == ["baca", "buku", "janji"]
+
+
+def test_latvian_stem_reference_vectors():
+    """Declension I-IV vectors as pinned by the reference's
+    TestLatvianStemmer.java (incl. č/ņ palatalization folds)."""
+    from lucene_solr_ray.analysis.light import latvian_stem as lv
+
+    vectors = [
+        # decl I
+        ("tēvs", "tēv"), ("tēvi", "tēv"), ("tēva", "tēv"),
+        ("tēvu", "tēv"), ("tēvam", "tēv"), ("tēviem", "tēv"),
+        ("tēvus", "tēv"), ("tēvā", "tēv"), ("tēvos", "tēv"),
+        # decl II c -> č palatalization
+        ("lācis", "lāc"), ("lāči", "lāc"), ("lāča", "lāc"),
+        ("lāču", "lāc"), ("lācim", "lāc"), ("lāčiem", "lāc"),
+        ("lāci", "lāc"), ("lāčus", "lāc"), ("lācī", "lāc"),
+        ("lāčos", "lāc"),
+        # n -> ņ palatalization
+        ("akmens", "akmen"), ("akmeņi", "akmen"), ("akmeņu", "akmen"),
+        ("akmenim", "akmen"), ("akmeņiem", "akmen"), ("akmeni", "akmen"),
+        ("akmeņus", "akmen"), ("akmenī", "akmen"), ("akmeņos", "akmen"),
+        # no palatalization (labial + j)
+        ("kurmis", "kurm"), ("kurmji", "kurm"), ("kurmja", "kurm"),
+        ("kurmju", "kurm"), ("kurmjiem", "kurm"), ("kurmjus", "kurm"),
+        # decl III / IV
+        ("lietus", "liet"), ("lietum", "liet"), ("lietū", "liet"),
+        ("lapa", "lap"), ("lapas", "lap"), ("lapai", "lap"),
+        ("lapām", "lap"), ("lapā", "lap"), ("lapās", "lap"),
+    ]
+    for w, want in vectors:
+        assert lv(w) == want, (w, lv(w), want)
+    assert get_analyzer("latvian").tokens("lāči un lapas") == [
+        "lāc", "lap"]
