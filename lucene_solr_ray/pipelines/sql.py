@@ -138,7 +138,16 @@ def _parse_pred(p: _P):
     if p.kw("NOT"):
         p.take()
         return ("not", _parse_pred(p))
-    col = p.take()
+    lhs = _parse_arith(p)
+    if lhs[0] == "col":
+        col = lhs[1]
+    else:
+        # expression LHS: only plain comparisons apply
+        op = p.take()
+        if op not in _OPS:
+            raise ValueError(
+                f"expression LHS supports comparison operators, got {op}")
+        return ("cmp", lhs, op, p.literal())
     if p.kw("IS"):
         p.take()
         neg = False
@@ -204,11 +213,16 @@ def _expr_cols(node) -> set[str]:
         return set().union(*(_expr_cols(n) for n in node[1]))
     if tag == "not":
         return _expr_cols(node[1])
+    if isinstance(node[1], tuple):  # expression LHS (cmp only)
+        return _arith_cols(node[1])
     return {node[1]}
 
 
 # arithmetic value expressions (SELECT sum(a * (1 - b)), SELECT a+1):
 #   ("col", name) ("lit", v) ("bin", op, left, right)
+
+
+_SCALAR_FNS = {"lower", "upper", "length", "abs", "round"}
 
 
 def _parse_arith(p: _P):
@@ -225,8 +239,19 @@ def _parse_arith(p: _P):
         if kind == "num":
             p.i += 1
             return ("lit", float(raw) if "." in raw else int(raw))
+        if kind == "str":
+            p.i += 1
+            return ("lit", raw[1:-1].replace("''", "'"))
         if kind == "word":
             p.i += 1
+            if raw.lower() in _SCALAR_FNS and p.peek() == "(":
+                p.take()
+                args = [expr()]
+                while p.peek() == ",":
+                    p.take()
+                    args.append(expr())
+                p.expect(")")
+                return ("fn", raw.lower(), args)
             return ("col", raw)
         raise ValueError(f"bad arithmetic factor {raw!r}")
 
@@ -252,6 +277,8 @@ def _arith_cols(node) -> set[str]:
         return {node[1]}
     if node[0] == "bin":
         return _arith_cols(node[2]) | _arith_cols(node[3])
+    if node[0] == "fn":
+        return set().union(*(_arith_cols(a) for a in node[2]))
     return set()
 
 
@@ -262,6 +289,23 @@ def _eval_arith(b: pa.Table, node):
         return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
     if node[0] == "lit":
         return pa.scalar(node[1])
+    if node[0] == "fn":
+        args = [_eval_arith(b, a) for a in node[2]]
+        name = node[1]
+        if name == "lower":
+            return pc.utf8_lower(args[0])
+        if name == "upper":
+            return pc.utf8_upper(args[0])
+        if name == "length":
+            return pc.cast(pc.utf8_length(args[0]), pa.int64())
+        if name == "abs":
+            return pc.abs(args[0])
+        if name == "round":
+            nd = args[1].as_py() if len(args) > 1 else 0
+            # SQL round: half away from zero (DuckDB semantics)
+            return pc.round(args[0], ndigits=int(nd),
+                            round_mode="half_towards_infinity")
+        raise ValueError(f"unknown function {name}")
     l, r = _eval_arith(b, node[2]), _eval_arith(b, node[3])
     if node[1] == "/":
         # SQL division yields double (DuckDB semantics)
@@ -301,10 +345,13 @@ def parse_sql(q: str) -> Plan:
                 else:                 # arithmetic expression
                     col = node
                     alias = agg
-        elif p.peek() in ("+", "-", "*", "/") and p.peek() != ",":
+        elif (p.peek() in ("+", "-", "*", "/") or w == "("
+              or (w.lower() in _SCALAR_FNS and p.peek() == "(")):
             p.i -= 1
             col = _parse_arith(p)
             agg, alias = None, "expr"
+            if col[0] == "col":
+                alias = col[1]
         else:
             agg, col, alias = None, w, w
         if p.kw("AS"):
@@ -404,7 +451,8 @@ def _eval_expr(b: pa.Table, node):
     if tag == "isnull":
         return pc.is_null(b[node[1]])
     if tag == "cmp":
-        col = b[node[1]]
+        col = _eval_arith(b, node[1]) if isinstance(node[1], tuple) \
+            else b[node[1]]
         return pc.fill_null(
             _OPS[node[2]](col, _coerce(col, node[3])), False)
     if tag == "in":
@@ -448,6 +496,8 @@ def _eval_expr_pd(df, node):
     if tag == "isnull":
         return df[node[1]].isna()
     if tag == "cmp":
+        if isinstance(node[1], tuple):
+            raise ValueError("expression LHS is not supported in HAVING")
         return ops[node[2]](df[node[1]], node[3]).fillna(False)
     if tag == "in":
         return df[node[1]].isin(node[2])
@@ -493,11 +543,25 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
             else:
                 expanded.append(it)
         plan.items = expanded
+    # rewrite arithmetic select expressions to derived column names
+    # up front, so GROUP BY may reference select aliases of expressions
+    # (SQL allows it) and read pruning sees the underlying columns
+    expr_specs: list[tuple[str, tuple]] = []
+    for i, it in enumerate(plan.items):
+        if isinstance(it.col, tuple):
+            name = f"__expr_{i}"
+            expr_specs.append((name, it.col))
+            it.col = name
+    alias_col = {it.alias: it.col for it in plan.items if it.agg is None}
+    plan.group_by = [alias_col.get(g, g) for g in plan.group_by]
     referenced = sorted(
-        set().union(*(_arith_cols(i.col) for i in plan.items))
-        | (_expr_cols(plan.where) if plan.where is not None else set())
-        | set(plan.group_by)
-        | {k for j in plan.joins for k in (j[1], j[2])})
+        (set().union(*(_arith_cols(i.col) for i in plan.items))
+         | (_expr_cols(plan.where) if plan.where is not None else set())
+         | set(plan.group_by)
+         | {k for j in plan.joins for k in (j[1], j[2])}
+         | set().union(set(),
+                       *(_arith_cols(t) for _, t in expr_specs)))
+        - {n for n, _ in expr_specs})
     import pyarrow.parquet as pq_
 
     path = os.path.join(sf_dir, f"{plan.table}.parquet")
@@ -532,14 +596,7 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
         ds = ds.map_batches(lambda b: _filter_batch(b, where),
                             batch_format="pyarrow")
 
-    # materialize arithmetic select expressions as derived columns so
-    # aggregation / projection downstream sees plain names
-    expr_specs = []
-    for i, it in enumerate(plan.items):
-        if isinstance(it.col, tuple):
-            name = f"__expr_{i}"
-            expr_specs.append((name, it.col))
-            it.col = name
+    # materialize the derived expression columns (planned above)
     if expr_specs:
         def add_exprs(b: pa.Table, _specs=tuple(expr_specs)) -> pa.Table:
             for name, node in _specs:
@@ -629,6 +686,10 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
 
             res = pd.concat([_count_distinct(it) for it in cd_items],
                             axis=1)
+        # group keys carry derived/source names; surface select aliases
+        res = res.rename(columns={
+            it.col: it.alias for it in plan.items
+            if it.agg is None and it.col != it.alias})
         if plan.having is not None:
             res = res[_eval_expr_pd(res, plan.having)]
         # post-aggregate: bounded by group cardinality -> driver sort ok

@@ -277,3 +277,29 @@ def test_select_star_and_date_literals(ray_session):
     t3 = execute_sql(q3, SF)
     want3 = con.execute(q3).fetchone()[0]
     assert t3["n"][0].as_py() == want3 > 0
+
+
+def test_scalar_functions(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    # fn in SELECT and expression LHS in WHERE
+    q = ("SELECT upper(lang) AS ul, count(*) AS n FROM documents "
+         "WHERE length(text) > 200 AND n_chars + 1 > 100 "
+         "GROUP BY ul ORDER BY n DESC, ul LIMIT 4")
+    t = execute_sql(q, SF)
+    want = con.execute(
+        "SELECT upper(lang) AS ul, count(*)::BIGINT AS n FROM documents "
+        "WHERE length(text) > 200 AND n_chars + 1 > 100 "
+        "GROUP BY ul ORDER BY n DESC, ul LIMIT 4").df()
+    assert t.to_pandas().equals(want)
+    # round / abs in an aggregate expression
+    q2 = ("SELECT sum(round(o_totalprice / 1000)) AS k FROM orders "
+          "WHERE abs(o_totalprice) < 100000")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    t2 = execute_sql(q2, SF)
+    want2 = con.execute(q2).fetchone()[0]
+    assert abs(t2["k"][0].as_py() - want2) < 1e-6
