@@ -763,6 +763,59 @@ def q_geo_bbox(sf_dir: str) -> pa.Table:
     })
 
 
+def q_geo_polygon(sf_dir: str) -> pa.Table:
+    """Polygon shape query (lucene/spatial RecursivePrefixTreeStrategy
+    with a polygon shape — {!field f=geo}Intersects(POLYGON(...))):
+    geohash grid PRUNE over the polygon bbox cover, bbox reject, then
+    exact vectorized ray-cast REFINE. The test polygon is convex so the
+    SQL oracle can state it as half-plane inequalities; the engine path
+    is the general even-odd ray cast (concave-capable)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.geo import (
+        cover_precision,
+        geohash_cover_bbox,
+        polygon_filter,
+    )
+
+    poly = [(-89.955, -179.955), (-60.115, 160.235),
+            (70.075, 120.315), (55.415, -140.575)]  # convex, CCW
+    lats = [p[0] for p in poly]
+    lons = [p[1] for p in poly]
+    box = (min(lats), max(lats), min(lons), max(lons))
+    prec = cover_precision(*box)
+    cover_ref = ray.put(geohash_cover_bbox(*box, precision=prec))
+
+    def synth_and_filter(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        t = pa.table({
+            "user_id": pa.array(uid),
+            "lat": pa.array((uid * 37 % 18000) / 100.0 - 90.0),
+            "lon": pa.array((uid * 73 % 36000) / 100.0 - 180.0),
+        })
+        return polygon_filter(t, "lat", "lon", poly,
+                              cover=ray.get(cover_ref), precision=prec)
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    users = ev.groupby("user_id").aggregate(Count(alias_name="n")) \
+        .select_columns(["user_id"])
+    out = users.map_batches(synth_and_filter, batch_format="pyarrow") \
+        .to_pandas()
+    if out.empty:  # typed empty schema even when no block survives
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "lat": pa.array([], pa.float64()),
+                         "lon": pa.array([], pa.float64())})
+    out = out.sort_values("user_id")
+    return pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+        "lat": pa.array(_round4(out["lat"].to_numpy()), pa.float64()),
+        "lon": pa.array(_round4(out["lon"].to_numpy()), pa.float64()),
+    })
+
+
 def q_geo_heatmap(sf_dir: str) -> pa.Table:
     """Heatmap faceting (Solr facet.heatmap — RPT grid counts): user
     positions bucketed into 10-degree grid cells, one vectorized
@@ -2115,6 +2168,7 @@ QUERIES = {
     "update_processors": q_update_processors,
     "payload_score_top10": q_payload_score_top10,
     "geo_bbox": q_geo_bbox,
+    "geo_polygon": q_geo_polygon,
     "geo_heatmap": q_geo_heatmap,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
@@ -2313,6 +2367,26 @@ SELECT user_id, floor(lat*10000 + 0.5)/10000 AS lat,
        floor(lon*10000 + 0.5)/10000 AS lon
 FROM pts
 WHERE lat BETWEEN -80.0 AND -55.0 AND lon BETWEEN -170.0 AND -110.0
+ORDER BY user_id
+""",
+    "geo_polygon": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT user_id,
+         (user_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+         (user_id * 73 % 36000) / 100.0 - 180.0 AS lon
+  FROM u)
+SELECT user_id, floor(lat*10000 + 0.5)/10000 AS lat,
+       floor(lon*10000 + 0.5)/10000 AS lon
+FROM pts
+WHERE (160.235 - -179.955) * (lat - -89.955)
+        - (-60.115 - -89.955) * (lon - -179.955) >= 0
+  AND (120.315 - 160.235) * (lat - -60.115)
+        - (70.075 - -60.115) * (lon - 160.235) >= 0
+  AND (-140.575 - 120.315) * (lat - 70.075)
+        - (55.415 - 70.075) * (lon - 120.315) >= 0
+  AND (-179.955 - -140.575) * (lat - 55.415)
+        - (-89.955 - 55.415) * (lon - -140.575) >= 0
 ORDER BY user_id
 """,
     "geo_heatmap": """

@@ -177,6 +177,64 @@ def bbox_filter(batch: pa.Table, lat_col: str, lon_col: str,
     return batch.filter(pa.array(keep))
 
 
+def point_in_polygon(lat: np.ndarray, lon: np.ndarray,
+                     polygon: list[tuple[float, float]]) -> np.ndarray:
+    """Vectorized ray-casting point-in-polygon (general: convex OR
+    concave, the shape-query surface of ``lucene/spatial``'s polygon
+    support via RecursivePrefixTreeStrategy + JTS shapes). ``polygon``
+    is a list of (lat, lon) vertices, open or closed ring. Crossing
+    count over a horizontal ray — even-odd rule. Boundary points are
+    implementation-defined (as in the reference's grid approximation).
+    """
+    lat = np.asarray(lat, np.float64)
+    lon = np.asarray(lon, np.float64)
+    vy = np.asarray([p[0] for p in polygon], np.float64)
+    vx = np.asarray([p[1] for p in polygon], np.float64)
+    if vy[0] == vy[-1] and vx[0] == vx[-1]:
+        vy, vx = vy[:-1], vx[:-1]
+    n = len(vy)
+    inside = np.zeros(lat.shape, bool)
+    # edge loop is over the POLYGON's vertices (tiny); the point math is
+    # vectorized — O(V) passes over the batch, V = vertex count
+    for i in range(n):
+        y1, x1 = vy[i], vx[i]
+        y2, x2 = vy[(i + 1) % n], vx[(i + 1) % n]
+        crosses = (y1 > lat) != (y2 > lat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+        inside ^= crosses & (lon < xi)
+    return inside
+
+
+def polygon_filter(batch: pa.Table, lat_col: str, lon_col: str,
+                   polygon: list[tuple[float, float]],
+                   cover: np.ndarray | None = None,
+                   precision: int = 5) -> pa.Table:
+    """Two-phase polygon filter ({!field f=geo}Intersects(POLYGON(...))
+    over point data): optional geohash grid PRUNE against the polygon's
+    bbox ``cover``, then bbox reject, then exact ray-cast REFINE. The
+    cover never changes results — only skips refine work; at 100 TB the
+    cover cells are the parquet partition keys so pruning happens at
+    the read."""
+    lat = batch[lat_col].to_numpy()
+    lon = batch[lon_col].to_numpy()
+    if cover is not None and cover.size:
+        cells = geohash_cell_ids(lat, lon, precision)
+        pos = np.searchsorted(cover, cells)
+        hit = (pos < cover.size) & (
+            cover[np.minimum(pos, cover.size - 1)] == cells)
+        batch = batch.filter(pa.array(hit))
+        lat, lon = lat[hit], lon[hit]
+    vy = np.asarray([p[0] for p in polygon], np.float64)
+    vx = np.asarray([p[1] for p in polygon], np.float64)
+    box = ((lat >= vy.min()) & (lat <= vy.max())
+           & (lon >= vx.min()) & (lon <= vx.max()))
+    keep = np.zeros(lat.shape, bool)
+    if box.any():
+        keep[box] = point_in_polygon(lat[box], lon[box], polygon)
+    return batch.filter(pa.array(keep))
+
+
 def grid_heatmap(ds, lat_col: str, lon_col: str, *,
                  cell_deg: float = 10.0) -> pa.Table:
     """Solr heatmap faceting (facet.heatmap — RPT grid counts): count of

@@ -54,9 +54,7 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
     assert not unknown_sql
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
+ORACLE_CHECKED = [
         "ft_term_df_top100", "ft_collection_stats", "ft_doc_length",
         "ft_term_search", "ft_term_search_rare", "ft_bool_or", "ft_bool_and",
         "ft_phrase_count", "ft_prefix_count", "facet_lang",
@@ -87,9 +85,13 @@ def test_all_queries_have_callable_and_sql_columns_match(contract):
         "gopher_quality", "lm_perplexity", "semdedup",
         "sql_group_agg", "sql_select_topk", "asof_join",
         "suggest_blended", "facet_prefix", "ann_filtered_top5",
-        "sql_join_agg",
-    ],
-)
+        "sql_join_agg", "sql_count_distinct", "sql_distinct",
+        "sql_left_join", "sql_tpch_q1", "sql_where_expr",
+        "geo_polygon",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
 def test_query_matches_oracle(contract, duck, name):
     queries, sql = contract
     got = _norm(_to_df(queries[name](SF_DIR)))
@@ -102,13 +104,23 @@ def test_query_matches_oracle(contract, duck, name):
                                   check_exact=True, obj=name)
 
 
-@pytest.mark.parametrize("name", ["lang_id", "simhash",
-                                  "minhash_candidates",
-                                  "media_image_stats", "ann_lsh_top5",
-                                  "hll_users", "nb_lang_classify",
-                                  "curation_funnel", "simhash_pairs",
-                                  "multilingual_stems", "highlight_offsets", "ann_pq_top5",
-                                  "cluster_docs"])
+ROWS_ONLY = ["lang_id", "simhash", "minhash_candidates",
+             "media_image_stats", "ann_lsh_top5", "hll_users",
+             "nb_lang_classify", "curation_funnel", "simhash_pairs",
+             "multilingual_stems", "highlight_offsets", "ann_pq_top5",
+             "cluster_docs"]
+
+
+def test_contract_lists_are_complete(contract):
+    """Every oracle-checked entry is exercised above; every rows-only
+    entry is exercised below — a new registry entry that is not added
+    here fails this test instead of silently skipping the gate."""
+    queries, sql = contract
+    assert set(ORACLE_CHECKED) == set(sql)
+    assert set(ROWS_ONLY) == set(queries) - set(sql)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(contract, name):
     queries, _ = contract
     df = _to_df(queries[name](SF_DIR))

@@ -400,6 +400,53 @@ def test_rpt_bbox_prune_equals_exact(ray_session):
             np.flatnonzero(want).tolist(), box
 
 
+def test_polygon_filter_concave_vs_scalar_raycast():
+    """Vectorized even-odd ray cast == the textbook per-point crossing
+    algorithm, on a CONCAVE polygon (star shape) with random points;
+    grid prune + bbox reject never change the result."""
+    from lucene_solr_ray.stages.geo import (
+        cover_precision,
+        geohash_cover_bbox,
+        point_in_polygon,
+        polygon_filter,
+    )
+
+    # concave star: (lat, lon) vertices, deliberately non-grid decimals
+    poly = [(0.003, -30.007), (10.013, -5.011), (30.017, -10.023),
+            (15.029, 5.031), (25.037, 25.041), (5.043, 15.047),
+            (-20.053, 20.059), (-10.061, 0.067), (-25.071, -15.073)]
+
+    def scalar_inside(y, x):
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            if (y1 > y) != (y2 > y):
+                xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if x < xi:
+                    inside = not inside
+        return inside
+
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-40, 40, 4000)
+    lon = rng.uniform(-40, 40, 4000)
+    want = np.asarray([scalar_inside(y, x) for y, x in zip(lat, lon)])
+    assert want.any() and not want.all()
+    got = point_in_polygon(lat, lon, poly)
+    assert (got == want).all()
+
+    t = pa.table({"i": pa.array(np.arange(lat.size)),
+                  "lat": pa.array(lat), "lon": pa.array(lon)})
+    lats, lons = [p[0] for p in poly], [p[1] for p in poly]
+    box = (min(lats), max(lats), min(lons), max(lons))
+    prec = cover_precision(*box)
+    cover = geohash_cover_bbox(*box, precision=prec)
+    out = polygon_filter(t, "lat", "lon", poly, cover=cover,
+                         precision=prec)
+    assert out["i"].to_numpy().tolist() == np.flatnonzero(want).tolist()
+
+
 def test_group_percentiles_tdigest_vs_exact(ray_session):
     """Per-group t-digest percentiles track the exact per-group
     quantiles within rank tolerance (the stats.facet scale path)."""
