@@ -816,6 +816,26 @@ def q_geo_polygon(sf_dir: str) -> pa.Table:
     })
 
 
+def q_drill_sideways(sf_dir: str) -> pa.Table:
+    """DrillSideways counts (lucene/facet DrillSideways.java): drill-down
+    lang='en' AND source='src3'; sideways = per-dim counts with that
+    dim's own constraint dropped, plus the fully-drilled hit count —
+    one streamed pass, only (dim, value, cnt) partials shuffle."""
+    import ray.data as rd
+
+    from ..stages.taxonomy import drill_sideways
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "source"])
+    r = drill_sideways(ds, {"lang": "en", "source": "src3"})
+    t = r["sideways"]
+    return pa.table({
+        "dim": pa.array(t["dim"].to_pylist() + ["hits"], pa.string()),
+        "value": pa.array(t["value"].to_pylist() + [""], pa.string()),
+        "cnt": pa.array(t["cnt"].to_pylist() + [r["hits"]], pa.int64()),
+    })
+
+
 def q_geo_heatmap(sf_dir: str) -> pa.Table:
     """Heatmap faceting (Solr facet.heatmap — RPT grid counts): user
     positions bucketed into 10-degree grid cells, one vectorized
@@ -2169,6 +2189,7 @@ QUERIES = {
     "payload_score_top10": q_payload_score_top10,
     "geo_bbox": q_geo_bbox,
     "geo_polygon": q_geo_polygon,
+    "drill_sideways": q_drill_sideways,
     "geo_heatmap": q_geo_heatmap,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
@@ -2368,6 +2389,17 @@ SELECT user_id, floor(lat*10000 + 0.5)/10000 AS lat,
 FROM pts
 WHERE lat BETWEEN -80.0 AND -55.0 AND lon BETWEEN -170.0 AND -110.0
 ORDER BY user_id
+""",
+    "drill_sideways": """
+SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS cnt
+FROM documents WHERE source = 'src3' GROUP BY lang
+UNION ALL
+SELECT 'source' AS dim, source AS value, count(*)::BIGINT AS cnt
+FROM documents WHERE lang = 'en' GROUP BY source
+UNION ALL
+SELECT 'hits' AS dim, '' AS value, count(*)::BIGINT AS cnt
+FROM documents WHERE lang = 'en' AND source = 'src3'
+ORDER BY dim, value
 """,
     "geo_polygon": """
 WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -91,3 +91,72 @@ def top_children(table: pa.Table, parent_path: str | None, k: int = 10,
         -sub["cnt"].to_numpy(),
     ))[:k]
     return sub.take(pa.array(order))
+
+
+def drill_sideways(ds, drilldown: dict[str, str],
+                   dims: list[str] | None = None) -> dict:
+    """DrillSideways (``lucene/facet/src/java/org/apache/lucene/facet/
+    DrillSideways.java:63``): for each drill-down dimension, facet counts
+    computed with every OTHER dimension's constraint applied but that
+    dimension's own constraint dropped — the "what would I see if I
+    un-picked this filter" counts UIs need — plus the fully-drilled hit
+    count, all in ONE streamed pass.
+
+    Ray shape: per batch, for each dim, apply the near-miss mask and
+    pre-aggregate (dim, value) partial counts inside map_batches; the
+    shuffle carries only tiny (dim, value, cnt) partials to one final
+    groupby — the corpus is read once, never materialized.
+
+    Returns {"hits": int, "sideways": pa.Table(dim, value, cnt)}.
+    """
+    import pyarrow.compute as pc
+
+    dims = list(dims or drilldown.keys())
+    dd = dict(drilldown)
+
+    def partials(b: pa.Table) -> pa.Table:
+        masks = {d: pc.equal(b[d], v).to_numpy(zero_copy_only=False)
+                 for d, v in dd.items()}
+        out_dim: list[str] = []
+        out_val: list = []
+        out_cnt: list[int] = []
+        all_mask = np.ones(b.num_rows, bool)
+        for m in masks.values():
+            all_mask &= m
+        for d in dims:
+            near = np.ones(b.num_rows, bool)
+            for od, m in masks.items():
+                if od != d:
+                    near &= m
+            vals = b[d].to_numpy(zero_copy_only=False)[near]
+            uniq, cnt = np.unique(vals, return_counts=True)
+            out_dim.extend([d] * len(uniq))
+            out_val.extend(uniq.tolist())
+            out_cnt.extend(cnt.tolist())
+        out_dim.append("__hits__")
+        out_val.append("")
+        out_cnt.append(int(all_mask.sum()))
+        return pa.table({
+            "dim": pa.array(out_dim, pa.string()),
+            "value": pa.array([str(v) for v in out_val], pa.string()),
+            "cnt": pa.array(out_cnt, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    t = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["dim", "value"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    hits = int(t.loc[t["dim"] == "__hits__", "cnt"].sum())
+    t = t[t["dim"] != "__hits__"].sort_values(["dim", "value"])
+    return {
+        "hits": hits,
+        "sideways": pa.table({
+            "dim": pa.array(t["dim"].tolist(), pa.string()),
+            "value": pa.array(t["value"].tolist(), pa.string()),
+            "cnt": pa.array(t["cnt"].to_numpy(np.int64)),
+        }),
+    }
