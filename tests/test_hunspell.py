@@ -1,0 +1,137 @@
+"""Hunspell .aff/.dic stemming — modeled on the reference's own test
+dictionaries (lucene/analysis/common/src/test/.../hunspell/simple.aff:
+SFX/PFX groups with conditions and cross-products; TestStemmer /
+TestHunspellStemFilter assertions)."""
+
+from lucene_solr_ray.analysis.hunspell import (
+    HunspellAnalyzer,
+    HunspellDictionary,
+)
+
+AFF = """\
+SET UTF-8
+TRY esianrtolcdugmphbyfvkwz
+
+SFX A Y 3
+SFX A 0 s .
+SFX A y ies [^aeiou]y
+SFX A 0 es [sxzh]
+
+SFX B Y 2
+SFX B 0 ed [^y]
+SFX B y ied [^aeiou]y
+
+PFX C Y 1
+PFX C 0 re .
+
+PFX D N 1
+PFX D 0 un .
+"""
+
+DIC = """\
+8
+book/A
+city/A
+box/A
+walk/AB
+try/AB
+play/ABC
+lucen
+happy/D
+"""
+
+
+def _dict() -> HunspellDictionary:
+    return HunspellDictionary(AFF, DIC)
+
+
+def test_whole_word_and_suffix_strips():
+    d = _dict()
+    assert d.stems("book") == ["book"]
+    assert d.stems("books") == ["book"]
+    assert d.stems("cities") == ["city"]
+    assert d.stems("boxes") == ["box"]
+    assert d.stems("walked") == ["walk"]
+    assert d.stems("tried") == ["try"]
+
+
+def test_condition_gates_rule():
+    d = _dict()
+    # "citys" must NOT stem: the only matching rule for plain 's' applies,
+    # and city/A does carry A with the '.' condition — so it DOES stem;
+    # but "cityes" must not (es requires [sxzh] tail on the root)
+    assert "city" in d.stems("citys")
+    assert d.stems("cityes") == []
+    # the plain 'ed' rule requires a root NOT ending in y ([^y]):
+    # "played" restores root "play" (ends in y) -> rule gated, no stem
+    assert d.stems("played") == []
+    # and "tryed" is equally invalid (try ends in y)
+    assert d.stems("tryed") == []
+
+
+def test_prefix_and_cross_product():
+    d = _dict()
+    assert d.stems("replay") == ["play"]
+    # prefix + suffix cross-product (both rules cross=Y, root has C+A)
+    assert d.stems("replays") == ["play"]
+    # cross-product still honors the suffix condition: re+play+ed is
+    # gated by 'ed's [^y] on the root
+    assert d.stems("replayed") == []
+    # D is cross=N: "unhappy" stems, "unhappys" must not cross
+    assert d.stems("unhappy") == ["happy"]
+    assert d.stems("unhappys") == []
+    # flag discipline: book has no B — "booked" must not stem
+    assert d.stems("booked") == []
+
+
+def test_flagless_root_and_unknown_word():
+    d = _dict()
+    assert d.stems("lucen") == ["lucen"]
+    assert d.stems("lucens") == []  # no flags, suffix cannot apply
+    assert d.stems("zzz") == []
+    assert d.longest_stem("zzz") is None
+
+
+def test_analyzer_longest_only_passthrough():
+    an = HunspellAnalyzer("hun_test", _dict())
+    # stems where the dictionary knows the word, passes through otherwise
+    assert an.tokens("Books and unhappy cities zzz") == \
+        ["book", "and", "happy", "city", "zzz"]
+
+
+def test_analyzer_batch_matches_scalar():
+    an = HunspellAnalyzer("hun_test", _dict())
+    texts = ["Books boxes tried", "replayed walk walked", ""]
+    toks, doc_idx, pos = an.tokens_batch(texts)
+    flat = []
+    for i, t in enumerate(texts):
+        for tok in an.tokens(t):
+            flat.append((tok, i))
+    assert list(zip(toks, doc_idx.tolist())) == flat
+
+
+def test_hunspell_index_build_end_to_end(tmp_path_factory, ray_session):
+    """A hunspell-stemmed index is searchable by the stem: the analyzer
+    object pickles into the manifest (the @pickled path) and the index
+    unifies inflected forms under the dictionary root."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+
+    d = tmp_path_factory.mktemp("hun_corpus")
+    pq.write_table(pa.table({
+        "doc_key": pa.array([0, 1, 2], pa.int64()),
+        "content": pa.array(["books on cities", "the book walked",
+                             "replays and boxes"]),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("hun_idx") / "idx")
+    build_index(str(d), out, text_field="content",
+                analyzer=HunspellAnalyzer("hun_test", _dict()),
+                rows_per_partition=10)
+    s = IndexSearcher(out)
+    got = s.search(TermQuery("book"), k=10)
+    assert {int(h) for h in got["doc_id"].to_numpy()} == {0, 1}
+    got = s.search(TermQuery("play"), k=10)
+    assert {int(h) for h in got["doc_id"].to_numpy()} == {2}
