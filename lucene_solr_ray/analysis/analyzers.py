@@ -286,6 +286,7 @@ def get_analyzer(name: str) -> Analyzer:
             from . import snowball  # noqa: F401  registers de/fr/es
             from . import cjk  # noqa: F401  registers cjk/icu_folded
             from . import light  # noqa: F401  registers ar/fa/cs/hi
+            from . import phonetic  # noqa: F401  registers phonetic
 
             if name not in _REGISTRY:
                 raise KeyError(f"unknown analyzer: {name}")
