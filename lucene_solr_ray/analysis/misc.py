@@ -166,3 +166,42 @@ class FilterChainAnalyzer(Analyzer):
     def tokens_with_positions(self, text: str):
         toks, pos = self.base.tokens_with_positions(text)
         return self._apply(toks, list(pos))
+
+
+# ---------------------------------------------------------------------------
+# ReversedWildcardFilter (solr/core/src/java/org/apache/solr/analysis/
+# ReversedWildcardFilterFactory.java + lucene ReverseStringFilter.java):
+# index-time, each token also emits its REVERSED form behind a marker
+# char at the same position; leading-wildcard queries (*foo) rewrite to
+# a PREFIX scan over the reversed terms instead of a full-dictionary
+# scan — O(log V) instead of O(V) per query at 10^9-term scale.
+# ---------------------------------------------------------------------------
+
+REVERSE_MARKER = "\u0001"  # ReverseStringFilter.START_OF_HEADING_MARKER
+
+
+class ReversedWildcardAnalyzer(Analyzer):
+    """Base chain + marker-prefixed reversed twin per token (posIncr 0).
+    The searcher detects the marker terms and rewrites leading-wildcard
+    patterns onto them automatically."""
+
+    def __init__(self, name: str = "reversed_wildcard",
+                 base: Analyzer | None = None):
+        from .analyzers import StandardAnalyzer
+
+        self.name = name
+        self.base = base or StandardAnalyzer()
+
+    def tokens_with_positions(self, text: str):
+        toks, pos = self.base.tokens_with_positions(text)
+        out_t: list[str] = []
+        out_p: list[int] = []
+        for t, p in zip(toks, pos):
+            out_t.append(t)
+            out_p.append(int(p))
+            out_t.append(REVERSE_MARKER + t[::-1])
+            out_p.append(int(p))
+        return out_t, out_p
+
+    def tokens(self, text: str) -> list[str]:
+        return self.tokens_with_positions(text)[0]

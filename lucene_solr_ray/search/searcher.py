@@ -59,6 +59,11 @@ def _wildcard_to_regex(pattern: str) -> str:
     return "".join(out)
 
 
+# ReversedWildcardAnalyzer's marker (analysis/misc.py REVERSE_MARKER;
+# the reference's ReverseStringFilter START_OF_HEADING_MARKER)
+_REV_MARKER = "\u0001"
+
+
 def _levenshtein_within(a: str, b: str, k: int) -> bool:
     if abs(len(a) - len(b)) > k:
         return False
@@ -248,6 +253,7 @@ class IndexSearcher:
         from .readers import _LRU
 
         self._result_cache = _LRU(256)
+        self._rev_wildcard: bool | None = None  # lazily probed
         self.live_docs = None
         if apply_deletes:
             import os as _os
@@ -318,6 +324,15 @@ class IndexSearcher:
         docs, _ = self._score(q)
         return docs
 
+    def _reversed_terms_available(self) -> bool:
+        """One-time probe: does the dictionary contain reversed marker
+        terms? (Cost = one sorted-range slice, cached.)"""
+        if self._rev_wildcard is None:
+            probe = self.reader.terms_in_range(
+                _REV_MARKER, "\u0002", True, False)
+            self._rev_wildcard = len(probe) > 0
+        return self._rev_wildcard
+
     def _rewrite_terms(self, q: Query) -> list[str]:
         r = self.reader
         if isinstance(q, PrefixQuery):
@@ -333,7 +348,24 @@ class IndexSearcher:
                 pre = q.pattern[:i]
                 cand = r.terms_in_range(pre, pre + "\U0010FFFF", True, True)
                 return [t for t in cand if pat.match(t)]
-            return r.terms_matching(lambda t: bool(pat.match(t)))
+            # leading wildcard: if the index carries reversed marker
+            # terms (ReversedWildcardAnalyzer), rewrite onto them — the
+            # reversed pattern has a literal prefix (at least the
+            # marker), turning the O(V) dictionary scan into a sorted
+            # range scan (ReversedWildcardFilterFactory's query-time
+            # rewrite in SolrQueryParserBase.getWildcardQuery)
+            if self._reversed_terms_available():
+                rp = _REV_MARKER + q.pattern[::-1]
+                rpat = re.compile(_wildcard_to_regex(rp) + r"\Z")
+                j = min((rp.index(c) for c in "*?" if c in rp),
+                        default=len(rp))
+                pre = rp[:j]
+                cand = r.terms_in_range(pre, pre + "\U0010FFFF", True, True)
+                # marker terms carry the same postings as the originals
+                return [t for t in cand if rpat.match(t)]
+            return r.terms_matching(
+                lambda t: not t.startswith(_REV_MARKER)
+                and bool(pat.match(t)))
         if isinstance(q, RegexpQuery):
             pat = re.compile(q.pattern + r"\Z")
             # literal-prefix extraction narrows the dictionary scan to a
@@ -361,7 +393,9 @@ class IndexSearcher:
                 pre = "".join(lit)
                 cand = r.terms_in_range(pre, pre + "\U0010FFFF", True, True)
                 return [t for t in cand if pat.match(t)]
-            return r.terms_matching(lambda t: bool(pat.match(t)))
+            return r.terms_matching(
+                lambda t: not t.startswith(_REV_MARKER)
+                and bool(pat.match(t)))
         if isinstance(q, TermRangeQuery):
             return r.terms_in_range(
                 q.lower, q.upper, q.include_lower, q.include_upper

@@ -110,3 +110,47 @@ def test_phonetic_index_search_end_to_end(tmp_path_factory, ray_session):
     q_terms = [t for t in ana.tokens("Rupert") if t != "rupert"]
     hits = s.search(TermQuery(q_terms[0]), k=10)
     assert {int(h) for h in hits["doc_id"].to_numpy()} == {0}
+
+
+def test_reversed_wildcard_leading_pattern(tmp_path_factory, ray_session):
+    """Leading-wildcard queries over a ReversedWildcardAnalyzer index
+    return exactly what a plain index's full-dictionary scan returns,
+    via the marker-prefix range scan (ReversedWildcardFilterFactory)."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis.misc import (
+        REVERSE_MARKER,
+        ReversedWildcardAnalyzer,
+    )
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import WildcardQuery
+
+    d = tmp_path_factory.mktemp("revw_corpus")
+    texts = ["indexing searching", "parser tokenizer", "scanner testing",
+             "merging walking", "nothing here"]
+    pq.write_table(pa.table({
+        "doc_key": pa.array(list(range(len(texts))), pa.int64()),
+        "content": pa.array(texts),
+    }), str(d / "docs.parquet"))
+
+    plain_out = str(tmp_path_factory.mktemp("revw_plain") / "idx")
+    rev_out = str(tmp_path_factory.mktemp("revw_rev") / "idx")
+    build_index(str(d), plain_out, text_field="content",
+                rows_per_partition=10)
+    build_index(str(d), rev_out, text_field="content",
+                analyzer=ReversedWildcardAnalyzer(),
+                rows_per_partition=10)
+
+    s_plain = IndexSearcher(plain_out)
+    s_rev = IndexSearcher(rev_out)
+    assert s_rev._reversed_terms_available()
+    assert not s_plain._reversed_terms_available()
+    for pattern in ["*ing", "*ser", "?canner", "*arch*", "*"]:
+        want = {int(x) for x in
+                s_plain._docs_only(WildcardQuery(pattern))}
+        got = {int(x) for x in s_rev._docs_only(WildcardQuery(pattern))}
+        assert got == want, pattern
+    # the rewrite really used marker terms (range path, not full scan)
+    terms = s_rev._rewrite_terms(WildcardQuery("*ing"))
+    assert terms and all(t.startswith(REVERSE_MARKER) for t in terms)
