@@ -4101,12 +4101,29 @@ def q_sql_tpch_q1(sf_dir: str) -> pa.Table:
     return execute_sql(_SQL_TPCH_Q1, sf_dir)
 
 
+_SQL_CASE_WHEN = (
+    "SELECT lang, "
+    "sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS big, "
+    "sum(CASE WHEN source = 'src3' THEN n_chars ELSE 0 END) AS src3_chars, "
+    "count(*) AS n FROM documents GROUP BY lang ORDER BY lang")
+
+
+def q_sql_case_when(sf_dir: str) -> pa.Table:
+    """ParallelSQL: CASE WHEN expressions inside aggregates — each CASE
+    compiles to chained pyarrow if_else kernels in the derived-column
+    map_batches stage feeding the shuffle aggregate."""
+    from .sql import execute_sql
+
+    return execute_sql(_SQL_CASE_WHEN, sf_dir)
+
+
 QUERIES.update({
     "sql_group_agg": q_sql_group_agg,
     "sql_select_topk": q_sql_select_topk,
     "sql_where_expr": q_sql_where_expr,
     "sql_left_join": q_sql_left_join,
     "sql_tpch_q1": q_sql_tpch_q1,
+    "sql_case_when": q_sql_case_when,
 })
 
 ORACLE_SQL.update({
@@ -4151,6 +4168,14 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_quantity < 45
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+""",
+    "sql_case_when": """
+SELECT lang, sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END)::BIGINT
+         AS big,
+       sum(CASE WHEN source = 'src3' THEN n_chars ELSE 0 END)::BIGINT
+         AS src3_chars,
+       count(*)::BIGINT AS n
+FROM documents GROUP BY lang ORDER BY lang
 """,
 })
 

@@ -244,6 +244,19 @@ def _parse_arith(p: _P):
             return ("lit", raw[1:-1].replace("''", "'"))
         if kind == "word":
             p.i += 1
+            if raw.upper() == "CASE":
+                whens: list[tuple] = []
+                els = None
+                while p.kw("WHEN"):
+                    p.take()
+                    cond = _parse_expr(p)
+                    p.expect("THEN")
+                    whens.append((cond, expr()))
+                if p.kw("ELSE"):
+                    p.take()
+                    els = expr()
+                p.expect("END")
+                return ("case", whens, els)
             if raw.lower() in _SCALAR_FNS and p.peek() == "(":
                 p.take()
                 args = [expr()]
@@ -279,6 +292,13 @@ def _arith_cols(node) -> set[str]:
         return _arith_cols(node[2]) | _arith_cols(node[3])
     if node[0] == "fn":
         return set().union(*(_arith_cols(a) for a in node[2]))
+    if node[0] == "case":
+        out: set[str] = set()
+        for cond, val in node[1]:
+            out |= _expr_cols(cond) | _arith_cols(val)
+        if node[2] is not None:
+            out |= _arith_cols(node[2])
+        return out
     return set()
 
 
@@ -306,6 +326,14 @@ def _eval_arith(b: pa.Table, node):
             return pc.round(args[0], ndigits=int(nd),
                             round_mode="half_towards_infinity")
         raise ValueError(f"unknown function {name}")
+    if node[0] == "case":
+        # fold right-to-left: if_else(cond_i, val_i, rest)
+        out = _eval_arith(b, node[2]) if node[2] is not None \
+            else pa.scalar(None)
+        for cond, val in reversed(node[1]):
+            mask = _eval_expr(b, cond)
+            out = pc.if_else(mask, _eval_arith(b, val), out)
+        return out
     l, r = _eval_arith(b, node[2]), _eval_arith(b, node[3])
     if node[1] == "/":
         # SQL division yields double (DuckDB semantics)
@@ -346,6 +374,7 @@ def parse_sql(q: str) -> Plan:
                     col = node
                     alias = agg
         elif (p.peek() in ("+", "-", "*", "/") or w == "("
+              or w.upper() == "CASE"
               or (w.lower() in _SCALAR_FNS and p.peek() == "(")):
             p.i -= 1
             col = _parse_arith(p)

@@ -303,3 +303,30 @@ def test_scalar_functions(ray_session):
     t2 = execute_sql(q2, SF)
     want2 = con.execute(q2).fetchone()[0]
     assert abs(t2["k"][0].as_py() - want2) < 1e-6
+
+
+def test_case_when(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    q1 = ("SELECT lang, sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) "
+          "AS big, count(*) AS n FROM documents GROUP BY lang "
+          "ORDER BY lang")
+    got = execute_sql(q1, SF).to_pandas()
+    want = con.execute(q1).df()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["big"].tolist() == [int(x) for x in want["big"]]
+    assert got["n"].tolist() == [int(x) for x in want["n"]]
+
+    # CASE as a plain select expression with string branches + no ELSE
+    q2 = ("SELECT doc_id, CASE WHEN lang = 'en' THEN 'english' "
+          "WHEN lang = 'de' THEN 'german' END AS label "
+          "FROM documents ORDER BY doc_id LIMIT 20")
+    got = execute_sql(q2, SF).to_pandas()
+    want = con.execute(q2).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert [x if isinstance(x, str) else None
+            for x in got["label"]] == \
+        [x if isinstance(x, str) else None for x in want["label"]]
