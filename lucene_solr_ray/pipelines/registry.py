@@ -816,6 +816,30 @@ def q_geo_polygon(sf_dir: str) -> pa.Table:
     })
 
 
+def q_line_dedup(sf_dir: str) -> pa.Table:
+    """CCNet-style corpus-level unit dedup (boilerplate removal): count
+    10-word windows corpus-wide (per-batch combiner, hash-only
+    shuffle), broadcast the repeated-unit set, rewrite docs dropping
+    every repeated window. Output: per-doc unit totals."""
+    import ray.data as rd
+
+    from ..stages.linededup import line_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = (
+        line_dedup(ds, "text", "doc_id", unit="window:10", min_repeat=2)
+        .select_columns(["doc_id", "units_in", "units_dropped"])
+        .to_pandas().sort_values("doc_id")
+    )
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+        "units_in": pa.array(out["units_in"].to_numpy(np.int64)),
+        "units_dropped": pa.array(
+            out["units_dropped"].to_numpy(np.int64)),
+    })
+
+
 def q_drill_sideways(sf_dir: str) -> pa.Table:
     """DrillSideways counts (lucene/facet DrillSideways.java): drill-down
     lang='en' AND source='src3'; sideways = per-dim counts with that
@@ -2190,6 +2214,7 @@ QUERIES = {
     "geo_bbox": q_geo_bbox,
     "geo_polygon": q_geo_polygon,
     "drill_sideways": q_drill_sideways,
+    "line_dedup": q_line_dedup,
     "geo_heatmap": q_geo_heatmap,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
@@ -2389,6 +2414,27 @@ SELECT user_id, floor(lat*10000 + 0.5)/10000 AS lat,
 FROM pts
 WHERE lat BETWEEN -80.0 AND -55.0 AND lon BETWEEN -170.0 AND -110.0
 ORDER BY user_id
+""",
+    "line_dedup": """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+units AS (
+  SELECT doc_id, (i - 1) // 10 AS win,
+         string_agg(word, ' ' ORDER BY i) AS unit
+  FROM w GROUP BY doc_id, (i - 1) // 10
+),
+rep AS (
+  SELECT unit FROM units GROUP BY unit HAVING count(*) >= 2
+)
+SELECT u.doc_id, count(*)::BIGINT AS units_in,
+       count(r.unit)::BIGINT AS units_dropped
+FROM units u LEFT JOIN rep r ON u.unit = r.unit
+GROUP BY u.doc_id
+ORDER BY u.doc_id
 """,
     "drill_sideways": """
 SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS cnt

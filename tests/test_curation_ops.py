@@ -118,3 +118,47 @@ def test_mixture_sample_deterministic_and_rate():
     lo = set(mixture_sample_batch(t, {"web": 0.25})["doc_id"].to_pylist())
     hi = set(mixture_sample_batch(t, {"web": 0.5})["doc_id"].to_pylist())
     assert lo <= hi
+
+
+def test_line_dedup_matches_pure_python(ray_session):
+    """Corpus-level unit dedup == the straightforward two-pass reference
+    implementation (count units across corpus, drop repeated ones)."""
+    import collections
+
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.linededup import (
+        _split_units,
+        line_dedup,
+        repeated_unit_hashes,
+    )
+
+    texts = [
+        "cookie banner accept all the quick brown fox jumps here",
+        "cookie banner accept all another document body entirely now",
+        "totally unique content in this one nothing repeats at all",
+        "cookie banner accept all third page same boilerplate header",
+        "",
+    ]
+    unit = "window:4"
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+
+    # pure-python reference
+    counts = collections.Counter(
+        u for t in texts for u in _split_units(t, unit))
+    dup = {u for u, c in counts.items() if c >= 2}
+    want = {}
+    for i, t in enumerate(texts):
+        kept = [u for u in _split_units(t, unit) if u not in dup]
+        want[i] = " ".join(kept)
+
+    hashes = repeated_unit_hashes(ds, "text", unit=unit, min_repeat=2)
+    assert len(hashes) == len(dup)
+    out = line_dedup(ds, "text", "doc_id", unit=unit,
+                     dup_hashes=hashes).to_pandas().set_index("doc_id")
+    for i in range(len(texts)):
+        assert out.loc[i, "text"] == want[i], i
+    assert int(out["units_dropped"].sum()) == 3
+    # unique doc untouched
+    assert out.loc[2, "text"] == texts[2]
