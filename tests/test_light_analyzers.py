@@ -200,3 +200,59 @@ def test_latvian_stem_reference_vectors():
         assert lv(w) == want, (w, lv(w), want)
     assert get_analyzer("latvian").tokens("lāči un lapas") == [
         "lāc", "lap"]
+
+
+def test_greek_lowercase_and_stem():
+    from lucene_solr_ray.analysis.light2 import (
+        greek_light_stem,
+        greek_lowercase,
+    )
+
+    # GreekLowerCaseFilter: tonos stripped, final sigma normalized
+    assert greek_lowercase("Καλώς") == "καλωσ"
+    assert greek_lowercase("ΠΡΟΪΌΝ") == "προιον"
+    # one lemma's inflection family -> one stem
+    fam = ["άνθρωποι", "ανθρώπων", "άνθρωπο", "ανθρώπους"]
+    stems = {greek_light_stem(w) for w in fam}
+    assert stems == {"ανθρωπ"}
+    # idempotent
+    for w in fam:
+        s = greek_light_stem(w)
+        assert greek_light_stem(s) == s
+
+
+def test_romanian_light_stem_family():
+    from lucene_solr_ray.analysis.light2 import romanian_light_stem as st
+
+    assert st("orasul") == "oras"
+    assert st("orasului") == "oras"
+    assert st("orase") == "oras"
+    assert st("oraselor") == "oras"
+    # minimum-stem guard: short words survive
+    assert st("nu") == "nu"
+
+
+def test_catalan_elision_and_stem():
+    from lucene_solr_ray.analysis.light2 import (
+        catalan_elide,
+        catalan_light_stem,
+    )
+
+    assert catalan_elide("l'home") == "home"
+    assert catalan_elide("d'aigua") == "aigua"
+    assert catalan_elide("qu'il") == "qu'il"  # not in the catalan set
+    fam = ["paraula", "paraules"]
+    assert {catalan_light_stem(w) for w in fam} == {"paraul"}
+    assert catalan_light_stem("l'organitzacions") == \
+        catalan_light_stem("organitzacio")
+
+
+def test_light2_registered_and_chain():
+    from lucene_solr_ray.analysis import get_analyzer
+
+    el = get_analyzer("greek")
+    assert el.tokens("Οι άνθρωποι και τα μήλα") == ["ανθρωπ", "μηλ"]
+    ro = get_analyzer("romanian")
+    assert "oras" in ro.tokens("orasele din romania")
+    ca = get_analyzer("catalan")
+    assert ca.tokens("l'home i les paraules") == ["home", "paraul"]
