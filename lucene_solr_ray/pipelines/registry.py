@@ -1081,6 +1081,22 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
             "akmeņi pie lāča",
             "tēvs lasa lapu",
         ],
+        # light2.py chains
+        "greek": [
+            "Οι άνθρωποι και τα βιβλία",
+            "Το βιβλίο των ανθρώπων",
+            "Άνθρωπος με βιβλία",
+        ],
+        "romanian": [
+            "orasele si copiii din romania",
+            "un oras pentru copii",
+            "orasul si copilul",
+        ],
+        "catalan": [
+            "l'home i les paraules",
+            "una paraula de l'home",
+            "paraules i homes",
+        ],
         # CJKAnalyzer: overlapping character bigrams (cjk.py)
         "cjk": [
             "日本語の検索エンジン",
