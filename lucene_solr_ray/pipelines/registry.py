@@ -816,6 +816,58 @@ def q_geo_polygon(sf_dir: str) -> pa.Table:
     })
 
 
+def q_join_global_ordinals(sf_dir: str) -> pa.Table:
+    """Global-ordinal STRING join (JoinUtil with global ordinals —
+    ``lucene/join/.../JoinUtil.java`` + MultiDocValues.OrdinalMap):
+    string keys are mapped once to dense ordinals via a broadcast
+    sorted vocabulary; the per-batch probe is integer searchsorted, not
+    string hashing. Fact side streams; only (lang, sum, cnt) partials
+    shuffle."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    dim = (
+        rd.read_parquet(src, columns=["source", "n_chars"])
+        .groupby("source").mean("n_chars").to_pandas()
+    )
+    # the global ordinal map: sorted key vocabulary + aligned values
+    order = np.argsort(dim["source"].to_numpy())
+    vocab = dim["source"].to_numpy()[order]
+    vals = dim["mean(n_chars)"].to_numpy()[order]
+    lut_ref = ray.put((vocab, vals))
+
+    def probe(b: pa.Table) -> pa.Table:
+        vocab_, vals_ = ray.get(lut_ref)
+        keys = b["source"].to_numpy(zero_copy_only=False)
+        ords = np.searchsorted(vocab_, keys)  # string -> dense ordinal
+        ok = (ords < vocab_.size) & (
+            vocab_[np.minimum(ords, vocab_.size - 1)] == keys)
+        langs = b["lang"].to_numpy(zero_copy_only=False)[ok]
+        sv = vals_[ords[ok]]
+        ul, inv = np.unique(langs, return_inverse=True)
+        return pa.table({
+            "lang": pa.array(ul.tolist(), pa.string()),
+            "s": pa.array(np.bincount(inv, weights=sv)),
+            "c": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    t = (
+        rd.read_parquet(src, columns=["lang", "source"])
+        .map_batches(probe, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .to_pandas().sort_values("lang")
+    )
+    return pa.table({
+        "lang": pa.array(t["lang"].tolist(), pa.string()),
+        "n": pa.array(t["c"].to_numpy(np.int64)),
+        "avg_src_avg": pa.array(
+            _round4(t["s"].to_numpy() / t["c"].to_numpy()), pa.float64()),
+    })
+
+
 def q_line_dedup(sf_dir: str) -> pa.Table:
     """CCNet-style corpus-level unit dedup (boilerplate removal): count
     10-word windows corpus-wide (per-batch combiner, hash-only
@@ -2231,6 +2283,7 @@ QUERIES = {
     "geo_polygon": q_geo_polygon,
     "drill_sideways": q_drill_sideways,
     "line_dedup": q_line_dedup,
+    "join_global_ordinals": q_join_global_ordinals,
     "geo_heatmap": q_geo_heatmap,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
@@ -2430,6 +2483,14 @@ SELECT user_id, floor(lat*10000 + 0.5)/10000 AS lat,
 FROM pts
 WHERE lat BETWEEN -80.0 AND -55.0 AND lon BETWEEN -170.0 AND -110.0
 ORDER BY user_id
+""",
+    "join_global_ordinals": """
+WITH dim AS (
+  SELECT source, avg(n_chars) AS src_avg FROM documents GROUP BY source)
+SELECT d.lang, count(*)::BIGINT AS n,
+       floor(avg(m.src_avg) * 10000 + 0.5) / 10000 AS avg_src_avg
+FROM documents d JOIN dim m ON d.source = m.source
+GROUP BY d.lang ORDER BY d.lang
 """,
     "line_dedup": """
 WITH w AS (
