@@ -38,16 +38,64 @@ class KeywordAnalyzer(Analyzer):
 register_analyzer("keyword", KeywordAnalyzer())
 
 
+def _stage_copy_fields(source: str, staged_dir: str,
+                       copy_map: dict[str, list[str]]) -> str:
+    """Solr copyField (``schema.xml <copyField source=.. dest=..>`` —
+    ``solr/core/.../schema/IndexSchema.java`` copyFieldsMap): append
+    each destination column as the space-joined concatenation of its
+    source columns. One Ray task per input file, SAME file names out,
+    so the partition plan (and therefore the shared doc-id space) is
+    identical to building from the original source."""
+    import ray
+
+    os.makedirs(staged_dir, exist_ok=True)
+    files = sorted(
+        f for f in os.listdir(source) if f.endswith(".parquet")
+    ) if os.path.isdir(source) else [os.path.basename(source)]
+    src_dir = source if os.path.isdir(source) else os.path.dirname(source)
+
+    @ray.remote
+    def stage_one(fname: str) -> str:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(src_dir, fname))
+        for dest, srcs in copy_map.items():
+            col = t[srcs[0]].cast(pa.string())
+            for s in srcs[1:]:
+                col = pc.binary_join_element_wise(
+                    col, t[s].cast(pa.string()), " ")
+            t = t.append_column(dest, col)
+        out = os.path.join(staged_dir, fname)
+        pq.write_table(t, out + ".tmp")
+        os.replace(out + ".tmp", out)
+        return out
+
+    done = [f for f in files
+            if os.path.exists(os.path.join(staged_dir, f))]
+    todo = [f for f in files if f not in set(done)]
+    if todo:
+        ray.get([stage_one.remote(f) for f in todo])
+    return staged_dir
+
+
 def build_multi_index(
     source: str,
     out_dir: str,
     fields: dict[str, dict],
     *,
+    copy_fields: dict[str, list[str]] | None = None,
     rows_per_partition: int = 20_000,
     merge: bool = True,
     **kw,
 ) -> dict:
     os.makedirs(out_dir, exist_ok=True)
+    if copy_fields:
+        source = _stage_copy_fields(
+            source, os.path.join(out_dir, "_copyfields"), copy_fields)
+        for dest in copy_fields:
+            fields.setdefault(dest, {"analyzer": "standard"})
     manifests = {}
     for fname, cfg in fields.items():
         fdir = os.path.join(out_dir, "fields", fname)

@@ -165,3 +165,39 @@ def test_per_field_codec_granularity(tmp_path_factory, ray_session):
     ]))
     c_docs, _ = s._score(FieldedQuery("content", TermQuery("return")))
     assert set(both.tolist()) == set(c_docs.tolist()) & set(docs.tolist())
+
+
+def test_copy_field_catchall(tmp_path_factory, ray_session):
+    """copyField (IndexSchema copyFieldsMap): dest column = space-joined
+    sources, staged per input file so doc ids line up with the other
+    fields; searching the catch-all hits terms from EITHER source."""
+    d = tmp_path_factory.mktemp("cf_corpus")
+    tbl = generate_table(200, seed=29)
+    pq.write_table(tbl, str(d / "c.parquet"), row_group_size=50)
+    out = str(tmp_path_factory.mktemp("cf_index"))
+    build_multi_index(str(d), out, {
+        "content": {"analyzer": "standard"},
+        "lang": {"analyzer": "keyword"},
+    }, copy_fields={"catchall": ["lang", "content"]},
+        rows_per_partition=100)
+
+    s = MultiFieldSearcher(out)
+    langs = tbl["lang"].to_pylist()
+    want_lang = sorted(i for i, v in enumerate(langs) if v == "python")
+    # lang value is findable through the catch-all text field
+    docs, _ = s._score(FieldedQuery("catchall", TermQuery("python")))
+    got = set(docs.tolist())
+    assert set(want_lang) <= got
+    # and a content term is too: catchall(content term) == content hits
+    probe = None
+    for text in tbl["content"].to_pylist():
+        for w in text.split():
+            if w.isalpha() and len(w) > 3:
+                probe = w.lower()
+                break
+        if probe:
+            break
+    c_docs, _ = s._score(FieldedQuery("content", TermQuery(probe)))
+    a_docs, _ = s._score(FieldedQuery("catchall", TermQuery(probe)))
+    assert set(c_docs.tolist()) <= set(a_docs.tolist())
+    assert len(c_docs) > 0
