@@ -167,8 +167,10 @@ def run_bench() -> dict:
         q_asof_join,
         q_chunk_windows,
         q_decontam,
+        q_drill_sideways,
         q_facet_lang,
         q_gopher_quality,
+        q_line_dedup,
         q_json_facet_nested,
         q_lm_perplexity,
         q_minhash_candidates,
@@ -194,6 +196,8 @@ def run_bench() -> dict:
         ("lm_perplexity", q_lm_perplexity),
         ("semdedup", q_semdedup),
         ("asof_join", q_asof_join),
+        ("drill_sideways", q_drill_sideways),
+        ("line_dedup", q_line_dedup),
         ("curation_funnel", run_curation),
     ]
     for name, fn in secondary:
