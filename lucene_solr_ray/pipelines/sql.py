@@ -392,7 +392,33 @@ def parse_sql(q: str) -> Plan:
             continue
         break
     p.expect("FROM")
-    plan = Plan(table=p.take(), items=items, distinct=distinct)
+    if p.peek() == "(":
+        # FROM (SELECT ...) [AS alias] — derived table; the inner SQL
+        # is re-assembled from its token slice and planned recursively
+        # at execution time
+        p.take()
+        depth, inner = 1, []
+        while True:
+            t = p.take()
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            inner.append(t)
+        table: object = ("__subquery__", " ".join(inner))
+        if p.kw("AS"):
+            p.take()
+            p.take()
+        elif (p.peek() is not None
+              and not p.kw("WHERE", "GROUP", "HAVING", "ORDER",
+                           "LIMIT", "JOIN", "LEFT", "INNER")
+              and p.peek() not in (",", "(", ")")):
+            p.take()  # bare alias
+    else:
+        table = p.take()
+    plan = Plan(table=table, items=items, distinct=distinct)
     while p.kw("JOIN", "LEFT", "INNER"):
         kind = "inner"
         if p.kw("LEFT"):
@@ -551,20 +577,64 @@ def _round4_floats(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def _split_union_all(q: str) -> list[str]:
+    """Top-level ``UNION ALL`` arms (depth-0 only), re-assembled from
+    the token stream; [q] when there is no union."""
+    toks = _tokenize(q)
+    arms: list[list[str]] = [[]]
+    depth = 0
+    i = 0
+    while i < len(toks):
+        kind, v = toks[i]
+        if v == "(":
+            depth += 1
+        elif v == ")":
+            depth -= 1
+        if (depth == 0 and kind == "word" and v.upper() == "UNION"
+                and i + 1 < len(toks)
+                and toks[i + 1][1].upper() == "ALL"):
+            arms.append([])
+            i += 2
+            continue
+        arms[-1].append(v)
+        i += 1
+    return [" ".join(a) for a in arms]
+
+
 def execute_sql(q: str, sf_dir: str) -> pa.Table:
     """Parse + plan + run ``q`` against the parquet tables in ``sf_dir``.
     Returns a pyarrow Table with the SELECT's column aliases."""
     import ray.data as rd
     import ray.data.aggregate as agg
 
+    arms = _split_union_all(q)
+    if len(arms) > 1:
+        parts = [execute_sql(a, sf_dir) for a in arms]
+        names = parts[0].column_names
+        for t in parts[1:]:
+            if t.column_names != names:
+                raise ValueError(
+                    f"UNION ALL column mismatch: {t.column_names} "
+                    f"vs {names}")
+        return pa.concat_tables(
+            [parts[0]] + [t.cast(parts[0].schema) for t in parts[1:]])
+
     plan = parse_sql(q)
     import pyarrow.parquet as pq_  # noqa: F811 (pruned-read planning)
+
+    inner_tbl: pa.Table | None = None
+    if isinstance(plan.table, tuple):  # FROM (SELECT ...): the derived
+        # table is the INNER plan's bounded result (aggregate/limited —
+        # outer queries over unbounded raw subqueries should just read
+        # the table directly)
+        inner_tbl = execute_sql(plan.table[1], sf_dir)
 
     # SELECT * expands to the base table's columns (join columns are
     # named explicitly when needed)
     if any(i.agg is None and i.col == "*" for i in plan.items):
-        names = pq_.read_schema(
-            os.path.join(sf_dir, f"{plan.table}.parquet")).names
+        names = (inner_tbl.column_names if inner_tbl is not None
+                 else pq_.read_schema(
+                     os.path.join(sf_dir, f"{plan.table}.parquet")).names)
         expanded: list[SelectItem] = []
         for it in plan.items:
             if it.agg is None and it.col == "*":
@@ -593,14 +663,21 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
         - {n for n, _ in expr_specs})
     import pyarrow.parquet as pq_
 
-    path = os.path.join(sf_dir, f"{plan.table}.parquet")
-    if plan.joins:
-        base_names = set(pq_.read_schema(path).names)
+    if inner_tbl is not None:
+        base_names = set(inner_tbl.column_names)
         needed = [c for c in referenced if c in base_names]
+        ds = rd.from_arrow(
+            inner_tbl.select(needed) if needed else inner_tbl)
+        have = set(needed or inner_tbl.column_names)
     else:
-        needed = referenced
-    ds = rd.read_parquet(path, columns=needed or None)
-    have = set(needed or pq_.read_schema(path).names)
+        path = os.path.join(sf_dir, f"{plan.table}.parquet")
+        if plan.joins:
+            base_names = set(pq_.read_schema(path).names)
+            needed = [c for c in referenced if c in base_names]
+        else:
+            needed = referenced
+        ds = rd.read_parquet(path, columns=needed or None)
+        have = set(needed or pq_.read_schema(path).names)
     for jt, a, b, kind in plan.joins:
         from .streams import inner_join, left_outer_join
 

@@ -330,3 +330,40 @@ def test_case_when(ray_session):
     assert [x if isinstance(x, str) else None
             for x in got["label"]] == \
         [x if isinstance(x, str) else None for x in want["label"]]
+
+
+def test_union_all_and_from_subquery(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+
+    # UNION ALL of two grouped arms
+    q = ("SELECT lang AS k, count(*) AS n FROM documents "
+         "WHERE n_chars > 300 GROUP BY lang "
+         "UNION ALL "
+         "SELECT source AS k, count(*) AS n FROM documents "
+         "WHERE lang = 'en' GROUP BY source")
+    got = execute_sql(q, SF).to_pandas().sort_values(
+        ["k", "n"]).reset_index(drop=True)
+    want = con.execute(q).df().sort_values(
+        ["k", "n"]).reset_index(drop=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["n"].tolist() == [int(x) for x in want["n"]]
+
+    # FROM (SELECT ...) derived table with outer WHERE/ORDER
+    q2 = ("SELECT lang, n FROM "
+          "(SELECT lang, count(*) AS n FROM documents GROUP BY lang) "
+          "AS t WHERE n >= 60 ORDER BY n DESC, lang")
+    got2 = execute_sql(q2, SF).to_pandas()
+    want2 = con.execute(q2).df()
+    assert got2["lang"].tolist() == want2["lang"].tolist()
+    assert got2["n"].tolist() == [int(x) for x in want2["n"]]
+
+    # aggregate over a derived table (avg of group counts)
+    q3 = ("SELECT avg(n) AS avg_n FROM "
+          "(SELECT count(*) AS n FROM documents GROUP BY source)")
+    got3 = execute_sql(q3, SF)
+    want3 = con.execute(q3).fetchone()[0]
+    assert abs(got3["avg_n"][0].as_py() - want3) < 1e-9
