@@ -288,6 +288,7 @@ def get_analyzer(name: str) -> Analyzer:
             from . import light  # noqa: F401  registers ar/fa/cs/hi
             from . import phonetic  # noqa: F401  registers phonetic
             from . import light2  # noqa: F401  registers el/ro/ca
+            from . import urlemail  # noqa: F401  registers url_email
 
             if name not in _REGISTRY:
                 raise KeyError(f"unknown analyzer: {name}")

@@ -199,3 +199,21 @@ def test_common_grams_analyzer():
 
     q = CommonGramsAnalyzer(output_unigrams=False)
     assert q.tokens("the quick fox") == ["the_quick"]
+
+
+def test_url_email_tokenizer():
+    """UAX29URLEmailTokenizer analogue: URLs/emails stay whole."""
+    from lucene_solr_ray.analysis import get_analyzer
+
+    an = get_analyzer("url_email")
+    toks, pos = an.tokens_with_positions(
+        "Visit https://Ray.io/docs, mail Dev@Example.CO or www.a-b.org.")
+    assert "https://ray.io/docs" in toks
+    assert "dev@example.co" in toks
+    assert "www.a-b.org" in toks
+    # surrounding words still tokenize normally
+    assert "visit" in toks and "mail" in toks
+    # positions are strictly increasing in text order
+    assert pos == sorted(pos)
+    # plain text passes through like the standard chain
+    assert an.tokens("no links here") == ["no", "links", "here"]
