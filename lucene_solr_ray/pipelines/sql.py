@@ -552,7 +552,16 @@ def _eval_expr_pd(df, node):
         return df[node[1]].isna()
     if tag == "cmp":
         if isinstance(node[1], tuple):
-            raise ValueError("expression LHS is not supported in HAVING")
+            # expression LHS over the (small) aggregate frame: evaluate
+            # with the same Arrow kernels the WHERE path uses
+            t = pa.Table.from_pandas(df, preserve_index=False)
+            lhs = _eval_arith(t, node[1])
+            import pandas as pd
+
+            m = pc.fill_null(
+                _OPS[node[2]](lhs, _coerce(lhs, node[3])), False)
+            return pd.Series(m.to_numpy(zero_copy_only=False),
+                             index=df.index)
         return ops[node[2]](df[node[1]], node[3]).fillna(False)
     if tag == "in":
         return df[node[1]].isin(node[2])

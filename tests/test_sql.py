@@ -367,3 +367,18 @@ def test_union_all_and_from_subquery(ray_session):
     got3 = execute_sql(q3, SF)
     want3 = con.execute(q3).fetchone()[0]
     assert abs(got3["avg_n"][0].as_py() - want3) < 1e-9
+
+
+def test_having_expression_lhs(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    q = ("SELECT lang, count(*) AS n, sum(n_chars) AS total "
+         "FROM documents GROUP BY lang "
+         "HAVING total / n > 250 ORDER BY lang")
+    got = execute_sql(q, SF).to_pandas()
+    want = con.execute(q).df()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["n"].tolist() == [int(x) for x in want["n"]]
