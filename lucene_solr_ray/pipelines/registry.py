@@ -816,6 +816,30 @@ def q_geo_polygon(sf_dir: str) -> pa.Table:
     })
 
 
+def q_dsir_select(sf_dir: str) -> pa.Table:
+    """DSIR-style importance resampling (Xie et al., 2023): hashed
+    n-gram target/raw log-ratio scores, top-quantile keep. Rows-only
+    (the model is not SQL-expressible); score parity vs a pure-python
+    recomputation is pytest-checked."""
+    import ray.data as rd
+
+    from ..stages.sampling import dsir_select
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    target = [r["text"] for r in rd.read_parquet(
+        path, columns=["text", "lang"])
+        .filter(lambda r: r["lang"] == "en").limit(20).take_all()]
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    out, thr = dsir_select(ds, "text", target, keep_frac=0.3)
+    t = out.select_columns(["doc_id", "dsir_score"]).to_pandas() \
+        .sort_values("doc_id")
+    return pa.table({
+        "doc_id": pa.array(t["doc_id"].to_numpy(np.int64)),
+        "dsir_score": pa.array(
+            _round4(t["dsir_score"].to_numpy()), pa.float64()),
+    })
+
+
 def q_join_global_ordinals(sf_dir: str) -> pa.Table:
     """Global-ordinal STRING join (JoinUtil with global ordinals —
     ``lucene/join/.../JoinUtil.java`` + MultiDocValues.OrdinalMap):
@@ -2284,6 +2308,7 @@ QUERIES = {
     "drill_sideways": q_drill_sideways,
     "line_dedup": q_line_dedup,
     "join_global_ordinals": q_join_global_ordinals,
+    "dsir_select": q_dsir_select,
     "geo_heatmap": q_geo_heatmap,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,

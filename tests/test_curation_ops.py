@@ -162,3 +162,43 @@ def test_line_dedup_matches_pure_python(ray_session):
     assert int(out["units_dropped"].sum()) == 3
     # unique doc untouched
     assert out.loc[2, "text"] == texts[2]
+
+
+def test_dsir_selects_target_like_docs(ray_session):
+    """DSIR-lite: docs resembling the target exemplars outrank
+    off-domain docs; scores match a pure-python recomputation."""
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.sampling import (
+        dsir_log_ratio,
+        dsir_select,
+        hashed_ngram_counts,
+    )
+
+    target = ["table scan merge join query plan",
+              "query optimizer join order statistics"]
+    on_domain = [f"query plan with join order {i}" for i in range(10)]
+    off_domain = [f"cat dog bird fish lizard {i}" for i in range(10)]
+    docs = on_domain + off_domain
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+
+    out, thr = dsir_select(ds, "text", target, keep_frac=0.5)
+    kept = out.to_pandas()
+    kept_ids = set(kept["doc_id"].tolist())
+    assert kept_ids and kept_ids <= set(range(10)), kept_ids
+
+    # score parity with a driver-side recomputation
+    raw = hashed_ngram_counts(docs)
+    lr = dsir_log_ratio(hashed_ngram_counts(target), raw)
+    import numpy as np
+
+    for _, row in kept.iterrows():
+        t = docs[int(row["doc_id"])]
+        w = t.split()
+        grams = w + [" ".join(w[j:j + 2]) for j in range(len(w) - 1)]
+        import hashlib
+
+        idx = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % len(lr)
+               for g in grams]
+        assert abs(float(np.mean(lr[idx])) - row["dsir_score"]) < 1e-12
