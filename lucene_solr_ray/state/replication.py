@@ -98,3 +98,64 @@ def replicate(master_dir: str, replica_dir: str) -> dict:
     os.replace(gen_path + ".tmp", gen_path)
     return {"generation": gen, "copied": copied, "deleted": deleted,
             "up_to_date": False}
+
+
+def backup_index(index_dir: str, backup_root: str, *,
+                 name: str | None = None) -> str:
+    """Snapshot backup (ReplicationHandler ?command=backup ->
+    SnapShooter.java): a point-in-time copy of the commit's file set.
+    Immutable files HARDLINK into the snapshot (zero-copy on the same
+    filesystem, like SnapShooter's hardlink-capable directory copies);
+    the manifest is COPIED last so the snapshot has its own commit
+    point. Returns the snapshot dir (``snapshot.<generation>``)."""
+    gen = index_generation(index_dir)
+    snap = os.path.join(backup_root, name or f"snapshot.{gen}")
+    if os.path.isdir(snap):
+        return snap  # idempotent: a generation's snapshot is immutable
+    tmp = snap + ".inprogress"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for rel in _file_set(index_dir):
+        dst = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        src = os.path.join(index_dir, rel)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+    for extra in ("analyzer.pkl", "multi_manifest.json"):
+        p = os.path.join(index_dir, extra)
+        if os.path.exists(p):
+            shutil.copy2(p, os.path.join(tmp, extra))
+    shutil.copy2(os.path.join(index_dir, "manifest.json"),
+                 os.path.join(tmp, "manifest.json"))
+    os.replace(tmp, snap)
+    return snap
+
+
+def restore_index(snapshot_dir: str, index_dir: str) -> str:
+    """Restore (?command=restore -> RestoreCore.java): publish the
+    snapshot's file set as a fresh index dir; manifest last."""
+    tmp = index_dir + ".restoring"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for rel in _file_set(snapshot_dir):
+        dst = os.path.join(tmp, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        src = os.path.join(snapshot_dir, rel)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+    for extra in ("analyzer.pkl", "multi_manifest.json"):
+        p = os.path.join(snapshot_dir, extra)
+        if os.path.exists(p):
+            shutil.copy2(p, os.path.join(tmp, extra))
+    shutil.copy2(os.path.join(snapshot_dir, "manifest.json"),
+                 os.path.join(tmp, "manifest.json"))
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.replace(tmp, index_dir)
+    return index_dir

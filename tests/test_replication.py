@@ -85,3 +85,45 @@ def test_loaders_csv_json(tmp_path_factory, ray_session):
     # out of scope (no JVM in this sandbox)
     with pytest.raises(NotImplementedError):
         load_corpus("x.pdf", fmt="tika")
+
+
+def test_backup_restore_roundtrip(tmp_path_factory, ray_session):
+    """Snapshot backup + restore (SnapShooter/RestoreCore): the restored
+    index answers queries identically; snapshots survive source deletes
+    made AFTER the snapshot (point-in-time semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index, delete_docs
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+    from lucene_solr_ray.state.replication import (
+        backup_index,
+        restore_index,
+    )
+
+    d = tmp_path_factory.mktemp("bk_corpus")
+    pq.write_table(pa.table({
+        "doc_key": pa.array(range(20), pa.int64()),
+        "content": pa.array([f"common word{i % 3} t{i}"
+                             for i in range(20)]),
+    }), str(d / "docs.parquet"))
+    src = str(tmp_path_factory.mktemp("bk_src") / "idx")
+    build_index(str(d), src, text_field="content", rows_per_partition=10)
+
+    want = {int(x) for x in
+            IndexSearcher(src)._docs_only(TermQuery("common"))}
+    root = str(tmp_path_factory.mktemp("bk_snaps"))
+    snap = backup_index(src, root)
+    assert backup_index(src, root) == snap  # idempotent per generation
+
+    # post-snapshot source mutation must NOT leak into the snapshot
+    delete_docs(src, np.asarray([0, 1], np.int64))
+    assert len(IndexSearcher(src)._docs_only(TermQuery("common"))) \
+        == len(want) - 2
+
+    restored = str(tmp_path_factory.mktemp("bk_restored") / "idx")
+    restore_index(snap, restored)
+    got = {int(x) for x in
+           IndexSearcher(restored)._docs_only(TermQuery("common"))}
+    assert got == want
