@@ -395,6 +395,40 @@ def q_facet_lang(sf_dir: str) -> pa.Table:
     })
 
 
+def q_facet_missing_indexsort(sf_dir: str) -> pa.Table:
+    """facet.missing=true + facet.sort=index (SimpleFacets.java:
+    getFacetTermEnumCounts missing count; FacetParams.FACET_SORT_INDEX):
+    lexicographic bucket order with a trailing NULL bucket counting
+    docs without the field. The field is synthesized (lang, nulled when
+    n_chars > 400) identically in the SQL oracle — testdata has no
+    natively-null facet column."""
+    from ray.data.aggregate import Sum
+
+    _MISS = "\x00missing"
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False).astype(object)
+        lang[b["n_chars"].to_numpy() > 400] = _MISS
+        uniq, cnt = np.unique(lang.astype(str), return_counts=True)
+        return pa.table({"k": pa.array(uniq.tolist(), pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    t = (
+        _docs_ds(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    t["is_missing"] = t["k"] == _MISS
+    t = t.sort_values(["is_missing", "k"])  # index order, missing last
+    vals = [None if m else v
+            for v, m in zip(t["k"], t["is_missing"])]
+    return pa.table({
+        "value": pa.array(vals, pa.string()),
+        "cnt": pa.array(t["cnt"].to_numpy(np.int64)),
+    })
+
+
 def q_facet_source_top10(sf_dir: str) -> pa.Table:
     out = (
         _docs_ds(sf_dir, ["source"]).groupby("source").count().to_pandas()
@@ -2309,6 +2343,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "join_global_ordinals": q_join_global_ordinals,
     "dsir_select": q_dsir_select,
+    "facet_missing_indexsort": q_facet_missing_indexsort,
     "geo_heatmap": q_geo_heatmap,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
@@ -2508,6 +2543,13 @@ SELECT user_id, floor(lat*10000 + 0.5)/10000 AS lat,
 FROM pts
 WHERE lat BETWEEN -80.0 AND -55.0 AND lon BETWEEN -170.0 AND -110.0
 ORDER BY user_id
+""",
+    "facet_missing_indexsort": """
+SELECT CASE WHEN n_chars > 400 THEN NULL ELSE lang END AS value,
+       count(*)::BIGINT AS cnt
+FROM documents
+GROUP BY 1
+ORDER BY value NULLS LAST
 """,
     "join_global_ordinals": """
 WITH dim AS (
