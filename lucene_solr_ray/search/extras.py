@@ -396,3 +396,37 @@ def elevate(searcher: IndexSearcher, q, elevated_docs: list[int],
         "doc_id": pa.array(docs, pa.int64()),
         "elevated": pa.array(flags, pa.int64()),
     })
+
+
+def common_terms_query(searcher, terms: list[str], *,
+                       max_tf_fraction: float = 0.01,
+                       low_freq_msm: int = 1):
+    """CommonTermsQuery (``lucene/queries/.../CommonTermsQuery.java``):
+    split query terms by document frequency at ``max_tf_fraction`` of
+    maxDoc. Rare (low-freq) terms drive matching (SHOULD with
+    ``low_freq_msm``); common terms only CONTRIBUTE score on docs the
+    rare terms already matched — the stopword-robust query shape that
+    avoids scanning a stopword's full posting list as a match driver.
+    With no rare terms, falls back to all-common OR (the reference's
+    behavior). Returns a composed BooleanQuery."""
+    from .query import BooleanQuery, TermQuery
+
+    cutoff = max(1, int(max_tf_fraction * searcher.max_doc))
+    low = [t for t in terms if 0 < searcher.doc_freq(t) <= cutoff]
+    high = [t for t in terms if searcher.doc_freq(t) > cutoff]
+    if not low:
+        return BooleanQuery.build(
+            should=[TermQuery(t) for t in high] or [TermQuery(t)
+                                                    for t in terms])
+    clauses = [("SHOULD", TermQuery(t)) for t in low]
+    # high-freq terms: score-only SHOULD clauses; msm counts only the
+    # low-freq group, which BooleanQuery models with msm over SHOULD —
+    # so put the common terms in as zero-msm SHOULD via a nested query
+    inner_low = BooleanQuery(tuple(clauses),
+                             min_should_match=min(low_freq_msm,
+                                                  len(low)))
+    if not high:
+        return inner_low
+    return BooleanQuery.build(
+        must=[inner_low],
+        should=[TermQuery(t) for t in high])

@@ -118,3 +118,67 @@ class ClassicSimilarity:
             np.add.at(overlap, pos, 1)
         coord = overlap / float(len(terms))
         return union, (acc * qnorm * coord)
+
+
+class SweetSpotSimilarity(ClassicSimilarity):
+    """``lucene/misc/src/java/org/apache/lucene/misc/
+    SweetSpotSimilarity.java``: ClassicSimilarity with a PLATEAU length
+    norm — docs whose length falls inside [ln_min, ln_max] get the full
+    norm 1/sqrt(base); outside, the norm decays with ``steepness``:
+
+        lengthNorm(l) = 1 / sqrt( steepness * (|l - ln_min| +
+                        |l - ln_max| - (ln_max - ln_min)) + base )
+
+    and an optional baseline tf: freqs below ``tf_min`` score
+    ``tf_base`` instead of sqrt(freq) (baselineTf)."""
+
+    name = "sweetspot"
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 steepness: float = 0.5, base: float = 1.0,
+                 tf_min: float = 0.0, tf_base: float = 0.0):
+        self.ln_min, self.ln_max = ln_min, ln_max
+        self.steepness, self.base = steepness, base
+        self.tf_min, self.tf_base = tf_min, tf_base
+
+    def length_norm(self, lengths: np.ndarray) -> np.ndarray:
+        l_ = lengths.astype(np.float64)
+        core = (np.abs(l_ - self.ln_min) + np.abs(l_ - self.ln_max)
+                - (self.ln_max - self.ln_min))
+        return 1.0 / np.sqrt(self.steepness * core + self.base)
+
+    def tf(self, freqs: np.ndarray) -> np.ndarray:
+        t = np.sqrt(freqs.astype(np.float64))
+        if self.tf_min > 0:
+            t = np.where(freqs < self.tf_min, self.tf_base, t)
+        return t
+
+    def score_or(self, searcher, terms: list[str]):
+        """Like ClassicSimilarity.score_or but with the plateau norm
+        computed from true doc lengths (precise norms path)."""
+        import math as _m
+
+        n = searcher.max_doc
+        datas, idfs = [], []
+        for t in terms:
+            docs, tfs = searcher.reader.postings(t)
+            if searcher.live_docs is not None and docs.size:
+                keep = searcher.live_docs.mask[docs]
+                docs, tfs = docs[keep], tfs[keep]
+            datas.append((docs, tfs))
+            df = searcher.doc_freq(t)
+            idfs.append(self.idf(df, n) if df else 0.0)
+        qnorm = 1.0 / (_m.sqrt(sum(i * i for i in idfs)) or 1.0)
+        union = np.unique(np.concatenate(
+            [d for d, _ in datas] or [np.empty(0, np.int64)]))
+        acc = np.zeros(union.size, np.float64)
+        overlap = np.zeros(union.size, np.int64)
+        for (docs, tfs), i in zip(datas, idfs):
+            if docs.size == 0:
+                continue
+            pos = np.searchsorted(union, docs)
+            norm = self.length_norm(searcher.norms.length[docs])
+            np.add.at(acc, pos, self.tf(tfs) * (i * i) * norm)
+            np.add.at(overlap, pos, 1)
+        coord = overlap / float(len(terms))
+        return union, (acc * qnorm * coord)

@@ -246,3 +246,74 @@ def test_blended_infix_suggester():
     # key2 min(pos(gamma)=1, pos(al*)=2)=1 -> 0.9
     assert t2.surface.tolist() == ["alpha beta gamma", "beta gamma alpha"]
     assert np.allclose(t2.weight.tolist(), [10.0, 9.0])
+
+
+def test_common_terms_query(tmp_path_factory, ray_session):
+    """CommonTermsQuery: rare terms drive the match set; common terms
+    only add score; no-rare-terms degrades to plain OR."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+    from lucene_solr_ray.search.extras import common_terms_query
+    from lucene_solr_ray.search.query import BooleanQuery
+
+    docs = (["common filler text"] * 40
+            + ["common rareword payload", "rareword alone here"])
+    d = tmp_path_factory.mktemp("ctq_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array(range(len(docs)), pa.int64()),
+        "content": pa.array(docs),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("ctq_idx") / "idx")
+    build_index(str(d), out, text_field="content", rows_per_partition=50)
+    s = IndexSearcher(out)
+
+    q = common_terms_query(s, ["common", "rareword"],
+                           max_tf_fraction=0.2)
+    got = set(s._docs_only(q).tolist())
+    # ONLY the rareword docs match (common is score-only)
+    assert got == {40, 41}
+    # the common term still contributes score: doc 40 (has both) ranks
+    # above doc 41 (rare only)
+    docs_r, scores = s._score(q)
+    r = {int(d): float(x) for d, x in zip(docs_r, scores)}
+    assert r[40] > r[41]
+    # all-common fallback = plain OR
+    q2 = common_terms_query(s, ["common", "filler"],
+                            max_tf_fraction=0.01)
+    want = set(s._docs_only(BooleanQuery.build(
+        should=[TermQuery("common"), TermQuery("filler")])).tolist())
+    assert set(s._docs_only(q2).tolist()) == want
+
+
+def test_sweetspot_similarity_plateau(tmp_path_factory, ray_session):
+    """SweetSpotSimilarity: docs inside the length plateau outrank
+    longer docs with the same tf/idf profile (misc/SweetSpotSimilarity
+    computeLengthNorm)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.similarities import SweetSpotSimilarity
+
+    docs = ["target one two",                       # len 3 (plateau)
+            "target " + " ".join(f"w{i}" for i in range(30))]  # len 31
+    d = tmp_path_factory.mktemp("ss_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array(range(len(docs)), pa.int64()),
+        "content": pa.array(docs),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("ss_idx") / "idx")
+    build_index(str(d), out, text_field="content", rows_per_partition=10)
+    s = IndexSearcher(out)
+    sim = SweetSpotSimilarity(ln_min=1, ln_max=5)
+    union, scores = sim.score_or(s, ["target"])
+    r = {int(d): float(x) for d, x in zip(union, scores)}
+    assert r[0] > r[1]
+    # plateau exactness: norm is 1.0 inside, < 1.0 outside
+    assert np.allclose(sim.length_norm(np.array([1, 3, 5])), 1.0)
+    assert (sim.length_norm(np.array([6, 10, 31])) < 1.0).all()
