@@ -951,6 +951,13 @@ class IndexSearcher:
         if cache is None:
             cache = self._docvalues = {}
         v = cache.get(field)
+        if v is None and field.startswith("external_"):
+            # ExternalFileField (solr/core/.../schema/ExternalFileField
+            # .java + function/FileFloatSource.java): key=value lines in
+            # external_<name>[.*] files under the index dir, keyed by
+            # the unique key; later files override earlier; missing keys
+            # default to 0. Reloaded per searcher (reload-on-commit).
+            v = cache[field] = self._load_external_file(field)
         if v is None:
             import pyarrow.parquet as pq
 
@@ -993,6 +1000,35 @@ class IndexSearcher:
                         t.column("value").to_numpy()[ids < v.size]
             cache[field] = v
         return v
+
+    def _load_external_file(self, field: str,
+                            key_col: str = "doc_key",
+                            default: float = 0.0) -> np.ndarray:
+        """Dense per-doc floats from ``external_<name>`` files."""
+        idx = self.manifest.index_dir
+        files = sorted(
+            f for f in os.listdir(idx)
+            if f == field or f.startswith(field + "."))
+        kv: dict[str, float] = {}
+        for f in files:
+            with open(os.path.join(idx, f)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or "=" not in line:
+                        continue
+                    k_, _, val = line.rpartition("=")
+                    try:
+                        kv[k_] = float(val)
+                    except ValueError:
+                        continue
+        keys = self.docvalues(key_col)
+        out = np.full(self.max_doc, default, np.float64)
+        if kv:
+            for i, k_ in enumerate(keys):
+                hit = kv.get(str(k_))
+                if hit is not None:
+                    out[i] = hit
+        return out
 
     def search_by_field(
         self, q: Query, k: int, field: str, *, descending: bool = True,

@@ -74,3 +74,44 @@ def test_compile_expression():
                 "[i for i in x]", "lambda: 1"):
         with pytest.raises(ValueError):
             compile_expression(bad)
+
+
+def test_external_file_field(tmp_path_factory, ray_session):
+    """ExternalFileField: key=value files feed function queries as a
+    dense per-doc value source; later files override; missing keys
+    default to 0; a new searcher sees updated files (reload-on-commit
+    semantics)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.functions import function_topk
+
+    d = tmp_path_factory.mktemp("eff_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array([100, 200, 300], pa.int64()),
+        "content": pa.array(["a b", "c d", "e f"]),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("eff_idx") / "idx")
+    build_index(str(d), out, text_field="content", rows_per_partition=10)
+
+    with open(os.path.join(out, "external_rank"), "w") as f:
+        f.write("100=5.0\n200=1.0\n")
+    with open(os.path.join(out, "external_rank.update1"), "w") as f:
+        f.write("200=9.0\n")  # override wins (lexically later file)
+
+    s = IndexSearcher(out)
+    vals = s.docvalues("external_rank")
+    assert vals.tolist() == [5.0, 9.0, 0.0]
+    t = function_topk(s, "sum(external_rank,1)", k=3)
+    assert t["doc_id"].to_pylist() == [1, 0, 2]
+    assert t["value"].to_pylist() == [10.0, 6.0, 1.0]
+
+    # commit-style update: new file, NEW searcher reloads
+    with open(os.path.join(out, "external_rank.update2"), "w") as f:
+        f.write("300=99.0\n")
+    s2 = IndexSearcher(out)
+    assert s2.docvalues("external_rank").tolist() == [5.0, 9.0, 99.0]
