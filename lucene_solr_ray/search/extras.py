@@ -430,3 +430,46 @@ def common_terms_query(searcher, terms: list[str], *,
     return BooleanQuery.build(
         must=[inner_low],
         should=[TermQuery(t) for t in high])
+
+
+def complex_phrase_query(searcher, phrase: str, *, slop: int = 0,
+                         max_expansions: int = 128):
+    """ComplexPhraseQueryParser (``lucene/queryparser/.../complexPhrase/
+    ComplexPhraseQueryParser.java``): wildcards/prefixes INSIDE a quoted
+    phrase — '"jo* smith"' — by expanding each wildcard slot against
+    the term dictionary (bounded by ``max_expansions``, the rewrite's
+    maxExpansions) and matching with MultiPhraseQuery position
+    semantics. Plain slots analyze normally. Returns None when a
+    wildcard slot has no dictionary expansion (no doc can match)."""
+    from ..analysis import get_analyzer
+    from .query import MultiPhraseQuery, PhraseQuery, TermQuery
+    from .query import WildcardQuery
+
+    ana = searcher.manifest.resolve_analyzer() \
+        if hasattr(searcher.manifest, "resolve_analyzer") \
+        else get_analyzer("standard")
+    slots: list[tuple[str, ...]] = []
+    for word in phrase.split():
+        if "*" in word or "?" in word:
+            terms = searcher._rewrite_terms(
+                WildcardQuery(word.lower()))[:max_expansions]
+            if not terms:
+                return None
+            slots.append(tuple(terms))
+        else:
+            toks = ana.tokens(word)
+            if not toks:
+                continue  # stopword position collapses (parser behavior)
+            slots.append(tuple(toks))
+    if not slots:
+        return None
+    if len(slots) == 1:
+        return TermQuery(slots[0][0]) if len(slots[0]) == 1 else \
+            MultiPhraseQuery((slots[0],))
+    if all(len(s) == 1 for s in slots):
+        return PhraseQuery(tuple(s[0] for s in slots), slop=slop)
+    if slop:
+        raise ValueError(
+            "sloppy wildcard phrases are not supported (exact "
+            "MultiPhrase only, like the parser's inOrder=true default)")
+    return MultiPhraseQuery(tuple(slots))

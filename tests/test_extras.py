@@ -317,3 +317,41 @@ def test_sweetspot_similarity_plateau(tmp_path_factory, ray_session):
     # plateau exactness: norm is 1.0 inside, < 1.0 outside
     assert np.allclose(sim.length_norm(np.array([1, 3, 5])), 1.0)
     assert (sim.length_norm(np.array([6, 10, 31])) < 1.0).all()
+
+
+def test_complex_phrase_query(tmp_path_factory, ray_session):
+    """ComplexPhraseQueryParser: wildcards inside quoted phrases expand
+    against the dictionary into MultiPhrase slots."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.extras import complex_phrase_query
+
+    docs = ["john smith works here", "jonah smith sleeps",
+            "smith john reversed", "john smyth variant",
+            "johannes brahms composer"]
+    d = tmp_path_factory.mktemp("cpq_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array(range(len(docs)), pa.int64()),
+        "content": pa.array(docs),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("cpq_idx") / "idx")
+    build_index(str(d), out, text_field="content",
+                store_positions=True, rows_per_partition=10)
+    s = IndexSearcher(out)
+
+    q = complex_phrase_query(s, "jo* smith")
+    got = set(s._docs_only(q).tolist())
+    assert got == {0, 1}  # john smith, jonah smith; NOT reversed/smyth
+
+    q2 = complex_phrase_query(s, "john sm?th")
+    assert set(s._docs_only(q2).tolist()) == {0, 3}
+
+    # no expansion -> no match
+    assert complex_phrase_query(s, "zz* smith") is None
+
+    # plain phrase path still works (with slop)
+    q3 = complex_phrase_query(s, "john works", slop=1)
+    assert set(s._docs_only(q3).tolist()) == {0}
