@@ -182,3 +182,187 @@ def catalan_analyzer(**kw) -> _ElisionStemmingAnalyzer:
 register_analyzer("greek", greek_analyzer())
 register_analyzer("romanian", romanian_analyzer())
 register_analyzer("catalan", catalan_analyzer())
+
+
+# ---------------------------------------------------------------------------
+# Irish (ga/IrishAnalyzer.java + IrishLowerCaseFilter.java)
+# ---------------------------------------------------------------------------
+
+_GA_VOWELS_UPPER = frozenset("AEIOUÁÉÍÓÚ")
+_GA_ELISION = frozenset(["d", "m", "b"])
+
+IRISH_STOP_WORDS = frozenset("""
+a ach ag agus an aon ar arna as b' ba beirt bhur caoga ceathair
+ceathrar chomh chto chuig chun cois cead cuig cuigear d' daichead dar
+de deich deichniur den dha do don dtir duirt faoi faoin faoina faoinar
+fara fiche gach gan go gur haon hocht i iad idir in ina ins inar is le
+leis lena lenar m' mar mo na nach naoi naonur ni nior no nocha ocht
+ochtar os roimh sa seacht seachtar seachto sean se seisear siad sibh
+sinn sna se sean tar thar thu triur tri trocha tu um ar ais me sise
+tusa
+""".split())
+
+
+def irish_lowercase(word: str) -> str:
+    """IrishLowerCaseFilter: a lowercase 'n'/'t' prefixed to an
+    UPPERCASE letter marks eclipsis / t-prothesis (nAthair, tSaol);
+    lowercasing inserts the hyphen the orthography uses elsewhere
+    (n-athair, t-saol) so the prefix never fuses into the headword."""
+    if (len(word) > 1 and word[0] in ("n", "t")
+            and word[1].isupper()):
+        return word[0] + "-" + word[1:].lower()
+    return word.lower()
+
+
+def irish_elide(token: str) -> str:
+    for apo in ("'", "’"):
+        if apo in token:
+            head, _, rest = token.partition(apo)
+            if head.lower() in _GA_ELISION and rest:
+                return rest
+    return token
+
+
+class IrishAnalyzer(StemmingAnalyzer):
+    """Tokenize -> IrishLowerCase -> elision (d'/m'/b') -> stop. The
+    reference adds a Snowball Irish stemmer; this chain carries the
+    language-specific casing/elision surface (the filter classes) and
+    leaves stems identity — documented light variant."""
+
+    def __init__(self, **kw):
+        super().__init__("irish", IRISH_STOP_WORDS, lambda t: t, **kw)
+        from .analyzers import WhitespaceAnalyzer  # noqa: F401
+
+    def _one(self, t: str) -> str | None:
+        t = irish_elide(t)
+        if t in self.stop_words:
+            return None
+        return t
+
+    def tokens(self, text: str) -> list[str]:
+        # Irish casing must see the ORIGINAL case, so tokenize raw and
+        # lowercase per token with the Irish rule
+        from .tokenizer import tokenize
+
+        out = []
+        for raw in tokenize(text):
+            t = self._one(irish_lowercase(raw))
+            if t is not None:
+                out.append(t)
+        return out
+
+    def tokens_with_positions(self, text: str):
+        from .tokenizer import tokenize_with_positions
+
+        toks, pos = tokenize_with_positions(text)
+        out_t, out_p = [], []
+        for raw, p in zip(toks, pos):
+            t = self._one(irish_lowercase(raw))
+            if t is not None:
+                out_t.append(t)
+                out_p.append(p)
+        return out_t, out_p
+
+    def tokens_batch(self, texts):
+        import numpy as np
+
+        all_t, all_d, all_p = [], [], []
+        for i, text in enumerate(texts):
+            t, p = self.tokens_with_positions(text)
+            all_t.extend(t)
+            all_d.append(np.full(len(t), i, np.int64))
+            all_p.append(np.asarray(p, np.int64))
+        if all_d:
+            return all_t, np.concatenate(all_d), np.concatenate(all_p)
+        z = np.empty(0, np.int64)
+        return all_t, z, z
+
+
+# ---------------------------------------------------------------------------
+# Galician (gl/GalicianMinimalStemFilter: plural reduction only)
+# ---------------------------------------------------------------------------
+
+GALICIAN_STOP_WORDS = frozenset("""
+a aínda alí aquel aquela aquelas aqueles aquilo aquí ao aos as así á ben
+cando che co coa comigo con connosco contigo convosco coas cos cun cuns
+cunha cunhas da dalgunha dalgunhas dalgún dalgúns das de del dela delas
+deles desde deste do dos dun duns dunha dunhas e el ela elas eles en era
+eran esa esas ese eses esta estar estaba está están este estes estiven
+estou eu é facer foi foron fun había hai iso isto la las lle lles lo los
+mais me meu meus min miña miñas moi na nas neste nin no non nos nosa
+nosas noso nosos nós nun nunha nuns nunhas o os ou ó ós para pero pode
+pois pola polas polo polos por que se senón ser seu seus sexa sida sobre
+súa súas tamén tan te ten teñen teño ter teu teus ti tido tiña tiven túa
+túas un unha unhas uns vos vosa vosas voso vosos vós
+""".split())
+
+
+def galician_minimal_stem(word: str) -> str:
+    """Minimal (plural-only) reduction — the GalicianMinimalStemFilter
+    shape: '-ns' plurals restore '-n' (cancións -> canción); other
+    plain '-s' plurals drop the s (homes -> home); minimum stem 3."""
+    if len(word) > 3 and word.endswith("ns"):
+        return word[:-1]
+    if len(word) > 3 and word.endswith("s") and not word.endswith("ss"):
+        return word[:-1]
+    return word
+
+
+def galician_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("galician", GALICIAN_STOP_WORDS,
+                            galician_minimal_stem, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Sorani Kurdish (ckb/SoraniNormalizationFilter + light stem)
+# ---------------------------------------------------------------------------
+
+_CKB_MAP = {
+    "ي": "ی",   # Arabic yeh -> Farsi yeh
+    "ى": "ی",   # alef maksura -> Farsi yeh
+    "ك": "ک",   # Arabic kaf -> keheh
+    "ـ": "",          # tatweel removed
+    "‌": "",          # ZWNJ removed
+    "ه‌": "ە",  # heh+ZWNJ -> ae
+}
+_CKB_DIACRITICS = frozenset("ًٌٍَُِّْ")
+
+
+def sorani_normalize(word: str) -> str:
+    """SoraniNormalizationFilter: unify yeh/kaf variants, map final
+    heh+ZWNJ to ae, strip tatweel/ZWNJ and Arabic diacritics."""
+    w = word.replace("ه‌", "ە")
+    out = []
+    for c in w:
+        m = _CKB_MAP.get(c)
+        if m is not None:
+            out.append(m)
+        elif c not in _CKB_DIACRITICS:
+            out.append(c)
+    return "".join(out)
+
+
+# definite/plural/indefinite endings, longest first (light subset of
+# SoraniStemmer's suffix table), stem >= 3
+_CKB_SUFFIXES = tuple(sorted(
+    ["ەکان", "ەکە",
+     "ان", "ێک", "ەکانی",
+     "یان", "ەوە"],
+    key=len, reverse=True))
+
+
+def sorani_stem(word: str) -> str:
+    w = sorani_normalize(word)
+    for suf in _CKB_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+def sorani_analyzer(**kw) -> StemmingAnalyzer:
+    return StemmingAnalyzer("sorani", frozenset(), sorani_stem, **kw)
+
+
+register_analyzer("irish", IrishAnalyzer())
+register_analyzer("galician", galician_analyzer())
+register_analyzer("sorani", sorani_analyzer())

@@ -256,3 +256,57 @@ def test_light2_registered_and_chain():
     assert "oras" in ro.tokens("orasele din romania")
     ca = get_analyzer("catalan")
     assert ca.tokens("l'home i les paraules") == ["home", "paraul"]
+
+
+def test_irish_lowercase_and_elision():
+    from lucene_solr_ray.analysis.light2 import (
+        irish_elide,
+        irish_lowercase,
+    )
+
+    # n-/t- prothesis boundary preserved with a hyphen
+    assert irish_lowercase("nAthair") == "n-athair"
+    assert irish_lowercase("tSaol") == "t-saol"
+    # plain words just lowercase (no hyphen for lowercase vowels)
+    assert irish_lowercase("nathair") == "nathair"
+    assert irish_lowercase("Teach") == "teach"
+    assert irish_elide("d'fhear") == "fhear"
+    assert irish_elide("b'amhlaidh") == "amhlaidh"
+    assert irish_elide("x'keep") == "x'keep"
+
+
+def test_galician_minimal_plural():
+    from lucene_solr_ray.analysis.light2 import galician_minimal_stem
+
+    assert galician_minimal_stem("homes") == "home"
+    assert galician_minimal_stem("cancións") == "canción"
+    assert galician_minimal_stem("mans") == "man"
+    # guards: short words and non-plurals untouched
+    assert galician_minimal_stem("das") == "das"
+    assert galician_minimal_stem("home") == "home"
+
+
+def test_sorani_normalize_and_stem():
+    from lucene_solr_ray.analysis.light2 import (
+        sorani_normalize,
+        sorani_stem,
+    )
+
+    # Arabic yeh/kaf variants unify
+    assert sorani_normalize("كتاب") == "کتاب"
+    assert sorani_normalize("علي") == "علی"
+    # definite-plural strips to the stem
+    assert sorani_stem("كتابەکان") == "کتاب"
+    s = sorani_stem("کتابەکە")
+    assert s == "کتاب"
+    # idempotent
+    assert sorani_stem(s) == s
+
+
+def test_batch2b_registered():
+    from lucene_solr_ray.analysis import get_analyzer
+
+    assert get_analyzer("irish").tokens("nAthair agus d'fhear") == \
+        ["n-athair", "fhear"]
+    assert "home" in get_analyzer("galician").tokens("os homes")
+    assert get_analyzer("sorani").tokens("كتابەکان") == ["کتاب"]
