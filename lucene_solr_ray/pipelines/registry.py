@@ -1207,6 +1207,21 @@ def q_multilingual_stems(sf_dir: str) -> pa.Table:
             "una paraula de l'home",
             "paraules i homes",
         ],
+        "irish": [
+            "an nAthair agus d'fhear",
+            "tSaol an fhear",
+            "nAthair sa tSaol",
+        ],
+        "galician": [
+            "os homes e as cancións",
+            "unha canción do home",
+            "homes con cancións",
+        ],
+        "sorani": [
+            "كتابەکان لە ماڵ",
+            "کتابەکە و ماڵەکان",
+            "کتاب لە ماڵەکە",
+        ],
         # CJKAnalyzer: overlapping character bigrams (cjk.py)
         "cjk": [
             "日本語の検索エンジン",
