@@ -473,3 +473,56 @@ def complex_phrase_query(searcher, phrase: str, *, slop: int = 0,
             "sloppy wildcard phrases are not supported (exact "
             "MultiPhrase only, like the parser's inOrder=true default)")
     return MultiPhraseQuery(tuple(slots))
+
+
+def rank_passages(text: str, spans: list[tuple], idf_of: dict | None,
+                  *, max_passages: int = 3,
+                  pre: str = "<em>", post: str = "</em>"):
+    """PostingsHighlighter passage ranking (``postingshighlight/
+    PostingsHighlighter.java`` + PassageScorer): split the doc into
+    sentence passages (BreakIterator.getSentenceInstance analogue:
+    '.'/'?'/'!' + space boundaries), score each passage by the
+    PassageScorer formula — sum over unique matched terms of
+    weight(term) * tf-norm, weight = idf-like, tf-norm = 1/(1+ln(1+tf))
+    inverted: tf/(tf+k) with k=1 keeps the reference's diminishing
+    returns — and return the ``max_passages`` best, in document order,
+    with match offsets wrapped.
+
+    ``spans`` = [(start, end, term)] character offsets from the index's
+    offset stream; ``idf_of`` maps term -> weight (None = 1.0 each).
+    """
+    import re as _re
+
+    bounds = [0]
+    for m in _re.finditer(r"[.!?]\s+", text):
+        bounds.append(m.end())
+    bounds.append(len(text))
+    passages = [(bounds[i], bounds[i + 1])
+                for i in range(len(bounds) - 1)
+                if bounds[i] < bounds[i + 1]]
+
+    scored = []
+    for pi, (ps, pe) in enumerate(passages):
+        inside = [(s, e, t) for (s, e, t) in spans if ps <= s < pe]
+        if not inside:
+            continue
+        per_term: dict[str, int] = {}
+        for _s, _e, t in inside:
+            per_term[t] = per_term.get(t, 0) + 1
+        score = 0.0
+        for t, tf in per_term.items():
+            w = (idf_of or {}).get(t, 1.0)
+            score += w * (tf / (tf + 1.0))
+        scored.append((score, pi, ps, pe, inside))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    top = sorted(scored[:max_passages], key=lambda x: x[1])
+
+    out = []
+    for score, _pi, ps, pe, inside in top:
+        frag = text[ps:pe]
+        # wrap matches back-to-front so offsets stay valid
+        for s, e, _t in sorted(inside, key=lambda x: -x[0]):
+            frag = (frag[: s - ps] + pre + frag[s - ps: e - ps]
+                    + post + frag[e - ps:])
+        out.append((score, frag.strip()))
+    return out

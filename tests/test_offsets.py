@@ -116,3 +116,31 @@ def test_checkindex_covers_offset_stream(off_idx):
     out, _docs = off_idx
     rep = check_index(out)
     assert rep["ok"] and rep["terms_checked"] > 0
+
+
+def test_passage_ranking():
+    """PostingsHighlighter passage scoring: the passage with more
+    distinct/high-idf matches wins; output keeps document order."""
+    from lucene_solr_ray.search.extras import rank_passages
+
+    text = ("Nothing relevant here. The quick fox jumps over the fox. "
+            "A single fox appears. No matches in this one.")
+    # char spans of the word "fox" occurrences + "quick"
+    spans = []
+    import re
+    for m in re.finditer(r"fox", text):
+        spans.append((m.start(), m.end(), "fox"))
+    m = re.search(r"quick", text)
+    spans.append((m.start(), m.end(), "quick"))
+
+    out = rank_passages(text, spans, {"fox": 1.0, "quick": 3.0},
+                        max_passages=2)
+    assert len(out) == 2
+    # best passage = the one with quick (weight 3) + two fox hits
+    best = max(out, key=lambda x: x[0])
+    assert "<em>quick</em>" in best[1] and "<em>fox</em>" in best[1]
+    # document order preserved in the returned list
+    assert out[0][1].startswith("The <em>quick</em>")
+    assert "single" in out[1][1]
+    # no-match passages never surface
+    assert all("Nothing relevant" not in frag for _s, frag in out)
