@@ -359,3 +359,43 @@ class ClassicQueryParser:
                 return PrefixQuery(_unescape(pat[:-1]))
             return WildcardQuery(pat)  # escapes kept: analyzed per-char
         return _analyzed_to_query(self.analyzer, _unescape(word))
+
+
+def parse_min_should_match(spec: str, clause_count: int) -> int:
+    """Solr's mm spec grammar (``solr/core/.../util/SolrPluginUtils.java
+    calculateMinShouldMatch``): the computed minimum-should-match for
+    ``clause_count`` optional clauses.
+
+    - ``"3"``      -> 3
+    - ``"-2"``     -> clause_count - 2
+    - ``"75%"``    -> floor(0.75 * clause_count)
+    - ``"-25%"``   -> clause_count - floor(0.25 * clause_count)
+    - conditionals ``"2<-25% 9<-3"``: each ``n<spec`` applies when
+      clause_count > n; the one with the LARGEST matching n wins;
+      if none match (clause_count <= smallest n) mm = clause_count.
+    Result clamps to [0, clause_count] (the reference's behavior of
+    never requiring more clauses than exist)."""
+    spec = spec.strip()
+    if not spec:
+        return 0
+
+    def simple(s: str, n: int) -> int:
+        s = s.strip()
+        if s.endswith("%"):
+            pct = int(s[:-1])
+            part = abs(pct) * n // 100
+            return n - part if pct < 0 else part
+        v = int(s)
+        return n + v if v < 0 else v
+
+    if "<" in spec:
+        mm = clause_count
+        best_n = -1
+        for part in spec.split():
+            cond, _, rhs = part.partition("<")
+            n = int(cond)
+            if clause_count > n and n > best_n:
+                best_n = n
+                mm = simple(rhs, clause_count)
+        return max(0, min(mm, clause_count))
+    return max(0, min(simple(spec, clause_count), clause_count))

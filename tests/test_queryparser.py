@@ -162,3 +162,22 @@ def test_errors(ana):
         P('"unterminated', ana)
     with pytest.raises(ValueError):
         P("cat) dog", ana)
+
+
+def test_min_should_match_spec():
+    """Solr mm grammar (SolrPluginUtils.calculateMinShouldMatch)."""
+    from lucene_solr_ray.search.queryparser import parse_min_should_match
+
+    assert parse_min_should_match("3", 5) == 3
+    assert parse_min_should_match("-2", 5) == 3
+    assert parse_min_should_match("75%", 4) == 3
+    assert parse_min_should_match("75%", 5) == 3     # floor
+    assert parse_min_should_match("-25%", 4) == 3
+    # conditionals: n<spec applies when clause_count > n, largest n wins
+    spec = "2<-25% 9<-3"
+    assert parse_min_should_match(spec, 2) == 2      # <=2: all required
+    assert parse_min_should_match(spec, 8) == 6      # -25% of 8
+    assert parse_min_should_match(spec, 12) == 9     # -3 of 12
+    # clamped to the clause count
+    assert parse_min_should_match("99", 4) == 4
+    assert parse_min_should_match("", 7) == 0
