@@ -399,3 +399,48 @@ def parse_min_should_match(spec: str, clause_count: int) -> int:
                 mm = simple(rhs, clause_count)
         return max(0, min(mm, clause_count))
     return max(0, min(simple(spec, clause_count), clause_count))
+
+
+def edismax_query(text: str, analyzer, fields: list[str], *,
+                  boosts: dict[str, float] | None = None,
+                  tie_breaker: float = 0.0,
+                  pf_fields: list[str] | None = None,
+                  ps: int = 0, mm: str | None = None,
+                  default_op: str = "OR"):
+    """The edismax composition (``solr/core/.../search/
+    ExtendedDismaxQParser.java``): the user query expands per-clause
+    into a DisMax across ``fields`` (qf), an implicit PHRASE of the
+    whole query boosts docs where all terms appear adjacent in a
+    ``pf_fields`` field (pf/ps), and ``mm`` (the Solr grammar —
+    :func:`parse_min_should_match`) applies to the top-level optional
+    clauses. Returns a composed Query for IndexSearcher/
+    MultiFieldSearcher."""
+    from .query import (
+        SHOULD,
+        BooleanQuery,
+        BoostQuery,
+        DisjunctionMaxQuery,
+        FieldedQuery,
+        PhraseQuery,
+    )
+
+    base = parse_multifield_query(text, analyzer, fields,
+                                  boosts=boosts,
+                                  tie_breaker=tie_breaker,
+                                  default_op=default_op)
+    if mm is not None and isinstance(base, BooleanQuery):
+        n_should = sum(1 for occ, _ in base.clauses if occ == SHOULD)
+        base = BooleanQuery(
+            base.clauses,
+            min_should_match=parse_min_should_match(mm, n_should))
+    toks = analyzer.tokens(text.replace('"', " "))
+    if pf_fields and len(toks) > 1:
+        phrase = PhraseQuery(tuple(toks), slop=ps)
+        pf_clauses = [
+            FieldedQuery(f, BoostQuery(phrase, (boosts or {}).get(f, 1.0)))
+            for f in pf_fields
+        ]
+        pf_q = pf_clauses[0] if len(pf_clauses) == 1 else \
+            DisjunctionMaxQuery(tuple(pf_clauses), tie_breaker)
+        return BooleanQuery.build(must=[base], should=[pf_q])
+    return base

@@ -201,3 +201,42 @@ def test_copy_field_catchall(tmp_path_factory, ray_session):
     a_docs, _ = s._score(FieldedQuery("catchall", TermQuery(probe)))
     assert set(c_docs.tolist()) <= set(a_docs.tolist())
     assert len(c_docs) > 0
+
+
+def test_edismax_pf_and_mm(tmp_path_factory, ray_session):
+    """edismax: qf DisMax expansion + pf phrase boost + mm spec — the
+    phrase-adjacent doc outranks the scattered-terms doc; mm prunes
+    docs matching too few clauses."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.analysis import get_analyzer
+    from lucene_solr_ray.index import build_multi_index
+    from lucene_solr_ray.search.queryparser import edismax_query
+
+    d = tmp_path_factory.mktemp("edx_corpus")
+    docs = [
+        ("quick fox jumps high", "title a"),        # adjacent phrase
+        ("quick brown dog; fox elsewhere jumps", "title b"),  # scattered
+        ("quick only", "title c"),                  # 1 of 3 terms
+    ]
+    pq.write_table(pa.table({
+        "doc_key": pa.array(range(len(docs)), pa.int64()),
+        "content": pa.array([c for c, _t in docs]),
+        "title": pa.array([t for _c, t in docs]),
+    }), str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("edx_idx"))
+    build_multi_index(str(d), out, {
+        "content": {"analyzer": "standard", "positions": True},
+        "title": {"analyzer": "standard"},
+    }, rows_per_partition=10)
+
+    s = MultiFieldSearcher(out)
+    ana = get_analyzer("standard")
+    q = edismax_query("quick fox jumps", ana, ["content", "title"],
+                      pf_fields=["content"], mm="2")
+    docs_r, scores = s._score(q)
+    r = {int(d_): float(x) for d_, x in zip(docs_r, scores)}
+    # mm=2: doc 2 (one term) is OUT
+    assert set(r) == {0, 1}
+    # pf: the adjacent-phrase doc wins
+    assert r[0] > r[1]
