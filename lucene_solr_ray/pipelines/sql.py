@@ -442,7 +442,10 @@ def parse_sql(q: str) -> Plan:
         p.take()
         p.expect("BY")
         while True:
-            plan.group_by.append(p.take())
+            g = p.take()
+            if g.isdigit():  # positional: GROUP BY 1 = first select item
+                g = items[int(g) - 1].alias
+            plan.group_by.append(g)
             if p.peek() == ",":
                 p.take()
                 continue
@@ -455,6 +458,8 @@ def parse_sql(q: str) -> Plan:
         p.expect("BY")
         while True:
             name = p.take()
+            if name.isdigit():  # positional ORDER BY
+                name = items[int(name) - 1].alias
             desc = False
             if p.kw("ASC", "DESC"):
                 desc = p.take().upper() == "DESC"

@@ -382,3 +382,17 @@ def test_having_expression_lhs(ray_session):
     want = con.execute(q).df()
     assert got["lang"].tolist() == want["lang"].tolist()
     assert got["n"].tolist() == [int(x) for x in want["n"]]
+
+
+def test_positional_group_order(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    q = ("SELECT lang, count(*) AS n FROM documents "
+         "GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3")
+    got = execute_sql(q, SF).to_pandas()
+    want = con.execute(q).df()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["n"].tolist() == [int(x) for x in want["n"]]
