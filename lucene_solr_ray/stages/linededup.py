@@ -135,3 +135,90 @@ def line_dedup(ds, text_col: str, id_col: str, *,
         })
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def rolling_dup_hashes(ds, text_col: str, *, k: int = 10, stride: int = 1,
+                       min_repeat: int = 2) -> np.ndarray:
+    """COUNT pass over OVERLAPPING k-token windows at ``stride`` (the
+    ExactSubstr recipe of Lee et al., 2022 "Deduplicating Training Data
+    Makes Language Models Better", at window resolution instead of
+    suffix arrays): sorted int64 hashes of windows seen >= min_repeat
+    times corpus-wide. stride=1 is exact at k-token granularity;
+    stride>1 trades recall for a 1/stride smaller shuffle."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    def windows(words: list[str]):
+        return [" ".join(words[i:i + k])
+                for i in range(0, max(len(words) - k + 1, 0), stride)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        units: list[str] = []
+        for t in b[text_col].to_pylist():
+            units.extend(windows(t.split()))
+        if not units:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(_hash64(units), return_counts=True)
+        return pa.table({"h": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    t = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b["cnt"], min_repeat)),
+            batch_format="pyarrow")
+        .select_columns(["h"]).take_all()
+    )
+    return np.sort(np.asarray([r["h"] for r in t], np.int64))
+
+
+def rolling_dedup(ds, text_col: str, id_col: str, *, k: int = 10,
+                  stride: int = 1, min_repeat: int = 2,
+                  dup_hashes: np.ndarray | None = None):
+    """REWRITE pass: drop every TOKEN covered by any corpus-repeated
+    window (the union of matched [i, i+k) spans — how ExactSubstr cuts
+    the repeated byte ranges). Returns (id, text, tokens_in,
+    tokens_dropped)."""
+    import ray
+
+    if dup_hashes is None:
+        dup_hashes = rolling_dup_hashes(
+            ds, text_col, k=k, stride=stride, min_repeat=min_repeat)
+    dup_ref = ray.put(np.sort(np.asarray(dup_hashes, np.int64)))
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        out_text, n_in, n_drop = [], [], []
+        for t in b[text_col].to_pylist():
+            w = t.split()
+            starts = list(range(0, max(len(w) - k + 1, 0), stride))
+            if not starts:
+                out_text.append(t)
+                n_in.append(len(w))
+                n_drop.append(0)
+                continue
+            units = [" ".join(w[i:i + k]) for i in starts]
+            h = _hash64(units)
+            pos = np.searchsorted(dup, h)
+            hit = (pos < dup.size) & (
+                dup[np.minimum(pos, max(dup.size - 1, 0))] == h) \
+                if dup.size else np.zeros(len(units), bool)
+            drop = np.zeros(len(w), bool)
+            for i, bad in zip(starts, hit):
+                if bad:
+                    drop[i:i + k] = True
+            out_text.append(" ".join(
+                x for x, d_ in zip(w, drop) if not d_))
+            n_in.append(len(w))
+            n_drop.append(int(drop.sum()))
+        return pa.table({
+            id_col: b[id_col],
+            text_col: pa.array(out_text, pa.string()),
+            "tokens_in": pa.array(n_in, pa.int64()),
+            "tokens_dropped": pa.array(n_drop, pa.int64()),
+        })
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

@@ -202,3 +202,40 @@ def test_dsir_selects_target_like_docs(ray_session):
         idx = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % len(lr)
                for g in grams]
         assert abs(float(np.mean(lr[idx])) - row["dsir_score"]) < 1e-12
+
+
+def test_rolling_dedup_exact_substring(ray_session):
+    """Rolling-window ExactSubstr dedup: a shared 12-token template
+    embedded at DIFFERENT offsets in several docs is removed from all
+    of them (overlapping windows catch unaligned repeats, which the
+    non-overlapping line_dedup misses); unique text survives."""
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.linededup import (
+        rolling_dedup,
+        rolling_dup_hashes,
+    )
+
+    template = "this license text is identical across many documents ok yes"
+    assert len(template.split()) == 10
+    docs = [
+        f"intro words here {template} outro one",
+        f"{template} completely different tail text",
+        f"a b c d e f {template}",
+        "entirely unique document with no shared content at all here",
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    hashes = rolling_dup_hashes(ds, "text", k=10, stride=1, min_repeat=2)
+    assert hashes.size >= 1
+    out = rolling_dedup(ds, "text", "doc_id", k=10,
+                        dup_hashes=hashes).to_pandas() \
+        .set_index("doc_id")
+    for i in range(3):
+        assert template not in out.loc[i, "text"], i
+        assert out.loc[i, "tokens_dropped"] >= 10
+    assert out.loc[3, "text"] == docs[3]
+    assert out.loc[3, "tokens_dropped"] == 0
+    # non-template words survive
+    assert "intro words here" in out.loc[0, "text"]
+    assert "completely different tail text" in out.loc[1, "text"]
