@@ -874,6 +874,31 @@ def q_dsir_select(sf_dir: str) -> pa.Table:
     })
 
 
+def q_rolling_dedup(sf_dir: str) -> pa.Table:
+    """Exact-substring dedup at rolling-window resolution (Lee et al.
+    2022): overlapping 10-token windows counted corpus-wide; every
+    token covered by a repeated window drops. Output: per-doc token
+    totals."""
+    import ray.data as rd
+
+    from ..stages.linededup import rolling_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = (
+        rolling_dedup(ds, "text", "doc_id", k=10, stride=1,
+                      min_repeat=2)
+        .select_columns(["doc_id", "tokens_in", "tokens_dropped"])
+        .to_pandas().sort_values("doc_id")
+    )
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+        "tokens_in": pa.array(out["tokens_in"].to_numpy(np.int64)),
+        "tokens_dropped": pa.array(
+            out["tokens_dropped"].to_numpy(np.int64)),
+    })
+
+
 def q_join_global_ordinals(sf_dir: str) -> pa.Table:
     """Global-ordinal STRING join (JoinUtil with global ordinals —
     ``lucene/join/.../JoinUtil.java`` + MultiDocValues.OrdinalMap):
@@ -2359,6 +2384,7 @@ QUERIES = {
     "join_global_ordinals": q_join_global_ordinals,
     "dsir_select": q_dsir_select,
     "facet_missing_indexsort": q_facet_missing_indexsort,
+    "rolling_dedup": q_rolling_dedup,
     "geo_heatmap": q_geo_heatmap,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
@@ -2573,6 +2599,41 @@ SELECT d.lang, count(*)::BIGINT AS n,
        floor(avg(m.src_avg) * 10000 + 0.5) / 10000 AS avg_src_avg
 FROM documents d JOIN dim m ON d.source = m.source
 GROUP BY d.lang ORDER BY d.lang
+""",
+    "rolling_dedup": """
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+units AS (
+  SELECT a.doc_id, a.i AS s,
+         string_agg(b.word, ' ' ORDER BY b.i) AS unit
+  FROM w a JOIN w b
+    ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 9
+  GROUP BY a.doc_id, a.i
+  HAVING count(*) = 10
+),
+rep AS (
+  SELECT unit FROM units GROUP BY unit HAVING count(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT u.doc_id,
+         unnest(generate_series(u.s, u.s + 9)) AS i
+  FROM units u JOIN rep r ON u.unit = r.unit
+),
+totals AS (
+  SELECT doc_id, count(*)::BIGINT AS tokens_in FROM w GROUP BY doc_id
+),
+drops AS (
+  SELECT doc_id, count(*)::BIGINT AS tokens_dropped
+  FROM covered GROUP BY doc_id
+)
+SELECT t.doc_id, t.tokens_in,
+       coalesce(d.tokens_dropped, 0)::BIGINT AS tokens_dropped
+FROM totals t LEFT JOIN drops d ON t.doc_id = d.doc_id
+ORDER BY t.doc_id
 """,
     "line_dedup": """
 WITH w AS (
