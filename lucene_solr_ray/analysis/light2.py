@@ -231,7 +231,6 @@ class IrishAnalyzer(StemmingAnalyzer):
 
     def __init__(self, **kw):
         super().__init__("irish", IRISH_STOP_WORDS, lambda t: t, **kw)
-        from .analyzers import WhitespaceAnalyzer  # noqa: F401
 
     def _one(self, t: str) -> str | None:
         t = irish_elide(t)
