@@ -1024,10 +1024,15 @@ class IndexSearcher:
         keys = self.docvalues(key_col)
         out = np.full(self.max_doc, default, np.float64)
         if kv:
-            for i, k_ in enumerate(keys):
-                hit = kv.get(str(k_))
-                if hit is not None:
-                    out[i] = hit
+            # vectorized: sorted file-key vocabulary + searchsorted
+            # probe (the doc loop would be O(maxDoc) dict gets)
+            fk = np.asarray(sorted(kv), dtype=object)
+            fv = np.asarray([kv[k_] for k_ in fk], np.float64)
+            dk = np.asarray([str(x) for x in keys], dtype=object)
+            pos = np.searchsorted(fk, dk)
+            ok = (pos < fk.size) & (
+                fk[np.minimum(pos, fk.size - 1)] == dk)
+            out[ok] = fv[pos[ok]]
         return out
 
     def search_by_field(
