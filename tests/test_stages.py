@@ -623,3 +623,41 @@ def test_kmeans_doc_clustering(ray_session):
                        "encoding", "scan"}
     assert set(t1) <= {"neural", "embedding", "vector", "similarity",
                        "cosine", "index"}
+
+
+def test_polygon_raycast_equals_halfplane_random_convex():
+    """For CONVEX polygons the even-odd ray cast must agree with the
+    half-plane conjunction (the SQL-oracle formulation) everywhere off
+    the boundary — randomized polygons and points."""
+    from lucene_solr_ray.stages.geo import point_in_polygon
+
+    rng = np.random.default_rng(23)
+    for trial in range(10):
+        # random convex polygon: sorted angles on a wobbly circle
+        n = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(20, 40)
+        cy, cx = rng.uniform(-40, 40, 2)
+        vy = cy + rad * np.sin(ang)
+        vx = cx + rad * np.cos(ang)
+        poly = list(zip(vy.tolist(), vx.tolist()))  # CCW by angle sort
+
+        lat = rng.uniform(-90, 90, 3000)
+        lon = rng.uniform(-120, 120, 3000)
+        got = point_in_polygon(lat, lon, poly)
+        want = np.ones(lat.size, bool)
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            cross = (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)
+            want &= cross >= 0
+        # exclude near-boundary points (|cross| tiny) from the check
+        near = np.zeros(lat.size, bool)
+        for i in range(n):
+            y1, x1 = poly[i]
+            y2, x2 = poly[(i + 1) % n]
+            cross = (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)
+            near |= np.abs(cross) < 1e-9
+        ok = ~near
+        assert (got[ok] == want[ok]).all(), trial
+        assert want[ok].any(), trial  # the check isn't vacuous
