@@ -239,3 +239,56 @@ def test_rolling_dedup_exact_substring(ray_session):
     # non-template words survive
     assert "intro words here" in out.loc[0, "text"]
     assert "completely different tail text" in out.loc[1, "text"]
+
+
+def test_rolling_dedup_randomized_vs_pure_python(ray_session):
+    """Randomized corpora with planted shared spans: the distributed
+    rolling dedup reproduces a from-scratch pure-python implementation
+    exactly (token counts per doc)."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.linededup import (
+        rolling_dedup,
+        rolling_dup_hashes,
+    )
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(50)]
+    shared = [f"s{i}" for i in range(8)]
+    docs = []
+    for i in range(40):
+        words = rng.choice(vocab, size=int(rng.integers(5, 40))).tolist()
+        if i % 4 == 0:  # plant the shared span at a random offset
+            at = int(rng.integers(0, len(words)))
+            words[at:at] = shared
+        docs.append(" ".join(words))
+
+    k = 8
+    # pure-python reference
+    from collections import Counter
+
+    def windows(ws):
+        return [" ".join(ws[j:j + k]) for j in range(len(ws) - k + 1)]
+
+    counts = Counter(u for t in docs for u in windows(t.split()))
+    dup = {u for u, c in counts.items() if c >= 2}
+    want_drop = {}
+    for i, t in enumerate(docs):
+        ws = t.split()
+        mark = np.zeros(len(ws), bool)
+        for j, u in enumerate(windows(ws)):
+            if u in dup:
+                mark[j:j + k] = True
+        want_drop[i] = int(mark.sum())
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    hashes = rolling_dup_hashes(ds, "text", k=k, min_repeat=2)
+    out = rolling_dedup(ds, "text", "doc_id", k=k,
+                        dup_hashes=hashes).to_pandas() \
+        .set_index("doc_id")
+    for i in range(len(docs)):
+        assert int(out.loc[i, "tokens_dropped"]) == want_drop[i], i
+    # the planted docs actually dropped something
+    assert sum(want_drop[i] > 0 for i in range(0, 40, 4)) >= 9

