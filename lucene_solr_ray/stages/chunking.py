@@ -58,3 +58,69 @@ def chunk_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(
         lambda b: chunk_tokens_batch(b, text_col, id_col, size, overlap),
         batch_format="pyarrow")
+
+
+def pack_sequences_batch(batch: pa.Table, len_col: str,
+                         id_col: str = "doc_id", *,
+                         budget: int = 2048,
+                         pack_prefix: int = 0) -> pa.Table:
+    """Sequence packing: bin chunks into fixed token-budget packs with
+    first-fit-decreasing (the standard pre-training packing step —
+    minimizes padding waste vs one-doc-per-sequence). Runs PER BLOCK
+    inside map_batches: packs never span blocks, so a 100 TB corpus
+    packs with zero shuffle (cross-block packing would buy a few
+    percent fill for an all-to-all; the per-block fill ratio is
+    reported so the trade is visible).
+
+    Oversized items (len > budget) get a pack of their own, flagged
+    ``truncate=True`` (the caller chunks first — chunk_tokens_batch —
+    so this is the guard rail, not the normal path).
+
+    Emits (pack_id, id_col, item_len, pack_fill); pack_id is unique per
+    (pack_prefix, block) via the prefix the caller threads in.
+    """
+    lens = batch[len_col].to_numpy().astype(np.int64)
+    ids = batch[id_col].to_numpy()
+    order = np.argsort(-lens, kind="stable")  # decreasing
+    pack_of = np.empty(lens.size, np.int64)
+    space: list[int] = []  # remaining budget per open pack
+    for row in order:
+        ln = int(lens[row])
+        placed = -1
+        for pi, rem in enumerate(space):  # first fit
+            if rem >= ln:
+                placed = pi
+                break
+        if placed < 0:
+            space.append(budget)
+            placed = len(space) - 1
+        space[placed] -= min(ln, budget)
+        pack_of[row] = placed
+    fill = np.asarray([budget - r for r in space], np.float64) / budget
+    return pa.table({
+        "pack_id": pa.array(pack_of + pack_prefix),
+        id_col: pa.array(ids),
+        "item_len": pa.array(lens),
+        "truncate": pa.array(lens > budget),
+        "pack_fill": pa.array(fill[pack_of]),
+    })
+
+
+def pack_sequences(ds, len_col: str, id_col: str = "doc_id", *,
+                   budget: int = 2048):
+    """Distributed packing: per-block FFD with block-unique pack ids
+    (block index << 32 | local pack)."""
+    def run(b: pa.Table, *, _b=budget) -> pa.Table:
+        # per-batch unique prefix from the first id's hash — stable,
+        # deterministic, no cross-task coordination
+        import hashlib as _h
+
+        first = str(b[id_col][0].as_py()) if b.num_rows else "0"
+        # 28-bit block prefix << 32 stays well inside int64 (a 32-bit
+        # prefix can reach 2^64 and silently upcasts numpy to float64,
+        # collapsing distinct pack ids past 2^53)
+        prefix = int(_h.md5(first.encode()).hexdigest()[:7], 16) << 32
+        return pack_sequences_batch(b, len_col, id_col, budget=_b,
+                                    pack_prefix=prefix)
+
+    return ds.map_batches(run, batch_format="pyarrow")

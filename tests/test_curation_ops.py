@@ -292,3 +292,36 @@ def test_rolling_dedup_randomized_vs_pure_python(ray_session):
         assert int(out.loc[i, "tokens_dropped"]) == want_drop[i], i
     # the planted docs actually dropped something
     assert sum(want_drop[i] > 0 for i in range(0, 40, 4)) >= 9
+
+
+def test_pack_sequences_ffd(ray_session):
+    """Sequence packing: every pack respects the budget (except flagged
+    oversize singletons), all items packed exactly once, and FFD beats
+    naive one-per-pack fill."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.chunking import pack_sequences
+
+    rng = np.random.default_rng(17)
+    lens = rng.integers(50, 900, 300).tolist() + [3000]  # one oversize
+    # realistic block sizes (packs never span blocks by design, so a
+    # corpus of 1-row blocks would pack nothing)
+    ds = rd.from_items(
+        [{"doc_id": i, "n_tok": int(x)} for i, x in enumerate(lens)]
+    ).repartition(4)
+    out = pack_sequences(ds, "n_tok", budget=1024).to_pandas()
+    assert len(out) == len(lens)
+    assert set(out["doc_id"]) == set(range(len(lens)))
+    # per-pack sums within budget, except the flagged oversize
+    sums = out[~out["truncate"]].groupby("pack_id")["item_len"].sum()
+    assert (sums <= 1024).all()
+    over = out[out["truncate"]]
+    assert len(over) == 1 and int(over["item_len"].iloc[0]) == 3000
+    # oversize sits alone in its pack
+    over_pack = over["pack_id"].iloc[0]
+    assert (out["pack_id"] == over_pack).sum() == 1
+    # packing actually consolidates: fewer packs than items
+    assert out["pack_id"].nunique() < len(lens) * 0.7
+    # fill is healthy for FFD at this distribution
+    assert out["pack_fill"].mean() > 0.7
