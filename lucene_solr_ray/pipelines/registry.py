@@ -874,6 +874,34 @@ def q_dsir_select(sf_dir: str) -> pa.Table:
     })
 
 
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Sequence packing (pre-training batch layout): per-block FFD over
+    BPE token counts. Rows-only: pack assignment depends on block
+    boundaries; invariants (budget respected, every doc packed once)
+    are pytest-checked."""
+    import ray.data as rd
+
+    from ..stages.chunking import pack_sequences
+    from ..stages.textstats import bpe_token_count_batch
+
+    ds = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+        .map_batches(lambda b: bpe_token_count_batch(b, "text")
+                     .append_column("doc_id", b["doc_id"]),
+                     batch_format="pyarrow")
+    )
+    out = pack_sequences(ds, "bpe_tokens", budget=512).to_pandas()
+    agg = out.groupby("pack_id").agg(
+        n_docs=("doc_id", "count"), tokens=("item_len", "sum"),
+    ).reset_index().sort_values(["tokens", "pack_id"])
+    return pa.table({
+        "pack_id": pa.array(agg["pack_id"].to_numpy(np.int64)),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+        "tokens": pa.array(agg["tokens"].to_numpy(np.int64)),
+    })
+
+
 def q_rolling_dedup(sf_dir: str) -> pa.Table:
     """Exact-substring dedup at rolling-window resolution (Lee et al.
     2022): overlapping 10-token windows counted corpus-wide; every
@@ -2385,6 +2413,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "facet_missing_indexsort": q_facet_missing_indexsort,
     "rolling_dedup": q_rolling_dedup,
+    "pack_sequences": q_pack_sequences,
     "geo_heatmap": q_geo_heatmap,
     "hll_users": q_hll_users,
     "range_facet_nchars": q_range_facet_nchars,
