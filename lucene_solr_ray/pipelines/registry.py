@@ -887,8 +887,7 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     ds = (
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id", "text"])
-        .map_batches(lambda b: bpe_token_count_batch(b, "text")
-                     .append_column("doc_id", b["doc_id"]),
+        .map_batches(lambda b: bpe_token_count_batch(b, "text"),
                      batch_format="pyarrow")
     )
     out = pack_sequences(ds, "bpe_tokens", budget=512).to_pandas()
