@@ -315,3 +315,50 @@ def fetch_docs(index_dir: str, corpus_source: str | None = None,
         )
         out.append(taken)
     return pa.concat_tables(out)
+
+
+def index_info(index_dir: str) -> dict:
+    """Luke-handler-style index introspection (``solr/core/.../handler/
+    admin/LukeRequestHandler.java``): commit-point metadata + physical
+    sizes without opening posting payloads — numDocs/deletedDocs,
+    segment/merge state, term counts from the term-dict parquet
+    metadata, bytes per file family."""
+    import pyarrow.parquet as pq
+
+    man = IndexManifest.load(index_dir)
+    deleted = 0
+    ddir = os.path.join(index_dir, "deletes")
+    if os.path.isdir(ddir):
+        seen: set[int] = set()
+        for f in sorted(os.listdir(ddir)):
+            if f.endswith(".parquet"):
+                seen.update(
+                    pq.read_table(os.path.join(ddir, f))["doc_id"]
+                    .to_pylist())
+        deleted = len(seen)
+    sizes: dict[str, int] = {}
+    term_rows = 0
+    for root, _dirs, files in os.walk(index_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            fam = os.path.relpath(root, index_dir).split(os.sep)[0]
+            fam = fam if fam != "." else "root"
+            sizes[fam] = sizes.get(fam, 0) + os.path.getsize(p)
+            if f.endswith(".parquet") and fam in ("segments", "merged"):
+                term_rows += pq.read_metadata(p).num_rows
+    return {
+        "max_doc": man.max_doc,
+        "num_docs": man.max_doc - deleted,
+        "deleted_docs": deleted,
+        "num_partitions": man.num_partitions,
+        "merged": man.merged,
+        "analyzer": man.analyzer,
+        "field": man.field,
+        "sum_total_term_freq": man.sum_total_term_freq,
+        "avgdl": man.avgdl,
+        "term_dict_rows": term_rows,
+        "bytes_by_family": sizes,
+        "positions": man.store_positions,
+        "offsets": man.store_offsets,
+        "payloads": man.store_payloads,
+    }

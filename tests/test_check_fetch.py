@@ -265,3 +265,31 @@ def test_solr_xml_loader_and_ingest(tmp_path_factory, ray_session):
     s = IndexSearcher(out)
     hits = s.search(TermQuery("gamma"), k=10)
     assert len(hits["doc_id"]) == 2
+
+
+def test_index_info_luke(tmp_path_factory, ray_session):
+    """Luke-style introspection: doc counts respect deletes; byte and
+    term-row totals are non-trivial; flags mirror the manifest."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index, delete_docs
+    from lucene_solr_ray.index.check import index_info
+
+    d = tmp_path_factory.mktemp("luke_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array(range(30), pa.int64()),
+        "content": pa.array([f"alpha beta w{i}" for i in range(30)]),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("luke_idx") / "idx")
+    build_index(str(d), out, text_field="content", rows_per_partition=10)
+    delete_docs(out, np.asarray([1, 2], np.int64))
+
+    info = index_info(out)
+    assert info["max_doc"] == 30
+    assert info["num_docs"] == 28 and info["deleted_docs"] == 2
+    assert info["term_dict_rows"] > 0
+    assert info["bytes_by_family"]["segments"] > 0
+    assert info["analyzer"] == "standard"
+    assert not info["positions"]
