@@ -1022,6 +1022,42 @@ def q_drill_sideways(sf_dir: str) -> pa.Table:
     })
 
 
+def q_geo_sort_nearest(sf_dir: str) -> pa.Table:
+    """Sort by distance (``sort=geodist() asc`` — the Solr spatial sort
+    on the geodist value source): per-block partial top-k on the
+    haversine value, tiny driver merge; no global sort shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.geo import haversine_km
+
+    k = 10
+
+    def nearest(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        lat = (uid * 37 % 18000) / 100.0 - 90.0
+        lon = (uid * 73 % 36000) / 100.0 - 180.0
+        d = haversine_km(lat, lon, 0.0, 0.0)
+        order = np.lexsort((uid, d))[:k]  # distance, uid tiebreak
+        return pa.table({
+            "user_id": pa.array(uid[order]),
+            "dist_km": pa.array(d[order], pa.float64()),
+        })
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    users = ev.groupby("user_id").aggregate(Count(alias_name="n")) \
+        .select_columns(["user_id"])
+    parts = users.map_batches(nearest, batch_format="pyarrow") \
+        .to_pandas()
+    parts = parts.sort_values(["dist_km", "user_id"]).head(k)
+    return pa.table({
+        "user_id": pa.array(parts["user_id"].to_numpy(np.int64)),
+        "dist_km": pa.array(_round4(parts["dist_km"].to_numpy()),
+                            pa.float64()),
+    })
+
+
 def q_geo_heatmap(sf_dir: str) -> pa.Table:
     """Heatmap faceting (Solr facet.heatmap — RPT grid counts): user
     positions bucketed into 10-degree grid cells, one vectorized
@@ -2407,6 +2443,7 @@ QUERIES = {
     "geo_bbox": q_geo_bbox,
     "geo_polygon": q_geo_polygon,
     "drill_sideways": q_drill_sideways,
+    "geo_sort_nearest": q_geo_sort_nearest,
     "line_dedup": q_line_dedup,
     "join_global_ordinals": q_join_global_ordinals,
     "dsir_select": q_dsir_select,
@@ -2694,6 +2731,23 @@ UNION ALL
 SELECT 'hits' AS dim, '' AS value, count(*)::BIGINT AS cnt
 FROM documents WHERE lang = 'en' AND source = 'src3'
 ORDER BY dim, value
+""",
+    "geo_sort_nearest": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT user_id,
+         (user_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+         (user_id * 73 % 36000) / 100.0 - 180.0 AS lon
+  FROM u),
+d AS (
+  SELECT user_id,
+         2 * 6371.0087714 * asin(sqrt(
+           pow(sin(radians(0 - lat) / 2), 2)
+           + cos(radians(lat)) * cos(radians(0))
+             * pow(sin(radians(0 - lon) / 2), 2))) AS dist
+  FROM pts)
+SELECT user_id, floor(dist * 10000 + 0.5) / 10000 AS dist_km
+FROM d ORDER BY dist, user_id LIMIT 10
 """,
     "geo_polygon": """
 WITH u AS (SELECT DISTINCT user_id FROM events),

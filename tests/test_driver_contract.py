@@ -89,7 +89,7 @@ ORACLE_CHECKED = [
         "sql_left_join", "sql_tpch_q1", "sql_where_expr",
         "geo_polygon", "drill_sideways", "sql_case_when", "line_dedup",
         "join_global_ordinals", "facet_missing_indexsort",
-        "rolling_dedup",
+        "rolling_dedup", "geo_sort_nearest",
 ]
 
 
