@@ -85,6 +85,24 @@ def main(argv=None) -> int:
     cu.add_argument("--min-tokens", type=int, default=20)
     cu.add_argument("--jaccard", type=float, default=0.5)
 
+    sp = sub.add_parser("split", help="SPLITSHARD: split an index into "
+                                      "N children (shared segments + "
+                                      "complementary live-docs)")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--out", required=True, nargs="+",
+                    help="two or more child dirs")
+
+    bk = sub.add_parser("backup", help="point-in-time snapshot")
+    bk.add_argument("--index", required=True)
+    bk.add_argument("--to", required=True, help="backup root dir")
+
+    rs = sub.add_parser("restore", help="restore a snapshot")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--out", required=True)
+
+    li = sub.add_parser("info", help="Luke-style index introspection")
+    li.add_argument("--index", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -134,6 +152,23 @@ def main(argv=None) -> int:
                                                  prune=args.prune)
         for row in t.to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "split":
+        from .index.split import split_index
+
+        print(json.dumps(split_index(args.index, list(args.out))))
+    elif args.cmd == "backup":
+        from .state.replication import backup_index
+
+        print(json.dumps({"snapshot": backup_index(args.index, args.to)}))
+    elif args.cmd == "restore":
+        from .state.replication import restore_index
+
+        print(json.dumps({"index": restore_index(args.snapshot,
+                                                 args.out)}))
+    elif args.cmd == "info":
+        from .index.check import index_info
+
+        print(json.dumps(index_info(args.index)))
     elif args.cmd == "check":
         from .index import check_index
 
