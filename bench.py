@@ -42,6 +42,10 @@ QUERY_MIX = [
 def run_bench() -> dict:
     import ray
 
+    # pre-run calibration: the machine BEFORE this process's footprint
+    # (the post-run stamp measures it after 8-32 workers' heaps are
+    # resident — on a reclaim-throttled hypervisor those differ a lot)
+    cal_pre = host_calibration()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -226,6 +230,7 @@ def run_bench() -> dict:
         "bench_docs": man.max_doc,
         "index_docs_per_sec": round(docs_per_sec, 1),
         "index_gb_per_sec": round(gb_per_sec, 4),
+        "host_calibration_pre": cal_pre,
         "host_calibration": host_calibration(),
     }
     ray.shutdown()
@@ -276,7 +281,21 @@ def run_scaling() -> None:
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
-    r_lo, r_hi = run(lo), run(hi)
+    # best-of-N legs: this host's hypervisor page backing oscillates
+    # between ~0.02 and ~2.5 GB/s on a minutes timescale (BASELINE.md
+    # host-state stamping); a single trough leg poisons the ratio in
+    # either direction, so each leg reports its best (fastest) run —
+    # measuring the machine's capability at each parallelism, which is
+    # what the efficiency ratio is about. Every rejected run's
+    # calibration is kept in the artifact.
+    reps = int(os.environ.get("GRAFT_SCALE_REPEAT", "1"))
+
+    def best(ncpu: int) -> tuple[dict, list]:
+        runs = [run(ncpu) for _ in range(reps)]
+        cals = [r.get("host_calibration") for r in runs]
+        return min(runs, key=lambda r: r["value"]), cals
+
+    (r_lo, cals_lo), (r_hi, cals_hi) = best(lo), best(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     b_lo = r_lo["queries"]["index_build"]
@@ -293,6 +312,9 @@ def run_scaling() -> None:
         f"queries_{hi}": r_hi["queries"],
         f"host_calibration_{lo}": r_lo.get("host_calibration"),
         f"host_calibration_{hi}": r_hi.get("host_calibration"),
+        "legs_per_side": reps,
+        f"all_calibrations_{lo}": cals_lo,
+        f"all_calibrations_{hi}": cals_hi,
     }))
 
 
