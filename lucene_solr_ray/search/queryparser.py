@@ -245,6 +245,15 @@ class ClassicQueryParser:
             raise ValueError(f"unbalanced ')' in {text!r}")
         if q is None:
             return BooleanQuery((), 0)
+        # Solr's pure-negative fix (QueryUtils.fixNegativeQuery): a
+        # TOP-LEVEL boolean with only MUST_NOT clauses matches
+        # everything-except (Lucene's raw semantics would match nothing)
+        if isinstance(q, BooleanQuery) and q.clauses and all(
+                occ == "MUST_NOT" for occ, _ in q.clauses):
+            from .query import MatchAllDocsQuery
+
+            q = BooleanQuery(
+                (("MUST", MatchAllDocsQuery()),) + q.clauses, 0)
         return q
 
     def _peek(self):

@@ -181,3 +181,30 @@ def test_min_should_match_spec():
     # clamped to the clause count
     assert parse_min_should_match("99", 4) == 4
     assert parse_min_should_match("", 7) == 0
+
+
+def test_pure_negative_top_level(tmp_path_factory, ray_session):
+    """Solr's fixNegativeQuery: '-fox' at the top level matches every
+    doc EXCEPT fox docs (raw Lucene would match nothing); nested pure
+    negatives keep Lucene semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis import get_analyzer
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher, parse_query
+
+    d = tmp_path_factory.mktemp("pn_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array([0, 1, 2], pa.int64()),
+        "content": pa.array(["fox here", "dog there", "cat alone"]),
+    }), str(d / "x.parquet"))
+    out = str(tmp_path_factory.mktemp("pn_idx") / "idx")
+    build_index(str(d), out, text_field="content", rows_per_partition=10)
+    s = IndexSearcher(out)
+    ana = get_analyzer("standard")
+
+    assert s._docs_only(parse_query("-fox", ana)).tolist() == [1, 2]
+    assert s._docs_only(parse_query("-fox -dog", ana)).tolist() == [2]
+    # positive+negative unchanged
+    assert s._docs_only(parse_query("dog -fox", ana)).tolist() == [1]
