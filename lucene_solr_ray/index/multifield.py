@@ -116,6 +116,10 @@ def build_multi_index(
         manifests[fname] = {"dir": f"fields/{fname}",
                             "analyzer": man.analyzer,
                             "max_doc": man.max_doc,
+                            # per-field similarity (schema.xml's
+                            # <similarity> inside <fieldType>)
+                            "k1": cfg.get("k1"),
+                            "b": cfg.get("b"),
                             "codec": {
                                 "byte_aligned": cfg.get("byte_aligned",
                                                         True),

@@ -24,7 +24,8 @@ class MultiFieldSearcher(IndexSearcher):
         self.field_searchers: dict[str, IndexSearcher] = {}
         for fname, info in self.multi["fields"].items():
             self.field_searchers[fname] = IndexSearcher(
-                os.path.join(out_dir, info["dir"]), precise=precise
+                os.path.join(out_dir, info["dir"]), precise=precise,
+                k1=info.get("k1"), b=info.get("b"),
             )
         default = self.field_searchers[self.multi["default_field"]]
         # bind the inherited machinery to the default field's index

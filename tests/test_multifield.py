@@ -240,3 +240,35 @@ def test_edismax_pf_and_mm(tmp_path_factory, ray_session):
     assert set(r) == {0, 1}
     # pf: the adjacent-phrase doc wins
     assert r[0] > r[1]
+
+
+def test_per_field_similarity(tmp_path_factory, ray_session):
+    """Per-field BM25 parameters (schema <similarity> per fieldType):
+    a field built with b=0 ignores length normalization — long and
+    short docs with equal tf score identically on that field, while the
+    default field still length-normalizes."""
+    import pyarrow as pa
+
+    d = tmp_path_factory.mktemp("pfs_corpus")
+    pq.write_table(pa.table({
+        "doc_key": pa.array([0, 1], pa.int64()),
+        "content": pa.array(["target short",
+                             "target " + "pad " * 40]),
+        "title": pa.array(["target short",
+                           "target " + "pad " * 40]),
+    }), str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("pfs_idx"))
+    build_multi_index(str(d), out, {
+        "content": {"analyzer": "standard"},           # default BM25
+        "title": {"analyzer": "standard", "b": 0.0},   # no length norm
+    }, rows_per_partition=10)
+
+    s = MultiFieldSearcher(out)
+    q = FieldedQuery("title", TermQuery("target"))
+    docs, scores = s._score(q)
+    r = {int(d_): float(x) for d_, x in zip(docs, scores)}
+    assert abs(r[0] - r[1]) < 1e-6          # b=0: length-blind
+    qc = FieldedQuery("content", TermQuery("target"))
+    docs, scores = s._score(qc)
+    rc = {int(d_): float(x) for d_, x in zip(docs, scores)}
+    assert rc[0] > rc[1]                    # default: short doc wins
