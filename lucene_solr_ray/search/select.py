@@ -1,0 +1,163 @@
+"""The /select facade — one Solr-shaped request in, one response out.
+
+``solr/core/src/java/org/apache/solr/handler/component/SearchHandler.java``
+runs a component chain (QueryComponent -> FacetComponent ->
+HighlightComponent) over one request. This module composes the engine's
+pieces the same way so a reference user's request maps 1:1:
+
+    solr_select(searcher, {
+        "q": "+fast query", "fq": ["lang:en"], "sort": "score desc",
+        "start": 0, "rows": 10, "fl": ["doc_key", "content"],
+        "facet.field": ["lang"], "hl": True, "hl.fragsize": 120,
+    }, corpus_source=...)
+
+Response mirrors Solr's JSON: ``{"responseHeader", "response":
+{"numFound", "start", "docs"}, "facet_counts", "highlighting"}``.
+
+Supported params (the everyday subset): q (classic parser), fq (list,
+each a classic-parser query ANDed as a filter), sort ("score desc" |
+"<field> asc|desc"), start/rows, fl (stored fields via fetch_docs),
+facet.field (counts over the MATCHING docs from the docvalues columns),
+hl + hl.fragsize (best-window snippets over the q terms).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _query_terms(q) -> list[str]:
+    from .query import (
+        BooleanQuery,
+        BoostQuery,
+        FieldedQuery,
+        PhraseQuery,
+        TermQuery,
+    )
+
+    out: list[str] = []
+    if isinstance(q, TermQuery):
+        out.append(q.term)
+    elif isinstance(q, PhraseQuery):
+        out.extend(q.terms)
+    elif isinstance(q, BooleanQuery):
+        for occ, c in q.clauses:
+            if occ != "MUST_NOT":
+                out.extend(_query_terms(c))
+    elif isinstance(q, (BoostQuery, FieldedQuery)):
+        out.extend(_query_terms(q.query))
+    return out
+
+
+def solr_select(searcher, params: dict, *,
+                corpus_source: str | None = None) -> dict:
+    """Run one /select request against an IndexSearcher."""
+    import time as _t
+
+    from ..index.check import fetch_docs
+    from .query import BooleanQuery
+    from .queryparser import ClassicQueryParser
+
+    t0 = _t.perf_counter()
+    ana = searcher.manifest.resolve_analyzer()
+    parser = ClassicQueryParser(ana)
+    q = parser.parse(params.get("q", "*:*").replace("*:*", "")) \
+        if params.get("q", "*:*") != "*:*" else None
+    from .query import MatchAllDocsQuery
+
+    main_q = q if q is not None else MatchAllDocsQuery()
+
+    fqs = params.get("fq") or []
+    if isinstance(fqs, str):
+        fqs = [fqs]
+    dv_filters: list[tuple[str, str]] = []
+    q_filters = []
+    for f in fqs:
+        field, sep, val = f.partition(":")
+        # non-indexed stored column -> docvalues equality filter (the
+        # fq on a string/docValues field); indexed-text filters go
+        # through the parser + FILTER clause
+        if sep and " " not in val and field != searcher.manifest.field:
+            dv_filters.append((field.strip(), val.strip()))
+        else:
+            q_filters.append(parser.parse(f))
+    if q_filters:
+        clauses = [("MUST", main_q)]
+        clauses += [("FILTER", fq_) for fq_ in q_filters]
+        main_q = BooleanQuery(tuple(clauses), 0)
+
+    start = int(params.get("start", 0))
+    rows = int(params.get("rows", 10))
+    sort = params.get("sort", "score desc")
+
+    # full match set once: numFound + facets need it; top-k comes
+    # from the same arrays (QueryComponent's single collection pass)
+    docs, scores = searcher._score(main_q)
+    for field, val in dv_filters:
+        col = np.asarray(searcher.docvalues(field))[docs]
+        keep = col.astype(str) == val
+        docs, scores = docs[keep], scores[keep]
+    num_found = int(docs.size)
+
+    if sort == "score desc":
+        order = np.lexsort((docs, -scores))
+    else:
+        fname, _, dir_ = sort.partition(" ")
+        vals = searcher.docvalues(fname)[docs]
+        key = -vals if dir_.strip() != "asc" else vals
+        order = np.lexsort((docs, key))
+    window = order[start:start + rows]
+    top_docs = docs[window]
+    top_scores = scores[window]
+
+    out_docs: list[dict] = []
+    fl = params.get("fl")
+    if corpus_source or searcher.manifest.partitions:
+        fetched = fetch_docs(searcher.manifest.index_dir,
+                             corpus_source,
+                             doc_ids=[int(x) for x in top_docs],
+                             columns=fl)
+        by_id = {int(row["doc_id"]): row
+                 for row in fetched.to_pylist()}
+        for d_, s_ in zip(top_docs, top_scores):
+            row = dict(by_id.get(int(d_), {}))
+            row["score"] = float(s_)
+            row["[docid]"] = int(d_)
+            out_docs.append(row)
+
+    resp = {
+        "responseHeader": {
+            "status": 0,
+            "QTime": int((_t.perf_counter() - t0) * 1000),
+            "params": params,
+        },
+        "response": {"numFound": num_found, "start": start,
+                     "docs": out_docs},
+    }
+
+    facet_fields = params.get("facet.field") or []
+    if isinstance(facet_fields, str):
+        facet_fields = [facet_fields]
+    if facet_fields:
+        ff: dict = {}
+        for field in facet_fields:
+            col = np.asarray(searcher.docvalues(field))[docs]
+            uniq, cnt = np.unique(col.astype(str), return_counts=True)
+            o = np.lexsort((uniq, -cnt))
+            ff[field] = [x for i in o
+                         for x in (str(uniq[i]), int(cnt[i]))]
+        resp["facet_counts"] = {"facet_fields": ff}
+
+    if params.get("hl"):
+        from .extras import highlight
+
+        terms = _query_terms(main_q)
+        frag = int(params.get("hl.fragsize", 120))
+        hl_field = params.get("hl.fl", searcher.manifest.field)
+        hi: dict = {}
+        for row in out_docs:
+            text = str(row.get(hl_field, ""))
+            hi[str(row["[docid]"])] = {
+                hl_field: [highlight(text, terms, window_chars=frag)]}
+        resp["highlighting"] = hi
+    return resp

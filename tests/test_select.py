@@ -1,0 +1,82 @@
+"""/select facade: q + fq + sort + pagination + facet.field + hl in one
+Solr-shaped request/response."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import build_index
+from lucene_solr_ray.search import IndexSearcher
+from lucene_solr_ray.search.select import solr_select
+
+
+@pytest.fixture(scope="module")
+def sel_idx(tmp_path_factory, ray_session):
+    rng = np.random.default_rng(41)
+    langs = ["en", "de", "fr"]
+    rows = []
+    for i in range(60):
+        lang = langs[i % 3]
+        words = ["common"] + rng.choice(
+            ["alpha", "beta", "gamma", "delta"], 6).tolist()
+        if i % 5 == 0:
+            words.append("special")
+        rows.append((i, lang, " ".join(words), i * 10))
+    d = tmp_path_factory.mktemp("sel_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows]),
+        "content": pa.array([r[2] for r in rows]),
+        "price": pa.array([r[3] for r in rows], pa.int64()),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("sel_idx") / "idx")
+    build_index(str(d), out, text_field="content", rows_per_partition=20)
+    return out
+
+
+def test_select_basic_and_pagination(sel_idx):
+    s = IndexSearcher(sel_idx)
+    r = solr_select(s, {"q": "special", "rows": 5,
+                        "fl": ["doc_key", "lang"]})
+    assert r["responseHeader"]["status"] == 0
+    assert r["response"]["numFound"] == 12
+    assert len(r["response"]["docs"]) == 5
+    assert all("score" in d and "doc_key" in d
+               for d in r["response"]["docs"])
+    # page 2 disjoint from page 1
+    r2 = solr_select(s, {"q": "special", "rows": 5, "start": 5})
+    ids1 = {d["[docid]"] for d in r["response"]["docs"]}
+    ids2 = {d["[docid]"] for d in r2["response"]["docs"]}
+    assert not ids1 & ids2 and r2["response"]["start"] == 5
+
+
+def test_select_fq_sort_facets(sel_idx):
+    s = IndexSearcher(sel_idx)
+    r = solr_select(s, {"q": "special", "fq": ["lang:en"],
+                        "sort": "price desc", "rows": 100,
+                        "facet.field": ["lang"],
+                        "fl": ["doc_key", "lang", "price"]})
+    docs = r["response"]["docs"]
+    assert docs and all(d["lang"] == "en" for d in docs)
+    prices = [d["price"] for d in docs]
+    assert prices == sorted(prices, reverse=True)
+    # facet over the FILTERED match set: only en remains
+    ff = dict(zip(r["facet_counts"]["facet_fields"]["lang"][::2],
+                  r["facet_counts"]["facet_fields"]["lang"][1::2]))
+    assert set(ff) == {"en"} and ff["en"] == len(docs)
+
+
+def test_select_matchall_and_highlight(sel_idx):
+    s = IndexSearcher(sel_idx)
+    r = solr_select(s, {"q": "*:*", "rows": 3,
+                        "facet.field": "lang"})
+    assert r["response"]["numFound"] == 60
+    ff = r["facet_counts"]["facet_fields"]["lang"]
+    assert sum(ff[1::2]) == 60
+    h = solr_select(s, {"q": "special common", "rows": 2, "hl": True,
+                        "fl": ["doc_key", "content"]})
+    hl = h["highlighting"]
+    assert len(hl) == 2
+    frag = next(iter(hl.values()))["content"][0]
+    assert "<em>" in frag
