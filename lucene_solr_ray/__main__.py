@@ -103,6 +103,12 @@ def main(argv=None) -> int:
     li = sub.add_parser("info", help="Luke-style index introspection")
     li.add_argument("--index", required=True)
 
+    se = sub.add_parser("select", help="Solr-shaped /select request "
+                                       "(params as a JSON object)")
+    se.add_argument("--index", required=True)
+    se.add_argument("--params", required=True,
+                    help='e.g. \'{"q": "fast query", "rows": 5}\'')
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -169,6 +175,12 @@ def main(argv=None) -> int:
         from .index.check import index_info
 
         print(json.dumps(index_info(args.index)))
+    elif args.cmd == "select":
+        from .search import IndexSearcher
+        from .search.select import solr_select
+
+        print(json.dumps(solr_select(IndexSearcher(args.index),
+                                     json.loads(args.params))))
     elif args.cmd == "check":
         from .index import check_index
 
