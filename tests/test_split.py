@@ -101,3 +101,31 @@ def test_split_shares_payload_inodes(parent_idx, tmp_path_factory,
             for c in children:
                 dst = os.stat(os.path.join(c, rel))
                 assert dst.st_ino == src.st_ino
+
+
+def test_child_mutations_do_not_leak(parent_idx, tmp_path_factory,
+                                     ray_session):
+    """Children share immutable payload inodes, so every mutation path
+    (delete generations, appends) must create NEW files: deleting in
+    one child affects neither its sibling nor the parent."""
+    from lucene_solr_ray.index import delete_docs as del_docs
+    from lucene_solr_ray.search import parse_query
+    from lucene_solr_ray.analysis import get_analyzer
+
+    base = tmp_path_factory.mktemp("split_mut_children")
+    children = [str(base / f"c{i}") for i in range(2)]
+    split_index(parent_idx, children)
+
+    q = parse_query("common", get_analyzer("standard"))
+    before_parent = set(IndexSearcher(parent_idx)._docs_only(q).tolist())
+    c0 = set(IndexSearcher(children[0])._docs_only(q).tolist())
+    c1 = set(IndexSearcher(children[1])._docs_only(q).tolist())
+    victim = sorted(c0)[0]
+    del_docs(children[0], np.asarray([victim], np.int64))
+
+    after_c0 = set(IndexSearcher(children[0])._docs_only(q).tolist())
+    assert after_c0 == c0 - {victim}
+    # sibling and parent unchanged
+    assert set(IndexSearcher(children[1])._docs_only(q).tolist()) == c1
+    assert set(IndexSearcher(parent_idx)._docs_only(q).tolist()) \
+        == before_parent
