@@ -181,6 +181,40 @@ class FrameSample:
         })
 
 
+class PixelGridEmbed:
+    """REAL (deterministic, non-learned) image embedding: an ``g x g``
+    grid of region means + the global mean/std, L2-normalized — the
+    classic pixel-statistics baseline descriptor. This is not a stub:
+    it makes the image -> embedding -> ANN path runnable end-to-end
+    (decoded near-duplicate images land near each other in cosine
+    space) while :class:`ImageEmbed` stays the honest learned-model
+    slot. Actor shape: decode bound once in __init__, vectorized pool
+    per batch."""
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+        self.decode = _decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        out = []
+        for p in batch["payload"].to_pylist():
+            w, h, px = self.decode(p)
+            ys = np.linspace(0, h, g + 1).astype(int)
+            xs = np.linspace(0, w, g + 1).astype(int)
+            feats = [px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                     if ys[i + 1] > ys[i] and xs[j + 1] > xs[j] else 0.0
+                     for i in range(g) for j in range(g)]
+            feats += [float(px.mean()), float(px.std())]
+            v = np.asarray(feats, np.float32)
+            n = float(np.linalg.norm(v))
+            out.append((v / n if n > 0 else v).tolist())
+        return pa.table({
+            "item_id": batch["item_id"],
+            "embedding": pa.array(out, pa.list_(pa.float32())),
+        })
+
+
 class ImageEmbed:
     """Model-inference stage STUB: the actor/batch plumbing is the real
     shape (load model once, embed per batch); inference itself needs a

