@@ -2325,6 +2325,37 @@ def q_simhash(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_media_embed_topk(sf_dir: str) -> pa.Table:
+    """Image -> deterministic pixel-grid embedding -> brute-force
+    cosine top-3: the full multimodal retrieval path (decode actor pool
+    -> embedding column -> streamed ANN). Rows-only (media payloads are
+    deterministic fakes)."""
+    import ray.data as rd
+
+    from ..stages.ann import brute_force_topk
+    from ..stages.multimodal import PixelGridEmbed, synth_media_table
+
+    imgs = synth_media_table(200, seed=42, kind="image")
+    emb = (
+        rd.from_arrow(imgs)
+        .map_batches(PixelGridEmbed, batch_size=32, concurrency=2,
+                     batch_format="pyarrow")
+        .map_batches(lambda b: b.rename_columns(
+            ["vec_id", "embedding"]), batch_format="pyarrow")
+    )
+    mat = emb.to_pandas().sort_values("vec_id")
+    q = np.asarray(mat["embedding"].tolist(), np.float64)[:3]
+    t = brute_force_topk(rd.from_arrow(pa.Table.from_pandas(
+        mat, preserve_index=False)), q, k=3).to_pandas()
+    t = t.sort_values(["query_id", "score", "vec_id"],
+                      ascending=[True, False, True])
+    return pa.table({
+        "query_id": pa.array(t["query_id"].to_numpy(np.int64)),
+        "vec_id": pa.array(t["vec_id"].to_numpy(np.int64)),
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
 def q_media_image_stats(sf_dir: str) -> pa.Table:
     """Multimodal plumbing demo: synthetic binary image corpus -> actor-
     pool decode/feature stage -> aggregate (rows-only; media payloads are
@@ -2491,6 +2522,7 @@ QUERIES = {
     "simhash": q_simhash,
     "minhash_candidates": q_minhash_candidates,
     "media_image_stats": q_media_image_stats,
+    "media_embed_topk": q_media_embed_topk,
 }
 
 ORACLE_SQL = {

@@ -110,7 +110,8 @@ ROWS_ONLY = ["lang_id", "simhash", "minhash_candidates",
              "media_image_stats", "ann_lsh_top5", "hll_users",
              "nb_lang_classify", "curation_funnel", "simhash_pairs",
              "multilingual_stems", "highlight_offsets", "ann_pq_top5",
-             "cluster_docs", "dsir_select", "pack_sequences"]
+             "cluster_docs", "dsir_select", "pack_sequences",
+             "media_embed_topk"]
 
 
 def test_contract_lists_are_complete(contract):
