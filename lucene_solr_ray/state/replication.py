@@ -25,7 +25,7 @@ import os
 import shutil
 
 _SYNC_DIRS = ("segments", "norms", "merged", "deletes", "_checkpoints",
-              "_appends")
+              "_appends", "docvalues", "docvalues_updates")
 
 
 def index_generation(index_dir: str) -> str:
@@ -40,11 +40,14 @@ def _file_set(index_dir: str) -> dict[str, int]:
         full = os.path.join(index_dir, d)
         if not os.path.isdir(full):
             continue
-        for name in os.listdir(full):
-            if name.endswith(".tmp"):
-                continue
-            rel = os.path.join(d, name)
-            out[rel] = os.path.getsize(os.path.join(index_dir, rel))
+        # recursive: docvalues_updates/<field>/gen-*.parquet nests
+        for root, _dirs, files in os.walk(full):
+            for name in files:
+                if name.endswith(".tmp"):
+                    continue
+                p = os.path.join(root, name)
+                rel = os.path.relpath(p, index_dir)
+                out[rel] = os.path.getsize(p)
     return out
 
 

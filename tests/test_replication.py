@@ -127,3 +127,56 @@ def test_backup_restore_roundtrip(tmp_path_factory, ray_session):
     got = {int(x) for x in
            IndexSearcher(restored)._docs_only(TermQuery("common"))}
     assert got == want
+
+
+def test_replication_carries_docvalues_sidecars(tmp_path_factory,
+                                                ray_session):
+    """Regression: docvalues sidecars and DV update generations must
+    replicate and back up (they were missing from the sync dir list);
+    a replica sorts by the DV field identically to the master."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.index.updates import update_numeric_docvalues
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+    from lucene_solr_ray.state.replication import (
+        backup_index,
+        replicate,
+        restore_index,
+    )
+
+    d = tmp_path_factory.mktemp("dvrep_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array(range(12), pa.int64()),
+        "rank": pa.array([i * 2 for i in range(12)], pa.int64()),
+        "content": pa.array([f"common t{i}" for i in range(12)]),
+    }), str(d / "docs.parquet"))
+    src = str(tmp_path_factory.mktemp("dvrep_idx") / "idx")
+    build_index(str(d), src, text_field="content",
+                docvalues_fields=["rank"], rows_per_partition=6)
+    # a DV update generation on top of the sidecar
+    update_numeric_docvalues(
+        src, "doc_key", "rank",
+        pa.table({"doc_key": pa.array([3], pa.int64()),
+                  "rank": pa.array([999], pa.int64())}))
+
+    q = TermQuery("common")
+    want = IndexSearcher(src).search_by_field(q, 3, "rank") \
+        ["doc_id"].to_pylist()
+    assert want[0] == 3  # the updated doc leads
+
+    rep = str(tmp_path_factory.mktemp("dvrep_replica") / "rep")
+    replicate(src, rep)
+    got = IndexSearcher(rep).search_by_field(q, 3, "rank") \
+        ["doc_id"].to_pylist()
+    assert got == want
+
+    snaps = str(tmp_path_factory.mktemp("dvrep_snaps"))
+    snap = backup_index(src, snaps)
+    restored = str(tmp_path_factory.mktemp("dvrep_restored") / "idx")
+    restore_index(snap, restored)
+    got2 = IndexSearcher(restored).search_by_field(q, 3, "rank") \
+        ["doc_id"].to_pylist()
+    assert got2 == want
