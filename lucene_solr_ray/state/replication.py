@@ -48,6 +48,13 @@ def _file_set(index_dir: str) -> dict[str, int]:
                 p = os.path.join(root, name)
                 rel = os.path.relpath(p, index_dir)
                 out[rel] = os.path.getsize(p)
+    # root-level commit companions: the pickled analyzer and
+    # ExternalFileField key=value files travel with the index
+    for name in os.listdir(index_dir):
+        p = os.path.join(index_dir, name)
+        if os.path.isfile(p) and (
+                name == "analyzer.pkl" or name.startswith("external_")):
+            out[name] = os.path.getsize(p)
     return out
 
 

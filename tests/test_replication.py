@@ -180,3 +180,37 @@ def test_replication_carries_docvalues_sidecars(tmp_path_factory,
     got2 = IndexSearcher(restored).search_by_field(q, 3, "rank") \
         ["doc_id"].to_pylist()
     assert got2 == want
+
+
+def test_replication_carries_analyzer_and_external_files(
+        tmp_path_factory, ray_session):
+    """analyzer.pkl (@pickled chains) and external_* value files are
+    commit companions — a replica resolves the analyzer and serves the
+    same function-query values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis.analyzers import WhitespaceAnalyzer
+    from lucene_solr_ray.index import IndexManifest, build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.state.replication import replicate
+
+    d = tmp_path_factory.mktemp("axrep_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array([0, 1], pa.int64()),
+        "content": pa.array(["Alpha beta", "Gamma delta"]),
+    }), str(d / "docs.parquet"))
+    src = str(tmp_path_factory.mktemp("axrep_idx") / "idx")
+    build_index(str(d), src, text_field="content",
+                analyzer=WhitespaceAnalyzer(), rows_per_partition=10)
+    import os
+
+    with open(os.path.join(src, "external_boost"), "w") as f:
+        f.write("0=7.5\n1=2.5\n")
+
+    rep = str(tmp_path_factory.mktemp("axrep_replica") / "rep")
+    replicate(src, rep)
+    man = IndexManifest.load(rep)
+    assert type(man.resolve_analyzer()).__name__ == "WhitespaceAnalyzer"
+    assert IndexSearcher(rep).docvalues("external_boost").tolist() \
+        == [7.5, 2.5]
