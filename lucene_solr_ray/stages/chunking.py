@@ -65,7 +65,7 @@ def pack_sequences_batch(batch: pa.Table, len_col: str,
                          budget: int = 2048,
                          pack_prefix: int = 0) -> pa.Table:
     """Sequence packing: bin chunks into fixed token-budget packs with
-    first-fit-decreasing (the standard pre-training packing step —
+    best-fit-decreasing (the standard pre-training packing step —
     minimizes padding waste vs one-doc-per-sequence). Runs PER BLOCK
     inside map_batches: packs never span blocks, so a 100 TB corpus
     packs with zero shuffle (cross-block packing would buy a few
@@ -79,22 +79,28 @@ def pack_sequences_batch(batch: pa.Table, len_col: str,
     Emits (pack_id, id_col, item_len, pack_fill); pack_id is unique per
     (pack_prefix, block) via the prefix the caller threads in.
     """
+    import bisect
+
     lens = batch[len_col].to_numpy().astype(np.int64)
     ids = batch[id_col].to_numpy()
     order = np.argsort(-lens, kind="stable")  # decreasing
     pack_of = np.empty(lens.size, np.int64)
-    space: list[int] = []  # remaining budget per open pack
+    # best-fit-decreasing via a sorted (remaining, pack) list: O(n log n)
+    # instead of first-fit's O(n * open_packs) scan — the same packing
+    # quality class, but safe for 10^5-row blocks
+    space: list[int] = []       # remaining budget, pack-indexed
+    by_rem: list[tuple] = []    # sorted (remaining, pack)
     for row in order:
         ln = int(lens[row])
-        placed = -1
-        for pi, rem in enumerate(space):  # first fit
-            if rem >= ln:
-                placed = pi
-                break
-        if placed < 0:
+        i = bisect.bisect_left(by_rem, (ln, -1))
+        if i < len(by_rem):  # tightest pack that still fits
+            rem, placed = by_rem.pop(i)
+        else:
             space.append(budget)
-            placed = len(space) - 1
-        space[placed] -= min(ln, budget)
+            rem, placed = budget, len(space) - 1
+        rem -= min(ln, budget)
+        space[placed] = rem
+        bisect.insort(by_rem, (rem, placed))
         pack_of[row] = placed
     fill = np.asarray([budget - r for r in space], np.float64) / budget
     return pa.table({
@@ -108,7 +114,7 @@ def pack_sequences_batch(batch: pa.Table, len_col: str,
 
 def pack_sequences(ds, len_col: str, id_col: str = "doc_id", *,
                    budget: int = 2048):
-    """Distributed packing: per-block FFD with block-unique pack ids
+    """Distributed packing: per-block BFD with block-unique pack ids
     (block index << 32 | local pack)."""
     def run(b: pa.Table, *, _b=budget) -> pa.Table:
         # per-batch unique prefix from the first id's hash — stable,
