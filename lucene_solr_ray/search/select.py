@@ -99,13 +99,14 @@ def solr_select(searcher, params: dict, *,
         docs, scores = docs[keep], scores[keep]
     num_found = int(docs.size)
 
-    if sort == "score desc":
-        order = np.lexsort((docs, -scores))
+    fname, _, dir_ = sort.partition(" ")
+    asc = dir_.strip() == "asc"
+    if fname == "score":
+        key = scores if asc else -scores
     else:
-        fname, _, dir_ = sort.partition(" ")
         vals = searcher.docvalues(fname)[docs]
-        key = -vals if dir_.strip() != "asc" else vals
-        order = np.lexsort((docs, key))
+        key = vals if asc else -vals
+    order = np.lexsort((docs, key))
     window = order[start:start + rows]
     top_docs = docs[window]
     top_scores = scores[window]
