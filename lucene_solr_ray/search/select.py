@@ -162,3 +162,99 @@ def solr_select(searcher, params: dict, *,
                 hl_field: [highlight(text, terms, window_chars=frag)]}
         resp["highlighting"] = hi
     return resp
+
+
+class SelectCollectorManager:
+    """CollectorManager for the DISTRIBUTED /select (SearchHandler with
+    ``shards=``): each shard's collector produces (numFound, top-k,
+    per-field facet partials) from its (docs, scores) arrays; reduce
+    merges counts, TopDocs (score desc, doc asc — HitQueue tie rules)
+    and facet dictionaries. Facet columns broadcast once inside the
+    manager (ray.put by collect_sharded)."""
+
+    def __init__(self, k: int, facet_values: dict):
+        self.k = k
+        self.facet_values = facet_values  # field -> dense str column
+
+    def new_collector(self):
+        k = self.k
+        fv = self.facet_values
+
+        def collect(docs, scores):
+            order = np.lexsort((docs, -scores))[:k]
+            facets = {}
+            for field, col in fv.items():
+                vals = col[docs]
+                uniq, cnt = np.unique(vals, return_counts=True)
+                facets[field] = dict(zip(uniq.tolist(), cnt.tolist()))
+            return {
+                "num_found": int(docs.size),
+                "top": [(float(scores[i]), int(docs[i])) for i in order],
+                "facets": facets,
+            }
+        return collect
+
+    def reduce(self, parts: list) -> dict:
+        num_found = sum(p["num_found"] for p in parts)
+        merged = sorted(
+            (t for p in parts for t in p["top"]),
+            key=lambda t: (-t[0], t[1]))[: self.k]
+        facets: dict = {}
+        for p in parts:
+            for field, d in p["facets"].items():
+                tgt = facets.setdefault(field, {})
+                for v, c in d.items():
+                    tgt[v] = tgt.get(v, 0) + c
+        return {"num_found": num_found, "top": merged, "facets": facets}
+
+
+def solr_select_distributed(index_dir: str, params: dict, *,
+                            num_shards: int = 4) -> dict:
+    """Distributed /select: the query+facet pass fans out over doc-range
+    shards via collect_sharded (global-stats injected, rank-identical
+    to one searcher); stored-field fetch runs once for the merged
+    page."""
+    from ..index.check import fetch_docs
+    from .distributed import collect_sharded
+    from .queryparser import ClassicQueryParser
+    from .query import MatchAllDocsQuery
+    from .searcher import IndexSearcher
+
+    local = IndexSearcher(index_dir)  # term dict for parsing + facets
+    ana = local.manifest.resolve_analyzer()
+    qtext = params.get("q", "*:*")
+    q = MatchAllDocsQuery() if qtext == "*:*" else \
+        ClassicQueryParser(ana).parse(qtext)
+
+    rows = int(params.get("rows", 10))
+    facet_fields = params.get("facet.field") or []
+    if isinstance(facet_fields, str):
+        facet_fields = [facet_fields]
+    fv = {f: np.asarray(local.docvalues(f)).astype(str)
+          for f in facet_fields}
+    mgr = SelectCollectorManager(rows, fv)
+    agg = collect_sharded(index_dir, q, mgr, num_shards=num_shards)
+
+    top_docs = [d for _s, d in agg["top"]]
+    fetched = fetch_docs(index_dir, None, doc_ids=top_docs,
+                         columns=params.get("fl"))
+    by_id = {int(r["doc_id"]): r for r in fetched.to_pylist()}
+    docs_out = []
+    for s_, d_ in agg["top"]:
+        row = dict(by_id.get(d_, {}))
+        row["score"] = s_
+        row["[docid]"] = d_
+        docs_out.append(row)
+    resp = {
+        "responseHeader": {"status": 0, "params": params,
+                           "shards": num_shards},
+        "response": {"numFound": agg["num_found"], "start": 0,
+                     "docs": docs_out},
+    }
+    if facet_fields:
+        ff = {}
+        for field, d in agg["facets"].items():
+            items = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+            ff[field] = [x for kv in items for x in (kv[0], int(kv[1]))]
+        resp["facet_counts"] = {"facet_fields": ff}
+    return resp

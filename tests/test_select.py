@@ -80,3 +80,25 @@ def test_select_matchall_and_highlight(sel_idx):
     assert len(hl) == 2
     frag = next(iter(hl.values()))["content"][0]
     assert "<em>" in frag
+
+
+def test_select_distributed_matches_local(sel_idx, ray_session):
+    """Distributed /select == single-searcher /select: numFound, the
+    ranked page (rank-identical merge) and facet counts all agree at
+    two shard counts."""
+    from lucene_solr_ray.search.select import solr_select_distributed
+
+    s = IndexSearcher(sel_idx)
+    want = solr_select(s, {"q": "special common", "rows": 5,
+                           "facet.field": ["lang"],
+                           "fl": ["doc_key", "lang"]})
+    for shards in (2, 4):
+        got = solr_select_distributed(
+            sel_idx, {"q": "special common", "rows": 5,
+                      "facet.field": ["lang"], "fl": ["doc_key", "lang"]},
+            num_shards=shards)
+        assert got["response"]["numFound"] == \
+            want["response"]["numFound"]
+        assert [d["[docid]"] for d in got["response"]["docs"]] == \
+            [d["[docid]"] for d in want["response"]["docs"]], shards
+        assert got["facet_counts"] == want["facet_counts"], shards
