@@ -113,7 +113,7 @@ def solr_select(searcher, params: dict, *,
 
     out_docs: list[dict] = []
     fl = params.get("fl")
-    if corpus_source or searcher.manifest.partitions:
+    if top_docs.size and (corpus_source or searcher.manifest.partitions):
         fetched = fetch_docs(searcher.manifest.index_dir,
                              corpus_source,
                              doc_ids=[int(x) for x in top_docs],
@@ -148,6 +148,22 @@ def solr_select(searcher, params: dict, *,
             ff[field] = [x for i in o
                          for x in (str(uniq[i]), int(cnt[i]))]
         resp["facet_counts"] = {"facet_fields": ff}
+
+    if params.get("spellcheck"):
+        # SpellCheckComponent in the chain: suggest for query terms the
+        # dictionary barely knows, plus a collation (the "did you mean")
+        from .extras import spellcheck as _sc
+        from .extras import spellcheck_collate
+
+        sc: dict = {"suggestions": {}}
+        for t in _query_terms(main_q):
+            if searcher.doc_freq(t) == 0:
+                cand = _sc(searcher, t, n=3)
+                sc["suggestions"][t] = cand["term"].to_pylist()
+        if sc["suggestions"]:
+            coll = spellcheck_collate(searcher, params.get("q", ""), ana)
+            sc["collation"] = coll.get("collation")
+        resp["spellcheck"] = sc
 
     if params.get("hl"):
         from .extras import highlight

@@ -102,3 +102,16 @@ def test_select_distributed_matches_local(sel_idx, ray_session):
         assert [d["[docid]"] for d in got["response"]["docs"]] == \
             [d["[docid]"] for d in want["response"]["docs"]], shards
         assert got["facet_counts"] == want["facet_counts"], shards
+
+
+def test_select_spellcheck_component(sel_idx):
+    """SpellCheckComponent in the /select chain: a misspelled term gets
+    suggestions + a collation; well-spelled queries add nothing."""
+    s = IndexSearcher(sel_idx)
+    r = solr_select(s, {"q": "specail", "rows": 3, "spellcheck": True})
+    sc = r["spellcheck"]
+    assert "specail" in sc["suggestions"]
+    assert "special" in sc["suggestions"]["specail"]
+    assert sc.get("collation") == "special"
+    ok = solr_select(s, {"q": "special", "rows": 3, "spellcheck": True})
+    assert ok["spellcheck"]["suggestions"] == {}
