@@ -252,9 +252,11 @@ def solr_select_distributed(index_dir: str, params: dict, *,
     agg = collect_sharded(index_dir, q, mgr, num_shards=num_shards)
 
     top_docs = [d for _s, d in agg["top"]]
-    fetched = fetch_docs(index_dir, None, doc_ids=top_docs,
-                         columns=params.get("fl"))
-    by_id = {int(r["doc_id"]): r for r in fetched.to_pylist()}
+    by_id: dict = {}
+    if top_docs:
+        fetched = fetch_docs(index_dir, None, doc_ids=top_docs,
+                             columns=params.get("fl"))
+        by_id = {int(r["doc_id"]): r for r in fetched.to_pylist()}
     docs_out = []
     for s_, d_ in agg["top"]:
         row = dict(by_id.get(d_, {}))
