@@ -149,6 +149,27 @@ def solr_select(searcher, params: dict, *,
                          for x in (str(uniq[i]), int(cnt[i]))]
         resp["facet_counts"] = {"facet_fields": ff}
 
+    if params.get("mlt") and out_docs:
+        # MoreLikeThisComponent: for each returned doc, similar docs by
+        # the MLT query over its stored text (MoreLikeThis.java
+        # defaults; self excluded)
+        from .extras import more_like_this
+
+        mlt_count = int(params.get("mlt.count", 3))
+        text_field = params.get("mlt.fl", searcher.manifest.field)
+        ml: dict = {}
+        for row in out_docs:
+            text = str(row.get(text_field, ""))
+            if not text:
+                continue
+            mq = more_like_this(searcher, text, min_term_freq=1,
+                                min_doc_freq=1)
+            t = searcher.search(mq, k=mlt_count + 1)
+            ml[str(row["[docid]"])] = [
+                int(x) for x in t["doc_id"].to_pylist()
+                if int(x) != row["[docid]"]][:mlt_count]
+        resp["moreLikeThis"] = ml
+
     if params.get("spellcheck"):
         # SpellCheckComponent in the chain: suggest for query terms the
         # dictionary barely knows, plus a collation (the "did you mean")

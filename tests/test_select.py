@@ -115,3 +115,17 @@ def test_select_spellcheck_component(sel_idx):
     assert sc.get("collation") == "special"
     ok = solr_select(s, {"q": "special", "rows": 3, "spellcheck": True})
     assert ok["spellcheck"]["suggestions"] == {}
+
+
+def test_select_mlt_component(sel_idx):
+    """MoreLikeThisComponent: each page doc gets similar docs (self
+    excluded)."""
+    s = IndexSearcher(sel_idx)
+    r = solr_select(s, {"q": "special", "rows": 2, "mlt": True,
+                        "mlt.count": 2,
+                        "fl": ["doc_key", "content"]})
+    ml = r["moreLikeThis"]
+    assert len(ml) == 2
+    for did, sims in ml.items():
+        assert 1 <= len(sims) <= 2
+        assert int(did) not in sims
