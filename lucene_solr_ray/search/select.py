@@ -149,6 +149,15 @@ def solr_select(searcher, params: dict, *,
                          for x in (str(uniq[i]), int(cnt[i]))]
         resp["facet_counts"] = {"facet_fields": ff}
 
+    if params.get("debug") and out_docs:
+        # DebugComponent: per-doc Explanation trees (debug=true /
+        # debug.explain.structured)
+        resp["debug"] = {"explain": {
+            str(row["[docid]"]):
+                searcher.explain(main_q, row["[docid]"])
+            for row in out_docs
+        }}
+
     if params.get("mlt") and out_docs:
         # MoreLikeThisComponent: for each returned doc, similar docs by
         # the MLT query over its stored text (MoreLikeThis.java

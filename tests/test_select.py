@@ -129,3 +129,17 @@ def test_select_mlt_component(sel_idx):
     for did, sims in ml.items():
         assert 1 <= len(sims) <= 2
         assert int(did) not in sims
+
+
+def test_select_debug_component(sel_idx):
+    """DebugComponent: structured Explanation per page doc; the
+    explanation's value equals the doc's score."""
+    s = IndexSearcher(sel_idx)
+    r = solr_select(s, {"q": "special common", "rows": 2,
+                        "debug": True, "fl": ["doc_key"]})
+    ex = r["debug"]["explain"]
+    assert len(ex) == 2
+    for row in r["response"]["docs"]:
+        e = ex[str(row["[docid]"])]
+        assert e["match"] is True
+        assert abs(e["value"] - row["score"]) < 1e-4
