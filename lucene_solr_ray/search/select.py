@@ -149,6 +149,27 @@ def solr_select(searcher, params: dict, *,
                          for x in (str(uniq[i]), int(cnt[i]))]
         resp["facet_counts"] = {"facet_fields": ff}
 
+    stats_fields = params.get("stats.field") or []
+    if isinstance(stats_fields, str):
+        stats_fields = [stats_fields]
+    if params.get("stats") and stats_fields:
+        # StatsComponent: min/max/sum/count/mean/stddev over the MATCH
+        # set's docvalues (StatsValuesFactory numeric stats)
+        sf: dict = {}
+        for field in stats_fields:
+            col = np.asarray(searcher.docvalues(field),
+                             np.float64)[docs]
+            sf[field] = {
+                "min": float(col.min()) if col.size else None,
+                "max": float(col.max()) if col.size else None,
+                "count": int(col.size),
+                "sum": float(col.sum()),
+                "mean": float(col.mean()) if col.size else None,
+                "stddev": float(col.std(ddof=1)) if col.size > 1
+                else 0.0,
+            }
+        resp["stats"] = {"stats_fields": sf}
+
     if params.get("debug") and out_docs:
         # DebugComponent: per-doc Explanation trees (debug=true /
         # debug.explain.structured)

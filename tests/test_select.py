@@ -143,3 +143,19 @@ def test_select_debug_component(sel_idx):
         e = ex[str(row["[docid]"])]
         assert e["match"] is True
         assert abs(e["value"] - row["score"]) < 1e-4
+
+
+def test_select_stats_component(sel_idx):
+    """StatsComponent: numeric stats over the MATCH set (not the page)."""
+    import numpy as np
+
+    s = IndexSearcher(sel_idx)
+    r = solr_select(s, {"q": "special", "rows": 2, "stats": True,
+                        "stats.field": ["price"], "fl": ["doc_key"]})
+    st = r["stats"]["stats_fields"]["price"]
+    assert st["count"] == r["response"]["numFound"] == 12
+    # ground truth: docs 0,5,10,... have special; price = i*10
+    prices = np.asarray([i * 10 for i in range(0, 60, 5)], float)
+    assert st["min"] == prices.min() and st["max"] == prices.max()
+    assert abs(st["mean"] - prices.mean()) < 1e-9
+    assert abs(st["sum"] - prices.sum()) < 1e-9
