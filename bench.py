@@ -46,8 +46,15 @@ def run_bench() -> dict:
     # (the post-run stamp measures it after 8-32 workers' heaps are
     # resident — on a reclaim-throttled hypervisor those differ a lot)
     cal_pre = host_calibration()
+    # optional object-store cap: on hypervisor-reclaim-throttled hosts
+    # the default (~40% RAM) store allocation itself trips the reclaim
+    # (BASELINE.md host-state stamping); the bench workloads need far
+    # less, and the cap applies identically to every leg of a pairing
+    obj_gb = os.environ.get("GRAFT_OBJ_STORE_GB")
+    kw = ({"object_store_memory": int(float(obj_gb) * (1 << 30))}
+          if obj_gb else {})
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR", **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
