@@ -623,6 +623,42 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
 
     arms = _split_union_all(q)
     if len(arms) > 1:
+        # SQL semantics: a trailing ORDER BY / LIMIT binds to the WHOLE
+        # union, not the last arm — strip it off the final arm's token
+        # tail and apply driver-side to the concatenated result
+        toks = _tokenize(arms[-1])
+        depth = 0
+        cut = None
+        for i, (kind, v) in enumerate(toks):
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                depth -= 1
+            elif depth == 0 and kind == "word" \
+                    and v.upper() in ("ORDER", "LIMIT"):
+                cut = i
+                break
+        order_by: list[tuple[str, bool]] = []
+        limit = None
+        if cut is not None:
+            tail = _P(toks[cut:])
+            if tail.kw("ORDER"):
+                tail.take()
+                tail.expect("BY")
+                while True:
+                    name = tail.take()
+                    desc = False
+                    if tail.kw("ASC", "DESC"):
+                        desc = tail.take().upper() == "DESC"
+                    order_by.append((name, desc))
+                    if tail.peek() == ",":
+                        tail.take()
+                        continue
+                    break
+            if tail.kw("LIMIT"):
+                tail.take()
+                limit = int(tail.take())
+            arms[-1] = " ".join(v for _k, v in toks[:cut])
         parts = [execute_sql(a, sf_dir) for a in arms]
         names = parts[0].column_names
         for t in parts[1:]:
@@ -630,8 +666,18 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
                 raise ValueError(
                     f"UNION ALL column mismatch: {t.column_names} "
                     f"vs {names}")
-        return pa.concat_tables(
+        out = pa.concat_tables(
             [parts[0]] + [t.cast(parts[0].schema) for t in parts[1:]])
+        if order_by:
+            df = out.to_pandas().sort_values(
+                [n for n, _ in order_by],
+                ascending=[not d for _, d in order_by],
+                kind="mergesort")
+            out = pa.Table.from_pandas(df.reset_index(drop=True),
+                                       preserve_index=False)
+        if limit is not None:
+            out = out.slice(0, limit)
+        return out
 
     plan = parse_sql(q)
     import pyarrow.parquet as pq_  # noqa: F811 (pruned-read planning)

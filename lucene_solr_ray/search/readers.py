@@ -367,6 +367,18 @@ class TermDictReader:
             return out
         return [t for t in self.unique_terms() if predicate(t)]
 
+    def has_terms_in_range(self, lower, upper) -> bool:
+        """O(log V) existence probe: do any terms fall in [lower,
+        upper)? (terms_in_range materializes the slice — wrong tool for
+        a boolean.)"""
+        if self.terms is None:
+            lo = self._ts.searchsorted(lower, "left")
+            hi = self._ts.searchsorted(upper, "left")
+            return hi > lo
+        u = self.unique_terms()
+        return np.searchsorted(u, upper, "left") > \
+            np.searchsorted(u, lower, "left")
+
     def terms_in_range(self, lower, upper, include_lower=True,
                        include_upper=True) -> list[str]:
         if self.terms is None:

@@ -328,9 +328,8 @@ class IndexSearcher:
         """One-time probe: does the dictionary contain reversed marker
         terms? (Cost = one sorted-range slice, cached.)"""
         if self._rev_wildcard is None:
-            probe = self.reader.terms_in_range(
-                _REV_MARKER, "\u0002", True, False)
-            self._rev_wildcard = len(probe) > 0
+            self._rev_wildcard = bool(
+                self.reader.has_terms_in_range(_REV_MARKER, "\u0002"))
         return self._rev_wildcard
 
     def _rewrite_terms(self, q: Query) -> list[str]:

@@ -104,8 +104,13 @@ def solr_select(searcher, params: dict, *,
     if fname == "score":
         key = scores if asc else -scores
     else:
-        vals = searcher.docvalues(fname)[docs]
-        key = vals if asc else -vals
+        vals = np.asarray(searcher.docvalues(fname))[docs]
+        if not asc and not np.issubdtype(vals.dtype, np.number):
+            # string/desc: negate the sorted-unique rank, not the value
+            uniq, inv = np.unique(vals, return_inverse=True)
+            key = -inv
+        else:
+            key = vals if asc else -vals
     order = np.lexsort((docs, key))
     window = order[start:start + rows]
     top_docs = docs[window]
@@ -113,11 +118,21 @@ def solr_select(searcher, params: dict, *,
 
     out_docs: list[dict] = []
     fl = params.get("fl")
+    fetch_cols = list(fl) if fl else None
+    if fetch_cols is not None:
+        # hl/mlt read the text field from the fetched row — include it
+        # even when fl omits it (Solr fetches hl.fl independently);
+        # stripped from the response below
+        for flag, fld_param in (("hl", "hl.fl"), ("mlt", "mlt.fl")):
+            if params.get(flag):
+                fld = params.get(fld_param, searcher.manifest.field)
+                if fld not in fetch_cols:
+                    fetch_cols.append(fld)
     if top_docs.size and (corpus_source or searcher.manifest.partitions):
         fetched = fetch_docs(searcher.manifest.index_dir,
                              corpus_source,
                              doc_ids=[int(x) for x in top_docs],
-                             columns=fl)
+                             columns=fetch_cols)
         by_id = {int(row["doc_id"]): row
                  for row in fetched.to_pylist()}
         for d_, s_ in zip(top_docs, top_scores):
@@ -228,6 +243,13 @@ def solr_select(searcher, params: dict, *,
             hi[str(row["[docid]"])] = {
                 hl_field: [highlight(text, terms, window_chars=frag)]}
         resp["highlighting"] = hi
+
+    if fl:
+        # drop fetch-only companions (hl.fl/mlt.fl text) from the page
+        keep = set(fl) | {"score", "[docid]", "doc_id"}
+        for row in out_docs:
+            for k_ in [k for k in row if k not in keep]:
+                row.pop(k_)
     return resp
 
 

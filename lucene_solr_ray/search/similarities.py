@@ -87,6 +87,12 @@ class ClassicSimilarity:
     def tf(freqs: np.ndarray) -> np.ndarray:
         return np.sqrt(freqs.astype(np.float64))
 
+    def _doc_norms(self, searcher, docs: np.ndarray) -> np.ndarray:
+        """Per-doc length norm — the one line subclasses override
+        (SweetSpotSimilarity swaps the plateau formula in here)."""
+        inv_sqrt_len = 1.0 / np.sqrt(NORM_TABLE.astype(np.float64))
+        return inv_sqrt_len[searcher.norms.norm[docs]]
+
     def score_or(self, searcher, terms: list[str]):
         """(docs asc, scores) for an OR-of-terms query, float64."""
         n = searcher.max_doc
@@ -106,13 +112,11 @@ class ClassicSimilarity:
             [d for d, _ in datas] or [np.empty(0, np.int64)]))
         acc = np.zeros(union.size, np.float64)
         overlap = np.zeros(union.size, np.int64)
-        inv_sqrt_len = 1.0 / np.sqrt(
-            NORM_TABLE.astype(np.float64))  # lengthNorm per norm byte
         for (docs, tfs), i in zip(datas, idfs):
             if docs.size == 0:
                 continue
             pos = np.searchsorted(union, docs)
-            norm = inv_sqrt_len[searcher.norms.norm[docs]]
+            norm = self._doc_norms(searcher, docs)
             partial = self.tf(tfs) * (i * i) * norm
             np.add.at(acc, pos, partial)
             np.add.at(overlap, pos, 1)
@@ -153,32 +157,7 @@ class SweetSpotSimilarity(ClassicSimilarity):
             t = np.where(freqs < self.tf_min, self.tf_base, t)
         return t
 
-    def score_or(self, searcher, terms: list[str]):
-        """Like ClassicSimilarity.score_or but with the plateau norm
-        computed from true doc lengths (precise norms path)."""
-        import math as _m
-
-        n = searcher.max_doc
-        datas, idfs = [], []
-        for t in terms:
-            docs, tfs = searcher.reader.postings(t)
-            if searcher.live_docs is not None and docs.size:
-                keep = searcher.live_docs.mask[docs]
-                docs, tfs = docs[keep], tfs[keep]
-            datas.append((docs, tfs))
-            df = searcher.doc_freq(t)
-            idfs.append(self.idf(df, n) if df else 0.0)
-        qnorm = 1.0 / (_m.sqrt(sum(i * i for i in idfs)) or 1.0)
-        union = np.unique(np.concatenate(
-            [d for d, _ in datas] or [np.empty(0, np.int64)]))
-        acc = np.zeros(union.size, np.float64)
-        overlap = np.zeros(union.size, np.int64)
-        for (docs, tfs), i in zip(datas, idfs):
-            if docs.size == 0:
-                continue
-            pos = np.searchsorted(union, docs)
-            norm = self.length_norm(searcher.norms.length[docs])
-            np.add.at(acc, pos, self.tf(tfs) * (i * i) * norm)
-            np.add.at(overlap, pos, 1)
-        coord = overlap / float(len(terms))
-        return union, (acc * qnorm * coord)
+    def _doc_norms(self, searcher, docs: np.ndarray) -> np.ndarray:
+        # plateau norm from TRUE doc lengths (precise norms path);
+        # everything else is the inherited Classic scoring skeleton
+        return self.length_norm(searcher.norms.length[docs])

@@ -122,10 +122,18 @@ def pack_sequences(ds, len_col: str, id_col: str = "doc_id", *,
         import hashlib as _h
 
         first = str(b[id_col][0].as_py()) if b.num_rows else "0"
-        # 28-bit block prefix << 32 stays well inside int64 (a 32-bit
-        # prefix can reach 2^64 and silently upcasts numpy to float64,
-        # collapsing distinct pack ids past 2^53)
-        prefix = int(_h.md5(first.encode()).hexdigest()[:7], 16) << 32
+        # 41-bit block prefix << 21: collision odds stay negligible at
+        # 10^5+ blocks (vs a 28-bit prefix whose birthday bound is ~16k
+        # blocks) while prefix+local tops out at 2^62 — inside int64
+        # (int64 overflow would silently upcast numpy to float64 and
+        # collapse distinct ids past 2^53); 2^21 local packs per block
+        # is enforced below
+        prefix = (int(_h.md5(first.encode()).hexdigest()[:11], 16)
+                  & ((1 << 41) - 1)) << 21
+        if b.num_rows >= (1 << 21):
+            raise ValueError(
+                "pack_sequences: block exceeds 2^21 rows; lower the "
+                "block size (packs are block-local)")
         return pack_sequences_batch(b, len_col, id_col, budget=_b,
                                     pack_prefix=prefix)
 

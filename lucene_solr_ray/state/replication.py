@@ -136,8 +136,9 @@ def backup_index(index_dir: str, backup_root: str, *,
             shutil.copy2(src, dst)
     for extra in ("analyzer.pkl", "multi_manifest.json"):
         p = os.path.join(index_dir, extra)
-        if os.path.exists(p):
-            shutil.copy2(p, os.path.join(tmp, extra))
+        dst = os.path.join(tmp, extra)
+        if os.path.exists(p) and not os.path.exists(dst):
+            shutil.copy2(p, dst)  # _file_set may have linked it already
     shutil.copy2(os.path.join(index_dir, "manifest.json"),
                  os.path.join(tmp, "manifest.json"))
     os.replace(tmp, snap)
@@ -161,8 +162,9 @@ def restore_index(snapshot_dir: str, index_dir: str) -> str:
             shutil.copy2(src, dst)
     for extra in ("analyzer.pkl", "multi_manifest.json"):
         p = os.path.join(snapshot_dir, extra)
-        if os.path.exists(p):
-            shutil.copy2(p, os.path.join(tmp, extra))
+        dst = os.path.join(tmp, extra)
+        if os.path.exists(p) and not os.path.exists(dst):
+            shutil.copy2(p, dst)
     shutil.copy2(os.path.join(snapshot_dir, "manifest.json"),
                  os.path.join(tmp, "manifest.json"))
     if os.path.isdir(index_dir):

@@ -214,3 +214,19 @@ def test_replication_carries_analyzer_and_external_files(
     assert type(man.resolve_analyzer()).__name__ == "WhitespaceAnalyzer"
     assert IndexSearcher(rep).docvalues("external_boost").tolist() \
         == [7.5, 2.5]
+
+    # backup + restore of an analyzer.pkl index (regression: the extras
+    # copy used to SameFileError on the already-hardlinked pickle)
+    from lucene_solr_ray.state.replication import (
+        backup_index,
+        restore_index,
+    )
+
+    snaps = str(tmp_path_factory.mktemp("axrep_snaps"))
+    snap = backup_index(src, snaps)
+    restored = str(tmp_path_factory.mktemp("axrep_restored") / "idx")
+    restore_index(snap, restored)
+    rman = IndexManifest.load(restored)
+    assert type(rman.resolve_analyzer()).__name__ == "WhitespaceAnalyzer"
+    assert IndexSearcher(restored).docvalues("external_boost").tolist() \
+        == [7.5, 2.5]

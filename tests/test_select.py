@@ -159,3 +159,33 @@ def test_select_stats_component(sel_idx):
     assert st["min"] == prices.min() and st["max"] == prices.max()
     assert abs(st["mean"] - prices.mean()) < 1e-9
     assert abs(st["sum"] - prices.sum()) < 1e-9
+
+
+def test_select_string_field_sort_desc(sel_idx):
+    """sort='<string field> desc' must work (regression: unary minus on
+    a string array)."""
+    s = IndexSearcher(sel_idx)
+    r = solr_select(s, {"q": "special", "rows": 12,
+                        "sort": "lang desc", "fl": ["doc_key", "lang"]})
+    langs = [d["lang"] for d in r["response"]["docs"]]
+    assert langs == sorted(langs, reverse=True)
+    r2 = solr_select(s, {"q": "special", "rows": 12,
+                         "sort": "lang asc", "fl": ["doc_key", "lang"]})
+    langs2 = [d["lang"] for d in r2["response"]["docs"]]
+    assert langs2 == sorted(langs2)
+
+
+def test_select_hl_mlt_with_projected_fl(sel_idx):
+    """hl/mlt work even when fl omits the text field (fetched as a
+    companion, stripped from the page)."""
+    s = IndexSearcher(sel_idx)
+    r = solr_select(s, {"q": "special common", "rows": 2, "hl": True,
+                        "mlt": True, "fl": ["doc_key"]})
+    frag = next(iter(r["highlighting"].values()))["content"][0]
+    assert "<em>" in frag
+    assert r["moreLikeThis"] and all(
+        sims for sims in r["moreLikeThis"].values())
+    # the page rows only carry the requested fields
+    for row in r["response"]["docs"]:
+        assert "content" not in row
+        assert "doc_key" in row

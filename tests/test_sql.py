@@ -396,3 +396,21 @@ def test_positional_group_order(ray_session):
     want = con.execute(q).df()
     assert got["lang"].tolist() == want["lang"].tolist()
     assert got["n"].tolist() == [int(x) for x in want["n"]]
+
+
+def test_union_all_trailing_order_limit(ray_session):
+    """A trailing ORDER BY / LIMIT binds to the WHOLE union (SQL
+    semantics), not the last arm."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    q = ("SELECT lang AS k, count(*) AS n FROM documents GROUP BY lang "
+         "UNION ALL "
+         "SELECT source AS k, count(*) AS n FROM documents "
+         "GROUP BY source ORDER BY n DESC, k LIMIT 4")
+    got = execute_sql(q, SF).to_pandas()
+    want = con.execute(q).df()
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["n"].tolist() == [int(x) for x in want["n"]]
