@@ -374,19 +374,25 @@ def payload_check(searcher: IndexSearcher, term: str,
 
 
 def elevate(searcher: IndexSearcher, q, elevated_docs: list[int],
-            k: int = 10):
+            k: int = 10, *, excluded_docs: list[int] = ()):
     """QueryElevationComponent (``solr/core/.../handler/component/
     QueryElevationComponent.java``): pin the configured doc ids at the
     top of the result, in configuration order, then fill with the
-    organic ranking excluding the pinned docs. Returns pa.Table
-    (rank, doc_id, elevated) — ``elevated`` is 1 for pinned rows."""
+    organic ranking excluding the pinned docs; ``excluded_docs`` never
+    appear (elevate.xml ``<doc id=.. exclude="true"/>``). Returns
+    pa.Table (rank, doc_id, elevated) — ``elevated`` is 1 for pinned
+    rows."""
     import numpy as np
     import pyarrow as pa
 
     pinned = [int(d) for d in elevated_docs][:k]
-    t = searcher.search(q, k=k + len(pinned))
+    excl = np.asarray([int(d) for d in excluded_docs], np.int64)
+    t = searcher.search(q, k=k + len(pinned) + excl.size)
     organic = t["doc_id"].to_numpy(zero_copy_only=False)
-    mask = ~np.isin(organic, np.asarray(pinned, np.int64))
+    drop = np.asarray(pinned, np.int64)
+    if excl.size:
+        drop = np.concatenate([drop, excl])
+    mask = ~np.isin(organic, drop)
     fill = organic[mask][: max(k - len(pinned), 0)]
     docs = np.concatenate([np.asarray(pinned, np.int64), fill])[:k]
     flags = np.zeros(docs.size, np.int64)

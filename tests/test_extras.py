@@ -355,3 +355,28 @@ def test_complex_phrase_query(tmp_path_factory, ray_session):
     # plain phrase path still works (with slop)
     q3 = complex_phrase_query(s, "john works", slop=1)
     assert set(s._docs_only(q3).tolist()) == {0}
+
+
+def test_elevation_excludes(tmp_path_factory, ray_session):
+    """elevate.xml exclude='true' docs never surface, even when they
+    rank organically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher, TermQuery
+    from lucene_solr_ray.search.extras import elevate
+
+    d = tmp_path_factory.mktemp("elx_src")
+    pq.write_table(pa.table({
+        "doc_key": pa.array(range(6), pa.int64()),
+        "content": pa.array(["hit"] * 6),
+    }), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("elx_idx") / "idx")
+    build_index(str(d), out, text_field="content", rows_per_partition=10)
+    s = IndexSearcher(out)
+    t = elevate(s, TermQuery("hit"), [4], k=5, excluded_docs=[0, 1])
+    docs = t["doc_id"].to_pylist()
+    assert docs[0] == 4 and t["elevated"][0].as_py() == 1
+    assert 0 not in docs and 1 not in docs
+    assert len(docs) == 4  # 6 docs - 2 excluded, capped organically
