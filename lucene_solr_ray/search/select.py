@@ -164,6 +164,34 @@ def solr_select(searcher, params: dict, *,
                          for x in (str(uniq[i]), int(cnt[i]))]
         resp["facet_counts"] = {"facet_fields": ff}
 
+    if params.get("group") and params.get("group.field"):
+        # GroupingComponent (grouping's two-pass collector shape over
+        # the already-collected match set): top groups by their best
+        # doc's score, each with group.limit docs
+        gfield = params["group.field"]
+        glimit = int(params.get("group.limit", 1))
+        gvals = np.asarray(searcher.docvalues(gfield)).astype(str)[docs]
+        order_all = np.lexsort((docs, -scores))
+        groups: dict = {}
+        for i in order_all:
+            g = gvals[i]
+            bucket = groups.setdefault(g, [])
+            if len(bucket) < glimit:
+                bucket.append((int(docs[i]), float(scores[i])))
+        # group order = best doc's rank (insertion order of first hit)
+        glist = []
+        for g, members in list(groups.items())[:rows]:
+            glist.append({
+                "groupValue": g,
+                "doclist": {
+                    "numFound": int((gvals == g).sum()),
+                    "docs": [{"[docid]": d_, "score": s_}
+                             for d_, s_ in members],
+                },
+            })
+        resp["grouped"] = {gfield: {"matches": num_found,
+                                    "groups": glist}}
+
     stats_fields = params.get("stats.field") or []
     if isinstance(stats_fields, str):
         stats_fields = [stats_fields]

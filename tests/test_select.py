@@ -189,3 +189,20 @@ def test_select_hl_mlt_with_projected_fl(sel_idx):
     for row in r["response"]["docs"]:
         assert "content" not in row
         assert "doc_key" in row
+
+
+def test_select_grouping_component(sel_idx):
+    """GroupingComponent: top groups by best-doc rank, group.limit docs
+    each, per-group numFound."""
+    s = IndexSearcher(sel_idx)
+    r = solr_select(s, {"q": "special", "rows": 3, "group": True,
+                        "group.field": "lang", "group.limit": 2,
+                        "fl": ["doc_key"]})
+    g = r["grouped"]["lang"]
+    assert g["matches"] == 12
+    assert 1 <= len(g["groups"]) <= 3
+    total = 0
+    for grp in g["groups"]:
+        assert 1 <= len(grp["doclist"]["docs"]) <= 2
+        total += grp["doclist"]["numFound"]
+    assert total == 12  # 3 langs x 4 special docs each
