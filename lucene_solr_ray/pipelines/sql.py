@@ -331,7 +331,9 @@ def _eval_arith(b: pa.Table, node):
         out = _eval_arith(b, node[2]) if node[2] is not None \
             else pa.scalar(None)
         for cond, val in reversed(node[1]):
-            mask = _eval_expr(b, cond)
+            # CASE treats a NULL condition as not-matched (SQL): fill
+            # the three-valued mask to False before branching
+            mask = pc.fill_null(_eval_expr(b, cond), False)
             out = pc.if_else(mask, _eval_arith(b, val), out)
         return out
     l, r = _eval_arith(b, node[2]), _eval_arith(b, node[3])
@@ -492,51 +494,145 @@ def _coerce(col, val):
 
 
 def _eval_expr(b: pa.Table, node):
-    """Evaluate a WHERE tree to a boolean mask with Arrow kernels.
-    Three-valued-logic note: masks are null-filled to False at the leaf
-    comparisons, so NOT composes like SQL's NOT over a WHERE result."""
+    """Evaluate a WHERE tree to a THREE-VALUED boolean mask with Arrow
+    kernels: NULL operands stay NULL at the leaves, AND/OR compose with
+    Kleene kernels, and NOT(NULL) is NULL — so ``NOT x LIKE``/``NOT IN``
+    over a NULL operand excludes the row exactly like the SQL standard
+    (and the DuckDB oracle). The single ``fill_null(False)`` happens at
+    the top of ``_filter_batch``."""
     tag = node[0]
     if tag == "and":
         m = _eval_expr(b, node[1][0])
         for n in node[1][1:]:
-            m = pc.and_(m, _eval_expr(b, n))
+            m = pc.and_kleene(m, _eval_expr(b, n))
         return m
     if tag == "or":
         m = _eval_expr(b, node[1][0])
         for n in node[1][1:]:
-            m = pc.or_(m, _eval_expr(b, n))
+            m = pc.or_kleene(m, _eval_expr(b, n))
         return m
     if tag == "not":
-        return pc.invert(_eval_expr(b, node[1]))
+        return pc.invert(_eval_expr(b, node[1]))  # invert keeps nulls
     if tag == "isnull":
-        return pc.is_null(b[node[1]])
+        return pc.is_null(b[node[1]])  # never null itself
     if tag == "cmp":
         col = _eval_arith(b, node[1]) if isinstance(node[1], tuple) \
             else b[node[1]]
-        return pc.fill_null(
-            _OPS[node[2]](col, _coerce(col, node[3])), False)
+        return _OPS[node[2]](col, _coerce(col, node[3]))
     if tag == "in":
         col = b[node[1]]
         # .cast covers ISO-string -> temporal coercion for the list form
         vals = pa.array(node[2]).cast(col.type)
-        return pc.fill_null(pc.is_in(col, value_set=vals), False)
+        m = pc.is_in(col, value_set=vals)
+        # is_in yields False for NULL probes; SQL says NULL IN (...) is
+        # NULL (so NOT IN keeps excluding the row)
+        return pc.if_else(pc.is_null(col),
+                          pa.scalar(None, pa.bool_()), m)
     if tag == "between":
         col = b[node[1]]
-        return pc.fill_null(
-            pc.and_(pc.greater_equal(col, _coerce(col, node[2])),
-                    pc.less_equal(col, _coerce(col, node[3]))), False)
+        return pc.and_kleene(
+            pc.greater_equal(col, _coerce(col, node[2])),
+            pc.less_equal(col, _coerce(col, node[3])))
     if tag == "like":
-        return pc.fill_null(pc.match_like(b[node[1]], node[2]), False)
+        return pc.match_like(b[node[1]], node[2])  # null-propagating
     raise ValueError(f"unknown node {tag}")
 
 
 def _filter_batch(b: pa.Table, where) -> pa.Table:
-    return b.filter(_eval_expr(b, where)) if where is not None else b
+    if where is None:
+        return b
+    return b.filter(pc.fill_null(_eval_expr(b, where), False))
+
+
+# --- NULL-safe group/sort keys -------------------------------------------
+# Ray Data's groupby and sort shuffles compare key values with Python
+# ``<`` (sort_task_spec / aggregate_task_spec), which raises on None —
+# but SQL GROUP BY / DISTINCT / ORDER BY treat NULL as an ordinary
+# (single) group that sorts NULLS LAST (the DuckDB default). We make
+# the shuffle null-safe without leaving the distributed plan: one cheap
+# map_batches fills each key's nulls with a type placeholder and records
+# them in a boolean ``__isnull__<k>`` marker column; grouping on
+# (key, marker) keeps the NULL group distinct from the placeholder's
+# real value, sorting on (marker ASC, key) yields NULLS LAST, and the
+# markers are used to put the NULLs back after the shuffle.
+
+_NULLMARK = "__isnull__"
+
+
+def _null_fill_scalar(t: pa.DataType):
+    """Type-appropriate placeholder for NULL keys (restored later)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", t)
+    if pa.types.is_floating(t):
+        return pa.scalar(0.0, t)
+    if pa.types.is_integer(t):
+        return pa.scalar(0, t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, t)
+    if pa.types.is_temporal(t):
+        return pa.array([0], pa.int64()).cast(t)[0]
+    return None
+
+
+def _mark_null_keys(ds, keys: list[str]):
+    """Fill + mark NULL key values; returns (ds, {key: marker})."""
+    markers = {k: _NULLMARK + k for k in keys}
+
+    def _mark(b: pa.Table, _keys=tuple(keys), _m=dict(markers)) -> pa.Table:
+        for k in _keys:
+            col = b[k]
+            b = b.append_column(_m[k], pc.is_null(col))
+            fv = _null_fill_scalar(col.type)
+            if fv is not None and col.null_count:
+                b = b.set_column(b.column_names.index(k), k,
+                                 pc.fill_null(col, fv))
+        return b
+
+    return ds.map_batches(_mark, batch_format="pyarrow"), markers
+
+
+def _restore_null_keys(t: pa.Table, markers: dict[str, str]) -> pa.Table:
+    """Arrow-side restore: NULL where the marker is set, drop markers."""
+    for k, m in markers.items():
+        if m not in t.column_names:
+            continue
+        mask = t[m].combine_chunks() if t.num_rows else t[m]
+        if t.num_rows and pc.any(mask).as_py():
+            col = t[k]
+            t = t.set_column(
+                t.column_names.index(k), k,
+                pc.if_else(mask, pa.scalar(None, col.type), col))
+        t = t.drop_columns([m])
+    return t
+
+
+def _restore_null_keys_pd(df, markers: dict[str, str]):
+    """Pandas-side restore (post-``to_pandas`` aggregate results)."""
+    for k, m in markers.items():
+        if m in df.columns:
+            df[k] = df[k].mask(df[m].astype(bool))
+            df = df.drop(columns=[m])
+    return df
 
 
 def _eval_expr_pd(df, node):
-    """Same tree over a pandas DataFrame (HAVING runs post-aggregate)."""
+    """Same tree over a pandas DataFrame (HAVING runs post-aggregate).
+    Mirrors the Arrow path's three-valued logic: leaf masks are pandas
+    nullable ``boolean`` arrays (whose &, |, ~ are Kleene); the caller
+    does one ``.fillna(False)`` before indexing."""
     import operator as _op
+
+    import pandas as pd
+
+    def _leaf(mask, null_src):
+        """mask: bool per row; null_src: the operand column (rows where
+        it is NA get a NULL mask) or an explicit bool is-null array."""
+        m = pd.array(np.asarray(mask, dtype=bool), dtype="boolean")
+        na = null_src if (isinstance(null_src, np.ndarray)
+                          and null_src.dtype == bool) \
+            else np.asarray(pd.isna(null_src), dtype=bool)
+        m[na] = pd.NA
+        return pd.Series(m, index=df.index)
 
     ops = {"=": _op.eq, "<>": _op.ne, "<": _op.lt,
            "<=": _op.le, ">": _op.gt, ">=": _op.ge}
@@ -563,18 +659,22 @@ def _eval_expr_pd(df, node):
             lhs = _eval_arith(t, node[1])
             import pandas as pd
 
-            m = pc.fill_null(
-                _OPS[node[2]](lhs, _coerce(lhs, node[3])), False)
-            return pd.Series(m.to_numpy(zero_copy_only=False),
-                             index=df.index)
-        return ops[node[2]](df[node[1]], node[3]).fillna(False)
+            m = _OPS[node[2]](lhs, _coerce(lhs, node[3]))
+            return _leaf(
+                pc.fill_null(m, False).to_numpy(zero_copy_only=False),
+                pc.is_null(m).to_numpy(zero_copy_only=False))
+        col = df[node[1]]
+        return _leaf(ops[node[2]](col, node[3]).fillna(False), col)
     if tag == "in":
-        return df[node[1]].isin(node[2])
+        col = df[node[1]]
+        return _leaf(col.isin(node[2]), col)
     if tag == "between":
-        return df[node[1]].between(node[2], node[3])
+        col = df[node[1]]
+        return _leaf(col.between(node[2], node[3]).fillna(False), col)
     if tag == "like":
         pat = re.escape(node[2]).replace("%", ".*").replace("_", ".")
-        return df[node[1]].str.fullmatch(pat).fillna(False)
+        col = df[node[1]]
+        return _leaf(col.str.fullmatch(pat).fillna(False), col)
     raise ValueError(f"unknown node {tag}")
 
 
@@ -773,25 +873,40 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
         have |= {n for n, _ in expr_specs}
 
     if plan.distinct:
-        # DISTINCT = shuffle-dedupe on the projected columns (Solr's
-        # unique/facet stream); composes with ORDER BY / LIMIT after
+        # DISTINCT = per-block Arrow pre-dedupe (combiner) + ONE keyed
+        # shuffle; ORDER BY runs as a distributed sort and LIMIT is
+        # pushed down BEFORE anything reaches the driver, so a
+        # high-cardinality DISTINCT never materializes driver-side
         cols = [i.col for i in plan.items]
-        ds = ds.map_batches(
-            lambda b: b.select(cols).group_by(cols).aggregate([]),
+        mds, markers = _mark_null_keys(ds, cols)
+        gcols = cols + list(markers.values())
+        dd = mds.map_batches(
+            lambda b: b.select(gcols).group_by(gcols).aggregate([]),
             batch_format="pyarrow",
-        ).groupby(cols).count()
-        res = ds.to_pandas()[cols]
-        res.columns = [i.alias for i in plan.items]
+        ).groupby(gcols).count().select_columns(gcols)
         if plan.order_by:
-            res = res.sort_values(
-                [n for n, _ in plan.order_by],
-                ascending=[not d for _, d in plan.order_by],
-                kind="mergesort")
+            a2c = {i.alias: i.col for i in plan.items}
+            skeys, sdesc = [], []
+            for n, d in plan.order_by:
+                c = a2c.get(n, n)
+                skeys.append(markers[c])  # marker ASC = NULLS LAST
+                sdesc.append(False)
+                skeys.append(c)
+                sdesc.append(d)
+            dd = dd.sort(skeys, descending=sdesc)
         if plan.limit is not None:
-            res = res.head(plan.limit)
+            dd = dd.limit(plan.limit)
+        parts = [_restore_null_keys(b, markers).select(cols)
+                 for b in dd.iter_batches(batch_format="pyarrow")]
+        if parts:
+            out = pa.concat_tables(parts, promote_options="default")
+        else:
+            sch = dd.schema()
+            out = pa.schema(
+                [(n, t) for n, t in zip(sch.names, sch.types)]
+            ).empty_table().select(cols)
         return _round4_floats(
-            pa.Table.from_pandas(res.reset_index(drop=True),
-                                 preserve_index=False))
+            out.rename_columns([i.alias for i in plan.items]))
 
     aggs = [i for i in plan.items if i.agg]
     if plan.group_by or aggs:
@@ -819,14 +934,25 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
             # distinct = per-block Arrow pre-dedupe, then ONE keyed
             # shuffle on (group keys, col); the per-group count of the
             # resulting distinct rows stays distributed — only
-            # group-cardinality rows reach the driver
-            keys = plan.group_by + [it.col]
-            d = ds.map_batches(
+            # group-cardinality rows reach the driver. count(DISTINCT x)
+            # skips NULL x (SQL), which also keeps the shuffle key
+            # null-free; NULL group keys go through the marker columns.
+            nn = ds.map_batches(
+                lambda b, _c=it.col: b.filter(pc.is_valid(b[_c])),
+                batch_format="pyarrow")
+            if plan.group_by:
+                nn, mk = _mark_null_keys(nn, plan.group_by)
+                gkeys = plan.group_by + list(mk.values())
+            else:
+                mk, gkeys = {}, []
+            keys = gkeys + [it.col]
+            d = nn.map_batches(
                 lambda b, _k=keys: b.select(_k).group_by(_k).aggregate([]),
                 batch_format="pyarrow",
             ).groupby(keys).count()
             if plan.group_by:
-                out = d.groupby(plan.group_by).count().to_pandas()
+                out = _restore_null_keys_pd(
+                    d.groupby(gkeys).count().to_pandas(), mk)
                 return out.rename(columns={"count()": it.alias})
             import pandas as pd
 
@@ -835,8 +961,10 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
         if plan.group_by:
             frames = []
             if specs:
-                frames.append(
-                    ds.groupby(plan.group_by).aggregate(*specs).to_pandas())
+                gds, gmk = _mark_null_keys(ds, plan.group_by)
+                frames.append(_restore_null_keys_pd(
+                    gds.groupby(plan.group_by + list(gmk.values()))
+                    .aggregate(*specs).to_pandas(), gmk))
             frames.extend(_count_distinct(it) for it in cd_items)
             res = frames[0]
             for f in frames[1:]:
@@ -857,7 +985,8 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
             it.col: it.alias for it in plan.items
             if it.agg is None and it.col != it.alias})
         if plan.having is not None:
-            res = res[_eval_expr_pd(res, plan.having)]
+            res = res[_eval_expr_pd(res, plan.having)
+                      .fillna(False).astype(bool)]
         # post-aggregate: bounded by group cardinality -> driver sort ok
         if plan.order_by:
             res = res.sort_values(
@@ -872,9 +1001,17 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
 
     # plain projection: distributed sort + streaming limit
     alias_to_col = {i.alias: i.col for i in plan.items}
+    smk: dict[str, str] = {}
     if plan.order_by:
         keys = [alias_to_col.get(n, n) for n, _ in plan.order_by]
-        ds = ds.sort(keys, descending=[d for _, d in plan.order_by])
+        ds, smk = _mark_null_keys(ds, keys)
+        skeys, sdesc = [], []
+        for k, (_n, d) in zip(keys, plan.order_by):
+            skeys.append(smk[k])  # marker ASC = NULLS LAST
+            sdesc.append(False)
+            skeys.append(k)
+            sdesc.append(d)
+        ds = ds.sort(skeys, descending=sdesc)
     if plan.limit is not None:
         ds = ds.limit(plan.limit)
         t = pa.Table.from_pandas(ds.to_pandas(),  # bounded by LIMIT
@@ -883,6 +1020,7 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
         t = pa.concat_tables(
             [b for b in ds.iter_batches(batch_format="pyarrow")],
             promote_options="default")
+    t = _restore_null_keys(t, smk)
     t = t.select([i.col for i in plan.items])
     t = t.rename_columns([i.alias for i in plan.items])
     return _round4_floats(t)

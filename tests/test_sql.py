@@ -414,3 +414,130 @@ def test_union_all_trailing_order_limit(ray_session):
     want = con.execute(q).df()
     assert got["k"].tolist() == want["k"].tolist()
     assert got["n"].tolist() == [int(x) for x in want["n"]]
+
+
+def test_null_three_valued_logic(ray_session, tmp_path):
+    """SQL three-valued logic: a NULL operand under NOT LIKE / NOT IN /
+    NOT BETWEEN / NOT(=) must EXCLUDE the row (NOT NULL is NULL, and a
+    NULL WHERE mask drops the row), matching DuckDB. Regression for the
+    pre-Kleene implementation that filled nulls to False at the leaves
+    and so kept NULL rows under NOT."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "id": list(range(8)),
+        "s": ["alpha", None, "beta", "gamma", None, "alphabet", "x", None],
+        "v": [1, 2, None, 4, None, 6, 7, 8],
+    })
+    pq.write_table(t, str(tmp_path / "nulls.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nulls AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/nulls.parquet')")
+    queries = [
+        "SELECT id FROM nulls WHERE NOT s LIKE 'alpha%' ORDER BY id",
+        "SELECT id FROM nulls WHERE NOT s IN ('x', 'beta') ORDER BY id",
+        "SELECT id FROM nulls WHERE NOT v BETWEEN 2 AND 6 ORDER BY id",
+        "SELECT id FROM nulls WHERE NOT s = 'x' ORDER BY id",
+        "SELECT id FROM nulls WHERE NOT (s = 'x' OR v = 2) ORDER BY id",
+        "SELECT id FROM nulls WHERE s IS NULL OR NOT v = 8 ORDER BY id",
+        # Kleene OR: (NULL OR TRUE) is TRUE so the row survives
+        "SELECT id FROM nulls WHERE s LIKE 'z%' OR v >= 1 ORDER BY id",
+    ]
+    for q in queries:
+        got = execute_sql(q, str(tmp_path))["id"].to_pylist()
+        want = [r[0] for r in con.execute(q).fetchall()]
+        assert got == want, f"{q}: {got} != {want}"
+
+
+def test_null_three_valued_having(ray_session, tmp_path):
+    """Same three-valued logic on the pandas HAVING path."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "g": ["a", "a", "b", "b", "c", None, None],
+        "v": [1, 2, 3, 4, 5, 6, 7],
+    })
+    pq.write_table(t, str(tmp_path / "hv.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW hv AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/hv.parquet')")
+    q = ("SELECT g, sum(v) AS s FROM hv GROUP BY g "
+         "HAVING NOT g LIKE 'a%' ORDER BY s")
+    got = execute_sql(q, str(tmp_path)).to_pandas()
+    want = con.execute(q).df()
+    assert got["g"].tolist() == want["g"].tolist()
+    assert [int(x) for x in got["s"]] == [int(x) for x in want["s"]]
+
+
+def test_distinct_high_cardinality_streams(ray_session, tmp_path):
+    """SELECT DISTINCT over 10^6 rows / ~250k distinct keys runs as a
+    per-block combiner + one keyed shuffle with the LIMIT pushed into
+    the Dataset — the driver only ever sees the limited result, never
+    the full distinct set."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n = 1_000_000
+    keys = rng.integers(0, 250_000, n)
+    t = pa.table({"k": keys, "b": keys % 17})
+    pq.write_table(t, str(tmp_path / "big.parquet"))
+
+    got = execute_sql(
+        "SELECT DISTINCT k FROM big ORDER BY k LIMIT 100",
+        str(tmp_path))
+    assert got.num_rows == 100
+    assert got["k"].to_pylist() == sorted(set(keys))[:100]
+
+    # unordered/unlimited path still streams (iter_batches, no
+    # to_pandas) and returns the exact distinct count
+    got2 = execute_sql("SELECT DISTINCT b FROM big", str(tmp_path))
+    assert sorted(got2["b"].to_pylist()) == list(range(17))
+
+
+def test_null_group_distinct_order(ray_session, tmp_path):
+    """NULL is an ordinary group for GROUP BY / DISTINCT and sorts
+    NULLS LAST (DuckDB default) under ORDER BY — via the null-marker
+    shuffle keys (Ray's groupby/sort cannot compare None directly)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "g": ["a", None, "b", None, "a", "b", None],
+        "v": [1, 2, 3, 4, 5, 6, None],
+    })
+    pq.write_table(t, str(tmp_path / "ng.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ng AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/ng.parquet')")
+
+    q = "SELECT g, sum(v) AS s, count(*) AS n FROM ng GROUP BY g"
+    got = execute_sql(q, str(tmp_path)).to_pandas()
+    want = con.execute(q).df()
+    got = got.assign(k=got["g"].fillna("<N>")).sort_values(
+        "k").reset_index(drop=True)
+    want = want.assign(k=want["g"].fillna("<N>")).sort_values(
+        "k").reset_index(drop=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert [int(x) for x in got["s"]] == [int(x) for x in want["s"]]
+    assert [int(x) for x in got["n"]] == [int(x) for x in want["n"]]
+
+    q2 = "SELECT DISTINCT g FROM ng ORDER BY g"
+    got2 = execute_sql(q2, str(tmp_path))["g"].to_pylist()
+    want2 = [r[0] for r in con.execute(q2).fetchall()]
+    assert got2 == want2  # ['a', 'b', None] — NULLS LAST
+
+    q3 = "SELECT v FROM ng ORDER BY v DESC LIMIT 7"
+    got3 = execute_sql(q3, str(tmp_path))["v"].to_pylist()
+    want3 = [r[0] for r in con.execute(q3).fetchall()]
+    assert got3 == want3  # NULL sorts last even for DESC (DuckDB)
+
+    q4 = ("SELECT g, count(DISTINCT v) AS dv FROM ng GROUP BY g")
+    got4 = execute_sql(q4, str(tmp_path)).to_pandas()
+    want4 = con.execute(q4).df()
+    gm = dict(zip(got4["g"].fillna("<N>"), got4["dv"]))
+    wm = dict(zip(want4["g"].fillna("<N>"), want4["dv"]))
+    assert {k: int(v) for k, v in gm.items()} == \
+        {k: int(v) for k, v in wm.items()}
