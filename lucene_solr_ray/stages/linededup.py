@@ -16,11 +16,19 @@ Ray Data shape (two streamed passes, no corpus pin):
    shuffle only (hash, partial_count) pairs, ``groupby(hash).sum``,
    keep hashes with count >= min_repeat. The result is bounded by the
    number of DISTINCT repeated units — boilerplate vocabulary, not
-   corpus size. (At 10^12 docs swap the exact set for a Bloom filter
-   built the same way; the pass structure is unchanged.)
+   corpus size.
 2. REWRITE pass: broadcast the sorted dup-hash array (``ray.put``
    once), fresh pruned read, drop matching units per doc vectorized
    (np.searchsorted membership), reassemble text.
+
+Scale path (``method="bloom"``): at 10^12 docs the repeated-unit set
+is itself huge, so the exact broadcast set is swapped for a fixed-size
+:class:`Bloom` filter built the same HLL/t-digest partial+final way —
+each block of the (already count-filtered) hash stream becomes ONE
+``m_bits``-bit partial bitmap row, the driver OR-merges bitmap rows
+streaming, and the broadcast / driver-held structure is ``m_bits/8``
+bytes REGARDLESS of corpus size (false-positive rate degrades
+gracefully; FPs only ever over-delete boilerplate-like units).
 
 Units: ``"window:K"`` (fixed K-word chunks — what this corpus's
 unpunctuated text needs), ``"sentence"`` ('.'-split), ``"line"``
@@ -57,11 +65,99 @@ def _hash64(units: list[str]) -> np.ndarray:
         np.uint64, count=len(units)).view(np.int64)
 
 
-def repeated_unit_hashes(ds, text_col: str, *, unit: str = "window:10",
-                         min_repeat: int = 2) -> np.ndarray:
-    """COUNT pass -> sorted int64-viewed hashes of repeated units."""
+class Bloom:
+    """Fixed-size Bloom filter over int64-viewed 64-bit hashes.
+
+    Double hashing (Kirsch & Mitzenmacher 2006): the k probe positions
+    come from the hash's two 32-bit halves, ``p_i = (h1 + i*h2) % m`` —
+    no re-hashing needed. ``m_bits`` fixes the memory footprint
+    (``m_bits/8`` bytes) independent of how many hashes are added."""
+
+    def __init__(self, m_bits: int = 1 << 23, k: int = 4):
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.bits = np.zeros(self.m // 8, np.uint8)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        u = np.asarray(h, np.int64).view(np.uint64)
+        h1 = (u & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        h2 = (u >> np.uint64(32)) | np.uint64(1)  # odd -> full-cycle
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m))
+
+    def add(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        pos = self._positions(h).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64),
+                         (1 << (pos & np.uint64(7))).astype(np.uint8))
+
+    def contains(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, bool)
+        pos = self._positions(h)
+        byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return bit.all(axis=0).astype(bool)
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, k: int = 4) -> "Bloom":
+        out = cls(m_bits=len(b) * 8, k=k)
+        out.bits = np.frombuffer(b, np.uint8).copy()
+        return out
+
+
+def _count_filtered_hashes(ds, partial_counts, min_repeat: int):
+    """Shared COUNT pass: combiner -> ONE groupby(h).sum shuffle ->
+    streamed >= min_repeat filter. Returns the lazy hash Dataset."""
     from ray.data.aggregate import Sum
 
+    import pyarrow.compute as pc
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b["cnt"], min_repeat)),
+            batch_format="pyarrow")
+        .select_columns(["h"])
+    )
+
+
+def _collect_exact(hash_ds) -> np.ndarray:
+    t = hash_ds.take_all()
+    return np.sort(np.asarray([r["h"] for r in t], np.int64))
+
+
+def _collect_bloom(hash_ds, m_bits: int, k: int) -> Bloom:
+    """Per-block partial bitmaps (the HLL partial+final shape), driver
+    OR-merges streaming — holds m_bits/8 bytes + one row at a time."""
+    def sketch(b: pa.Table) -> pa.Table:
+        f = Bloom(m_bits=m_bits, k=k)
+        f.add(b["h"].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([f.to_bytes()], pa.binary())})
+
+    merged = Bloom(m_bits=m_bits, k=k)
+    for row in hash_ds.map_batches(
+            sketch, batch_format="pyarrow").iter_rows():
+        merged.merge(Bloom.from_bytes(row["sketch"], k=k))
+    return merged
+
+
+def repeated_unit_hashes(ds, text_col: str, *, unit: str = "window:10",
+                         min_repeat: int = 2, method: str = "exact",
+                         m_bits: int = 1 << 23, k: int = 4):
+    """COUNT pass. ``method="exact"`` -> sorted int64 hash array
+    (bounded by the distinct-repeated-unit vocabulary);
+    ``method="bloom"`` -> a fixed-size :class:`Bloom` (bounded by
+    ``m_bits`` regardless of corpus size)."""
     def partial_counts(b: pa.Table) -> pa.Table:
         all_units: list[str] = []
         for t in b[text_col].to_pylist():
@@ -74,35 +170,48 @@ def repeated_unit_hashes(ds, text_col: str, *, unit: str = "window:10",
         return pa.table({"h": pa.array(uniq),
                          "cnt": pa.array(cnt.astype(np.int64))})
 
-    import pyarrow.compute as pc
+    hash_ds = _count_filtered_hashes(ds, partial_counts, min_repeat)
+    if method == "bloom":
+        return _collect_bloom(hash_ds, m_bits, k)
+    return _collect_exact(hash_ds)
 
-    t = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
-        .map_batches(lambda b: b.filter(
-            pc.greater_equal(b["cnt"], min_repeat)),
-            batch_format="pyarrow")
-        .select_columns(["h"])
-        .take_all()
-    )
-    return np.sort(np.asarray([r["h"] for r in t], np.int64))
+
+def _membership(dup, h: np.ndarray) -> np.ndarray:
+    """Boolean hit mask for ``h`` against either an exact sorted hash
+    array or a :class:`Bloom` (the scale path)."""
+    if isinstance(dup, Bloom):
+        return dup.contains(h)
+    if not dup.size:
+        return np.zeros(len(h), bool)
+    pos = np.searchsorted(dup, h)
+    return (pos < dup.size) & (
+        dup[np.minimum(pos, max(dup.size - 1, 0))] == h)
+
+
+def _as_broadcastable(dup_hashes):
+    return dup_hashes if isinstance(dup_hashes, Bloom) \
+        else np.sort(np.asarray(dup_hashes, np.int64))
 
 
 def line_dedup(ds, text_col: str, id_col: str, *,
                unit: str = "window:10", min_repeat: int = 2,
-               dup_hashes: np.ndarray | None = None):
+               dup_hashes=None, method: str = "exact",
+               m_bits: int = 1 << 23):
     """REWRITE pass: remove every occurrence of corpus-repeated units.
 
     Returns a Dataset of (id_col, text_col, units_in, units_dropped);
     docs whose every unit is boilerplate come out with empty text (the
-    caller filters — CCNet drops them).
+    caller filters — CCNet drops them). ``dup_hashes`` may be an exact
+    sorted hash array or a :class:`Bloom`; ``method="bloom"`` builds
+    the latter (fixed driver/broadcast footprint at any corpus size).
     """
     import ray
 
     if dup_hashes is None:
         dup_hashes = repeated_unit_hashes(
-            ds, text_col, unit=unit, min_repeat=min_repeat)
-    dup_ref = ray.put(np.sort(np.asarray(dup_hashes, np.int64)))
+            ds, text_col, unit=unit, min_repeat=min_repeat,
+            method=method, m_bits=m_bits)
+    dup_ref = ray.put(_as_broadcastable(dup_hashes))
 
     def rewrite(b: pa.Table) -> pa.Table:
         dup = ray.get(dup_ref)
@@ -116,11 +225,7 @@ def line_dedup(ds, text_col: str, id_col: str, *,
                 n_in.append(0)
                 n_drop.append(0)
                 continue
-            h = _hash64(units)
-            pos = np.searchsorted(dup, h)
-            hit = (pos < dup.size) & (
-                dup[np.minimum(pos, max(dup.size - 1, 0))] == h) \
-                if dup.size else np.zeros(len(units), bool)
+            hit = _membership(dup, _hash64(units))
             kept = [u for u, bad in zip(units, hit) if not bad]
             sep = "\n" if unit == "line" else (
                 ". " if unit == "sentence" else " ")
@@ -138,17 +243,16 @@ def line_dedup(ds, text_col: str, id_col: str, *,
 
 
 def rolling_dup_hashes(ds, text_col: str, *, k: int = 10, stride: int = 1,
-                       min_repeat: int = 2) -> np.ndarray:
+                       min_repeat: int = 2, method: str = "exact",
+                       m_bits: int = 1 << 23):
     """COUNT pass over OVERLAPPING k-token windows at ``stride`` (the
     ExactSubstr recipe of Lee et al., 2022 "Deduplicating Training Data
     Makes Language Models Better", at window resolution instead of
-    suffix arrays): sorted int64 hashes of windows seen >= min_repeat
-    times corpus-wide. stride=1 is exact at k-token granularity;
-    stride>1 trades recall for a 1/stride smaller shuffle."""
-    from ray.data.aggregate import Sum
-
-    import pyarrow.compute as pc
-
+    suffix arrays): hashes of windows seen >= min_repeat times
+    corpus-wide, as a sorted int64 array (exact) or a fixed-size
+    :class:`Bloom` (``method="bloom"``). stride=1 is exact at k-token
+    granularity; stride>1 trades recall for a 1/stride smaller
+    shuffle."""
     def windows(words: list[str]):
         return [" ".join(words[i:i + k])
                 for i in range(0, max(len(words) - k + 1, 0), stride)]
@@ -164,30 +268,27 @@ def rolling_dup_hashes(ds, text_col: str, *, k: int = 10, stride: int = 1,
         return pa.table({"h": pa.array(uniq),
                          "cnt": pa.array(cnt.astype(np.int64))})
 
-    t = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
-        .map_batches(lambda b: b.filter(
-            pc.greater_equal(b["cnt"], min_repeat)),
-            batch_format="pyarrow")
-        .select_columns(["h"]).take_all()
-    )
-    return np.sort(np.asarray([r["h"] for r in t], np.int64))
+    hash_ds = _count_filtered_hashes(ds, partial, min_repeat)
+    if method == "bloom":
+        return _collect_bloom(hash_ds, m_bits, 4)
+    return _collect_exact(hash_ds)
 
 
 def rolling_dedup(ds, text_col: str, id_col: str, *, k: int = 10,
                   stride: int = 1, min_repeat: int = 2,
-                  dup_hashes: np.ndarray | None = None):
+                  dup_hashes=None, method: str = "exact",
+                  m_bits: int = 1 << 23):
     """REWRITE pass: drop every TOKEN covered by any corpus-repeated
     window (the union of matched [i, i+k) spans — how ExactSubstr cuts
     the repeated byte ranges). Returns (id, text, tokens_in,
-    tokens_dropped)."""
+    tokens_dropped). ``method``/``dup_hashes`` as :func:`line_dedup`."""
     import ray
 
     if dup_hashes is None:
         dup_hashes = rolling_dup_hashes(
-            ds, text_col, k=k, stride=stride, min_repeat=min_repeat)
-    dup_ref = ray.put(np.sort(np.asarray(dup_hashes, np.int64)))
+            ds, text_col, k=k, stride=stride, min_repeat=min_repeat,
+            method=method, m_bits=m_bits)
+    dup_ref = ray.put(_as_broadcastable(dup_hashes))
 
     def rewrite(b: pa.Table) -> pa.Table:
         dup = ray.get(dup_ref)
@@ -201,11 +302,7 @@ def rolling_dedup(ds, text_col: str, id_col: str, *, k: int = 10,
                 n_drop.append(0)
                 continue
             units = [" ".join(w[i:i + k]) for i in starts]
-            h = _hash64(units)
-            pos = np.searchsorted(dup, h)
-            hit = (pos < dup.size) & (
-                dup[np.minimum(pos, max(dup.size - 1, 0))] == h) \
-                if dup.size else np.zeros(len(units), bool)
+            hit = _membership(dup, _hash64(units))
             drop = np.zeros(len(w), bool)
             for i, bad in zip(starts, hit):
                 if bad:

@@ -325,3 +325,125 @@ def test_pack_sequences_ffd(ray_session):
     assert out["pack_id"].nunique() < len(lens) * 0.7
     # fill is healthy for FFD at this distribution
     assert out["pack_fill"].mean() > 0.7
+
+
+def test_bloom_dedup_capped_driver_state(ray_session):
+    """The bloom scale path: (a) bloom-mode line_dedup matches the
+    exact mode at test scale; (b) the driver-held / broadcast structure
+    is EXACTLY m_bits/8 bytes for corpora of different sizes — capped
+    independent of corpus size (the exact set grows with the corpus)."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.linededup import (
+        Bloom,
+        line_dedup,
+        repeated_unit_hashes,
+        rolling_dup_hashes,
+    )
+
+    boiler = "click here to accept cookies and continue to site"
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def corpus(n):
+        return [
+            {"doc_id": i,
+             "text": " ".join(rng.choice(vocab, 25)) + " " + boiler
+             if i % 2 == 0 else " ".join(rng.choice(vocab, 30))}
+            for i in range(n)
+        ]
+
+    small = rd.from_items(corpus(40)).repartition(4)
+    large = rd.from_items(corpus(400)).repartition(8)
+
+    m_bits = 1 << 16
+    bl_small = repeated_unit_hashes(
+        small, "text", unit="window:9", method="bloom", m_bits=m_bits)
+    bl_large = repeated_unit_hashes(
+        large, "text", unit="window:9", method="bloom", m_bits=m_bits)
+    assert isinstance(bl_small, Bloom) and isinstance(bl_large, Bloom)
+    assert len(bl_small.to_bytes()) == m_bits // 8
+    assert len(bl_large.to_bytes()) == m_bits // 8  # capped, not growing
+
+    exact = line_dedup(small, "text", "doc_id",
+                       unit="window:9").to_pandas().sort_values("doc_id")
+    bloom = line_dedup(small, "text", "doc_id", unit="window:9",
+                       method="bloom", m_bits=m_bits
+                       ).to_pandas().sort_values("doc_id")
+    assert exact["text"].tolist() == bloom["text"].tolist()
+    assert exact["units_dropped"].tolist() == \
+        bloom["units_dropped"].tolist()
+
+    rb = rolling_dup_hashes(small, "text", k=5, method="bloom",
+                            m_bits=m_bits)
+    assert len(rb.to_bytes()) == m_bits // 8
+
+
+def test_bloom_membership_semantics():
+    """Bloom invariants: no false negatives ever; false-positive rate
+    stays near the theoretical bound at the designed load."""
+    import numpy as np
+
+    from lucene_solr_ray.stages.linededup import Bloom
+
+    rng = np.random.default_rng(11)
+    added = rng.integers(-2**62, 2**62, 5000, np.int64)
+    probes = rng.integers(-2**62, 2**62, 20000, np.int64)
+    f = Bloom(m_bits=1 << 17, k=4)
+    f.add(added)
+    assert f.contains(added).all()  # no false negatives
+    fresh = np.setdiff1d(probes, added)
+    fp = f.contains(fresh).mean()
+    # n/m = 5000/131072 -> (1-e^(-kn/m))^k ~ 4.5e-4; allow 10x slack
+    assert fp < 5e-3
+    g = Bloom.from_bytes(f.to_bytes(), k=4)
+    assert g.contains(added).all()
+    h = Bloom(m_bits=1 << 17, k=4)
+    h.add(added[:2500])
+    h2 = Bloom(m_bits=1 << 17, k=4)
+    h2.add(added[2500:])
+    assert h.merge(h2).contains(added).all()  # OR-merge is lossless
+
+
+def test_lm_model_capped_driver_state(ray_session):
+    """train_bigram_lm with min_count / max_entries bounds the
+    driver-held model inside the distributed plan: the collected model
+    size obeys the cap independent of corpus size, and n_tokens stays
+    the full pre-pruning token count."""
+    import ray
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.lmfilter import (
+        PerplexityScorer,
+        train_bigram_lm,
+    )
+
+    import numpy as np
+    rng = np.random.default_rng(5)
+    vocab = [f"t{i}" for i in range(300)]
+
+    def corpus(n):
+        return rd.from_items([
+            {"doc_id": i, "text": " ".join(rng.choice(vocab, 40))}
+            for i in range(n)]).repartition(4)
+
+    small, large = corpus(50), corpus(500)
+    cap = 64
+    ref_s, n_s = train_bigram_lm(small, max_entries=cap)
+    ref_l, n_l = train_bigram_lm(large, max_entries=cap)
+    m_s, m_l = ray.get(ref_s), ray.get(ref_l)
+    for m in (m_s, m_l):
+        assert len(m["uni_terms"]) + len(m["big_keys"]) <= cap
+    assert n_s == 50 * 40 and n_l == 500 * 40  # full denominators
+
+    # min_count pruning: every surviving n-gram count >= threshold
+    ref_p, _ = train_bigram_lm(large, min_count=3)
+    m_p = ray.get(ref_p)
+    assert (m_p["uni_cnt"] >= 3).all() and (m_p["big_cnt"] >= 3).all()
+
+    # a capped model still scores every doc (backoff covers misses)
+    scored = small.map_batches(
+        PerplexityScorer, fn_constructor_args=(ref_s,),
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    assert scored["ppl"].notna().all()
