@@ -755,24 +755,67 @@ def semdedup_assign(ds, centroids: np.ndarray, *,
 def semdedup(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
              k: int = 16, eps: float = 0.95, iters: int = 10,
              sample_cap: int = 65_536, seed: int = 17,
-             centroids: np.ndarray | None = None):
+             centroids: np.ndarray | None = None,
+             target_cluster_size: int = 65_536,
+             max_cluster_size: int = 131_072,
+             sim_chunk: int = 2_048):
     """SemDeDup: k-means partition + greedy within-cluster drop. A vector
     is DROPPED when an earlier (lower-id) vector in the same cluster has
     cosine >= eps with it. Returns a Dataset of (id, cluster, keep).
 
-    Partitioning assumption (the paper's): each cluster fits one worker —
-    size k so corpus/k is worker-sized (SemDeDup uses k≈10^5 at web
-    scale). Training samples ``sample_cap`` vectors (driver peak bounded);
+    Per-task memory is bounded three ways so the paper's
+    cluster-fits-one-worker assumption HOLDS instead of being assumed:
+
+    - ``k`` is derived from the corpus: ``max(k, ceil(n /
+      target_cluster_size))`` (SemDeDup itself uses k≈10^5 at web
+      scale), so the expected cluster is worker-sized at any corpus
+      size. An explicit ``centroids`` skips derivation.
+    - clusters that still exceed ``max_cluster_size`` (skew) are SPLIT
+      into id-hash subclusters before the shuffle; the greedy drop then
+      runs per subcluster (a documented approximation: near-dup pairs
+      straddling subclusters of one oversized cluster are missed —
+      SemDeDup's own k-means boundary already has this property).
+    - the within-cluster similarity runs in ``sim_chunk``-column blocks
+      (peak ``n_c × sim_chunk`` floats), never a full ``n_c × n_c``
+      matrix.
+
+    Training samples ``sample_cap`` vectors (driver peak bounded);
     per-cluster work is a groupby shuffle, never all-pairs across
     clusters."""
     from .ann import _kmeans, _normalize_rows, _sample_matrix, _to_matrix
 
     if centroids is None:
+        n_total = ds.count()
+        k = max(k, -(-n_total // max(target_cluster_size, 1)))
         x = _normalize_rows(
             _sample_matrix(ds, vec_col, sample_cap, seed).astype(np.float64))
-        centroids = _kmeans(x, k, iters, np.random.default_rng(seed))
+        centroids = _kmeans(x, min(k, len(x)), iters,
+                            np.random.default_rng(seed))
     assigned = semdedup_assign(ds, centroids, vec_col=vec_col,
                                id_col=id_col)
+
+    # split skewed clusters: per-cluster counts are k-bounded (tiny),
+    # the splits dict ships in the closure
+    sizes = assigned.groupby("cluster").count().take_all()
+    splits = {r["cluster"]: -(-r["count()"] // max_cluster_size)
+              for r in sizes if r["count()"] > max_cluster_size}
+
+    def add_sub(b: pa.Table) -> pa.Table:
+        cl = b["cluster"].to_numpy()
+        sub = np.zeros(len(cl), np.int64)
+        if splits:
+            ids = b[id_col].to_numpy()
+            for c, s in splits.items():
+                m = cl == c
+                if m.any():
+                    # cheap deterministic id-hash (splitmix-style)
+                    h = ids[m].astype(np.uint64)
+                    h = (h ^ (h >> np.uint64(33))) * np.uint64(
+                        0xFF51AFD7ED558CCD)
+                    sub[m] = (h % np.uint64(s)).astype(np.int64)
+        return b.append_column("sub", pa.array(sub))
+
+    assigned = assigned.map_batches(add_sub, batch_format="pyarrow")
 
     def dedupe_group(g) -> "pa.Table":
         import pandas as pd
@@ -782,18 +825,20 @@ def semdedup(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
         ids = ids[order]
         m = _normalize_rows(np.stack([
             np.asarray(g[vec_col].iloc[i], np.float64) for i in order]))
-        sims = m @ m.T
         n = len(ids)
-        iu = np.triu_indices(n, 1)
         drop = np.zeros(n, bool)
-        hit = sims[iu] >= eps
-        if hit.any():
-            drop[np.unique(iu[1][hit])] = True
+        # blocked upper-triangle scan: for columns j in [s, e), a hit is
+        # any earlier row i < j with sim >= eps; peak memory n × chunk
+        for s in range(1, n, sim_chunk):
+            e = min(s + sim_chunk, n)
+            sims = m[:e] @ m[s:e].T  # (e, e-s)
+            lower = np.arange(e)[:, None] < np.arange(s, e)[None, :]
+            drop[s:e] = ((sims >= eps) & lower).any(axis=0)
         return pd.DataFrame({
             id_col: ids,
             "cluster": g["cluster"].to_numpy()[order],
             "keep": (~drop).astype(np.int64),
         })
 
-    return assigned.groupby("cluster").map_groups(
+    return assigned.groupby(["cluster", "sub"]).map_groups(
         dedupe_group, batch_format="pandas")

@@ -694,3 +694,53 @@ def test_pixel_grid_embed_ann_end_to_end(ray_session):
     top = brute_force_topk(ds, vecs[:1], k=3).to_pandas()
     assert int(top.iloc[0]["vec_id"]) == 0
     assert abs(float(top.iloc[0]["score"]) - 1.0) < 1e-5
+
+
+def test_semdedup_skew_split_and_derived_k(ray_session):
+    """Scale guards: (a) oversized clusters are split into id-hash
+    subclusters so per-task group size is bounded by max_cluster_size;
+    (b) with no skew, tight sim_chunk (blocked matmul) reproduces the
+    unchunked answer exactly; (c) k derives from target_cluster_size."""
+    import numpy as np
+    import ray.data as rd
+
+    from lucene_solr_ray.stages.dedup import semdedup
+
+    rng = np.random.default_rng(9)
+    # one tight blob (everything lands in one cluster) + 2 outliers
+    base = rng.normal(0, 1, 8)
+    rows = [{"vec_id": i,
+             "embedding": (base + rng.normal(0, 0.01, 8)).tolist()}
+            for i in range(60)]
+    rows += [{"vec_id": 100 + i,
+              "embedding": rng.normal(0, 1, 8).tolist()} for i in range(2)]
+    ds = rd.from_items(rows).repartition(4)
+    cents = np.stack([base, -base])
+
+    # unsplit reference (cap larger than any cluster), tiny sim_chunk
+    ref = semdedup(ds, eps=0.95, centroids=cents,
+                   max_cluster_size=1000, sim_chunk=7).to_pandas()
+    big = semdedup(ds, eps=0.95, centroids=cents,
+                   max_cluster_size=1000, sim_chunk=10**6).to_pandas()
+    r = ref.sort_values("vec_id").reset_index(drop=True)
+    b = big.sort_values("vec_id").reset_index(drop=True)
+    assert r["keep"].tolist() == b["keep"].tolist()  # chunking exact
+
+    # force splitting: blob cluster (60 rows) > max_cluster_size=16
+    split = semdedup(ds, eps=0.95, centroids=cents,
+                     max_cluster_size=16).to_pandas()
+    s = split.sort_values("vec_id").reset_index(drop=True)
+    assert len(s) == len(r)  # every vector still classified once
+    assert set(s["cluster"]) == set(r["cluster"])
+    # splitting only MISSES cross-subcluster pairs -> keeps a superset
+    kept_ref = set(r[r["keep"] == 1]["vec_id"])
+    kept_split = set(s[s["keep"] == 1]["vec_id"])
+    assert kept_ref <= kept_split
+    # within each subcluster the first (lowest-id) survivor is kept and
+    # near-dups behind it are dropped, so dups were still found
+    assert (s["keep"] == 0).sum() > 0
+
+    # derived k: 62 vectors / target 10 -> at least 7 clusters trained
+    out = semdedup(ds, eps=0.99, target_cluster_size=10,
+                   sample_cap=62, seed=3).to_pandas()
+    assert out["cluster"].nunique() >= 5
