@@ -244,6 +244,8 @@ def update_numeric_docvalues(index_dir: str, key_col: str, field: str,
     man = IndexManifest.load(index_dir)
     keys = np.asarray(updates.column(key_col).to_numpy(
         zero_copy_only=False))
+    if keys.size == 0:  # empty 'want' would index [-1] in the scan
+        return 0
     vals = np.asarray(updates.column(field).to_numpy(
         zero_copy_only=False))
     # last-row-wins dedupe, then sort for the searchsorted probe

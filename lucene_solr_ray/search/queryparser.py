@@ -339,6 +339,13 @@ class ClassicQueryParser:
             boost = t[5]
         elif t[0] == "TERM":
             self._next()
+            if field == "*" and t[1] == "*":
+                # '*:*' is MatchAllDocsQuery (QueryParserBase maps the
+                # all-fields wildcard term to MatchAllDocs), composable
+                # inside boolean trees: '*:* AND lang:en'
+                from .query import MatchAllDocsQuery
+
+                return MatchAllDocsQuery()
             q = self._term_query(t[1], t[2])
             boost = t[3]
         else:

@@ -61,8 +61,11 @@ def solr_select(searcher, params: dict, *,
     t0 = _t.perf_counter()
     ana = searcher.manifest.resolve_analyzer()
     parser = ClassicQueryParser(ana)
-    q = parser.parse(params.get("q", "*:*").replace("*:*", "")) \
-        if params.get("q", "*:*") != "*:*" else None
+    # only a q that is EXACTLY '*:*' short-circuits; composite queries
+    # embedding the match-all clause ('*:* AND lang:en') parse whole —
+    # the parser maps the '*:*' clause to MatchAllDocsQuery itself
+    raw_q = params.get("q", "*:*")
+    q = parser.parse(raw_q) if raw_q.strip() != "*:*" else None
     from .query import MatchAllDocsQuery
 
     main_q = q if q is not None else MatchAllDocsQuery()

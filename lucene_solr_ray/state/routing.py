@@ -9,8 +9,12 @@ ids hash whole. Shards own contiguous ranges of the 32-bit ring
 (``HashBasedRouter.java``).
 
 MurmurHash3 here is the standard public x86 32-bit algorithm (Appleby,
-public domain) — the same function Solr's ``Hash.murmurhash3_x86_32``
-uses, verified against its published test vectors.
+public domain) over UTF-8 bytes — hash-compatible with a real Solr
+cluster: Solr's ``Hash.murmurhash3_x86_32(CharSequence)``
+(``solr/solrj/.../util/Hash.java:296``) explicitly "returns the
+MurmurHash3_x86_32 hash of the UTF-8 bytes of the String without
+actually encoding the string", i.e. it is the byte-for-byte UTF-8
+hash computed char-by-char; verified against published test vectors.
 
 Ray shape: routing is a pure per-row function — ``route_batch`` runs
 inside map_batches, so an ingest stream partitions itself by

@@ -76,3 +76,12 @@ def test_updated_dv_feeds_field_sort(dv_idx):
     docs = t["doc_id"].to_pylist()
     got = [int(dv[d]) for d in docs]
     assert got == sorted(got, reverse=True)
+
+
+def test_update_numeric_docvalues_empty(dv_idx):
+    """An empty updates table is a no-op returning 0, not an IndexError
+    inside the distributed scan."""
+    out, _ = dv_idx
+    upd = pa.table({"path": pa.array([], pa.string()),
+                    "n_lines": pa.array([], pa.int64())})
+    assert update_numeric_docvalues(out, "path", "n_lines", upd) == 0

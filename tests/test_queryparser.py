@@ -208,3 +208,18 @@ def test_pure_negative_top_level(tmp_path_factory, ray_session):
     assert s._docs_only(parse_query("-fox -dog", ana)).tolist() == [2]
     # positive+negative unchanged
     assert s._docs_only(parse_query("dog -fox", ana)).tolist() == [1]
+
+
+def test_matchall_clause_in_boolean(ana):
+    """'*:*' maps to MatchAllDocsQuery, standalone and composed inside
+    a boolean tree (a composite q like '*:* AND lang:en' must keep its
+    match-all clause, not have the substring stripped)."""
+    from lucene_solr_ray.search.query import MatchAllDocsQuery
+
+    p = ClassicQueryParser(ana)
+    assert isinstance(p.parse("*:*"), MatchAllDocsQuery)
+    q = p.parse("*:* AND beta")
+    assert isinstance(q, BooleanQuery)
+    occs = [(occ, type(sub).__name__) for occ, sub in q.clauses]
+    assert ("MUST", "MatchAllDocsQuery") in occs
+    assert ("MUST", "TermQuery") in occs

@@ -206,3 +206,14 @@ def test_select_grouping_component(sel_idx):
         assert 1 <= len(grp["doclist"]["docs"]) <= 2
         total += grp["doclist"]["numFound"]
     assert total == 12  # 3 langs x 4 special docs each
+
+
+def test_select_composite_matchall_q(sel_idx):
+    """q='*:* AND <term>' behaves like q='<term>' (the match-all clause
+    is honored inside the boolean tree, not substring-stripped)."""
+    s = IndexSearcher(sel_idx)
+    plain = solr_select(s, {"q": "special", "rows": 60})
+    comp = solr_select(s, {"q": "*:* AND special", "rows": 60})
+    assert comp["response"]["numFound"] == plain["response"]["numFound"]
+    assert {d["doc_id"] for d in comp["response"]["docs"]} == \
+        {d["doc_id"] for d in plain["response"]["docs"]}
