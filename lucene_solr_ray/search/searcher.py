@@ -81,7 +81,31 @@ def _levenshtein_within(a: str, b: str, k: int) -> bool:
 
 
 def fuzzy_candidates(reader, qterm: str, k: int) -> tuple[list[str], int]:
-    """Pruned fuzzy-term expansion — the LevenshteinAutomata role
+    """Fuzzy-term expansion via Levenshtein-DFA ∩ sorted term dict —
+    the reference's complexity class (``FuzzyQuery.java:66-76`` rewrites
+    to ``LevenshteinAutomata``; ``IntersectTermsEnum`` leapfrogs the DFA
+    against BlockTree): dictionary probes are O(matches + automaton
+    boundary crossings), independent of vocabulary size.
+
+    Returns (matching terms, number of dictionary probes). Output is
+    property-tested identical to :func:`fuzzy_candidates_scan`.
+    """
+    from .levenshtein import LevenshteinDFA, intersect_sorted
+
+    ts = getattr(reader, "_ts", None)
+    if ts is not None and getattr(reader, "terms", None) is None:
+        # compact mode: leapfrog the front-coded blocks directly — no
+        # O(V) dictionary decode (duplicate rows deduped by intersect)
+        dictview = ts
+    else:
+        dictview = reader.unique_terms()
+    return intersect_sorted(LevenshteinDFA(qterm, k), dictview)
+
+
+def fuzzy_candidates_scan(reader, qterm: str, k: int) -> tuple[list[str], int]:
+    """Pruned linear fuzzy-term expansion (the pre-automaton path, kept
+    as the brute-force oracle for the DFA equivalence tests) — the
+    LevenshteinAutomata role
     (``util/automaton/LevenshteinAutomata.java``: restrict the dictionary
     walk to terms that can be within k edits) done with two exact lower
     bounds instead of a DFA intersection:
