@@ -4844,3 +4844,225 @@ SELECT lang, count(DISTINCT source)::BIGINT AS nsrc, count(*)::BIGINT AS n
 FROM documents WHERE n_chars > 100 GROUP BY lang
 ORDER BY n DESC, lang LIMIT 4
 """
+
+
+# -- spatial shape relations (lucene/spatial SpatialOperation) ----------
+
+def q_geo_within(sf_dir: str) -> pa.Table:
+    """IsWithin(POLYGON WKT) shape query — ``SpatialOperation.java``'s
+    IsWithin over point docs via the WKT surface
+    (``SpatialArgsParser``): parse the shape, geohash grid PRUNE,
+    bbox reject, exact ray-cast REFINE (:func:`stages.shapes.wkt_filter`
+    on the same two-phase path as ``geo_polygon``). Convex triangle so
+    the oracle states it as half-plane inequalities."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.geo import cover_precision, geohash_cover_bbox
+    from ..stages.shapes import parse_wkt, wkt_filter
+
+    shape = parse_wkt(
+        "POLYGON((-130.245 -60.115, 150.125 10.505, -100.835 65.275,"
+        " -130.245 -60.115))")
+    box = shape.bbox()
+    prec = cover_precision(*box)
+    cover_ref = ray.put(geohash_cover_bbox(*box, precision=prec))
+
+    def synth_and_filter(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        t = pa.table({
+            "user_id": pa.array(uid),
+            "lat": pa.array((uid * 37 % 18000) / 100.0 - 90.0),
+            "lon": pa.array((uid * 73 % 36000) / 100.0 - 180.0),
+        })
+        return wkt_filter(t, "lat", "lon", shape, op="IsWithin",
+                          cover=ray.get(cover_ref), precision=prec)
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    users = ev.groupby("user_id").aggregate(Count(alias_name="n")) \
+        .select_columns(["user_id"])
+    out = users.map_batches(synth_and_filter, batch_format="pyarrow") \
+        .to_pandas()
+    if out.empty:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "lat": pa.array([], pa.float64()),
+                         "lon": pa.array([], pa.float64())})
+    out = out.sort_values("user_id")
+    return pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+        "lat": pa.array(_round4(out["lat"].to_numpy()), pa.float64()),
+        "lon": pa.array(_round4(out["lon"].to_numpy()), pa.float64()),
+    })
+
+
+def q_geo_linestring_near(sf_dir: str) -> pa.Table:
+    """BufferedLineString shape query (Spatial4j BufferedLineString via
+    ``BUFFER(LINESTRING(...), d)`` WKT): points within d planar degrees
+    of a 2-segment route — clamped projection onto each segment,
+    vectorized over the batch. The oracle states the identical
+    clamped-projection distance per segment with LEAST."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.shapes import wkt_filter
+
+    wkt = ("BUFFER(LINESTRING(-170.005 -80.005, -120.125 -60.015,"
+           " -80.345 -40.255), 9.0)")
+
+    def synth_and_filter(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        t = pa.table({
+            "user_id": pa.array(uid),
+            "lat": pa.array((uid * 37 % 18000) / 100.0 - 90.0),
+            "lon": pa.array((uid * 73 % 36000) / 100.0 - 180.0),
+        })
+        return wkt_filter(t, "lat", "lon", wkt, op="Intersects")
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    users = ev.groupby("user_id").aggregate(Count(alias_name="n")) \
+        .select_columns(["user_id"])
+    out = users.map_batches(synth_and_filter, batch_format="pyarrow") \
+        .to_pandas()
+    if out.empty:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "lat": pa.array([], pa.float64()),
+                         "lon": pa.array([], pa.float64())})
+    out = out.sort_values("user_id")
+    return pa.table({
+        "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+        "lat": pa.array(_round4(out["lat"].to_numpy()), pa.float64()),
+        "lon": pa.array(_round4(out["lon"].to_numpy()), pa.float64()),
+    })
+
+
+def q_geo_contains(sf_dir: str) -> pa.Table:
+    """Contains over STORED shapes — each doc carries a WKT shape column
+    (an ENVELOPE synthesized from user_id), the query asks which stored
+    shapes CONTAIN a query point (``SpatialOperation.Contains`` with an
+    indexed-shape field, the BBoxStrategy/RPT-with-shapes case).
+    Exercises WKT round-trip + :func:`stages.shapes.relate`. The WKT
+    column is a compatibility surface (per-distinct-shape parse, memoized
+    per batch); a typed struct column is the vectorizable scale path."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.shapes import shape_relation_mask
+
+    def synth_and_filter(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        clat = (uid * 37 % 18000) / 100.0 - 90.0
+        clon = (uid * 73 % 36000) / 100.0 - 180.0
+        hh = (uid % 9 + 1).astype(np.float64)
+        hw = (uid % 13 + 2).astype(np.float64)
+        wkts = [f"ENVELOPE({lo - w!r}, {lo + w!r}, {la + h!r}, {la - h!r})"
+                for la, lo, h, w in zip(clat, clon, hh, hw)]
+        keep = shape_relation_mask(wkts, "POINT(-120.15 -60.05)",
+                                   op="Contains")
+        return pa.table({
+            "user_id": pa.array(uid[keep]),
+            "min_lat": pa.array((clat - hh)[keep]),
+            "max_lat": pa.array((clat + hh)[keep]),
+            "min_lon": pa.array((clon - hw)[keep]),
+            "max_lon": pa.array((clon + hw)[keep]),
+        })
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    users = ev.groupby("user_id").aggregate(Count(alias_name="n")) \
+        .select_columns(["user_id"])
+    out = users.map_batches(synth_and_filter, batch_format="pyarrow") \
+        .to_pandas()
+    if out.empty:
+        return pa.table({c: pa.array([], pa.float64() if c != "user_id"
+                                     else pa.int64())
+                         for c in ["user_id", "min_lat", "max_lat",
+                                   "min_lon", "max_lon"]})
+    out = out.sort_values("user_id")
+    cols = {"user_id": pa.array(out["user_id"].to_numpy(), pa.int64())}
+    for c in ["min_lat", "max_lat", "min_lon", "max_lon"]:
+        cols[c] = pa.array(_round4(out[c].to_numpy()), pa.float64())
+    return pa.table(cols)
+
+
+QUERIES.update({
+    "geo_within": q_geo_within,
+    "geo_linestring_near": q_geo_linestring_near,
+    "geo_contains": q_geo_contains,
+})
+
+ORACLE_SQL.update({
+    "geo_within": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT user_id,
+         (user_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+         (user_id * 73 % 36000) / 100.0 - 180.0 AS lon
+  FROM u)
+SELECT user_id, floor(lat*10000 + 0.5)/10000 AS lat,
+       floor(lon*10000 + 0.5)/10000 AS lon
+FROM pts
+WHERE (150.125 - -130.245) * (lat - -60.115)
+        - (10.505 - -60.115) * (lon - -130.245) >= 0
+  AND (-100.835 - 150.125) * (lat - 10.505)
+        - (65.275 - 10.505) * (lon - 150.125) >= 0
+  AND (-130.245 - -100.835) * (lat - 65.275)
+        - (-60.115 - 65.275) * (lon - -100.835) >= 0
+ORDER BY user_id
+""",
+    "geo_linestring_near": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+pts AS (
+  SELECT user_id,
+         (user_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+         (user_id * 73 % 36000) / 100.0 - 180.0 AS lon
+  FROM u),
+k AS (SELECT (-80.005)::DOUBLE AS ay1, (-170.005)::DOUBLE AS ax1,
+             (-60.015)::DOUBLE AS ay2, (-120.125)::DOUBLE AS ax2,
+             (-40.255)::DOUBLE AS ay3, (-80.345)::DOUBLE  AS ax3),
+kd AS (SELECT ay1, ax1, ay2, ax2,
+              ay2 - ay1 AS dy1, ax2 - ax1 AS dx1,
+              ay3 - ay2 AS dy2, ax3 - ax2 AS dx2 FROM k),
+kl AS (SELECT *, dy1*dy1 + dx1*dx1 AS l1, dy2*dy2 + dx2*dx2 AS l2
+       FROM kd),
+t AS (
+  SELECT user_id, lat, lon, kl.*,
+    LEAST(GREATEST(((lat - ay1) * dy1 + (lon - ax1) * dx1) / l1,
+                   0.0::DOUBLE), 1.0::DOUBLE) AS t1,
+    LEAST(GREATEST(((lat - ay2) * dy2 + (lon - ax2) * dx2) / l2,
+                   0.0::DOUBLE), 1.0::DOUBLE) AS t2
+  FROM pts, kl),
+d AS (
+  SELECT user_id, lat, lon,
+    sqrt((lat - (ay1 + t1*dy1)) * (lat - (ay1 + t1*dy1))
+       + (lon - (ax1 + t1*dx1)) * (lon - (ax1 + t1*dx1))) AS d1,
+    sqrt((lat - (ay2 + t2*dy2)) * (lat - (ay2 + t2*dy2))
+       + (lon - (ax2 + t2*dx2)) * (lon - (ax2 + t2*dx2))) AS d2
+  FROM t)
+SELECT user_id, floor(lat*10000 + 0.5)/10000 AS lat,
+       floor(lon*10000 + 0.5)/10000 AS lon
+FROM d WHERE LEAST(d1, d2) <= 9.0::DOUBLE
+ORDER BY user_id
+""",
+    "geo_contains": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+env AS (
+  SELECT user_id,
+         (user_id * 37 % 18000) / 100.0 - 90.0 AS clat,
+         (user_id * 73 % 36000) / 100.0 - 180.0 AS clon,
+         (user_id % 9 + 1)::DOUBLE AS hh,
+         (user_id % 13 + 2)::DOUBLE AS hw
+  FROM u)
+SELECT user_id,
+       floor((clat - hh)*10000 + 0.5)/10000 AS min_lat,
+       floor((clat + hh)*10000 + 0.5)/10000 AS max_lat,
+       floor((clon - hw)*10000 + 0.5)/10000 AS min_lon,
+       floor((clon + hw)*10000 + 0.5)/10000 AS max_lon
+FROM env
+WHERE clat - hh <= -60.05 AND -60.05 <= clat + hh
+  AND clon - hw <= -120.15 AND -120.15 <= clon + hw
+ORDER BY user_id
+""",
+})

@@ -90,6 +90,7 @@ ORACLE_CHECKED = [
         "geo_polygon", "drill_sideways", "sql_case_when", "line_dedup",
         "join_global_ordinals", "facet_missing_indexsort",
         "rolling_dedup", "geo_sort_nearest",
+        "geo_within", "geo_linestring_near", "geo_contains",
 ]
 
 
