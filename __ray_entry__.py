@@ -44,8 +44,9 @@ _PRIORITY = [
     "fetch_stream", "group_stats", "date_histogram",
     # joins
     "blockjoin_orders", "asof_join",
-    # spatial shape relations (new this round)
+    # spatial shape relations + morphological Japanese (new this round)
     "geo_within", "geo_linestring_near", "geo_contains",
+    "ja_morph_tokens",
     # query/search surface
     "qp_classic", "rescore_top20", "mlt_top10", "func_boost",
     "elevate_query", "terms_regex", "span_near_search",

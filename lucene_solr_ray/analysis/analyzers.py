@@ -289,6 +289,7 @@ def get_analyzer(name: str) -> Analyzer:
             from . import phonetic  # noqa: F401  registers phonetic
             from . import light2  # noqa: F401  registers el/ro/ca
             from . import urlemail  # noqa: F401  registers url_email
+            from . import japanese  # noqa: F401  registers ja_morph
 
             if name not in _REGISTRY:
                 raise KeyError(f"unknown analyzer: {name}")

@@ -5066,3 +5066,80 @@ WHERE clat - hh <= -60.05 AND -60.05 <= clat + hh
 ORDER BY user_id
 """,
 })
+
+
+# -- morphological Japanese analysis (kuromoji role) --------------------
+
+_JA_SENTENCES = [
+    "私は日本語を勉強します",
+    "東京で映画を見ました",
+    "猫が水を飲みます",
+    "コンピューター関連ニュース",
+    "新しい本を買いました",
+    "明日電車で学校に行きます",
+    "天気がとても良いです",
+    "ラーメンを食べたい",
+]
+
+
+def q_ja_morph_tokens(sf_dir: str) -> pa.Table:
+    """Morphological Japanese tokenization
+    (``lucene/analysis/kuromoji/`` JapaneseAnalyzer chain: lattice
+    Viterbi + base form + POS stop): the testdata corpus is ASCII, so
+    each doc deterministically carries one of 8 Japanese sentences
+    (doc_id % 8); the engine runs the real analyzer inside map_batches
+    (analyzer built once per process via the registry cache) and counts
+    (sentence, term) pairs. The ORACLE encodes the hand-checked GOLD
+    segmentations — the driver gate is therefore a golden-vector check
+    of the full morphological chain."""
+    import ray.data as rd
+
+    from ..analysis.analyzers import get_analyzer
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        an = get_analyzer("ja_morph")
+        sid = (b["doc_id"].to_numpy().astype(np.int64)) % 8
+        uniq, counts = np.unique(sid, return_counts=True)
+        sids, terms, ns = [], [], []
+        for s, n in zip(uniq, counts):
+            for t in an.tokens(_JA_SENTENCES[int(s)]):
+                sids.append(int(s))
+                terms.append(t)
+                ns.append(int(n))
+        return pa.table({
+            "sid": pa.array(sids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    out = (docs.map_batches(tok_counts, batch_format="pyarrow")
+           .groupby(["sid", "term"]).sum("n")
+           .to_pandas().sort_values(["sid", "term"]))
+    return pa.table({
+        "sid": pa.array(out["sid"].to_numpy(), pa.int64()),
+        "term": pa.array(out["term"].tolist(), pa.string()),
+        "n": pa.array(out["sum(n)"].to_numpy(), pa.int64()),
+    })
+
+
+QUERIES.update({"ja_morph_tokens": q_ja_morph_tokens})
+
+ORACLE_SQL["ja_morph_tokens"] = """
+WITH d AS (SELECT doc_id % 8 AS sid, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1),
+g AS (SELECT * FROM (VALUES
+    (0, '私 日本語 勉強 する'),
+    (1, '東京 映画 見る'),
+    (2, '猫 水 飲む'),
+    (3, 'コンピューター 関連 ニュース'),
+    (4, '新しい 本 買う'),
+    (5, '明日 電車 学校 行く'),
+    (6, '天気 とても 良い'),
+    (7, 'ラーメン 食べる')) AS t(sid, toks)),
+u AS (SELECT sid, unnest(string_split(toks, ' ')) AS term FROM g)
+SELECT d.sid, u.term, d.n
+FROM d JOIN u ON d.sid = u.sid
+ORDER BY d.sid, u.term
+"""
