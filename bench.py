@@ -345,8 +345,43 @@ def run_scaling() -> None:
     }))
 
 
+def _stamp_floor(res: dict) -> float:
+    """Min of the pre/post hypervisor page-throughput stamps — the
+    host-window quality of a run (BASELINE.md: this VM oscillates
+    0.02-2.5 GB/s and the engine's wall-times track it 2-6x)."""
+    vals = []
+    for k in ("host_calibration_pre", "host_calibration"):
+        v = (res.get(k) or {}).get("fresh_page_gbps")
+        if v is not None:
+            vals.append(float(v))
+    return min(vals) if vals else 0.0
+
+
+def run_bench_warm_window(min_gbps: float = 2.0, attempts: int = 3) -> dict:
+    """Retry until a run lands inside a warm host window (both stamps
+    >= ``min_gbps``), else report the best-stamped attempt. Keeps the
+    per-round artifact comparable across rounds on a host whose
+    capability swings independently of the code under test. Override
+    with GRAFT_BENCH_MIN_GBPS / GRAFT_BENCH_ATTEMPTS; attempts=1
+    restores the single-shot behavior."""
+    min_gbps = float(os.environ.get("GRAFT_BENCH_MIN_GBPS", min_gbps))
+    attempts = int(os.environ.get("GRAFT_BENCH_ATTEMPTS", attempts))
+    best = None
+    for i in range(max(attempts, 1)):
+        res = run_bench()
+        res["warm_window_attempt"] = i + 1
+        res["warm_window_floor_gbps"] = round(_stamp_floor(res), 3)
+        if best is None or _stamp_floor(res) > _stamp_floor(best):
+            best = res
+        if _stamp_floor(res) >= min_gbps:
+            break
+        time.sleep(5)  # let the hypervisor window move on
+    best["warm_window"] = _stamp_floor(best) >= min_gbps
+    return best
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench_warm_window()))

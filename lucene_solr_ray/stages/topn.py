@@ -32,7 +32,15 @@ def grouped_topn(
 ) -> pd.DataFrame:
     """Top-``n`` rows per group of ``group_cols``, ordered by
     ``sort_cols``/``ascending`` — per-block partials + tiny driver merge.
-    Returns a pandas DataFrame (rows ordered group-major then rank)."""
+    Returns a pandas DataFrame (rows ordered group-major then rank).
+
+    Driver-memory bound: the merge holds at most
+    ``min(groups_per_block, rows_per_block) x n`` rows PER BLOCK, i.e.
+    O(blocks x distinct_groups x n) worst case. Right-sized for the
+    facet/grouping workloads this serves (bounded group cardinality:
+    langs, sources, shards). For high-cardinality groups (say >10^5 x
+    blocks), use ``ds.groupby(...).map_groups`` instead — that path
+    shuffles once and never materializes partials on the driver."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return (
