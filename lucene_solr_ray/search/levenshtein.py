@@ -39,7 +39,87 @@ from bisect import bisect_left as _bisect_left, bisect_right as _bisect_right
 _MAX_CP = 0x10FFFF
 
 
-class LevenshteinDFA:
+class OrderedDFA:
+    """Base for DFAs that support lexicographic-minimum traversal.
+
+    Subclasses provide ``start() -> state``, ``step(state, c) -> state``,
+    ``is_accept(state)``, ``is_live(state)`` and
+    ``_next_edge(state, after) -> char|None`` (smallest char strictly
+    greater than ``after`` — or smallest of all when ``after`` is None —
+    whose transition stays live). :meth:`next_valid` then drives the
+    dictionary leapfrog for any such automaton (fuzzy, regexp, ...).
+    """
+
+    def start(self):
+        raise NotImplementedError
+
+    def step(self, state, c: str):
+        raise NotImplementedError
+
+    def is_accept(self, state) -> bool:
+        raise NotImplementedError
+
+    def is_live(self, state) -> bool:
+        raise NotImplementedError
+
+    def _next_edge(self, state, after: str | None) -> str | None:
+        raise NotImplementedError
+
+    #: optional bound on explored path length — REQUIRED when the
+    #: automaton's language is infinite (regexp with ``*``/``+``): the
+    #: language then has no lexicographic minimum ("a*b" accepts
+    #: ab > aab > aaab > ...) and the DFS would descend forever. Set it
+    #: to the dictionary's max term length: longer strings can't be
+    #: dict terms, so truncating the language there never skips a match.
+    max_path_len: int | None = None
+
+    def accepts(self, s: str) -> bool:
+        st = self.start()
+        for c in s:
+            st = self.step(st, c)
+            if not self.is_live(st):
+                return False
+        return self.is_accept(st)
+
+    def next_valid(self, s: str) -> str | None:
+        """Lexicographically smallest accepted string ``>= s``."""
+        state = self.start()
+        # walk s, recording (path-so-far, state-before-char, char-taken)
+        stack: list[tuple[str, object, str | None]] = []
+        i = 0
+        n = len(s)
+        while i < n:
+            stack.append((s[:i], state, s[i]))
+            state = self.step(state, s[i])
+            i += 1
+            if not self.is_live(state):
+                break
+        else:
+            if self.is_accept(state):
+                return s
+            stack.append((s, state, None))
+        # DFS, smallest-edge-first: each frame retries the next sibling
+        # edge (> the char previously taken from that state), so the
+        # first accepted state reached is the lexicographic minimum > s.
+        # Live-state path lengths are bounded (finite automaton over
+        # bounded-length accepted strings or pruned by liveness), so
+        # this halts.
+        while stack:
+            path, st, took = stack.pop()
+            c = self._next_edge(st, took)
+            if c is None:
+                continue
+            stack.append((path, st, c))  # siblings > c stay reachable
+            st2 = self.step(st, c)
+            if self.is_accept(st2):
+                return path + c
+            if self.is_live(st2) and (self.max_path_len is None
+                                      or len(path) + 1 < self.max_path_len):
+                stack.append((path + c, st2, None))
+        return None
+
+
+class LevenshteinDFA(OrderedDFA):
     """Accepts strings within ``k`` plain-Levenshtein edits of ``term``.
 
     State = tuple of the DP row, each cell capped at ``k+1`` (cells past
@@ -107,14 +187,6 @@ class LevenshteinDFA:
         k = self.k
         return any(v <= k for v in state)
 
-    def accepts(self, s: str) -> bool:
-        st = self.start()
-        for c in s:
-            st = self.step(st, c)
-            if not self.is_live(st):
-                return False
-        return self.is_accept(st)
-
     # -- lexicographic traversal ----------------------------------------
     def _next_edge(self, state: tuple, after: str | None) -> str | None:
         """Smallest char strictly greater than ``after`` (or smallest of
@@ -137,41 +209,6 @@ class LevenshteinDFA:
             if c is not None and (best is None or c < best):
                 best = c
         return best
-
-    def next_valid(self, s: str) -> str | None:
-        """Lexicographically smallest accepted string ``>= s``."""
-        state = self.start()
-        # walk s, recording (path-so-far, state-before-char, char-taken)
-        stack: list[tuple[str, tuple, str | None]] = []
-        i = 0
-        n = len(s)
-        while i < n:
-            stack.append((s[:i], state, s[i]))
-            state = self.step(state, s[i])
-            i += 1
-            if not self.is_live(state):
-                break
-        else:
-            if self.is_accept(state):
-                return s
-            stack.append((s, state, None))
-        # DFS, smallest-edge-first: each frame retries the next sibling
-        # edge (> the char previously taken from that state), so the
-        # first accepted state reached is the lexicographic minimum > s.
-        # Live-state paths are bounded by len(term)+k, so this halts.
-        while stack:
-            path, st, took = stack.pop()
-            c = self._next_edge(st, took)
-            if c is None:
-                continue
-            stack.append((path, st, c))  # siblings > c stay reachable
-            st2 = self.step(st, c)
-            if self.is_accept(st2):
-                return path + c
-            if self.is_live(st2):
-                stack.append((path + c, st2, None))
-        return None
-
 
 class _SortedArrayView:
     """Adapter giving a sorted numpy str array the term-dict probe API."""

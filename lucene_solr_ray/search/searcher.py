@@ -356,6 +356,24 @@ class IndexSearcher:
                 self.reader.has_terms_in_range(_REV_MARKER, "\u0002"))
         return self._rev_wildcard
 
+    def _max_term_len(self) -> int:
+        """Longest term in the dictionary (cached per reader) — the
+        traversal bound for infinite-language regexp automata (an upper
+        bound is fine, so fixed-width numpy dtypes answer in O(1))."""
+        r = self.reader
+        ml = getattr(r, "_max_term_len", None)
+        if ml is None:
+            u = r.unique_terms()
+            if isinstance(u, np.ndarray) and u.dtype.kind == "U":
+                ml = u.dtype.itemsize // 4
+            else:
+                ml = int(max((len(t) for t in u), default=0))
+            try:
+                r._max_term_len = ml
+            except AttributeError:
+                pass
+        return ml
+
     def _rewrite_terms(self, q: Query) -> list[str]:
         r = self.reader
         if isinstance(q, PrefixQuery):
@@ -390,7 +408,28 @@ class IndexSearcher:
                 lambda t: not t.startswith(_REV_MARKER)
                 and bool(pat.match(t)))
         if isinstance(q, RegexpQuery):
-            pat = re.compile(q.pattern + r"\Z")
+            # automaton path (RegExp.java -> CompiledAutomaton ->
+            # IntersectTermsEnum): compile the pattern to an NFA-subset
+            # DFA and leapfrog the sorted dict — probes O(matches +
+            # boundary crossings). Skipped for '.'-headed patterns
+            # (leading-any makes every term a candidate: the leapfrog
+            # degenerates to a slower full scan) and for constructs
+            # outside the compiled subset.
+            if not q.pattern.startswith("."):
+                from .regexdfa import UnsupportedRegex, regexp_candidates
+
+                try:
+                    got, _ = regexp_candidates(
+                        r.unique_terms(), q.pattern,
+                        max_len=self._max_term_len())
+                    return [t for t in got
+                            if not t.startswith(_REV_MARKER)]
+                except UnsupportedRegex:
+                    pass
+            # full-anchor the scan oracle exactly like the automaton
+            # (RegexpQuery matches the ENTIRE term; a bare top-level
+            # alternation must not let \Z bind to the last branch only)
+            pat = re.compile("(?:" + q.pattern + r")\Z")
             # literal-prefix extraction narrows the dictionary scan to a
             # sorted range (the CompiledAutomaton common-prefix walk,
             # util/automaton/CompiledAutomaton.java) — a leading run of

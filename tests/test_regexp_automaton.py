@@ -1,0 +1,103 @@
+"""Regexp automaton (``RegExp.java`` → ``CompiledAutomaton`` →
+``IntersectTermsEnum`` role): Thompson NFA + on-the-fly subset DFA,
+leapfrogged against the sorted dict — output identical to the anchored
+``re`` scan, probes sublinear in vocabulary size."""
+
+import random
+import re
+import time
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import build_index
+from lucene_solr_ray.search import IndexSearcher
+from lucene_solr_ray.search.query import RegexpQuery
+from lucene_solr_ray.search.regexdfa import (
+    RegexDFA,
+    UnsupportedRegex,
+    regexp_candidates,
+)
+from lucene_solr_ray.sources import generate_table
+
+ATOMS = ["a", "b", "c", "d", "[ab]", "[^ab]", "[a-c]", ".", r"\d", r"\w"]
+
+
+def _rand_pat(rng, depth=0):
+    parts = []
+    for _ in range(rng.randint(1, 4)):
+        a = rng.choice(ATOMS)
+        if depth < 2 and rng.random() < 0.2:
+            a = "(" + _rand_pat(rng, depth + 1) + ")"
+        if rng.random() < 0.3:
+            a += rng.choice("*+?")
+        parts.append(a)
+    s = "".join(parts)
+    if depth == 0 and rng.random() < 0.3:
+        s = s + "|" + _rand_pat(rng, 1)
+    return s
+
+
+def test_acceptance_equals_re_on_random_patterns():
+    rng = random.Random(7)
+    n = 0
+    while n < 150:
+        pat = _rand_pat(rng)
+        try:
+            dfa = RegexDFA(pat, max_len=12)
+        except UnsupportedRegex:
+            continue
+        cre = re.compile("(?:" + pat + r")\Z")
+        for _ in range(20):
+            s = "".join(rng.choice("abcde019 _")
+                        for _ in range(rng.randint(0, 8)))
+            assert dfa.accepts(s) == bool(cre.match(s)), (pat, s)
+        n += 1
+
+
+def test_unsupported_constructs_raise():
+    for pat in ["a{2,3}", "(?i)x", "a(?=b)", "\\1", "a\\p"]:
+        with pytest.raises(UnsupportedRegex):
+            RegexDFA(pat)
+
+
+def test_intersection_equals_scan():
+    rng = random.Random(11)
+    vocab = sorted({"".join(rng.choice("abcd01")
+                            for _ in range(rng.randint(1, 8)))
+                    for _ in range(30000)})
+    arr = np.array(vocab)
+    for pat in ["a[bc]+d", "ab*c", "a.c", r"\d+", "a(b|c)d*",
+                "[a-c]+0?", "abc", "a*b", "x+", "(a|b)(c|d)"]:
+        got, probes = regexp_candidates(arr, pat)
+        want = [t for t in vocab if re.match("(?:" + pat + r")\Z", t)]
+        assert got == want, pat
+        assert probes <= len(vocab)
+
+
+def test_million_term_sublinear():
+    rng = random.Random(5)
+    big = np.array(sorted(
+        {f"{rng.choice('abcdefgh')}{rng.randint(0, 10**9):09d}"
+         for _ in range(1_000_000)}))
+    t0 = time.time()
+    got, probes = regexp_candidates(big, r"a1\d*9")
+    dt = time.time() - t0
+    assert all(re.match(r"(?:a1\d*9)\Z", t) for t in got) and got
+    assert probes < big.size // 20, probes
+    assert dt < 5.0, dt
+
+
+def test_searcher_regexp_uses_automaton(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("rx_corpus")
+    pq.write_table(generate_table(500, seed=4), str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("rx_index"))
+    build_index(str(d), out, rows_per_partition=250)
+    s = IndexSearcher(out)
+    u = s.reader.unique_terms()
+    for pat in ["ret.*n", "(return|def)", "[a-f]+", r"\w*x\w*",
+                ".*urn", "colum?n"]:
+        got = s._rewrite_terms(RegexpQuery(pat))
+        want = [t for t in u if re.match("(?:" + pat + r")\Z", t)]
+        assert got == want, pat
