@@ -385,7 +385,20 @@ class IndexSearcher:
                 (q.pattern.index(c) for c in "*?" if c in q.pattern),
                 default=len(q.pattern),
             )
-            if i > 0:  # constant prefix narrows the dictionary scan
+            if i > 0:  # automaton leapfrog (WildcardQuery.java rewrites
+                # to an automaton too) — the constant prefix lands the
+                # first probe, then probes scale with matches instead of
+                # the whole prefix range (a*e matches few of many a*)
+                from .regexdfa import UnsupportedRegex, regexp_candidates
+
+                try:
+                    got, _ = regexp_candidates(
+                        r.unique_terms(), _wildcard_to_regex(q.pattern),
+                        max_len=self._max_term_len())
+                    return [t for t in got
+                            if not t.startswith(_REV_MARKER)]
+                except UnsupportedRegex:  # pragma: no cover - */? always
+                    pass                  # compile; keep the scan path
                 pre = q.pattern[:i]
                 cand = r.terms_in_range(pre, pre + "\U0010FFFF", True, True)
                 return [t for t in cand if pat.match(t)]

@@ -89,6 +89,23 @@ def test_million_term_sublinear():
     assert dt < 5.0, dt
 
 
+def test_searcher_wildcard_uses_automaton(tmp_path_factory, ray_session):
+    from lucene_solr_ray.search.query import WildcardQuery
+    from lucene_solr_ray.search.searcher import _wildcard_to_regex
+
+    d = tmp_path_factory.mktemp("wc_corpus")
+    pq.write_table(generate_table(500, seed=6), str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("wc_index"))
+    build_index(str(d), out, rows_per_partition=250)
+    s = IndexSearcher(out)
+    u = s.reader.unique_terms()
+    for wc in ["re*", "r?turn", "c*n", "ha*h", "q*", "*urn", "z?z*"]:
+        got = s._rewrite_terms(WildcardQuery(wc))
+        cre = re.compile(_wildcard_to_regex(wc) + r"\Z")
+        want = [t for t in u if cre.match(t)]
+        assert got == want, wc
+
+
 def test_searcher_regexp_uses_automaton(tmp_path_factory, ray_session):
     d = tmp_path_factory.mktemp("rx_corpus")
     pq.write_table(generate_table(500, seed=4), str(d / "c.parquet"))
