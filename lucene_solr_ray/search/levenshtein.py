@@ -62,7 +62,8 @@ class OrderedDFA:
     def is_live(self, state) -> bool:
         raise NotImplementedError
 
-    def _next_edge(self, state, after: str | None) -> str | None:
+    def _next_edge(self, state, after: str | None,
+                   remaining: int | None = None) -> str | None:
         raise NotImplementedError
 
     #: optional bound on explored path length — REQUIRED when the
@@ -72,6 +73,25 @@ class OrderedDFA:
     #: to the dictionary's max term length: longer strings can't be
     #: dict terms, so truncating the language there never skips a match.
     max_path_len: int | None = None
+
+    def min_dist(self, state) -> int:
+        """Lower bound on chars still needed to reach an accept state.
+
+        Used to make the length cap a LIVENESS property instead of a
+        depth check: a state whose min-distance-to-accept exceeds the
+        remaining budget is dead NOW, so the DFS never enters a subtree
+        that can only fail by truncation. Without this (the default 0),
+        a live-but-too-deep subtree fails at the depth check and the
+        parent's sibling retry rescans the alphabet one region at a
+        time — on wide intervals (``.``) that is ~1.1M probes per level.
+        Subclasses with ``max_path_len`` set should override.
+        """
+        return 0
+
+    def _edge_ok(self, child, remaining: int | None) -> bool:
+        if not self.is_live(child):
+            return False
+        return remaining is None or self.min_dist(child) <= remaining
 
     def accepts(self, s: str) -> bool:
         st = self.start()
@@ -83,7 +103,12 @@ class OrderedDFA:
 
     def next_valid(self, s: str) -> str | None:
         """Lexicographically smallest accepted string ``>= s``."""
+        mpl = self.max_path_len
         state = self.start()
+        if not self._edge_ok(state, mpl):
+            # e.g. the pattern's minimum match length already exceeds
+            # the dictionary's longest term: nothing to find
+            return None
         # walk s, recording (path-so-far, state-before-char, char-taken)
         stack: list[tuple[str, object, str | None]] = []
         i = 0
@@ -92,7 +117,7 @@ class OrderedDFA:
             stack.append((s[:i], state, s[i]))
             state = self.step(state, s[i])
             i += 1
-            if not self.is_live(state):
+            if not self._edge_ok(state, None if mpl is None else mpl - i):
                 break
         else:
             if self.is_accept(state):
@@ -101,21 +126,24 @@ class OrderedDFA:
         # DFS, smallest-edge-first: each frame retries the next sibling
         # edge (> the char previously taken from that state), so the
         # first accepted state reached is the lexicographic minimum > s.
-        # Live-state path lengths are bounded (finite automaton over
-        # bounded-length accepted strings or pruned by liveness), so
-        # this halts.
+        # _next_edge only yields BUDGET-VIABLE children (live AND
+        # min_dist <= chars left under max_path_len), and a viable child
+        # by definition has an accepting path within budget — so after
+        # the initial walk of ``s``, the first viable sibling found
+        # descends straight to an accept with zero backtracking.
         while stack:
             path, st, took = stack.pop()
-            c = self._next_edge(st, took)
+            rem = None if mpl is None else mpl - len(path) - 1
+            if rem is not None and rem < 0:
+                continue  # even a 1-char edge would exceed the cap
+            c = self._next_edge(st, took, rem)
             if c is None:
                 continue
             stack.append((path, st, c))  # siblings > c stay reachable
             st2 = self.step(st, c)
             if self.is_accept(st2):
                 return path + c
-            if self.is_live(st2) and (self.max_path_len is None
-                                      or len(path) + 1 < self.max_path_len):
-                stack.append((path + c, st2, None))
+            stack.append((path + c, st2, None))
         return None
 
 
@@ -187,20 +215,39 @@ class LevenshteinDFA(OrderedDFA):
         k = self.k
         return any(v <= k for v in state)
 
+    def min_dist(self, state: tuple) -> int:
+        """Fewest chars to acceptance: from live cell ``j`` (cost v),
+        appending ``term[j+e:]`` takes ``L-j-e`` chars at final cost
+        ``v+e`` — minimized at ``e = k - v`` trailing deletions."""
+        k = self.k
+        L = len(self.term)
+        best = None
+        for j, v in enumerate(state):
+            if v <= k:
+                d = L - j - (k - v)
+                if d < 0:
+                    d = 0
+                if best is None or d < best:
+                    best = d
+                    if best == 0:
+                        break
+        return best if best is not None else L + k + 1
+
     # -- lexicographic traversal ----------------------------------------
-    def _next_edge(self, state: tuple, after: str | None) -> str | None:
+    def _next_edge(self, state: tuple, after: str | None,
+                   remaining: int | None = None) -> str | None:
         """Smallest char strictly greater than ``after`` (or smallest of
-        all when ``after`` is None) whose transition stays live."""
+        all when ``after`` is None) whose transition stays viable."""
         lo = "\0" if after is None else (
             None if ord(after) >= _MAX_CP else chr(ord(after) + 1))
         if lo is None:
             return None
         best = None
         for qc in self._chars:
-            if qc >= lo and self.is_live(self.step(state, qc)):
+            if qc >= lo and self._edge_ok(self.step(state, qc), remaining):
                 best = qc
                 break
-        if self.is_live(self.step(state, self._other)):
+        if self._edge_ok(self.step(state, self._other), remaining):
             # smallest NON-term char >= lo (all non-term chars transition
             # identically; at most |distinct term chars| skips)
             c: str | None = lo

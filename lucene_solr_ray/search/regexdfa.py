@@ -241,6 +241,50 @@ class RegexDFA(OrderedDFA):
                     starts.add(lo)
         self._starts = sorted(starts)
         self._trans: dict[tuple, dict[str, tuple]] = {}
+        # per-NFA-state min #chars to reach accept (reverse 0-1 BFS:
+        # epsilon edges cost 0, char edges cost 1) — powers budget-aware
+        # liveness (OrderedDFA.min_dist), which keeps the leapfrog DFS
+        # from entering subtrees that can only fail by max_path_len
+        # truncation (the alphabet-rescan hang)
+        self._dist = self._dists_to_accept()
+        self._mind: dict[frozenset, int] = {}
+
+    def _dists_to_accept(self) -> list[int]:
+        from collections import deque
+
+        n = len(self._nfa.eps)
+        INF = n + 1  # real distances never exceed #states
+        rev_eps: list[list[int]] = [[] for _ in range(n)]
+        rev_chr: list[list[int]] = [[] for _ in range(n)]
+        for s, tgts in enumerate(self._nfa.eps):
+            for t in tgts:
+                rev_eps[t].append(s)
+        for s, lst in enumerate(self._nfa.edges):
+            for _ivs, t in lst:
+                rev_chr[t].append(s)
+        dist = [INF] * n
+        dist[self._acc] = 0
+        dq = deque([self._acc])
+        while dq:
+            u = dq.popleft()
+            du = dist[u]
+            for v in rev_eps[u]:
+                if du < dist[v]:
+                    dist[v] = du
+                    dq.appendleft(v)
+            for v in rev_chr[u]:
+                if du + 1 < dist[v]:
+                    dist[v] = du + 1
+                    dq.append(v)
+        return dist
+
+    def min_dist(self, state: frozenset) -> int:
+        r = self._mind.get(state)
+        if r is None:
+            dist = self._dist
+            r = min((dist[s] for s in state), default=1 << 30)
+            self._mind[state] = r
+        return r
 
     def _closure(self, states: set[int]) -> frozenset:
         stack = list(states)
@@ -283,17 +327,24 @@ class RegexDFA(OrderedDFA):
         # Thompson NFAs have no dead states: every state reaches accept
         return bool(state)
 
-    def _next_edge(self, state: frozenset, after: str | None) -> str | None:
+    def _next_edge(self, state: frozenset, after: str | None,
+                   remaining: int | None = None) -> str | None:
+        # budget-aware: an edge is viable only if its target can still
+        # reach accept within ``remaining`` more chars. Within a region
+        # between interval starts the move-set only SHRINKS, so
+        # min_dist (a min over the set) only GROWS — boundary starts
+        # remain the only places a non-viable region can turn viable,
+        # exactly as for plain liveness.
         lo = 0 if after is None else ord(after) + 1
         if lo > _MAX_CP:
             return None
-        cands = [lo] if lo <= _MAX_CP else []
+        cands = [lo]
         from bisect import bisect_right
         for s in self._starts[bisect_right(self._starts, lo):]:
             cands.append(s)
         for o in cands:
             c = chr(o)
-            if self.is_live(self.step(state, c)):
+            if self._edge_ok(self.step(state, c), remaining):
                 return c
         return None
 

@@ -118,3 +118,92 @@ def test_searcher_regexp_uses_automaton(tmp_path_factory, ray_session):
         got = s._rewrite_terms(RegexpQuery(pat))
         want = [t for t in u if re.match("(?:" + pat + r")\Z", t)]
         assert got == want, pat
+
+
+def test_truncated_subtree_liveness_no_hang():
+    """Budget-aware liveness (per-NFA-state min-distance-to-accept):
+    a pattern whose wide-interval subtrees die only by ``max_path_len``
+    truncation must NOT rescan the alphabet one codepoint at a time.
+    Pre-fix, each of these hung >8 s on a 2000-term dict; the fixed
+    leapfrog finishes in milliseconds with bounded probes."""
+    rng = random.Random(7)
+    vocab = sorted({"".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                            for _ in range(rng.randint(1, 12)))
+                    for _ in range(2000)})
+    arr = np.array(vocab)
+    for pat in ["a.*.+lb*(a|.)",     # the reported hang
+                "z.+q.+x.+j",        # live-deep, nothing matches
+                "a.*b.*c.*d"]:
+        t0 = time.time()
+        got, probes = regexp_candidates(arr, pat)
+        dt = time.time() - t0
+        want = [t for t in vocab if re.match("(?:" + pat + r")\Z", t)]
+        assert got == want, pat
+        assert dt < 2.0, (pat, dt)
+        assert probes < 10 * len(vocab), (pat, probes)
+
+
+def test_min_length_exceeds_dict_max_is_instant():
+    """Patterns whose minimum match length exceeds the longest dict
+    term (wildcard '?' runs past max term length, long literal) return
+    empty with ZERO probes — the start state is budget-dead."""
+    rng = random.Random(3)
+    vocab = sorted({"".join(rng.choice("abc") for _ in range(rng.randint(1, 8)))
+                    for _ in range(500)})
+    arr = np.array(vocab)
+    for pat in ["." * 9, "a" * 30, ".........b*"]:
+        t0 = time.time()
+        got, probes = regexp_candidates(arr, pat)
+        assert got == [] and probes == 0, pat
+        assert time.time() - t0 < 0.5
+
+
+def test_transition_memo_stays_bounded():
+    """The pre-fix DFS inserted ~1.1M per-char memo entries per rescan
+    level; post-fix the memo stays proportional to probes, not to the
+    alphabet."""
+    rng = random.Random(9)
+    vocab = sorted({"".join(rng.choice("abcdef") for _ in range(6))
+                    for _ in range(3000)})
+    dfa = RegexDFA("a.*.+f*(a|.)", max_len=6)
+    from lucene_solr_ray.search.levenshtein import intersect_sorted
+    got, probes = intersect_sorted(dfa, np.array(vocab))
+    memo_entries = sum(len(d) for d in dfa._trans.values())
+    assert memo_entries < 200_000, memo_entries
+
+
+def test_deep_random_patterns_never_hang():
+    """Fuzz the failure class ADVICE found (~6% hang rate pre-fix):
+    deeply nested quantified groups over wide intervals. No oracle here
+    (Python ``re`` itself backtracks exponentially on these); the
+    assertion is termination-fast, which budget-aware liveness
+    guarantees. Acceptance parity is covered by the shallow fuzz above."""
+    rng = random.Random(42)
+    vocab = sorted({"".join(rng.choice("abcdefgl")
+                            for _ in range(rng.randint(1, 10)))
+                    for _ in range(3000)})
+    arr = np.array(vocab)
+
+    def deep_pat(depth=0):
+        r = rng.random()
+        if depth > 3 or r < 0.35:
+            atom = rng.choice(list("abcdefgl")
+                              + [".", "[a-d]", "[^ab]", r"\w", r"\d"])
+        elif r < 0.6:
+            atom = "(" + deep_pat(depth + 1) + "|" + deep_pat(depth + 1) + ")"
+        else:
+            atom = "(" + deep_pat(depth + 1) + deep_pat(depth + 1) + ")"
+        return atom + rng.choice(["", "", "*", "+", "?"])
+
+    ran = 0
+    for _ in range(60):
+        pat = "".join(deep_pat() for _ in range(rng.randint(1, 5)))
+        try:
+            t0 = time.time()
+            regexp_candidates(arr, pat)
+            dt = time.time() - t0
+        except UnsupportedRegex:
+            continue
+        assert dt < 3.0, (pat, dt)
+        ran += 1
+    assert ran >= 30
