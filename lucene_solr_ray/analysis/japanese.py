@@ -176,41 +176,47 @@ class JapaneseTokenizer:
         return out
 
     def segment(self, text: str) -> list[tuple[str, str, str]]:
+        # True lattice Viterbi: the DP node is (position, left POS) —
+        # kuromoji keys its lattice nodes the same way — because the
+        # connection cost of the NEXT edge depends on the left POS, so
+        # collapsing to position-only can return a non-cheapest path
+        # when a costlier prefix enables a cheaper connection. The POS
+        # alphabet is ~10 symbols, so this stays O(n * |POS| * cands).
         n = len(text)
         if not n:
             return []
-        INF = float("inf")
-        best = [INF] * (n + 1)
-        best[0] = 0.0
-        back: list[tuple[int, str, str, str | None] | None] = \
-            [None] * (n + 1)
-        pos_at: list[str] = ["BOS"] * (n + 1)
+        best: list[dict[str, float]] = [{} for _ in range(n + 1)]
+        back: list[dict[str, tuple]] = [{} for _ in range(n + 1)]
+        best[0]["BOS"] = 0.0
         for i in range(n):
-            if best[i] is INF:
+            if not best[i]:
                 continue
-            left = pos_at[i]
-            for surface, cost, pos, base in self._candidates(text, i):
-                # punctuation/space carries no connection cost and does
-                # not change the left context (discardPunctuation=true)
-                if pos in ("sym", "space"):
-                    edge = 0.0
-                    nxt_left = left
-                else:
-                    edge = self.conn.get((left, pos), _CONN_DEFAULT)
-                    nxt_left = pos
-                j = i + len(surface)
-                tot = best[i] + cost + edge
-                if tot < best[j]:
-                    best[j] = tot
-                    back[j] = (i, surface, pos, base)
-                    pos_at[j] = nxt_left
+            cands = self._candidates(text, i)
+            for left, bcost in best[i].items():
+                for surface, cost, pos, base in cands:
+                    # punctuation/space carries no connection cost and
+                    # does not change the left context
+                    # (discardPunctuation=true)
+                    if pos in ("sym", "space"):
+                        edge = 0.0
+                        nxt_left = left
+                    else:
+                        edge = self.conn.get((left, pos), _CONN_DEFAULT)
+                        nxt_left = pos
+                    j = i + len(surface)
+                    tot = bcost + cost + edge
+                    cur = best[j].get(nxt_left)
+                    if cur is None or tot < cur:
+                        best[j][nxt_left] = tot
+                        back[j][nxt_left] = (i, left, surface, pos, base)
+        end = min(best[n], key=best[n].get)
         out = []
-        j = n
+        j, st = n, end
         while j > 0:
-            i, surface, pos, base = back[j]
+            i, left, surface, pos, base = back[j][st]
             if pos not in ("sym", "space"):
                 out.append((surface, pos, base or surface))
-            j = i
+            j, st = i, left
         out.reverse()
         return out
 

@@ -4957,7 +4957,10 @@ def q_geo_contains(sf_dir: str) -> pa.Table:
         clon = (uid * 73 % 36000) / 100.0 - 180.0
         hh = (uid % 9 + 1).astype(np.float64)
         hw = (uid % 13 + 2).astype(np.float64)
-        wkts = [f"ENVELOPE({lo - w!r}, {lo + w!r}, {la + h!r}, {la - h!r})"
+        # float() the np.float64 scalars: under numpy>=2.0 their repr is
+        # 'np.float64(...)', which the WKT number grammar rejects
+        wkts = [f"ENVELOPE({float(lo - w)!r}, {float(lo + w)!r}, "
+                f"{float(la + h)!r}, {float(la - h)!r})"
                 for la, lo, h, w in zip(clat, clon, hh, hw)]
         keep = shape_relation_mask(wkts, "POINT(-120.15 -60.05)",
                                    op="Contains")

@@ -15,7 +15,7 @@ is that surface re-expressed for Ray Data:
   the query is a shape, so every relation reduces to one numpy mask
   per batch inside ``map_batches`` (same two-phase bbox→refine economics
   as ``geo.polygon_filter``).
-- :func:`relate` — shape-vs-shape relation (WITHIN / CONTAINS /
+- :func:`relate` — shape-vs-shape relation (WITHIN / CONTAINS / EQUALS /
   INTERSECTS / DISJOINT) for stored-shape columns, using the standard
   vertices-inside + edge-crossing decomposition; circles participate
   via a 64-gon approximation (documented — the reference's grid
@@ -298,9 +298,9 @@ def _segments_cross(a: np.ndarray, closed_a: bool,
 
 def relate(a: Shape, b: Shape) -> str:
     """SpatialOperation verdict for stored-shape columns: one of
-    ``WITHIN`` (a inside b), ``CONTAINS`` (a contains b),
-    ``INTERSECTS``, ``DISJOINT`` — the four predicates of
-    ``SpatialOperation.java`` (Equals folds into WITHIN+CONTAINS).
+    ``WITHIN`` (a inside b), ``CONTAINS`` (a contains b), ``EQUALS``
+    (coincident — satisfies both), ``INTERSECTS``, ``DISJOINT`` — the
+    predicates of ``SpatialOperation.java``.
 
     Decomposition: all-vertices-inside + no boundary crossings ⇒
     containment; any vertex inside either way or any crossing ⇒
@@ -311,12 +311,24 @@ def relate(a: Shape, b: Shape) -> str:
     if amax < bmin or bmax < amin or amax2 < bmin2 or bmax2 < amin2:
         return "DISJOINT"
     av, bv = a.boundary(), b.boundary()
+    if type(a) is type(b) and av.shape == bv.shape \
+            and bool(np.array_equal(av, bv)):
+        # identical vertex chain (the stored-WKT == query-WKT case):
+        # strict ray-casting puts on-boundary vertices OUTSIDE, so the
+        # containment decomposition below would misread coincident
+        # polygons as INTERSECTS
+        return "EQUALS"
     a_in_b = b.contains_points(av[:, 0], av[:, 1])
     b_in_a = a.contains_points(bv[:, 0], bv[:, 1])
     closed_a = isinstance(a, (Polygon, Envelope, Circle))
     closed_b = isinstance(b, (Polygon, Envelope, Circle))
     crossing = _segments_cross(av, closed_a, bv, closed_b)
     if not crossing and bool(a_in_b.all()):
+        if bool(b_in_a.all()):
+            # coincident shapes satisfy BOTH IsWithin and Contains —
+            # without this, Contains missed docs whose stored shape
+            # equals the query shape (WITHIN won the order check)
+            return "EQUALS"
         return "WITHIN"
     if not crossing and bool(b_in_a.all()) and closed_a:
         return "CONTAINS"
@@ -374,9 +386,9 @@ def shape_relation_mask(wkt_column, query: str | Shape,
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}")
     q = parse_wkt(query) if isinstance(query, str) else query
-    want = {"Intersects": ("WITHIN", "CONTAINS", "INTERSECTS"),
-            "IsWithin": ("WITHIN",),
-            "Contains": ("CONTAINS",),
+    want = {"Intersects": ("WITHIN", "CONTAINS", "INTERSECTS", "EQUALS"),
+            "IsWithin": ("WITHIN", "EQUALS"),
+            "Contains": ("CONTAINS", "EQUALS"),
             "IsDisjointTo": ("DISJOINT",)}[op]
     vals = (wkt_column.to_pylist()
             if isinstance(wkt_column, (pa.Array, pa.ChunkedArray))

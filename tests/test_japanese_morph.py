@@ -89,3 +89,50 @@ def test_empty_and_ascii_only():
     an = get_analyzer("ja_morph")
     assert an.tokens("") == []
     assert an.tokens("hello world 42") == ["hello", "world", "42"]
+
+
+def test_viterbi_matches_bruteforce_cheapest():
+    """The lattice DP is keyed on (position, left POS) — kuromoji's
+    per-node lattice — because edge cost depends on the left POS. A
+    position-only DP can return a non-cheapest segmentation when a
+    costlier prefix enables a cheaper connection; this pins the true
+    Viterbi against exhaustive enumeration."""
+    import random
+
+    from lucene_solr_ray.analysis.japanese import (_CONN_DEFAULT, _LEXICON,
+                                                   JapaneseTokenizer)
+
+    tok = JapaneseTokenizer()
+
+    def brute(text):
+        best: list = [None]
+
+        def rec(i, left, cost, path):
+            if best[0] is not None and cost >= best[0][0]:
+                return
+            if i == len(text):
+                best[0] = (cost, list(path))
+                return
+            for surface, c, pos, base in tok._candidates(text, i):
+                if pos in ("sym", "space"):
+                    edge, nxt = 0.0, left
+                else:
+                    edge = tok.conn.get((left, pos), _CONN_DEFAULT)
+                    nxt = pos
+                if pos not in ("sym", "space"):
+                    path.append((surface, pos, base or surface))
+                rec(i + len(surface), nxt, cost + c + edge, path)
+                if pos not in ("sym", "space"):
+                    path.pop()
+
+        rec(0, "BOS", 0.0, [])
+        return best[0][1]
+
+    rng = random.Random(5)
+    sents = ["私は日本語を勉強します", "東京で映画を見ました",
+             "彼はとてもおいしい料理を食べたい", "犬と猫がいます"]
+    words = list(_LEXICON)
+    sents += ["".join(rng.choices(words, k=rng.randint(2, 5)))
+              for _ in range(15)]
+    for s in sents:
+        assert tok.segment(s) == brute(s), s

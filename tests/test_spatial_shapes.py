@@ -147,3 +147,21 @@ def test_shape_relation_mask_stored_wkt():
     m3 = shape_relation_mask(col, "ENVELOPE(-50.0, 0.0, 0.0, -50.0)",
                              op="Intersects")
     assert m3.tolist() == [True, False, False, True]
+
+
+def test_equal_shapes_satisfy_within_and_contains():
+    """SpatialOperation Equals folds into BOTH IsWithin and Contains:
+    a stored shape identical to the query shape must match either op
+    (pre-fix, WITHIN won the order check and Contains missed it; equal
+    polygons even misread as INTERSECTS under strict ray-casting)."""
+    from lucene_solr_ray.stages.shapes import (parse_wkt, relate,
+                                               shape_relation_mask)
+
+    for wkt in ["ENVELOPE(0, 10, 10, 0)",
+                "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))",
+                "POINT(3 4)",
+                "LINESTRING(0 0, 5 5)"]:
+        assert relate(parse_wkt(wkt), parse_wkt(wkt)) == "EQUALS", wkt
+        for op in ("IsWithin", "Contains", "Intersects"):
+            assert shape_relation_mask([wkt], wkt, op=op)[0], (wkt, op)
+        assert not shape_relation_mask([wkt], wkt, op="IsDisjointTo")[0]
