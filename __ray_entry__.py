@@ -23,47 +23,37 @@ def entry() -> Any:
     return run_flagship("/root/testdata/sf0.001")
 
 
-# The driver's correctness file covers a fixed number of leading
-# queries() slots; rounds 1-3 hard-checked the registry's natural order
-# (all green, CORRECTNESS_r01-r03). Round 4 rotates previously
-# contract-only entries to the front — SQL planner family, suggesters,
-# streaming expressions, block join, spatial shapes — so the driver's
-# oracle gate hard-checks them too. Everything else stays covered by
-# tests/test_driver_contract.py (same oracle, sf0.01).
+# The driver's correctness file covers the FIRST 50 queries() slots;
+# rounds 1-3 hard-checked the registry's natural order, round 4 rotated
+# the SQL planner / suggester / streaming / blockjoin families to the
+# front — 113 of 127 registry entries now carry a driver-recorded green
+# row. Round 5 front-loads the 14 entries the driver has NEVER
+# hard-checked (round 4's list was 65 long, so its tail missed the
+# 50-slot cut), then backfills with the stalest once-checked entries.
+# Everything else stays covered by tests/test_driver_contract.py (same
+# oracle, sf0.01).
 _PRIORITY = [
-    # SQL planner family
-    "sql_group_agg", "sql_select_topk", "sql_join_agg",
-    "sql_count_distinct", "sql_distinct", "sql_left_join",
-    "sql_tpch_q1", "sql_where_expr", "sql_case_when",
-    # suggesters + spellcheck
-    "suggest_prefix", "suggest_fuzzy", "suggest_infix",
-    "suggest_blended", "suggest_freetext", "spellcheck",
-    # streaming expressions / windows
-    "events_window", "events_sliding_window", "events_top_stream",
-    "events_sessionize", "unique_stream", "having_stream",
-    "fetch_stream", "group_stats", "date_histogram",
-    # joins
-    "blockjoin_orders", "asof_join",
-    # spatial shape relations + morphological Japanese (new this round)
-    "geo_within", "geo_linestring_near", "geo_contains",
-    "ja_morph_tokens",
-    # query/search surface
-    "qp_classic", "rescore_top20", "mlt_top10", "func_boost",
-    "elevate_query", "terms_regex", "span_near_search",
-    "ft_sorted_search", "facet_on_query", "group_search_top2",
-    "facet_prefix", "sampled_facet_lang", "interval_facet",
-    "taxonomy_facet", "expand_collapse", "significant_terms",
-    # analysis chains
-    "wdf_brand_subtoken", "shingle_top10", "common_grams_stats",
-    "bpe_token_count",
-    # dedup / data curation
-    "dedup_exact", "text_profile_dedup", "embed_neardup",
-    "ngram_jaccard", "quality_tokens", "gopher_quality",
-    "pii_redact", "decontam", "chunk_windows", "mixture_sample",
-    # graph
-    "graph_gather", "graph_shortest_path",
-    # ANN
-    "ann_cosine_top5", "ann_ivf_top5", "ann_filtered_top5",
+    # never driver-checked (r1-r4): curation/LLM-pipeline stages + graph
+    "media_embed_topk", "text_profile_dedup", "graph_gather",
+    "graph_shortest_path", "ann_pq_top5", "pii_redact", "decontam",
+    "chunk_windows", "mixture_sample", "gopher_quality",
+    "lm_perplexity", "semdedup", "cluster_docs", "ann_filtered_top5",
+    # checked once in round 1 only
+    "lang_id", "media_image_stats", "minhash_candidates", "simhash",
+    # checked once in round 2 only
+    "ann_ivf_top5", "embed_neardup", "ngram_jaccard",
+    "curation_funnel", "nb_lang_classify", "simhash_pairs",
+    # checked once in round 3 only
+    "drill_sideways", "expression_score", "facet_missing_indexsort",
+    "fact_join_revenue", "geo_bbox", "geo_heatmap", "geo_polygon",
+    "geo_sort_nearest", "group_percentiles", "join_global_ordinals",
+    "json_facet_nested", "line_dedup", "payload_score_top10",
+    "percolate_matches", "rolling_dedup", "stream_complement",
+    "stream_join_rollup", "tdigest_quantiles", "update_processors",
+    "dsir_select", "highlight_offsets", "multilingual_stems",
+    "pack_sequences",
+    # checked once in round 4 only
+    "asof_join", "blockjoin_orders", "common_grams_stats",
 ]
 
 
