@@ -290,6 +290,7 @@ def get_analyzer(name: str) -> Analyzer:
             from . import light2  # noqa: F401  registers el/ro/ca
             from . import urlemail  # noqa: F401  registers url_email
             from . import japanese  # noqa: F401  registers ja_morph
+            from . import chinese  # noqa: F401  registers zh_smart
 
             if name not in _REGISTRY:
                 raise KeyError(f"unknown analyzer: {name}")

@@ -5146,3 +5146,78 @@ SELECT d.sid, u.term, d.n
 FROM d JOIN u ON d.sid = u.sid
 ORDER BY d.sid, u.term
 """
+
+
+_ZH_SENTENCES = [
+    "我们在北京学习中文",
+    "今天天气非常好",
+    "他喜欢看电影",
+    "中国的历史很长",
+    "学生在图书馆看书",
+    "电脑和电话都是新的",
+    "研究生命很重要",
+    "ＣＯＭＰＵＴＥＲ科学技术2024",
+]
+
+
+def q_zh_smart_tokens(sf_dir: str) -> pa.Table:
+    """Morphological Chinese tokenization (``lucene/analysis/smartcn/``
+    SmartChineseAnalyzer chain: dictionary-DAG cheapest-path
+    segmentation + stopword drop): each doc deterministically carries
+    one of 8 Chinese sentences (doc_id % 8); the engine runs the real
+    analyzer inside map_batches and counts (sentence, term) pairs. The
+    ORACLE encodes the hand-checked GOLD segmentations — including the
+    classic 研究生命 ambiguity (研究/生命, not 研究生/命) and the
+    北京大学 compound — so the driver gate is a golden-vector check of
+    the full morphological chain."""
+    import ray.data as rd
+
+    from ..analysis.analyzers import get_analyzer
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        an = get_analyzer("zh_smart")
+        sid = (b["doc_id"].to_numpy().astype(np.int64)) % 8
+        uniq, counts = np.unique(sid, return_counts=True)
+        sids, terms, ns = [], [], []
+        for s, n in zip(uniq, counts):
+            for t in an.tokens(_ZH_SENTENCES[int(s)]):
+                sids.append(int(s))
+                terms.append(t)
+                ns.append(int(n))
+        return pa.table({
+            "sid": pa.array(sids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    out = (docs.map_batches(tok_counts, batch_format="pyarrow")
+           .groupby(["sid", "term"]).sum("n")
+           .to_pandas().sort_values(["sid", "term"]))
+    return pa.table({
+        "sid": pa.array(out["sid"].to_numpy(), pa.int64()),
+        "term": pa.array(out["term"].tolist(), pa.string()),
+        "n": pa.array(out["sum(n)"].to_numpy(), pa.int64()),
+    })
+
+
+QUERIES.update({"zh_smart_tokens": q_zh_smart_tokens})
+
+ORACLE_SQL["zh_smart_tokens"] = """
+WITH d AS (SELECT doc_id % 8 AS sid, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1),
+g AS (SELECT * FROM (VALUES
+    (0, '我们 北京 学习 中文'),
+    (1, '今天 天气 非常 好'),
+    (2, '他 喜欢 看 电影'),
+    (3, '中国 历史 长'),
+    (4, '学生 图书馆 看书'),
+    (5, '电脑 电话 新'),
+    (6, '研究 生命 重要'),
+    (7, 'computer 科学 技术 2024')) AS t(sid, toks)),
+u AS (SELECT sid, unnest(string_split(toks, ' ')) AS term FROM g)
+SELECT d.sid, u.term, d.n
+FROM d JOIN u ON d.sid = u.sid
+ORDER BY d.sid, u.term
+"""
