@@ -257,6 +257,88 @@ class LevenshteinDFA(OrderedDFA):
                 best = c
         return best
 
+class DamerauLevenshteinDFA(LevenshteinDFA):
+    """Accepts strings within ``k`` OSA (optimal string alignment)
+    edits of ``term`` — insert/delete/substitute/adjacent-transpose.
+
+    The reference's ``FuzzyQuery`` defaults ``transpositions=true``
+    (``LevenshteinAutomata.java`` builds the transposition-aware
+    parametric tables); this is the same language via the DP-row state
+    construction extended for OSA: the state carries the PREVIOUS row
+    and the previously-consumed char (both needed by the transposition
+    cell ``prev_row[j-2] + 1`` when ``term[j-1] == prev_char`` and
+    ``term[j-2] == c``), each row capped at ``k+1``. The previous char
+    is class-collapsed exactly like transition chars (all non-term
+    chars behave identically in both ``term[j-1]==c`` tests), so the
+    state space stays finite and :meth:`_next_edge`'s two-class probe
+    carries over unchanged.
+
+    State = ``(prev_row | None, cur_row, prev_char | None)``.
+    """
+
+    def start(self) -> tuple:
+        cap = self.k + 1
+        return (None, tuple(min(i, cap) for i in range(len(self.term) + 1)),
+                None)
+
+    def _step_raw(self, state: tuple, c: str) -> tuple:
+        cap = self.k + 1
+        term = self.term
+        prev_row, cur, prev_char = state
+        row = [min(cur[0] + 1, cap)]
+        for j in range(1, len(cur)):
+            cost = 0 if term[j - 1] == c else 1
+            v = cur[j - 1] + cost            # substitute / match
+            v2 = cur[j] + 1                  # insert (extra input char)
+            if v2 < v:
+                v = v2
+            v3 = row[j - 1] + 1              # delete (skip term char)
+            if v3 < v:
+                v = v3
+            if (j >= 2 and prev_row is not None
+                    and term[j - 1] == prev_char and term[j - 2] == c):
+                v4 = prev_row[j - 2] + 1     # adjacent transposition
+                if v4 < v:
+                    v = v4
+            row.append(v if v < cap else cap)
+        return (cur, tuple(row), c)
+
+    def is_accept(self, state: tuple) -> bool:
+        return state[1][-1] <= self.k
+
+    def is_live(self, state: tuple) -> bool:
+        # dead stays dead under transposition too: cur[j] <= prev[j]+1
+        # from the insert edge, so prev_row[j-2]+1 >= cur[j-2] — a
+        # fully-capped cur row can't be revived by the prev row
+        k = self.k
+        return any(v <= k for v in state[1])
+
+    def min_dist(self, state: tuple) -> int:
+        # transpositions consume 2 input chars to cover 2 term chars —
+        # the same rate as matches — so the plain-row bound holds
+        return super().min_dist(state[1])
+
+
+def osa_within(a: str, b: str, k: int) -> bool:
+    """Brute-force OSA distance check (the DFA's test oracle)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i >= 2 and j >= 2 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+        prev2, prev = prev, cur
+    return prev[lb] <= k
+
+
 class _SortedArrayView:
     """Adapter giving a sorted numpy str array the term-dict probe API."""
 

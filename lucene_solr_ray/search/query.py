@@ -149,6 +149,10 @@ class TermRangeQuery(Query):
 class FuzzyQuery(Query):
     term: str
     max_edits: int = 2  # LevenshteinAutomata supports <=2 (FuzzyQuery.java)
+    # the reference defaults transpositions=true (FuzzyQuery.java); this
+    # engine's historical semantics (and its SQL oracles) are plain
+    # Levenshtein, so OSA is opt-in here — documented difference
+    transpositions: bool = False
 
 
 def parse_query(text: str, analyzer, default_op: str = "OR",

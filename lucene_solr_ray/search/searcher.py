@@ -80,17 +80,23 @@ def _levenshtein_within(a: str, b: str, k: int) -> bool:
     return prev[-1] <= k
 
 
-def fuzzy_candidates(reader, qterm: str, k: int) -> tuple[list[str], int]:
+def fuzzy_candidates(reader, qterm: str, k: int,
+                     transpositions: bool = False) -> tuple[list[str], int]:
     """Fuzzy-term expansion via Levenshtein-DFA ∩ sorted term dict —
     the reference's complexity class (``FuzzyQuery.java:66-76`` rewrites
     to ``LevenshteinAutomata``; ``IntersectTermsEnum`` leapfrogs the DFA
     against BlockTree): dictionary probes are O(matches + automaton
     boundary crossings), independent of vocabulary size.
 
+    ``transpositions=True`` switches to the OSA automaton
+    (``FuzzyQuery.java``'s default language); plain Levenshtein stays
+    the default here to match this engine's historical semantics.
+
     Returns (matching terms, number of dictionary probes). Output is
     property-tested identical to :func:`fuzzy_candidates_scan`.
     """
-    from .levenshtein import LevenshteinDFA, intersect_sorted
+    from .levenshtein import (DamerauLevenshteinDFA, LevenshteinDFA,
+                              intersect_sorted)
 
     ts = getattr(reader, "_ts", None)
     if ts is not None and getattr(reader, "terms", None) is None:
@@ -99,7 +105,8 @@ def fuzzy_candidates(reader, qterm: str, k: int) -> tuple[list[str], int]:
         dictview = ts
     else:
         dictview = reader.unique_terms()
-    return intersect_sorted(LevenshteinDFA(qterm, k), dictview)
+    cls = DamerauLevenshteinDFA if transpositions else LevenshteinDFA
+    return intersect_sorted(cls(qterm, k), dictview)
 
 
 def fuzzy_candidates_scan(reader, qterm: str, k: int) -> tuple[list[str], int]:
@@ -476,7 +483,9 @@ class IndexSearcher:
                 q.lower, q.upper, q.include_lower, q.include_upper
             )
         if isinstance(q, FuzzyQuery):
-            terms, _ = fuzzy_candidates(r, q.term, q.max_edits)
+            terms, _ = fuzzy_candidates(
+                r, q.term, q.max_edits,
+                transpositions=getattr(q, "transpositions", False))
             return terms
         raise TypeError(q)
 

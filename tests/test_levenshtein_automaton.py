@@ -121,3 +121,68 @@ def test_reader_paths_agree_with_pruned_scan(tmp_path_factory, ray_session):
             got, probes = fuzzy_candidates(s.reader, word, k)
             want, _ = fuzzy_candidates_scan(s.reader, word, k)
             assert got == want, (compact, word, k)
+
+
+def test_damerau_osa_equivalence_bruteforce():
+    """DamerauLevenshteinDFA ∩ dict == brute-force OSA scan — the
+    reference's transpositions=true FuzzyQuery language."""
+    import random
+
+    from lucene_solr_ray.search.levenshtein import (DamerauLevenshteinDFA,
+                                                    intersect_sorted,
+                                                    osa_within)
+
+    rng = random.Random(13)
+    vocab = sorted({"".join(rng.choice("abcde")
+                            for _ in range(rng.randint(1, 9)))
+                    for _ in range(20000)})
+    arr = np.array(vocab)
+    for qterm in ["abc", "abcd", "ecadb", "aa", "dcbae", "bbbb"]:
+        for k in (1, 2):
+            got, probes = intersect_sorted(
+                DamerauLevenshteinDFA(qterm, k), arr)
+            want = [t for t in vocab if osa_within(qterm, t, k)]
+            assert got == want, (qterm, k)
+            assert probes <= len(vocab)
+
+
+def test_transposition_distance_semantics():
+    """'ab'→'ba' is 1 OSA edit but 2 plain-Levenshtein edits; the two
+    automata must disagree exactly there."""
+    from lucene_solr_ray.search.levenshtein import (DamerauLevenshteinDFA,
+                                                    LevenshteinDFA)
+
+    osa = DamerauLevenshteinDFA("ab", 1)
+    plain = LevenshteinDFA("ab", 1)
+    assert osa.accepts("ba") and not plain.accepts("ba")
+    # both accept at k=2
+    assert LevenshteinDFA("ab", 2).accepts("ba")
+    # transposed middle pair: 'acbd' within 1 of 'abcd' only under OSA
+    assert DamerauLevenshteinDFA("abcd", 1).accepts("acbd")
+    assert not LevenshteinDFA("abcd", 1).accepts("acbd")
+
+
+def test_fuzzy_query_transpositions_flag(tmp_path_factory, ray_session):
+    """FuzzyQuery(transpositions=True) expands through the OSA
+    automaton on a real index; default stays plain Levenshtein."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import IndexSearcher
+    from lucene_solr_ray.search.query import FuzzyQuery
+
+    d = tmp_path_factory.mktemp("osa_corpus")
+    docs = ["from here", "form letter", "foam pad", "farm house"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "content": pa.array(docs, pa.string())}),
+        str(d / "c.parquet"))
+    out = str(tmp_path_factory.mktemp("osa_index"))
+    build_index(str(d), out, rows_per_partition=2)
+    s = IndexSearcher(out)
+    # 'from'→'form' is one transposition: k=1 finds it only with OSA
+    plain = set(s._rewrite_terms(FuzzyQuery("from", 1)))
+    osa = set(s._rewrite_terms(FuzzyQuery("from", 1, transpositions=True)))
+    assert "form" in osa and "form" not in plain
+    assert "from" in plain and "from" in osa
