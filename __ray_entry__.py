@@ -33,6 +33,8 @@ def entry() -> Any:
 # Everything else stays covered by tests/test_driver_contract.py (same
 # oracle, sf0.01).
 _PRIORITY = [
+    # new in round 5 (never driver-checked)
+    "phonetic_keys",
     # never driver-checked (r1-r4): curation/LLM-pipeline stages + graph
     "media_embed_topk", "text_profile_dedup", "graph_gather",
     "graph_shortest_path", "ann_pq_top5", "pii_redact", "decontam",

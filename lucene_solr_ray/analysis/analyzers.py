@@ -287,6 +287,7 @@ def get_analyzer(name: str) -> Analyzer:
             from . import cjk  # noqa: F401  registers cjk/icu_folded
             from . import light  # noqa: F401  registers ar/fa/cs/hi
             from . import phonetic  # noqa: F401  registers phonetic
+            from . import phonetic2  # noqa: F401  registers phonetic_*
             from . import light2  # noqa: F401  registers el/ro/ca
             from . import urlemail  # noqa: F401  registers url_email
             from . import japanese  # noqa: F401  registers ja_morph

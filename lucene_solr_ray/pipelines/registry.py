@@ -5221,3 +5221,141 @@ SELECT d.sid, u.term, d.n
 FROM d JOIN u ON d.sid = u.sid
 ORDER BY d.sid, u.term
 """
+
+
+_PHON_NAMES = ["smith", "schmidt", "williams", "peters", "moskowitz",
+               "auerbach", "knight", "stevenson"]
+
+
+def q_phonetic_keys(sf_dir: str) -> pa.Table:
+    """Phonetic encoder family (``lucene/analysis/phonetic/``:
+    PhoneticFilter's commons-codec encoders + DoubleMetaphoneFilter +
+    DaitchMokotoffSoundexFilter). Each doc deterministically carries
+    one of 8 surnames (doc_id % 8); every registered encoder runs
+    inside map_batches and emits its code(s) for that surname,
+    weighted by the group count. The ORACLE freezes the hand-verified
+    code table (published commons-codec / D-M standard vectors where
+    they exist), so the driver gate is a golden-vector check of all
+    eight encoders."""
+    import ray.data as rd
+
+    from ..analysis import phonetic2 as p2
+    from ..analysis.phonetic import soundex
+
+    encs = {"soundex": lambda t: (soundex(t),), **p2._ENCODERS}
+
+    def keys(b: pa.Table) -> pa.Table:
+        sid = (b["doc_id"].to_numpy().astype(np.int64)) % 8
+        uniq, counts = np.unique(sid, return_counts=True)
+        sids, nms, es, cs, ns = [], [], [], [], []
+        for s, n in zip(uniq, counts):
+            nm = _PHON_NAMES[int(s)]
+            for enc in sorted(encs):
+                for code in encs[enc](nm):
+                    sids.append(int(s))
+                    nms.append(nm)
+                    es.append(enc)
+                    cs.append(code)
+                    ns.append(int(n))
+        return pa.table({
+            "sid": pa.array(sids, pa.int64()),
+            "name": pa.array(nms, pa.string()),
+            "encoder": pa.array(es, pa.string()),
+            "code": pa.array(cs, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    out = (docs.map_batches(keys, batch_format="pyarrow")
+           .groupby(["sid", "name", "encoder", "code"]).sum("n")
+           .to_pandas().sort_values(["sid", "encoder", "code"]))
+    return pa.table({
+        "sid": pa.array(out["sid"].to_numpy(), pa.int64()),
+        "name": pa.array(out["name"].tolist(), pa.string()),
+        "encoder": pa.array(out["encoder"].tolist(), pa.string()),
+        "code": pa.array(out["code"].tolist(), pa.string()),
+        "n": pa.array(out["sum(n)"].to_numpy(), pa.int64()),
+    })
+
+
+QUERIES.update({"phonetic_keys": q_phonetic_keys})
+
+ORACLE_SQL["phonetic_keys"] = """
+WITH d AS (SELECT doc_id % 8 AS sid, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1),
+g AS (SELECT * FROM (VALUES
+    (0, 'smith', 'caverphone', 'SMT1111111'),
+    (0, 'smith', 'cologne', '862'),
+    (0, 'smith', 'dm_soundex', '463000'),
+    (0, 'smith', 'double_metaphone', 'SM0'),
+    (0, 'smith', 'double_metaphone', 'XMT'),
+    (0, 'smith', 'metaphone', 'SM0'),
+    (0, 'smith', 'nysiis', 'SNAT'),
+    (0, 'smith', 'refined_soundex', 'S38060'),
+    (0, 'smith', 'soundex', 'S530'),
+    (1, 'schmidt', 'caverphone', 'SKMT111111'),
+    (1, 'schmidt', 'cologne', '862'),
+    (1, 'schmidt', 'dm_soundex', '463000'),
+    (1, 'schmidt', 'double_metaphone', 'XMT'),
+    (1, 'schmidt', 'double_metaphone', 'SMT'),
+    (1, 'schmidt', 'metaphone', 'SKMT'),
+    (1, 'schmidt', 'nysiis', 'SNAD'),
+    (1, 'schmidt', 'refined_soundex', 'S30806'),
+    (1, 'schmidt', 'soundex', 'S530'),
+    (2, 'williams', 'caverphone', 'WLMS111111'),
+    (2, 'williams', 'cologne', '3568'),
+    (2, 'williams', 'dm_soundex', '786400'),
+    (2, 'williams', 'double_metaphone', 'ALMS'),
+    (2, 'williams', 'double_metaphone', 'FLMS'),
+    (2, 'williams', 'metaphone', 'WLMS'),
+    (2, 'williams', 'nysiis', 'WALAN'),
+    (2, 'williams', 'refined_soundex', 'W07083'),
+    (2, 'williams', 'soundex', 'W452'),
+    (3, 'peters', 'caverphone', 'PTS1111111'),
+    (3, 'peters', 'cologne', '1278'),
+    (3, 'peters', 'dm_soundex', '734000'),
+    (3, 'peters', 'dm_soundex', '739400'),
+    (3, 'peters', 'double_metaphone', 'PTRS'),
+    (3, 'peters', 'metaphone', 'PTRS'),
+    (3, 'peters', 'nysiis', 'PATAR'),
+    (3, 'peters', 'refined_soundex', 'P106093'),
+    (3, 'peters', 'soundex', 'P362'),
+    (4, 'moskowitz', 'caverphone', 'MSKWTS1111'),
+    (4, 'moskowitz', 'cologne', '68438'),
+    (4, 'moskowitz', 'dm_soundex', '645740'),
+    (4, 'moskowitz', 'double_metaphone', 'MSKT'),
+    (4, 'moskowitz', 'double_metaphone', 'MSKF'),
+    (4, 'moskowitz', 'metaphone', 'MSKW'),
+    (4, 'moskowitz', 'nysiis', 'MASCAO'),
+    (4, 'moskowitz', 'refined_soundex', 'M803065'),
+    (4, 'moskowitz', 'soundex', 'M232'),
+    (5, 'auerbach', 'caverphone', 'APK1111111'),
+    (5, 'auerbach', 'cologne', '0714'),
+    (5, 'auerbach', 'dm_soundex', '097400'),
+    (5, 'auerbach', 'dm_soundex', '097500'),
+    (5, 'auerbach', 'double_metaphone', 'ARPK'),
+    (5, 'auerbach', 'metaphone', 'ARBX'),
+    (5, 'auerbach', 'nysiis', 'ARBAC'),
+    (5, 'auerbach', 'refined_soundex', 'A091030'),
+    (5, 'auerbach', 'soundex', 'A612'),
+    (6, 'knight', 'caverphone', 'KNT1111111'),
+    (6, 'knight', 'cologne', '4642'),
+    (6, 'knight', 'dm_soundex', '565300'),
+    (6, 'knight', 'double_metaphone', 'NT'),
+    (6, 'knight', 'metaphone', 'NT'),
+    (6, 'knight', 'nysiis', 'NAGT'),
+    (6, 'knight', 'refined_soundex', 'K380406'),
+    (6, 'knight', 'soundex', 'K523'),
+    (7, 'stevenson', 'caverphone', 'STFNSN1111'),
+    (7, 'stevenson', 'cologne', '823686'),
+    (7, 'stevenson', 'dm_soundex', '276460'),
+    (7, 'stevenson', 'double_metaphone', 'STFN'),
+    (7, 'stevenson', 'metaphone', 'STFN'),
+    (7, 'stevenson', 'nysiis', 'STAFAN'),
+    (7, 'stevenson', 'refined_soundex', 'S360208308'),
+    (7, 'stevenson', 'soundex', 'S315')) AS t(sid, name, encoder, code))
+SELECT d.sid, g.name, g.encoder, g.code, d.n
+FROM d JOIN g ON d.sid = g.sid
+ORDER BY d.sid, g.encoder, g.code
+"""

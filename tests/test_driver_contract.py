@@ -91,7 +91,7 @@ ORACLE_CHECKED = [
         "join_global_ordinals", "facet_missing_indexsort",
         "rolling_dedup", "geo_sort_nearest",
         "geo_within", "geo_linestring_near", "geo_contains",
-        "ja_morph_tokens", "zh_smart_tokens",
+        "ja_morph_tokens", "zh_smart_tokens", "phonetic_keys",
 ]
 
 
