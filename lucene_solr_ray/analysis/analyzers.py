@@ -292,6 +292,7 @@ def get_analyzer(name: str) -> Analyzer:
             from . import urlemail  # noqa: F401  registers url_email
             from . import japanese  # noqa: F401  registers ja_morph
             from . import chinese  # noqa: F401  registers zh_smart
+            from . import icu  # noqa: F401  registers icu / icu_tokenizer
 
             if name not in _REGISTRY:
                 raise KeyError(f"unknown analyzer: {name}")

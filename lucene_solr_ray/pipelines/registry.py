@@ -5359,3 +5359,77 @@ SELECT d.sid, g.name, g.encoder, g.code, d.n
 FROM d JOIN g ON d.sid = g.sid
 ORDER BY d.sid, g.encoder, g.code
 """
+
+
+_ICU_SENTENCES = [
+    "Привет мир",
+    "Ελληνικά κείμενο",
+    "北京大学Computer课程",
+    "ＡＢＣ１２３ test",
+    "Москва и Київ",
+    "ψυχή και σῶμα",
+    "カタカナです",
+    "Hello МИР test",
+]
+
+
+def q_icu_tokens(sf_dir: str) -> pa.Table:
+    """ICU module chain (``lucene/analysis/icu/``): ICUTokenizer
+    script-run segmentation (UAX#29 / Han dictionary-DAG / Kana
+    lattice) + ICUTransformFilter Any-Latin + ICUFoldingFilter. Each
+    doc carries one of 8 multilingual sentences (doc_id % 8); the
+    ORACLE freezes the hand-verified token output (ISO 9 Cyrillic,
+    scholarly Greek romanization, NFKC width fold, kana voicing-mark
+    fold), so the driver gate is a golden-vector check of the whole
+    ICU chain."""
+    import ray.data as rd
+
+    from ..analysis.analyzers import get_analyzer
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        an = get_analyzer("icu")
+        sid = (b["doc_id"].to_numpy().astype(np.int64)) % 8
+        uniq, counts = np.unique(sid, return_counts=True)
+        sids, terms, ns = [], [], []
+        for s, n in zip(uniq, counts):
+            for t in an.tokens(_ICU_SENTENCES[int(s)]):
+                sids.append(int(s))
+                terms.append(t)
+                ns.append(int(n))
+        return pa.table({
+            "sid": pa.array(sids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    out = (docs.map_batches(tok_counts, batch_format="pyarrow")
+           .groupby(["sid", "term"]).sum("n")
+           .to_pandas().sort_values(["sid", "term"]))
+    return pa.table({
+        "sid": pa.array(out["sid"].to_numpy(), pa.int64()),
+        "term": pa.array(out["term"].tolist(), pa.string()),
+        "n": pa.array(out["sum(n)"].to_numpy(), pa.int64()),
+    })
+
+
+QUERIES.update({"icu_tokens": q_icu_tokens})
+
+ORACLE_SQL["icu_tokens"] = """
+WITH d AS (SELECT doc_id % 8 AS sid, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1),
+g AS (SELECT * FROM (VALUES
+    (0, 'privet mir'),
+    (1, 'ellenika keimeno'),
+    (2, '北京大学 computer 课 程'),
+    (3, 'abc123 test'),
+    (4, 'moskva i kiiv'),
+    (5, 'psyche kai soma'),
+    (6, 'カタカナ てす'),
+    (7, 'hello mir test')) AS t(sid, toks)),
+u AS (SELECT sid, unnest(string_split(toks, ' ')) AS term FROM g)
+SELECT d.sid, u.term, d.n
+FROM d JOIN u ON d.sid = u.sid
+ORDER BY d.sid, u.term
+"""
