@@ -293,6 +293,7 @@ def get_analyzer(name: str) -> Analyzer:
             from . import japanese  # noqa: F401  registers ja_morph
             from . import chinese  # noqa: F401  registers zh_smart
             from . import icu  # noqa: F401  registers icu / icu_tokenizer
+            from . import polish  # noqa: F401  registers polish / polish_light
 
             if name not in _REGISTRY:
                 raise KeyError(f"unknown analyzer: {name}")

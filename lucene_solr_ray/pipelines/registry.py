@@ -5433,3 +5433,76 @@ SELECT d.sid, u.term, d.n
 FROM d JOIN u ON d.sid = u.sid
 ORDER BY d.sid, u.term
 """
+
+
+_PL_SENTENCES = [
+    "Kot ma nową książkę",
+    "Jest w domu i czyta",
+    "Widział duże miasto",
+    "Mam koty",
+    "Studenci są w polskich miastach",
+    "Idzie do nowego domu",
+    "Szła przez duże miasta",
+    "Uczę się czytać",
+]
+
+
+def q_pl_lemmas(sf_dir: str) -> pa.Table:
+    """Polish morphological analysis (``lucene/analysis/morfologik/``
+    MorfologikFilter dictionary lemmatization + the stempel-module
+    PolishAnalyzer chain): each doc carries one of 8 Polish sentences
+    (doc_id % 8); the analyzer lowercases, drops the PL stop list and
+    replaces known surface forms with their lemma(s) — the ambiguous
+    'mam' emits BOTH interpretations (mieć + mama) as posIncr-0 twins.
+    The ORACLE freezes the hand-verified lemma sequences."""
+    import ray.data as rd
+
+    from ..analysis.analyzers import get_analyzer
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        an = get_analyzer("polish")
+        sid = (b["doc_id"].to_numpy().astype(np.int64)) % 8
+        uniq, counts = np.unique(sid, return_counts=True)
+        sids, terms, ns = [], [], []
+        for s, n in zip(uniq, counts):
+            for t in an.tokens(_PL_SENTENCES[int(s)]):
+                sids.append(int(s))
+                terms.append(t)
+                ns.append(int(n))
+        return pa.table({
+            "sid": pa.array(sids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    out = (docs.map_batches(tok_counts, batch_format="pyarrow")
+           .groupby(["sid", "term"]).sum("n")
+           .to_pandas().sort_values(["sid", "term"]))
+    return pa.table({
+        "sid": pa.array(out["sid"].to_numpy(), pa.int64()),
+        "term": pa.array(out["term"].tolist(), pa.string()),
+        "n": pa.array(out["sum(n)"].to_numpy(), pa.int64()),
+    })
+
+
+QUERIES.update({"pl_lemmas": q_pl_lemmas})
+
+ORACLE_SQL["pl_lemmas"] = """
+WITH d AS (SELECT doc_id % 8 AS sid, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1),
+g AS (SELECT * FROM (VALUES
+    (0, 'kot mieć nowy książka'),
+    (1, 'być dom czytać'),
+    (2, 'widzieć duży miasto'),
+    (3, 'mieć mama kot'),
+    (4, 'studenci być polski miasto'),
+    (5, 'iść nowy dom'),
+    (6, 'iść duży miasto'),
+    (7, 'uczyć czytać')) AS t(sid, toks)),
+u AS (SELECT sid, unnest(string_split(toks, ' ')) AS term FROM g)
+SELECT d.sid, u.term, d.n
+FROM d JOIN u ON d.sid = u.sid
+ORDER BY d.sid, u.term
+"""
