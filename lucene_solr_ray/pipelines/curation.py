@@ -123,8 +123,16 @@ def run_curation(
             "minhash": mh["minhash"],
         })
 
-    sig = fresh_read().map_batches(
-        signatures, batch_format="pyarrow").materialize()
+    # right-size the pinned signature blocks by BYTES before the pin:
+    # reads split by cpu count, so at small corpus scale the ~0.55 KB/row
+    # signature table would land in dozens of KB-sized blocks and every
+    # downstream groupby would pay a blocks^2 shuffle fan. Narrow
+    # coalesce (shuffle=False, no all-to-all), target derived from the
+    # metadata row count — at real scale rows*0.55KB/64MB exceeds the
+    # read split and this changes nothing.
+    sig_target = max(8, (docs_in * 560) // (64 << 20))
+    sig = (fresh_read().map_batches(signatures, batch_format="pyarrow")
+           .repartition(sig_target, shuffle=False).materialize())
     n_quality = int(sig.sum("quality_ok") or 0)
 
     # 2. exact dedup over quality-passing signatures: hash -> keep-min doc

@@ -4280,24 +4280,39 @@ def q_lm_perplexity(sf_dir: str) -> pa.Table:
     ds = _docs_ds(sf_dir, ["doc_id", "lang", "text"])
     ref, _ = train_bigram_lm(
         ds.map_batches(lambda b: _split(b, True), batch_format="pyarrow"))
+    # lang cardinality is tiny: per-block (lang, n, sum_nll) partials
+    # fuse with the scorer pass; the blocks x |langs| merge is driver-side
+    # (no groupby shuffle).
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        t = b.filter(pc.is_valid(b["nll"]))
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "nll": t["nll"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("lang", sort=False)["nll"].agg(["count", "sum"])
+        return pa.table({
+            "lang": pa.array(g.index.to_numpy(), pa.string()),
+            "n": pa.array(g["count"].to_numpy(), pa.int64()),
+            "s": pa.array(g["sum"].to_numpy(), pa.float64()),
+        })
+
     scored = (
         ds.map_batches(lambda b: _split(b, False), batch_format="pyarrow")
         .map_batches(PerplexityScorer, fn_constructor_args=(ref,),
                      batch_format="pyarrow", concurrency=2)
-        .map_batches(
-            lambda b: b.filter(pc.is_valid(b["nll"])).select(
-                ["lang", "nll"]),
-            batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(agg.Count(alias_name="n_docs"),
-                   agg.Mean("nll", alias_name="avg_nll"))
-        .to_pandas().sort_values("lang")
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .agg(n_docs=("n", "sum"), s=("s", "sum"))
+        .sort_values("lang")
     )
     return pa.table({
         "lang": pa.array(scored["lang"].tolist(), pa.string()),
         "n_docs": pa.array(scored["n_docs"].to_numpy(), pa.int64()),
-        "avg_nll": pa.array(_round4(scored["avg_nll"].to_numpy()),
-                            pa.float64()),
+        "avg_nll": pa.array(
+            _round4(scored["s"].to_numpy() / scored["n_docs"].to_numpy()),
+            pa.float64()),
     })
 
 
@@ -4570,12 +4585,21 @@ def q_asof_join(sf_dir: str) -> pa.Table:
 
     from .streams import asof_join
 
+    # size blocks by BYTES (64 MB targets), not Ray's cpu-count default
+    # split: the sort's shuffle fan-out is blocks x partitions, so tiny
+    # blocks quadratically inflate fixed costs at any scale.
+    def _nblocks(path: str) -> int:
+        return max(8, os.path.getsize(path) // (64 << 20))
+
+    ev_p = os.path.join(sf_dir, "events.parquet")
+    ord_p = os.path.join(sf_dir, "orders.parquet")
     ev = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "event_type"])
+        ev_p, columns=["event_id", "ts", "user_id", "event_type"],
+        override_num_blocks=_nblocks(ev_p))
     orders = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        ord_p,
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_nblocks(ord_p))
 
     orders = orders.map_batches(
         lambda b: b.rename_columns(
@@ -4585,17 +4609,33 @@ def q_asof_join(sf_dir: str) -> pa.Table:
                   right_ts="o_orderdate",
                   right_cols=["o_orderkey", "o_totalprice"],
                   right_tiebreak="o_orderkey")
-    out = (
-        j.groupby("event_type")
-        .aggregate(agg.Count(alias_name="n"),
-                   agg.Mean("o_totalprice", alias_name="avg_price"))
-        .to_pandas().sort_values("event_type")
-    )
+
+    # event_type cardinality is tiny: per-block partials (count + sum)
+    # fuse with the join's interior filter into ONE pass, and the
+    # blocks x 5-row merge happens on the driver — no groupby shuffle.
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+            "p": b["o_totalprice"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("event_type", sort=False)["p"].agg(["count", "sum"])
+        return pa.table({
+            "event_type": pa.array(g.index.to_numpy(), pa.string()),
+            "n": pa.array(g["count"].to_numpy(), pa.int64()),
+            "s": pa.array(g["sum"].to_numpy(), pa.float64()),
+        })
+
+    out = (j.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("event_type", as_index=False)
+           .agg(n=("n", "sum"), s=("s", "sum"))
+           .sort_values("event_type"))
     return pa.table({
         "event_type": pa.array(out["event_type"].tolist(), pa.string()),
         "n": pa.array(out["n"].to_numpy(), pa.int64()),
-        "avg_price": pa.array(_round4(out["avg_price"].to_numpy()),
-                              pa.float64()),
+        "avg_price": pa.array(
+            _round4(out["s"].to_numpy() / out["n"].to_numpy()),
+            pa.float64()),
     })
 
 

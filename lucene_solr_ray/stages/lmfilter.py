@@ -94,7 +94,12 @@ def train_bigram_lm(ds, text_col: str = "text", *, min_count: int = 1,
                 "a": big["a"], "b": big["b"], "cnt": big["a_count"]}))
         return pa.concat_tables(out)
 
+    # combiner tree: each partial table is VOCABULARY-bounded (not
+    # corpus-bounded), so coalescing them to a few blocks before the
+    # count shuffle is scale-safe and cuts the all-to-all fan from
+    # (corpus blocks)^2 to a constant (narrow coalesce, no shuffle).
     dd = (ds.map_batches(partial, batch_format="pyarrow")
+          .repartition(8, shuffle=False)
           .groupby(["a", "b"]).sum("cnt"))
 
     prune = min_count > 1 or max_entries is not None
