@@ -102,10 +102,13 @@ class TermDictReader:
     ``compact_terms=True`` swaps the per-row Python-string term array for
     the front-coded blob (``termdict.FrontCodedTerms`` — the BlockTree
     shared-prefix economics); query results are identical, steady-state
-    term-dict memory drops ~10x (bytes/term in BASELINE.md)."""
+    term-dict memory drops ~10x (bytes/term in BASELINE.md).
+    ``compact_terms="fst"`` uses the minimal acyclic automaton instead
+    (``fst.FSTTerms`` — shared prefixes AND suffixes, the util/fst
+    shape), same results behind the same API."""
 
     def __init__(self, cache_size: int = 4096,
-                 compact_terms: bool = False):
+                 compact_terms: bool | str = False):
         self._compact_terms = compact_terms
         self._cache = _LRU(cache_size)
         # subclasses fill:
@@ -206,7 +209,12 @@ class TermDictReader:
         terms = np.asarray(terms, dtype=object)
         order = np.lexsort((chunk_order, terms))
         sorted_terms = terms[order]
-        if self._compact_terms:
+        if self._compact_terms == "fst":
+            from .fst import FSTTerms
+
+            self._ts = FSTTerms(sorted_terms.tolist())
+            self.terms = None  # compact mode: no per-row str array
+        elif self._compact_terms:
             from .termdict import FrontCodedTerms
 
             self._ts = FrontCodedTerms(sorted_terms.tolist())
