@@ -357,17 +357,35 @@ def _stamp_floor(res: dict) -> float:
     return min(vals) if vals else 0.0
 
 
+def _wait_for_warm_host(min_gbps: float, max_wait_s: float) -> float:
+    """Cheap pre-run gate: probe the hypervisor page-throughput stamp
+    every 15 s until it clears ``min_gbps`` or the wait budget runs
+    out (windows last minutes — r4 burned all three EXPENSIVE bench
+    attempts 5 s apart inside one cold window). Returns the last
+    stamp."""
+    t0 = time.time()
+    g = host_calibration()["fresh_page_gbps"]
+    while g < min_gbps and time.time() - t0 < max_wait_s:
+        time.sleep(15)
+        g = host_calibration()["fresh_page_gbps"]
+    return g
+
+
 def run_bench_warm_window(min_gbps: float = 2.0, attempts: int = 3) -> dict:
     """Retry until a run lands inside a warm host window (both stamps
-    >= ``min_gbps``), else report the best-stamped attempt. Keeps the
-    per-round artifact comparable across rounds on a host whose
-    capability swings independently of the code under test. Override
-    with GRAFT_BENCH_MIN_GBPS / GRAFT_BENCH_ATTEMPTS; attempts=1
-    restores the single-shot behavior."""
+    >= ``min_gbps``), else report the best-stamped attempt. Each
+    attempt first waits (cheap stamping loop, no Ray) for the window
+    to open. Keeps the per-round artifact comparable across rounds on
+    a host whose capability swings independently of the code under
+    test. Override with GRAFT_BENCH_MIN_GBPS / GRAFT_BENCH_ATTEMPTS /
+    GRAFT_BENCH_WARM_WAIT; attempts=1 + wait 0 restores the
+    single-shot behavior."""
     min_gbps = float(os.environ.get("GRAFT_BENCH_MIN_GBPS", min_gbps))
     attempts = int(os.environ.get("GRAFT_BENCH_ATTEMPTS", attempts))
+    max_wait = float(os.environ.get("GRAFT_BENCH_WARM_WAIT", 150.0))
     best = None
     for i in range(max(attempts, 1)):
+        _wait_for_warm_host(min_gbps, max_wait)
         res = run_bench()
         res["warm_window_attempt"] = i + 1
         res["warm_window_floor_gbps"] = round(_stamp_floor(res), 3)
@@ -375,7 +393,6 @@ def run_bench_warm_window(min_gbps: float = 2.0, attempts: int = 3) -> dict:
             best = res
         if _stamp_floor(res) >= min_gbps:
             break
-        time.sleep(5)  # let the hypervisor window move on
     best["warm_window"] = _stamp_floor(best) >= min_gbps
     return best
 
