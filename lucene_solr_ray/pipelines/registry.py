@@ -5546,3 +5546,78 @@ SELECT d.sid, u.term, d.n
 FROM d JOIN u ON d.sid = u.sid
 ORDER BY d.sid, u.term
 """
+
+
+# multilingual_stems was rows-only through r4; the synthetic corpus is
+# deterministic, so the output (stem document frequencies per language,
+# df >= 2) freezes as a golden VALUES oracle — same pattern as
+# ja_morph_tokens / pl_lemmas. Stems spot-verified against the
+# published Snowball/light algorithms (test_snowball golden vectors).
+
+ORACLE_SQL["multilingual_stems"] = """
+SELECT * FROM (VALUES
+    ('arabic', 'كتاب', 3),
+    ('arabic', 'مدرس', 2),
+    ('bulgarian', 'град', 3),
+    ('bulgarian', 'книг', 3),
+    ('catalan', 'paraul', 3),
+    ('catalan', 'home', 2),
+    ('cjk', '検索', 3),
+    ('czech', 'měst', 3),
+    ('czech', 'krásn', 2),
+    ('czech', 'prah', 2),
+    ('danish', 'hus', 3),
+    ('danish', 'bøg', 2),
+    ('dutch', 'kat', 3),
+    ('dutch', 'huiz', 2),
+    ('finnish', 'talo', 3),
+    ('finnish', 'kirj', 2),
+    ('french', 'avion', 2),
+    ('french', 'chanteu', 2),
+    ('french', 'cheval', 2),
+    ('galician', 'canción', 3),
+    ('galician', 'home', 3),
+    ('german', 'buch', 2),
+    ('german', 'haus', 2),
+    ('greek', 'ανθρωπ', 3),
+    ('greek', 'βιβλ', 3),
+    ('hindi', 'किताब', 3),
+    ('hindi', 'लडक', 3),
+    ('hungarian', 'haz', 3),
+    ('hungarian', 'kiraly', 2),
+    ('hungarian', 'konyv', 2),
+    ('icu_folded', 'resume', 3),
+    ('icu_folded', 'uber', 3),
+    ('icu_folded', 'das', 2),
+    ('indonesian', 'baca', 3),
+    ('indonesian', 'buku', 2),
+    ('irish', 'fhear', 2),
+    ('irish', 'n-athair', 2),
+    ('irish', 't-saol', 2),
+    ('italian', 'libr', 3),
+    ('italian', 'ragaz', 3),
+    ('italian', 'amic', 2),
+    ('latvian', 'lap', 2),
+    ('latvian', 'lāc', 2),
+    ('norwegian', 'epl', 3),
+    ('norwegian', 'hus', 3),
+    ('persian', 'خانه', 2),
+    ('persian', 'کتابها', 2),
+    ('portuguese', 'animal', 3),
+    ('portuguese', 'livro', 3),
+    ('romanian', 'oras', 3),
+    ('romanian', 'si', 2),
+    ('russian', 'книг', 3),
+    ('russian', 'красив', 2),
+    ('sorani', 'ماڵ', 3),
+    ('sorani', 'کتاب', 3),
+    ('sorani', 'لە', 2),
+    ('spanish', 'camin', 3),
+    ('spanish', 'niñ', 3),
+    ('spanish', 'libr', 2),
+    ('swedish', 'flick', 3),
+    ('swedish', 'jack', 3),
+    ('turkish', 'istanbul', 2),
+    ('turkish', 'türkiye', 2)) AS t(lang, term, df)
+ORDER BY lang, df DESC, term
+"""

@@ -92,7 +92,7 @@ ORACLE_CHECKED = [
         "rolling_dedup", "geo_sort_nearest",
         "geo_within", "geo_linestring_near", "geo_contains",
         "ja_morph_tokens", "zh_smart_tokens", "phonetic_keys",
-        "icu_tokens", "pl_lemmas",
+        "icu_tokens", "pl_lemmas", "multilingual_stems",
 ]
 
 
