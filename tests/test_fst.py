@@ -138,3 +138,16 @@ def test_reader_fst_mode_rank_identity(tmp_path_factory, ray_session):
     assert plain.reader.num_terms() == fst.reader.num_terms()
     assert list(plain.reader.terms_in_range("w1", "w2")) == \
         list(fst.reader.terms_in_range("w1", "w2"))
+
+
+def test_empty_and_empty_string_terms():
+    f = FSTTerms([])
+    assert len(f) == 0
+    assert f.searchsorted("x") == 0
+    assert list(f.iter_range(0, 5)) == []
+    g = FSTTerms(["", "", "a"])
+    assert len(g) == 3
+    assert [g[i] for i in range(3)] == ["", "", "a"]
+    assert g.searchsorted("", "right") == 2
+    assert g.searchsorted("a") == 2
+    assert list(g) == ["", "", "a"]

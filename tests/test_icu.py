@@ -80,3 +80,11 @@ def test_icu_analyzer_positions_and_registry():
     assert toks == ["moskva", "i", "kiiv"]
     assert pos == [0, 1, 2]
     assert get_analyzer("icu_tokenizer").tokens("ＡＢＣ") == ["abc"]
+
+
+def test_all_common_and_empty_text():
+    assert script_runs("") == [(0, 0, "Common")]
+    tok = ICUTokenizer()
+    assert tok.tokenize("123 456") == ["123", "456"]
+    assert tok.tokenize("") == []
+    assert ICUAnalyzer("latin").tokens("") == []
