@@ -142,15 +142,26 @@ _GREEK = {
 }
 
 
+def _strip_marks(c: str) -> str:
+    return "".join(ch for ch in unicodedata.normalize("NFD", c)
+                   if unicodedata.category(ch) != "Mn")
+
+
 def _map_translit(table: dict[str, str], text: str) -> str:
-    # strip combining marks first (tonos/accents), then map per char;
-    # unmapped characters pass through (ICU transform semantics)
-    base = "".join(c for c in unicodedata.normalize("NFD", text)
-                   if unicodedata.category(c) != "Mn")
+    # Composed-first lookup: NFC the text so table rows for й/ё/ї/ў
+    # (distinct ISO 9 letters, NOT и/е/і/у + mark) match; only when a
+    # composed char misses is its mark-stripped base tried (folds
+    # Greek tonos etc.). A char unmapped either way passes through
+    # UNCHANGED — stripping it would erase diacritics a previous
+    # transform pass just produced (Any-Latin: ю -> û must survive the
+    # Greek pass).
     out = []
-    for c in base:
+    for c in unicodedata.normalize("NFC", text):
         low = c.lower()
         m = table.get(low)
+        if m is None:
+            base = _strip_marks(low)
+            m = table.get(base)
         if m is None:
             out.append(c)
         elif c != low:  # preserve an initial capital
@@ -222,9 +233,25 @@ class ICUTokenizer:
             elif script in ("Hiragana", "Katakana"):
                 out.extend(s for s, _, _ in self._ja_seg().segment(run))
             elif script in _WHOLE_RUN_SCRIPTS:
-                w = run.strip()
-                if w:
-                    out.append(w)
+                # no bundled dictionary: emit maximal SCRIPT-char
+                # subruns whole, but Common characters that attached to
+                # the run (spaces, digits, punctuation) are boundaries —
+                # a term with interior whitespace would be unsearchable.
+                i = 0
+                n = len(run)
+                while i < n:
+                    if script_of(run[i]) == script:
+                        j = i
+                        while j < n and script_of(run[j]) == script:
+                            j += 1
+                        out.append(run[i:j])
+                    else:
+                        j = i
+                        while j < n and script_of(run[j]) != script:
+                            j += 1
+                        toks, _ = tokenize_with_positions(run[i:j])
+                        out.extend(toks)
+                    i = j
             else:
                 toks, _ = tokenize_with_positions(run)
                 out.extend(toks)

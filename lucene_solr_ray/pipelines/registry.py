@@ -5111,6 +5111,47 @@ ORDER BY user_id
 })
 
 
+
+def _golden_token_counts(sf_dir: str, analyzer: str,
+                         sentences: list[str]) -> pa.Table:
+    """Shared golden-vector shape: each doc deterministically carries
+    sentences[doc_id % len(sentences)]; the real analyzer runs inside
+    map_batches (built once per task via the registry cache) and the
+    (sentence, term) pairs come back weighted by group count."""
+    import ray.data as rd
+
+    from ..analysis.analyzers import get_analyzer
+
+    k = len(sentences)
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        an = get_analyzer(analyzer)
+        sid = (b["doc_id"].to_numpy().astype(np.int64)) % k
+        uniq, counts = np.unique(sid, return_counts=True)
+        sids, terms, ns = [], [], []
+        for s_, n in zip(uniq, counts):
+            for t in an.tokens(sentences[int(s_)]):
+                sids.append(int(s_))
+                terms.append(t)
+                ns.append(int(n))
+        return pa.table({
+            "sid": pa.array(sids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    out = (docs.map_batches(tok_counts, batch_format="pyarrow")
+           .groupby(["sid", "term"]).sum("n")
+           .to_pandas().sort_values(["sid", "term"]))
+    return pa.table({
+        "sid": pa.array(out["sid"].to_numpy(), pa.int64()),
+        "term": pa.array(out["term"].tolist(), pa.string()),
+        "n": pa.array(out["sum(n)"].to_numpy(), pa.int64()),
+    })
+
+
 # -- morphological Japanese analysis (kuromoji role) --------------------
 
 _JA_SENTENCES = [
@@ -5135,36 +5176,7 @@ def q_ja_morph_tokens(sf_dir: str) -> pa.Table:
     (sentence, term) pairs. The ORACLE encodes the hand-checked GOLD
     segmentations — the driver gate is therefore a golden-vector check
     of the full morphological chain."""
-    import ray.data as rd
-
-    from ..analysis.analyzers import get_analyzer
-
-    def tok_counts(b: pa.Table) -> pa.Table:
-        an = get_analyzer("ja_morph")
-        sid = (b["doc_id"].to_numpy().astype(np.int64)) % 8
-        uniq, counts = np.unique(sid, return_counts=True)
-        sids, terms, ns = [], [], []
-        for s, n in zip(uniq, counts):
-            for t in an.tokens(_JA_SENTENCES[int(s)]):
-                sids.append(int(s))
-                terms.append(t)
-                ns.append(int(n))
-        return pa.table({
-            "sid": pa.array(sids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
-            "n": pa.array(ns, pa.int64()),
-        })
-
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id"])
-    out = (docs.map_batches(tok_counts, batch_format="pyarrow")
-           .groupby(["sid", "term"]).sum("n")
-           .to_pandas().sort_values(["sid", "term"]))
-    return pa.table({
-        "sid": pa.array(out["sid"].to_numpy(), pa.int64()),
-        "term": pa.array(out["term"].tolist(), pa.string()),
-        "n": pa.array(out["sum(n)"].to_numpy(), pa.int64()),
-    })
+    return _golden_token_counts(sf_dir, "ja_morph", _JA_SENTENCES)
 
 
 QUERIES.update({"ja_morph_tokens": q_ja_morph_tokens})
@@ -5210,36 +5222,7 @@ def q_zh_smart_tokens(sf_dir: str) -> pa.Table:
     classic 研究生命 ambiguity (研究/生命, not 研究生/命) and the
     北京大学 compound — so the driver gate is a golden-vector check of
     the full morphological chain."""
-    import ray.data as rd
-
-    from ..analysis.analyzers import get_analyzer
-
-    def tok_counts(b: pa.Table) -> pa.Table:
-        an = get_analyzer("zh_smart")
-        sid = (b["doc_id"].to_numpy().astype(np.int64)) % 8
-        uniq, counts = np.unique(sid, return_counts=True)
-        sids, terms, ns = [], [], []
-        for s, n in zip(uniq, counts):
-            for t in an.tokens(_ZH_SENTENCES[int(s)]):
-                sids.append(int(s))
-                terms.append(t)
-                ns.append(int(n))
-        return pa.table({
-            "sid": pa.array(sids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
-            "n": pa.array(ns, pa.int64()),
-        })
-
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id"])
-    out = (docs.map_batches(tok_counts, batch_format="pyarrow")
-           .groupby(["sid", "term"]).sum("n")
-           .to_pandas().sort_values(["sid", "term"]))
-    return pa.table({
-        "sid": pa.array(out["sid"].to_numpy(), pa.int64()),
-        "term": pa.array(out["term"].tolist(), pa.string()),
-        "n": pa.array(out["sum(n)"].to_numpy(), pa.int64()),
-    })
+    return _golden_token_counts(sf_dir, "zh_smart", _ZH_SENTENCES)
 
 
 QUERIES.update({"zh_smart_tokens": q_zh_smart_tokens})
@@ -5422,36 +5405,7 @@ def q_icu_tokens(sf_dir: str) -> pa.Table:
     scholarly Greek romanization, NFKC width fold, kana voicing-mark
     fold), so the driver gate is a golden-vector check of the whole
     ICU chain."""
-    import ray.data as rd
-
-    from ..analysis.analyzers import get_analyzer
-
-    def tok_counts(b: pa.Table) -> pa.Table:
-        an = get_analyzer("icu")
-        sid = (b["doc_id"].to_numpy().astype(np.int64)) % 8
-        uniq, counts = np.unique(sid, return_counts=True)
-        sids, terms, ns = [], [], []
-        for s, n in zip(uniq, counts):
-            for t in an.tokens(_ICU_SENTENCES[int(s)]):
-                sids.append(int(s))
-                terms.append(t)
-                ns.append(int(n))
-        return pa.table({
-            "sid": pa.array(sids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
-            "n": pa.array(ns, pa.int64()),
-        })
-
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id"])
-    out = (docs.map_batches(tok_counts, batch_format="pyarrow")
-           .groupby(["sid", "term"]).sum("n")
-           .to_pandas().sort_values(["sid", "term"]))
-    return pa.table({
-        "sid": pa.array(out["sid"].to_numpy(), pa.int64()),
-        "term": pa.array(out["term"].tolist(), pa.string()),
-        "n": pa.array(out["sum(n)"].to_numpy(), pa.int64()),
-    })
+    return _golden_token_counts(sf_dir, "icu", _ICU_SENTENCES)
 
 
 QUERIES.update({"icu_tokens": q_icu_tokens})
@@ -5495,36 +5449,7 @@ def q_pl_lemmas(sf_dir: str) -> pa.Table:
     replaces known surface forms with their lemma(s) — the ambiguous
     'mam' emits BOTH interpretations (mieć + mama) as posIncr-0 twins.
     The ORACLE freezes the hand-verified lemma sequences."""
-    import ray.data as rd
-
-    from ..analysis.analyzers import get_analyzer
-
-    def tok_counts(b: pa.Table) -> pa.Table:
-        an = get_analyzer("polish")
-        sid = (b["doc_id"].to_numpy().astype(np.int64)) % 8
-        uniq, counts = np.unique(sid, return_counts=True)
-        sids, terms, ns = [], [], []
-        for s, n in zip(uniq, counts):
-            for t in an.tokens(_PL_SENTENCES[int(s)]):
-                sids.append(int(s))
-                terms.append(t)
-                ns.append(int(n))
-        return pa.table({
-            "sid": pa.array(sids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
-            "n": pa.array(ns, pa.int64()),
-        })
-
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id"])
-    out = (docs.map_batches(tok_counts, batch_format="pyarrow")
-           .groupby(["sid", "term"]).sum("n")
-           .to_pandas().sort_values(["sid", "term"]))
-    return pa.table({
-        "sid": pa.array(out["sid"].to_numpy(), pa.int64()),
-        "term": pa.array(out["term"].tolist(), pa.string()),
-        "n": pa.array(out["sum(n)"].to_numpy(), pa.int64()),
-    })
+    return _golden_token_counts(sf_dir, "polish", _PL_SENTENCES)
 
 
 QUERIES.update({"pl_lemmas": q_pl_lemmas})

@@ -112,7 +112,7 @@ def test_query_matches_oracle(contract, duck, name):
 ROWS_ONLY = ["lang_id", "simhash", "minhash_candidates",
              "media_image_stats", "ann_lsh_top5", "hll_users",
              "nb_lang_classify", "curation_funnel", "simhash_pairs",
-             "multilingual_stems", "highlight_offsets", "ann_pq_top5",
+             "highlight_offsets", "ann_pq_top5",
              "cluster_docs", "dsir_select", "pack_sequences",
              "media_embed_topk"]
 

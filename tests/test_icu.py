@@ -88,3 +88,21 @@ def test_all_common_and_empty_text():
     assert tok.tokenize("123 456") == ["123", "456"]
     assert tok.tokenize("") == []
     assert ICUAnalyzer("latin").tokens("") == []
+
+
+def test_composed_cyrillic_letters_iso9():
+    # й/ё/ї/ў are distinct ISO 9 letters, not base+mark (regression:
+    # a blanket NFD strip made these rows dead code)
+    assert transliterate("йод", "Cyrillic-Latin") == "jod"
+    assert transliterate("ёж", "Cyrillic-Latin") == "ëž"
+    assert transliterate("Київ", "Cyrillic-Latin") == "Kiïv"
+    assert transliterate("ўзбек", "Cyrillic-Latin") == "ǔzbek"
+    # Any-Latin second pass must not erase marks the first produced
+    assert transliterate("юг", "Any-Latin") == "ûg"
+
+
+def test_thai_runs_split_on_interior_common():
+    tok = ICUTokenizer()
+    # regression: whole-run emission glued words across spaces/digits
+    assert tok.tokenize("สวัสดี ครับ") == ["สวัสดี", "ครับ"]
+    assert tok.tokenize("กข 123 คง") == ["กข", "123", "คง"]
