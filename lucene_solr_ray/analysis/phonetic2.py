@@ -212,6 +212,8 @@ def caverphone2(word: str) -> str:
         return ""
     if w.endswith("e"):
         w = w[:-1]
+    if not w:  # the word was just "e": all-padding code
+        return "1" * 10
     for pre, rep in (("cough", "cou2f"), ("rough", "rou2f"),
                      ("tough", "tou2f"), ("enough", "enou2f"),
                      ("trough", "trou2f"), ("gn", "2n")):

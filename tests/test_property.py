@@ -127,3 +127,52 @@ def test_tdigest_quantile_bounds_property(xs):
     est = [d.quantile(q) for q in qs]
     assert all(min(xs) - 1e-9 <= e <= max(xs) + 1e-9 for e in est)
     assert all(a <= b + 1e-9 for a, b in zip(est, est[1:]))
+
+
+# ---- round 5: FST dict + phonetic encoder properties ----------------------
+
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=8),
+    max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_fst_rank_identity_random_unicode(words):
+    from lucene_solr_ray.search.fst import FSTTerms
+    from lucene_solr_ray.search.termdict import NumpyTerms
+
+    terms = sorted(words)
+    fst = FSTTerms(terms)
+    ref = NumpyTerms(np.asarray(terms, object))
+    assert list(fst) == terms
+    for i in range(len(terms)):
+        assert fst[i] == terms[i]
+    probes = terms[:10] + ["", "m", "￿", "zz"]
+    for p in probes:
+        for side in ("left", "right"):
+            assert fst.searchsorted(p, side) == ref.searchsorted(p, side)
+
+
+@given(st.text(max_size=24))
+@settings(max_examples=120, deadline=None)
+def test_phonetic_encoders_total_functions(s):
+    """Every encoder accepts arbitrary text without raising and emits
+    codes from its documented alphabet."""
+    import string as _str
+
+    from lucene_solr_ray.analysis.phonetic import soundex
+    from lucene_solr_ray.analysis.phonetic2 import (
+        caverphone2, cologne_phonetic, daitch_mokotoff, double_metaphone,
+        metaphone, nysiis, refined_soundex)
+
+    assert set(metaphone(s)) <= set(_str.ascii_uppercase + "0")
+    assert set(soundex(s)[1:]) <= set("0123456")
+    assert set(refined_soundex(s)[1:]) <= set("0123456789")
+    cv = caverphone2(s)
+    assert cv == "" or (len(cv) == 10
+                        and set(cv) <= set(_str.ascii_letters + "1"))
+    assert set(cologne_phonetic(s)) <= set("012345678")
+    assert set(nysiis(s)) <= set(_str.ascii_uppercase)
+    assert len(nysiis(s)) <= 6
+    for code in daitch_mokotoff(s):
+        assert len(code) == 6 and set(code) <= set(_str.digits)
+    p, a = double_metaphone(s)
+    assert len(p) <= 4 and len(a) <= 4
