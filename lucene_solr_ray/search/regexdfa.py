@@ -75,6 +75,7 @@ class _Parser:
         self.p = pattern
         self.i = 0
         self.nfa = _NFA()
+        self.unbounded = False  # saw * or + (language may be infinite)
 
     def parse(self) -> tuple[int, int]:
         frag = self._alt()
@@ -125,6 +126,7 @@ class _Parser:
             n.eps[fe].append(e)
             if op in ("*", "+"):
                 n.eps[fe].append(fs)
+                self.unbounded = True
             frag = (s, e)
         if self._peek() == "{":
             raise UnsupportedRegex("{m,n} not compiled")
@@ -231,6 +233,14 @@ class RegexDFA(OrderedDFA):
         self.max_path_len = max_len
         parser = _Parser(pattern)
         self._s0, self._acc = parser.parse()
+        if parser.unbounded and max_len is None:
+            # infinite language + no cap = next_valid would descend
+            # forever ('a*b' accepts ab > aab > ...: no lexicographic
+            # minimum above a prefix). Every real call site passes the
+            # dictionary's max term length; fail loudly on misuse.
+            raise ValueError(
+                f"pattern {pattern!r} has unbounded repetition; pass "
+                "max_len (the term store's longest term)")
         self._nfa = parser.nfa
         # interval starts across the whole NFA: the only chars where a
         # dead region can turn live (see module docstring)

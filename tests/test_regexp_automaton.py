@@ -207,3 +207,20 @@ def test_deep_random_patterns_never_hang():
         assert dt < 3.0, (pat, dt)
         ran += 1
     assert ran >= 30
+
+
+def test_unbounded_pattern_requires_max_len():
+    """Regression guard: an unbounded-repetition pattern with no cap
+    would make next_valid descend forever (no lexicographic minimum);
+    construction must fail loudly instead."""
+    import pytest
+
+    from lucene_solr_ray.search.regexdfa import RegexDFA
+
+    with pytest.raises(ValueError, match="max_len"):
+        RegexDFA("(a|.)*b")
+    with pytest.raises(ValueError, match="max_len"):
+        RegexDFA("a.+")
+    # finite patterns stay constructible without a cap
+    assert RegexDFA("ab?c").accepts("ac")
+    assert RegexDFA("(a|.)b").accepts("xb")
