@@ -288,6 +288,35 @@ class ICUAnalyzer(Analyzer):
     def tokens(self, text: str) -> list[str]:
         return self.tokens_with_positions(text)[0]
 
+    def tokens_batch(self, texts: list[str]):
+        """Batch path: segmentation stays per-doc (script runs are
+        inherently sequential), but the transform+fold post-step runs
+        once per DISTINCT raw token (factorize + gather — the same
+        vocabulary trick as StemmingAnalyzer.tokens_batch), so its cost
+        scales with the batch vocabulary, not the token stream."""
+        import numpy as np
+        import pandas as pd
+
+        raw: list[str] = []
+        doc_idx: list[int] = []
+        pos: list[int] = []
+        for i, text in enumerate(texts):
+            toks = self._tok.tokenize(text)
+            raw.extend(toks)
+            doc_idx.extend([i] * len(toks))
+            pos.extend(range(len(toks)))
+        if not raw:
+            z = np.zeros(0, np.int64)
+            return [], z, z
+        codes, vocab = pd.factorize(np.asarray(raw, dtype=object))
+        mapped = np.asarray([self._post(t) for t in vocab], dtype=object)
+        keep_vocab = np.fromiter((bool(m) for m in mapped), bool,
+                                 count=len(mapped))
+        keep = keep_vocab[codes]
+        return (mapped[codes][keep].tolist(),
+                np.asarray(doc_idx, np.int64)[keep],
+                np.asarray(pos, np.int64)[keep])
+
 
 register_analyzer("icu_tokenizer", ICUAnalyzer("normalized"))
 register_analyzer("icu", ICUAnalyzer("latin"))

@@ -106,3 +106,21 @@ def test_thai_runs_split_on_interior_common():
     # regression: whole-run emission glued words across spaces/digits
     assert tok.tokenize("สวัสดี ครับ") == ["สวัสดี", "ครับ"]
     assert tok.tokenize("กข 123 คง") == ["กข", "123", "คง"]
+
+
+def test_tokens_batch_matches_per_doc():
+    a = ICUAnalyzer("latin")
+    texts = ["Привет мир", "", "北京大学Computer", "ψυχή και σῶμα",
+             "Hello Мир"]
+    toks, d, p = a.tokens_batch(texts)
+    want_t, want_d, want_p = [], [], []
+    for i, t in enumerate(texts):
+        tt, pp = a.tokens_with_positions(t)
+        want_t.extend(tt)
+        want_d.extend([i] * len(tt))
+        want_p.extend(pp)
+    assert toks == want_t
+    assert d.tolist() == want_d
+    assert p.tolist() == want_p
+    empty = a.tokens_batch([])
+    assert empty[0] == [] and len(empty[1]) == 0
