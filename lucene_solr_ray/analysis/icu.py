@@ -293,18 +293,19 @@ class ICUAnalyzer(Analyzer):
         inherently sequential), but the transform+fold post-step runs
         once per DISTINCT raw token (factorize + gather — the same
         vocabulary trick as StemmingAnalyzer.tokens_batch), so its cost
-        scales with the batch vocabulary, not the token stream."""
+        scales with the batch vocabulary, not the token stream.
+        Positions compact over SURVIVING tokens (a token that folds to
+        empty, e.g. a bare Thai vowel sign, leaves no gap) — matching
+        tokens_with_positions exactly."""
         import numpy as np
         import pandas as pd
 
         raw: list[str] = []
         doc_idx: list[int] = []
-        pos: list[int] = []
         for i, text in enumerate(texts):
             toks = self._tok.tokenize(text)
             raw.extend(toks)
             doc_idx.extend([i] * len(toks))
-            pos.extend(range(len(toks)))
         if not raw:
             z = np.zeros(0, np.int64)
             return [], z, z
@@ -313,9 +314,19 @@ class ICUAnalyzer(Analyzer):
         keep_vocab = np.fromiter((bool(m) for m in mapped), bool,
                                  count=len(mapped))
         keep = keep_vocab[codes]
-        return (mapped[codes][keep].tolist(),
-                np.asarray(doc_idx, np.int64)[keep],
-                np.asarray(pos, np.int64)[keep])
+        d = np.asarray(doc_idx, np.int64)[keep]
+        # positions restart at 0 per doc over kept tokens only; d is
+        # nondecreasing by construction, so a boundary-offset subtraction
+        # yields the per-doc running count.
+        idx = np.arange(len(d), dtype=np.int64)
+        if len(d):
+            boundary = np.empty(len(d), bool)
+            boundary[0] = True
+            boundary[1:] = d[1:] != d[:-1]
+            pos = idx - idx[boundary][np.cumsum(boundary) - 1]
+        else:
+            pos = idx
+        return mapped[codes][keep].tolist(), d, pos
 
 
 register_analyzer("icu_tokenizer", ICUAnalyzer("normalized"))

@@ -111,7 +111,9 @@ def test_thai_runs_split_on_interior_common():
 def test_tokens_batch_matches_per_doc():
     a = ICUAnalyzer("latin")
     texts = ["Привет мир", "", "北京大学Computer", "ψυχή και σῶμα",
-             "Hello Мир"]
+             "Hello Мир", "a ั b",  # bare Thai vowel sign folds to
+             # empty: positions must compact over survivors, no gap
+             "ิ x ี"]
     toks, d, p = a.tokens_batch(texts)
     want_t, want_d, want_p = [], [], []
     for i, t in enumerate(texts):
