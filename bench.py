@@ -306,9 +306,24 @@ def run_scaling() -> None:
         m = max(c_lo, c_hi, 1e-9)
         return abs(c_lo - c_hi) / m
 
+    # Leg order within a pairing. Every stamped probe this round shows
+    # the host window collapsing AFTER the 32-worker allocation burst
+    # (warm-8/cold-32 signature, BASELINE.md) — running the hi leg
+    # FIRST lets it use the warm window the gate waited for; a then-
+    # degraded lo leg only widens the pairing gap (both stamps are in
+    # the artifact, and the gap-closest pairing is still the headline).
+    hi_first = os.environ.get("GRAFT_SCALE_ORDER", "lo_first") == "hi_first"
+    warm_gate = float(os.environ.get("GRAFT_SCALE_MIN_GBPS", "0"))
+    warm_wait = float(os.environ.get("GRAFT_SCALE_WARM_WAIT", "150"))
+
     pairs = []
     for _ in range(reps):
-        r_lo, r_hi = run(lo), run(hi)  # back-to-back = one host window
+        if warm_gate > 0:
+            _wait_for_warm_host(warm_gate, warm_wait)
+        if hi_first:
+            r_hi, r_lo = run(hi), run(lo)
+        else:
+            r_lo, r_hi = run(lo), run(hi)  # back-to-back = one window
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         b_eff = (r_lo["queries"]["index_build"]
                  / r_hi["queries"]["index_build"]) / (hi / lo)
@@ -335,6 +350,7 @@ def run_scaling() -> None:
         f"host_calibration_{lo}": r_lo.get("host_calibration"),
         f"host_calibration_{hi}": r_hi.get("host_calibration"),
         "legs_per_side": reps,
+        "leg_order": "hi_first" if hi_first else "lo_first",
         "all_pairings": [
             {"eff": round(p["eff"], 3),
              "build_eff": round(p["build_eff"], 3),
