@@ -104,24 +104,49 @@ class SearcherActor:
                                       compact_terms=compact_terms)
         self.k = k
         self.prune = prune
+        # parsed-query LRU: steady-state serving repeats query shapes
+        # (Solr's queryResultCache economics — parse + analysis chain
+        # cost ~5x the cached scoring cost at this index size); keyed
+        # by raw text, bounded like the searcher's own result cache
+        from collections import OrderedDict
+
+        self._parsed: OrderedDict = OrderedDict()
+        self._parsed_cap = 8192
 
     def ready(self) -> bool:
         return True
 
-    def __call__(self, batch: dict) -> dict:
+    def _parse(self, qtext: str):
+        q = self._parsed.get(qtext)
+        if q is not None:
+            self._parsed.move_to_end(qtext)
+            return q
         from .query import parse_query
 
-        ana = self.searcher.manifest.resolve_analyzer()
-        rows = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        q = parse_query(qtext, self.searcher.manifest.resolve_analyzer())
+        self._parsed[qtext] = q
+        if len(self._parsed) > self._parsed_cap:
+            self._parsed.popitem(last=False)
+        return q
+
+    def __call__(self, batch: dict) -> dict:
+        qids, ranks, docs, scores = [], [], [], []
         for qid, qtext in zip(batch["query_id"], batch["query"]):
-            q = parse_query(str(qtext), ana)
-            t = self.searcher.search(q, k=self.k, prune=self.prune)
-            n = t.num_rows
-            rows["query_id"].extend([int(qid)] * n)
-            rows["rank"].extend(t["rank"].to_pylist())
-            rows["doc_id"].extend(t["doc_id"].to_pylist())
-            rows["score"].extend(t["score"].to_pylist())
-        return {k2: np.asarray(v) for k2, v in rows.items()}
+            t = self.searcher.search(self._parse(str(qtext)), k=self.k,
+                                     prune=self.prune)
+            qids.append(np.full(t.num_rows, int(qid), np.int64))
+            ranks.append(t["rank"].to_numpy(zero_copy_only=False))
+            docs.append(t["doc_id"].to_numpy(zero_copy_only=False))
+            scores.append(t["score"].to_numpy(zero_copy_only=False))
+        if not qids:
+            return {"query_id": np.empty(0, np.int64),
+                    "rank": np.empty(0, np.int64),
+                    "doc_id": np.empty(0, np.int64),
+                    "score": np.empty(0, np.float64)}
+        return {"query_id": np.concatenate(qids),
+                "rank": np.concatenate(ranks),
+                "doc_id": np.concatenate(docs),
+                "score": np.concatenate(scores)}
 
 
 class ShardSearcherActor:
