@@ -1087,12 +1087,16 @@ def q_geo_heatmap(sf_dir: str) -> pa.Table:
 def q_highlight_offsets(sf_dir: str) -> pa.Table:
     """Offset-based highlighting (postingshighlight/PostingsHighlighter
     .java): a store_offsets=True index serves match spans straight from
-    the .pay stream — snippets for the top-5 BM25 hits of a term query
-    with NO re-analysis of stored text. Rows-only (snippet strings);
-    tests/test_offsets.py proves offset == re-analysis snippets."""
+    the .pay stream — NO re-analysis of stored text. Returns per-hit
+    span statistics for the top-5 BM25 docs of TermQuery('table'):
+    (rank, doc_id, n_spans, first_start, last_end), all decoded from
+    the index offset stream — the SQL oracle recomputes the same spans
+    with string arithmetic over the raw text, so a hash match verifies
+    the .pay char offsets byte-exactly. Snippet strings stay proven by
+    tests/test_offsets.py (offset snippets == re-analysis snippets)."""
     from ..index import build_index
     from ..search import IndexSearcher, TermQuery
-    from ..search.extras import highlight_results
+    from ..search.extras import offsets_for_docs
 
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:std:off:v{_FMT}".encode()
@@ -1107,13 +1111,22 @@ def q_highlight_offsets(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq_
 
     doc_map = pq_.read_table(src, columns=["doc_id"])["doc_id"].to_numpy()
-    s = IndexSearcher(out)
-    q = TermQuery("table")
-    res = s.search(q, k=5)
-    hl = highlight_results(s, q, res, use_offsets=True)
+    s = IndexSearcher(out, precise=True)
+    res = s.search(TermQuery("table"), k=5)
+    hit_ids = res["doc_id"].to_pylist()
+    spans = offsets_for_docs(s, ["table"], hit_ids)
+    n_sp, first_s, last_e = [], [], []
+    for d in hit_ids:
+        sp = spans.get(int(d), [])
+        n_sp.append(len(sp))
+        first_s.append(min(a for a, _ in sp))
+        last_e.append(max(b for _, b in sp))
     return pa.table({
-        "doc_id": pa.array(doc_map[hl["doc_id"].to_numpy()], pa.int64()),
-        "snippet": hl["snippet"],
+        "rank": res["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[np.asarray(hit_ids)], pa.int64()),
+        "n_spans": pa.array(n_sp, pa.int64()),
+        "first_start": pa.array(first_s, pa.int64()),
+        "last_end": pa.array(last_e, pa.int64()),
     })
 
 
@@ -5545,4 +5558,47 @@ SELECT * FROM (VALUES
     ('turkish', 'istanbul', 2),
     ('turkish', 'türkiye', 2)) AS t(lang, term, df)
 ORDER BY lang, df DESC, term
+"""
+
+# highlight_offsets: the .pay offset stream vs pure string arithmetic —
+# the BM25 CTE picks the same top-5 docs (precise searcher), then
+# token char offsets are rebuilt with a running length sum over the
+# space-split text (empty tokens from repeated spaces advance the
+# cursor by 1, matching the tokenizer's char positions)
+ORACLE_SQL["highlight_offsets"] = f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tokens
+        WHERE term = 'table' GROUP BY doc_id),
+ dfx AS (SELECT count(*)::DOUBLE AS df FROM tf),
+ scored AS (
+   SELECT tf.doc_id,
+          ln(1 + (stats.n - dfx.df + 0.5)/(dfx.df + 0.5)) * 2.2 * tf.tf
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sumdl/stats.n)))
+          AS s
+   FROM tf, dfx, stats JOIN dl ON dl.doc_id = tf.doc_id),
+ top5 AS (
+   SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+            AS rank, doc_id
+   FROM scored ORDER BY s DESC, doc_id LIMIT 5),
+ tok AS (
+   SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS t,
+          generate_subscripts(string_split(d.text, ' '), 1) AS i
+   FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM top5)),
+ pos AS (
+   SELECT doc_id, t,
+          COALESCE(SUM(length(t) + 1) OVER (
+            PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cstart
+   FROM tok),
+ spans AS (SELECT doc_id, cstart AS s0, cstart + length(t) AS e0
+           FROM pos WHERE t = 'table')
+SELECT top5.rank, top5.doc_id, count(*)::BIGINT AS n_spans,
+       min(s0)::BIGINT AS first_start, max(e0)::BIGINT AS last_end
+FROM top5 JOIN spans USING (doc_id)
+GROUP BY top5.rank, top5.doc_id
+ORDER BY top5.rank
 """

@@ -93,6 +93,7 @@ ORACLE_CHECKED = [
         "geo_within", "geo_linestring_near", "geo_contains",
         "ja_morph_tokens", "zh_smart_tokens", "phonetic_keys",
         "icu_tokens", "pl_lemmas", "multilingual_stems",
+        "highlight_offsets",
 ]
 
 
@@ -112,7 +113,7 @@ def test_query_matches_oracle(contract, duck, name):
 ROWS_ONLY = ["lang_id", "simhash", "minhash_candidates",
              "media_image_stats", "ann_lsh_top5", "hll_users",
              "nb_lang_classify", "curation_funnel", "simhash_pairs",
-             "highlight_offsets", "ann_pq_top5",
+             "ann_pq_top5",
              "cluster_docs", "dsir_select", "pack_sequences",
              "media_embed_topk"]
 
