@@ -169,6 +169,7 @@ class ShardSearcherActor:
         self.reader = SegmentsReader(index_dir, partition_ids=self.pids)
         self.norms = NormsReader(index_dir, self.man.max_doc,
                                  partition_ids=self.pids)
+        self._searcher = None  # built on first search (needs stats)
 
     def ready(self) -> bool:
         return True
@@ -177,17 +178,27 @@ class ShardSearcherActor:
         return self.reader.doc_freqs(terms)
 
     def search(self, q, k: int, stats: dict) -> dict:
-        from .searcher import IndexSearcher
+        # resident searcher: manifest/deletes/caches load ONCE per actor
+        # (was a fresh IndexSearcher — a manifest.json disk read — per
+        # query). Only the per-query term df varies; max_doc/sum_ttf/
+        # doc_range are collection/shard constants, and the result
+        # cache stays valid because equal queries see equal df.
+        if self._searcher is None:
+            from .searcher import IndexSearcher
 
-        s = IndexSearcher(
-            self.index_dir,
-            reader=self.reader, norms=self.norms,
-            global_stats=dict(stats, doc_range=self.doc_range),
-        )
+            self._searcher = IndexSearcher(
+                self.index_dir,
+                reader=self.reader, norms=self.norms,
+                global_stats=dict(stats, doc_range=self.doc_range),
+            )
+        s = self._searcher
+        s._stats = dict(stats, doc_range=self.doc_range)
         t = s.search(q, k=k)
         return {
-            "doc_id": np.asarray(t["doc_id"].to_pylist(), np.int64),
-            "score": np.asarray(t["score"].to_pylist(), np.float32),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64, copy=False),
+            "score": t["score"].to_numpy(zero_copy_only=False)
+                      .astype(np.float32, copy=False),
         }
 
 
