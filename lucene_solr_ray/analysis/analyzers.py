@@ -165,6 +165,71 @@ class StandardAnalyzer(Analyzer):
                 positions = positions[keep]
         return tokens, doc_idx, positions
 
+    def tokens_batch_factorized(
+        self, texts: list[str]
+    ) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray] | None:
+        """``(vocab, codes, doc_idx, positions)`` with the token stream
+        as int codes into ``vocab`` — the invert path's native shape
+        (skips per-token string materialization AND its factorize).
+        Non-ASCII docs take the per-doc path and append their tokens to
+        the vocabulary; like :meth:`tokens_batch`, the stream lists the
+        ASCII docs first, then the fallback docs (each doc's run stays
+        contiguous with ascending positions, which is all the invert's
+        boundary scan needs)."""
+        from .fast import ascii_tokenize_concat_factorized
+
+        lowered = [t.lower() if t.isascii() else None for t in texts]
+        ascii_ids = [i for i, t in enumerate(lowered) if t is not None]
+        if len(ascii_ids) == len(texts):
+            res = ascii_tokenize_concat_factorized(
+                lowered, self.max_token_length)
+            if res is None:  # over-wide token: string path instead
+                return None
+            vocab, codes, doc_idx, positions = res
+        else:
+            res = ascii_tokenize_concat_factorized(
+                [lowered[i] for i in ascii_ids],
+                self.max_token_length)
+            if res is None:
+                return None
+            vocab, codes, doc_idx, positions = res
+            doc_idx = np.asarray(ascii_ids, np.int64)[doc_idx]
+            vid = {t: i for i, t in enumerate(vocab)}
+            o_codes: list[int] = []
+            o_doc_l, o_pos_l = [], []
+            for i, t in enumerate(texts):
+                if lowered[i] is not None:
+                    continue
+                toks, pos = tokenize_with_positions(
+                    simple_lowercase(t), self.max_token_length)
+                for tok in toks:
+                    c = vid.get(tok)
+                    if c is None:
+                        c = len(vocab)
+                        vid[tok] = c
+                        vocab.append(tok)
+                    o_codes.append(c)
+                o_doc_l.append(np.full(len(toks), i, np.int64))
+                o_pos_l.append(np.asarray(pos, np.int64))
+            if o_codes:
+                codes = np.concatenate(
+                    [codes, np.asarray(o_codes, np.int64)])
+                doc_idx = np.concatenate([doc_idx] + o_doc_l)
+                positions = np.concatenate([positions] + o_pos_l)
+        stop = self.stop_words
+        if stop and vocab:
+            keep_vocab = np.fromiter(
+                (t not in stop for t in vocab), bool, count=len(vocab))
+            if not keep_vocab.all():
+                keep = keep_vocab[codes]
+                codes = codes[keep]
+                doc_idx = doc_idx[keep]
+                positions = positions[keep]
+                remap = np.cumsum(keep_vocab) - 1
+                codes = remap[codes]
+                vocab = [t for t, k in zip(vocab, keep_vocab) if k]
+        return vocab, codes, doc_idx, positions
+
 
 def _standard_tokens_batch_spans(ana: "StandardAnalyzer",
                                  texts: list[str]):

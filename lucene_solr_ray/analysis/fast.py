@@ -135,3 +135,59 @@ def ascii_tokenize_concat_spans(
     ``.pay`` stream (``IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_
     OFFSETS``, ``Lucene50PostingsFormat.java:100-107``)."""
     return _ascii_concat_impl(texts, max_token_length)
+
+
+MAX_FACTORIZE_WIDTH = 64  # bytes/row cap: beyond this the padded
+# matrix (n_tokens x max_token_len) costs more than it saves
+
+
+def ascii_tokenize_concat_factorized(
+    texts: list[str],
+    max_token_length: int = 255,
+) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray] | None:
+    """Factorized tokenization: ``(vocab, codes, doc_idx, positions)``
+    where ``vocab[codes[i]]`` is token i. Only the DISTINCT tokens ever
+    become Python strings — the token stream stays numpy end to end
+    (token spans are gathered into NUL-padded fixed-width byte rows and
+    hash-factorized as an ``S{w}`` array; ASCII tokens contain no
+    interior NULs, so padded-row equality == string equality and the
+    S-dtype decode strips the padding). Feeds ``_invert`` directly,
+    replacing both the per-token string materialization and its object
+    factorize. Returns None when a surviving token is wider than
+    ``MAX_FACTORIZE_WIDTH`` (callers fall back to the string path)."""
+    big = "\n".join(texts)
+    data = big.encode("ascii")
+    starts, ends = ascii_token_spans(data)
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    doc_starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
+    doc_idx = np.searchsorted(doc_starts, starts, side="right") - 1
+    first_of_doc = np.zeros(starts.size, dtype=bool)
+    if starts.size:
+        first_of_doc[0] = True
+        first_of_doc[1:] = doc_idx[1:] != doc_idx[:-1]
+    ordinal = np.arange(starts.size, dtype=np.int64)
+    doc_tok_base = np.maximum.accumulate(np.where(first_of_doc, ordinal, 0))
+    positions = ordinal - doc_tok_base
+    ok = (ends - starts) <= max_token_length
+    starts, ends = starts[ok], ends[ok]
+    doc_idx, positions = doc_idx[ok], positions[ok]
+    if not starts.size:
+        e = np.empty(0, np.int64)
+        return [], e, doc_idx, positions
+    b = np.frombuffer(data, dtype=np.uint8)
+    tok_len = ends - starts
+    w = int(tok_len.max())
+    if w > MAX_FACTORIZE_WIDTH:
+        return None
+    import pandas as pd
+
+    col = np.arange(w, dtype=np.int64)
+    idx = starts[:, None] + col
+    np.minimum(idx, b.size - 1, out=idx)
+    mat = b[idx]
+    mat[col >= tok_len[:, None]] = 0
+    rows = np.ascontiguousarray(mat).view(f"S{w}").ravel()
+    codes, uniq = pd.factorize(rows)
+    vocab = [u.decode("ascii") for u in uniq]
+    return vocab, codes.astype(np.int64, copy=False), doc_idx, positions

@@ -171,6 +171,7 @@ def _invert(
            else get_analyzer(analyzer_name))
     e32 = np.empty(0, np.uint32)
     pay = None
+    tid = vocab = None
     if want_payloads:
         if not hasattr(ana, "tokens_batch_payloads"):
             raise ValueError(
@@ -194,21 +195,33 @@ def _invert(
                 f"analyzer {type(ana).__name__} does not expose char "
                 "spans (tokens_batch_spans) — offsets need them")
     else:
-        tokens, doc_idx, pos = ana.tokens_batch(texts)
+        # factorized fast path: the token stream arrives as int codes
+        # into a batch vocabulary — no per-token Python strings, no
+        # factorize below (analysis/fast.py builds the codes with one
+        # np.unique over padded byte rows)
+        fact = getattr(ana, "tokens_batch_factorized", None)
+        if fact is not None:
+            res = fact(texts)
+            if res is not None:
+                vocab, tid, doc_idx, pos = res
+        if tid is None:
+            tokens, doc_idx, pos = ana.tokens_batch(texts)
+    n_stream = len(tid) if tid is not None else len(tokens)
     # overlap-aware field length (DefaultIndexingChain.java:621-645:
     # length = positions, not tokens): posIncr-0 tokens — WDF sub-parts,
     # synonyms — share a position and count ONCE toward norms
-    if len(tokens):
-        first = np.ones(len(tokens), bool)
+    if n_stream:
+        first = np.ones(n_stream, bool)
         first[1:] = (doc_idx[1:] != doc_idx[:-1]) | (pos[1:] != pos[:-1])
         doc_len = np.bincount(
             doc_idx[first], minlength=len(texts)).astype(np.int32)
     else:
         doc_len = np.zeros(len(texts), np.int32)
-    if not tokens:
+    if not n_stream:
         e = np.empty(0, np.int64)
         return [], e, e, e, doc_len, e32, e32, e32
-    tid, vocab = pd.factorize(np.asarray(tokens, dtype=object))
+    if tid is None:
+        tid, vocab = pd.factorize(np.asarray(tokens, dtype=object))
     key = tid.astype(np.int64) * len(texts) + doc_idx
     pos_flat = e32
     off_flat = e32
