@@ -227,11 +227,20 @@ def _invert(
     off_flat = e32
     pay_flat = e32
     if want_positions or want_offsets or want_payloads:
-        order = np.lexsort((pos, key))
+        # stable single-key sort: the stream is doc-grouped with
+        # ascending in-doc positions, so stability alone keeps each
+        # (term, doc) pair's occurrences position-ordered — no need to
+        # lexsort a second key
+        order = np.argsort(key, kind="stable")
         key_s = key[order]
-        uniq, starts, counts = np.unique(
-            key_s, return_index=True, return_counts=True
-        )
+        # key_s is sorted: group bounds from one diff pass instead of
+        # np.unique's internal re-sort
+        first = np.empty(key_s.size, bool)
+        first[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, key_s.size))
+        uniq = key_s[starts]
         if want_positions:
             pos_s = pos[order].astype(np.int64)
             d = np.empty(pos_s.size, np.int64)
