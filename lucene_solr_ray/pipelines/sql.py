@@ -615,6 +615,21 @@ def _restore_null_keys_pd(df, markers: dict[str, str]):
     return df
 
 
+def _ensure_cols(df, cols: list[str]):
+    """Zero-group aggregates: Ray's ``groupby().aggregate().to_pandas()``
+    on an EMPTY dataset loses the schema entirely, so a fully-filtered
+    WHERE crashed every downstream column access (SQL says: empty
+    result, same shape). Reinstate the expected columns on empty
+    frames."""
+    if df.empty:
+        import pandas as pd
+
+        for c in cols:
+            if c not in df.columns:
+                df[c] = pd.Series(dtype="float64")
+    return df
+
+
 def _eval_expr_pd(df, node):
     """Same tree over a pandas DataFrame (HAVING runs post-aggregate).
     Mirrors the Arrow path's three-valued logic: leaf masks are pandas
@@ -902,9 +917,19 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
             out = pa.concat_tables(parts, promote_options="default")
         else:
             sch = dd.schema()
-            out = pa.schema(
-                [(n, t) for n, t in zip(sch.names, sch.types)]
-            ).empty_table().select(cols)
+            if sch is None or not getattr(sch, "names", None):
+                # fully-empty upstream (e.g. a WHERE matching nothing)
+                # loses the dataset schema; rebuild from the source
+                # parquet (derived expr columns default to float64)
+                src = pq_.read_schema(path)
+                out = pa.table({
+                    c: pa.array([], src.field(c).type
+                                if c in src.names else pa.float64())
+                    for c in cols})
+            else:
+                out = pa.schema(
+                    [(n, t) for n, t in zip(sch.names, sch.types)]
+                ).empty_table().select(cols)
         return _round4_floats(
             out.rename_columns([i.alias for i in plan.items]))
 
@@ -952,7 +977,8 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
             ).groupby(keys).count()
             if plan.group_by:
                 out = _restore_null_keys_pd(
-                    d.groupby(gkeys).count().to_pandas(), mk)
+                    _ensure_cols(d.groupby(gkeys).count().to_pandas(),
+                                 gkeys + ["count()"]), mk)
                 return out.rename(columns={"count()": it.alias})
             import pandas as pd
 
@@ -962,9 +988,12 @@ def execute_sql(q: str, sf_dir: str) -> pa.Table:
             frames = []
             if specs:
                 gds, gmk = _mark_null_keys(ds, plan.group_by)
-                frames.append(_restore_null_keys_pd(
+                gpd = _ensure_cols(
                     gds.groupby(plan.group_by + list(gmk.values()))
-                    .aggregate(*specs).to_pandas(), gmk))
+                    .aggregate(*specs).to_pandas(),
+                    plan.group_by + list(gmk.values())
+                    + [i.alias for i in plain_aggs])
+                frames.append(_restore_null_keys_pd(gpd, gmk))
             frames.extend(_count_distinct(it) for it in cd_items)
             res = frames[0]
             for f in frames[1:]:
