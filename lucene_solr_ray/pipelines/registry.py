@@ -5602,3 +5602,39 @@ FROM top5 JOIN spans USING (doc_id)
 GROUP BY top5.rank, top5.doc_id
 ORDER BY top5.rank
 """
+
+
+def q_surround_near_matches(sf_dir: str) -> pa.Table:
+    """Surround query language (``lucene/queryparser/.../surround/``:
+    QueryParser.jj grammar, DistanceQuery -> SpanNearQuery rewrite):
+    the text ``N(join, hash)`` parses to an UNORDERED adjacent span
+    pair (opDistance 1 -> slop 0, inOrder false) and runs through the
+    span enumeration. Per matching doc: the number of adjacent
+    {join,hash} spans in either order. The ORACLE recomputes both
+    orders with word-boundary regexes (the corpus is single-space
+    tokenized, so regex adjacency == position adjacency; the two
+    two-distinct-word patterns cannot self-overlap)."""
+    from ..search.spans import span_matches
+    from ..search.surround import surround_query
+
+    s, doc_map = _doc_index(sf_dir)
+    q = surround_query("N(join, hash)")
+    docs, n_spans, _sloppy = span_matches(s, q)
+    order = np.argsort(docs)
+    return pa.table({
+        "doc_id": pa.array(doc_map[docs[order]], pa.int64()),
+        "near_tf": pa.array(n_spans[order].astype(np.int64)),
+    })
+
+
+QUERIES.update({"surround_near_matches": q_surround_near_matches})
+
+ORACLE_SQL["surround_near_matches"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\bhash join\b')) +
+            len(regexp_extract_all(text, '\bjoin hash\b')) AS BIGINT)
+         AS near_tf
+FROM documents
+WHERE regexp_matches(text, '\bhash join\b|\bjoin hash\b')
+ORDER BY doc_id
+"""

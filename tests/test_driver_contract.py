@@ -93,7 +93,7 @@ ORACLE_CHECKED = [
         "geo_within", "geo_linestring_near", "geo_contains",
         "ja_morph_tokens", "zh_smart_tokens", "phonetic_keys",
         "icu_tokens", "pl_lemmas", "multilingual_stems",
-        "highlight_offsets",
+        "highlight_offsets", "surround_near_matches",
 ]
 
 
