@@ -5638,3 +5638,26 @@ FROM documents
 WHERE regexp_matches(text, '\bhash join\b|\bjoin hash\b')
 ORDER BY doc_id
 """
+
+
+def q_simple_query_topk(sf_dir: str) -> pa.Table:
+    """Simple query parser (``lucene/queryparser/.../simple/
+    SimpleQueryParser.java``): the error-tolerant end-user grammar.
+    ``table + vector`` parses to MUST(table) MUST(vector) and runs
+    through the normal BM25 search path; the ORACLE is the standard
+    conjunctive BM25 top-k SQL."""
+    from ..analysis import get_analyzer
+    from ..search.simpleparser import simple_parse
+
+    s, doc_map = _doc_index(sf_dir)
+    q = simple_parse("table + vector", get_analyzer("simple"))
+    t = s.search(q, k=10)
+    return pa.table({
+        "rank": t["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
+QUERIES.update({"simple_query_topk": q_simple_query_topk})
+ORACLE_SQL["simple_query_topk"] = _bm25_sql(["table", "vector"], 10, "AND")
