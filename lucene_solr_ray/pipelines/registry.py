@@ -5661,3 +5661,48 @@ def q_simple_query_topk(sf_dir: str) -> pa.Table:
 
 QUERIES.update({"simple_query_topk": q_simple_query_topk})
 ORACLE_SQL["simple_query_topk"] = _bm25_sql(["table", "vector"], 10, "AND")
+
+
+def q_xml_dismax_topk(sf_dir: str) -> pa.Table:
+    """XML query parser (``lucene/queryparser/.../xml/CoreParser.java``
+    builder registry) driving DisjunctionMaxQuery scoring
+    (DisjunctionMaxScorer: max + tieBreaker * (sum - max)). The ORACLE
+    recomputes per-term BM25 legs in SQL and applies the same
+    combination."""
+    from ..search.xmlparser import parse_xml_query
+
+    s, doc_map = _doc_index(sf_dir)
+    q = parse_xml_query("""
+    <DisjunctionMaxQuery tieBreaker="0.3">
+      <TermQuery>table</TermQuery>
+      <TermQuery>vector</TermQuery>
+    </DisjunctionMaxQuery>""")
+    t = s.search(q, k=10)
+    return pa.table({
+        "rank": t["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
+QUERIES.update({"xml_dismax_topk": q_xml_dismax_topk})
+ORACLE_SQL["xml_dismax_topk"] = f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokens
+        WHERE term IN ('table', 'vector') GROUP BY doc_id, term),
+ dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+ scored0 AS (
+   SELECT tf.doc_id,
+          ln(1 + (stats.n - dfx.df + 0.5)/(dfx.df + 0.5)) * 2.2 * tf.tf
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sumdl/stats.n)))
+          AS s
+   FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats),
+ scored AS (SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS s
+            FROM scored0 GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, floor(s*10000 + 0.5)/10000 AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 10
+"""
