@@ -65,3 +65,57 @@ def test_knn_classify(tmp_path_factory, ray_session):
     assert knn_classify(s, labels, "macao shanghai beijing", k=3) == "zh"
     assert knn_classify(s, labels, "tokyo japan", k=1) == "ja"
     assert knn_classify(s, labels, "zzz qqq", k=3) is None
+
+
+# --------------------------------------------------------------------------
+# Boolean perceptron (BooleanPerceptronClassifier parity by behavior)
+
+PERC_TRAIN = [
+    ("spark shuffle executor", True),
+    ("spark stage task spark", True),
+    ("driver spark partition", True),
+    ("hive metastore warehouse", False),
+    ("hive table warehouse hive", False),
+    ("metastore hive query", False),
+]
+
+
+@pytest.fixture(scope="module")
+def perc_model(ray_session):
+    from lucene_solr_ray.stages.classify import perceptron_fit
+
+    ds = rd.from_items([
+        {"text": t, "label": "pos" if y else "neg"}
+        for t, y in PERC_TRAIN
+    ])
+    return perceptron_fit(ds, "text", "label", positive_label="pos",
+                          dim=1 << 12, epochs=20)
+
+
+def test_perceptron_separates_training_set(perc_model, ray_session):
+    from lucene_solr_ray.stages.classify import perceptron_classify
+
+    ds = rd.from_items([{"text": t} for t, _ in PERC_TRAIN])
+    got = perceptron_classify(ds, perc_model).to_pandas()
+    want = [y for _, y in PERC_TRAIN]
+    # from_items preserves order within this small single-block set
+    assert got["predicted_positive"].tolist() == want
+    # converged before the epoch cap (separable data)
+    assert perc_model["epochs_run"] < 20
+
+
+def test_perceptron_state_is_corpus_size_independent(perc_model):
+    # driver-held model is exactly dim floats regardless of corpus rows
+    assert perc_model["w"].shape == (1 << 12,)
+    assert perc_model["w"].dtype == np.float64
+
+
+def test_perceptron_generalizes_to_unseen_mix(perc_model, ray_session):
+    from lucene_solr_ray.stages.classify import perceptron_classify
+
+    ds = rd.from_items([
+        {"text": "spark executor shuffle stage"},
+        {"text": "warehouse hive metastore"},
+    ])
+    got = perceptron_classify(ds, perc_model).to_pandas()
+    assert got["predicted_positive"].tolist() == [True, False]
