@@ -78,6 +78,19 @@ def default_value(batch: pa.Table, field: str, default) -> pa.Table:
     return batch.set_column(batch.column_names.index(field), field, out)
 
 
+def lang_id(batch: pa.Table, field: str = "text",
+            lang_field: str = "language") -> pa.Table:
+    """LanguageIdentifierUpdateProcessor (``solr/contrib/langid``): detect
+    the document language from ``field`` and write it to ``lang_field``
+    (the langField/langsField contract; the detector is the engine's
+    stop-word-profile heuristic from ``stages.textstats``)."""
+    from .textstats import lang_id_batch
+
+    out = lang_id_batch(batch, text_col=field)
+    pred = out["lang_pred"]
+    return batch.append_column(lang_field, pred)
+
+
 _REGISTRY = {
     "clone": clone_field,
     "regex_replace": regex_replace,
@@ -87,6 +100,7 @@ _REGISTRY = {
     "concat": concat_fields,
     "html_strip": html_strip,
     "default_value": default_value,
+    "lang_id": lang_id,
 }
 
 

@@ -54,3 +54,14 @@ def test_chain_composes_and_validates():
     assert out["len"].to_pylist() == [19, 7, 0]
     with pytest.raises(ValueError):
         ProcessorChain([("nope", {})])
+
+
+def test_lang_id_processor():
+    b = pa.table({"text": pa.array([
+        "the quick brown fox jumps over the lazy dog and runs away",
+        "le renard brun et rapide saute sur le chien paresseux dans la rue",
+        "",
+    ])})
+    chain = ProcessorChain([("lang_id", {"field": "text"})])
+    out = chain(b)
+    assert out["language"].to_pylist() == ["en", "fr", "und"]
