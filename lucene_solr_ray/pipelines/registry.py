@@ -5706,3 +5706,41 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        doc_id, floor(s*10000 + 0.5)/10000 AS score
 FROM scored ORDER BY s DESC, doc_id LIMIT 10
 """
+
+
+def q_perceptron_filter(sf_dir: str) -> pa.Table:
+    """Classifier-based filtering (``lucene/classification/
+    BooleanPerceptronClassifier.java`` restated as iterative parameter
+    mixing, ``stages/classify.py``): train a binary perceptron on a
+    token-derived label (doc contains the term 'vector') until the
+    epoch misclassifies nothing — the perceptron convergence theorem
+    guarantees this on separable data — then predict over the corpus.
+    Converged predictions equal the label definition, so the ORACLE is
+    the SQL restatement of the label."""
+    import pyarrow.compute as pc
+
+    from ..stages.classify import perceptron_classify, perceptron_fit
+
+    def label(b: pa.Table) -> pa.Table:
+        has = pc.match_substring_regex(
+            b["text"].combine_chunks(), r"\bvector\b")
+        return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                         "y": pc.if_else(has, pa.scalar("pos"),
+                                         pa.scalar("neg"))})
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        label, batch_format="pyarrow")
+    model = perceptron_fit(ds, "text", "y", positive_label="pos",
+                           dim=1 << 16, epochs=200)
+    out = perceptron_classify(ds, model).map_batches(
+        lambda b: b.select(["doc_id", "predicted_positive"]),
+        batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+QUERIES.update({"perceptron_filter": q_perceptron_filter})
+ORACLE_SQL["perceptron_filter"] = r"""
+SELECT doc_id, regexp_matches(text, '\bvector\b') AS predicted_positive
+FROM documents ORDER BY doc_id
+"""

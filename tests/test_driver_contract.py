@@ -94,7 +94,7 @@ ORACLE_CHECKED = [
         "ja_morph_tokens", "zh_smart_tokens", "phonetic_keys",
         "icu_tokens", "pl_lemmas", "multilingual_stems",
         "highlight_offsets", "surround_near_matches",
-        "simple_query_topk", "xml_dismax_topk",
+        "simple_query_topk", "xml_dismax_topk", "perceptron_filter",
 ]
 
 
