@@ -532,3 +532,52 @@ def rank_passages(text: str, spans: list[tuple], idf_of: dict | None,
                     + post + frag[e - ps:])
         out.append((score, frag.strip()))
     return out
+
+
+def fuzzy_like_this(searcher: IndexSearcher, text: str, *,
+                    max_num_terms: int = 50, max_edits: int = 1,
+                    prefix_length: int = 0,
+                    analyzer: str | None = None) -> Query:
+    """FuzzyLikeThisQuery (``lucene/sandbox/src/java/org/apache/lucene/
+    sandbox/queries/FuzzyLikeThisQuery.java``): fuzz each analyzed input
+    term against the index vocabulary, score every variant by
+    edit-similarity × idf (the reference's ScoreTermQueue ordering),
+    keep the global top ``max_num_terms`` variants, and OR them with the
+    similarity as a query-time boost (idf re-enters through BM25 at
+    score time, mirroring the reference leaving tf×idf to the scorer).
+    """
+    from ..analysis import get_analyzer
+    from .query import BoostQuery, FuzzyQuery
+
+    ana = (get_analyzer(analyzer) if analyzer
+           else searcher.manifest.resolve_analyzer())
+    seen = set()
+    scored: list[tuple[float, str, float]] = []
+    for term in dict.fromkeys(ana.tokens(text)):   # order-stable unique
+        if prefix_length and len(term) < prefix_length:
+            continue
+        variants = searcher._rewrite_terms(
+            FuzzyQuery(term, max_edits=max_edits))
+        for v in variants:
+            if v in seen:
+                continue
+            if prefix_length and v[:prefix_length] != term[:prefix_length]:
+                continue
+            seen.add(v)
+            dist = 0 if v == term else next(
+                (k for k in range(1, max_edits + 1)
+                 if _levenshtein_within(term, v, k)), max_edits)
+            sim = 1.0 - dist / max(1, min(len(term), len(v)))
+            df = searcher.doc_freq(v)
+            if df == 0:
+                continue
+            rank = sim * float(bm25.idf(df, searcher.max_doc))
+            scored.append((rank, v, sim))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    top = scored[:max_num_terms]
+    if not top:
+        return BooleanQuery.build()
+    return BooleanQuery.build(should=[
+        (TermQuery(v) if sim == 1.0 else BoostQuery(TermQuery(v), sim))
+        for _r, v, sim in top
+    ])

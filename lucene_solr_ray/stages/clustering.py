@@ -154,3 +154,56 @@ def kmeans_cluster_docs(ds, *, text_col: str = "text",
         labels.append((int(cl), g["term"].tolist(),
                        int(size_by.get(cl, 0))))
     return assignments, labels
+
+
+def cluster_search_results(searcher, q, texts, *, k: int = 100,
+                           n_clusters: int = 5, label_terms: int = 3,
+                           analyzer: str = "standard", dim: int = 1 << 14,
+                           iters: int = 10, seed: int = 17):
+    """Search-results clustering — the ClusteringComponent's primary
+    mode (``solr/contrib/clustering``: cluster ONE page of hits, not
+    the collection). The top-k hits are fetched, vectorized with the
+    same hashed-TF recipe, k-means'd locally (a results page is small
+    by construction — the reference also clusters in memory), and each
+    cluster is labeled by its most frequent terms.
+
+    ``texts`` is the stored-field accessor (doc_id -> text), the
+    engine's source-parquet stored-fields convention. Returns
+    ``[(labels, doc_ids), ...]`` sorted by cluster size descending.
+    """
+    from collections import Counter
+
+    rng = np.random.default_rng(seed)
+    t = searcher.search(q, k=k)
+    hits = [int(d) for d in t["doc_id"].to_pylist()]
+    if not hits:
+        return []
+    docs = [texts[d] or "" for d in hits]
+    batch = pa.table({"text": pa.array(docs, pa.string())})
+    m, _ = _doc_vectors(batch, analyzer, dim, "text")
+    kk = min(n_clusters, len(hits))
+    centroids = m[rng.choice(len(hits), size=kk, replace=False)]
+    for _ in range(iters):
+        assign = (m @ centroids.T).argmax(1)
+        for c in range(kk):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.sum(0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    assign = (m @ centroids.T).argmax(1)
+    ana = get_analyzer(analyzer)
+    out = []
+    for c in range(kk):
+        members = [hits[i] for i in range(len(hits)) if assign[i] == c]
+        if not members:
+            continue
+        cnt: Counter = Counter()
+        for i in range(len(hits)):
+            if assign[i] == c:
+                cnt.update(ana.tokens(docs[i]))
+        labels = [w for w, _n in cnt.most_common(label_terms)]
+        out.append((labels, members))
+    out.sort(key=lambda x: -len(x[1]))
+    return out

@@ -380,3 +380,26 @@ def test_elevation_excludes(tmp_path_factory, ray_session):
     assert docs[0] == 4 and t["elevated"][0].as_py() == 1
     assert 0 not in docs and 1 not in docs
     assert len(docs) == 4  # 6 docs - 2 excluded, capped organically
+
+
+def test_fuzzy_like_this(xidx):
+    from lucene_solr_ray.search.extras import fuzzy_like_this
+    from lucene_solr_ray.search.query import (
+        BooleanQuery, BoostQuery, TermQuery,
+    )
+
+    idx, _ = xidx
+    s = IndexSearcher(idx)
+    q = fuzzy_like_this(s, "retur", max_edits=1, max_num_terms=8)
+    clauses = dict((c.query.term if isinstance(c, BoostQuery) else c.term,
+                    c.boost if isinstance(c, BoostQuery) else 1.0)
+                   for _o, c in q.clauses)
+    assert "return" in clauses and clauses["return"] < 1.0
+    # exact vocabulary hit keeps boost 1.0 (plain TermQuery clause)
+    q2 = fuzzy_like_this(s, "return", max_edits=1, max_num_terms=8)
+    assert any(c == TermQuery("return") for _o, c in q2.clauses)
+    # the query is searchable end-to-end
+    assert s.search(q, k=5).num_rows > 0
+    # unmatched text -> empty boolean
+    q3 = fuzzy_like_this(s, "zzzzzzzzz", max_edits=1)
+    assert q3 == BooleanQuery.build()
