@@ -53,6 +53,10 @@ ALL_FLAGS = frozenset({
 
 _SPECIAL = set('+|-"()\\*~ \t\n\r')
 
+# nesting cap: beyond this, '(' is ignored (never-raise tolerance —
+# without it pathological inputs hit Python's recursion limit)
+_MAX_DEPTH = 64
+
 
 def _read_int(text: str, i: int) -> tuple[int | None, int]:
     j = i
@@ -97,6 +101,10 @@ class _Walk:
                 continue
             if c == "(" and self.on("PRECEDENCE"):
                 self.i += 1
+                if depth >= _MAX_DEPTH:
+                    # tolerance promise: hostile nesting degrades to an
+                    # ignored paren instead of a RecursionError
+                    continue
                 sub = self.parse_group(depth + 1)
                 if sub is not None:
                     items.append((pending_op or self.default_op,
@@ -194,46 +202,43 @@ class _Walk:
 
 def _reduce(items: list[tuple[str, bool, Query]]) -> Query | None:
     """Reading-order combination with same-operator flattening — the
-    reference's incremental BooleanQuery building."""
+    reference's incremental BooleanQuery building. Consecutive items
+    with the same operator fold into ONE BooleanQuery built once, so
+    a q of N terms costs O(N), not O(N^2) rebuilds."""
     def _neg(q: Query) -> Query:
         # the reference's literal wrap: (MUST_NOT q, SHOULD *:*) —
         # self-contained, so it works at any nesting depth
         return BooleanQuery.build(must_not=[q],
                                   should=[MatchAllDocsQuery()])
 
-    acc: Query | None = None
-    acc_op: str | None = None
-    for op, neg, q in items:
-        if acc is None:
-            acc = _neg(q) if neg else q
-            acc_op = None
-            continue
+    if not items:
+        return None
+    _op0, neg0, q0 = items[0]
+    acc: Query = _neg(q0) if neg0 else q0
+    acc_lead_neg = neg0            # pure-negative head: fold into AND
+    i, n = 1, len(items)
+    while i < n:
+        op = items[i][0]
+        j = i
+        while j < n and items[j][0] == op:
+            j += 1
+        run = items[i:j]
+        i = j
         if op == "and":
-            lead_neg = (acc_op is None and isinstance(acc, BooleanQuery)
-                        and any(o == MUST_NOT for o, _ in acc.clauses)
-                        and all(o == MUST_NOT
-                                or isinstance(s, MatchAllDocsQuery)
-                                for o, s in acc.clauses))
-            if acc_op == "and" or lead_neg:
-                must = [s for o, s in acc.clauses
-                        if o == MUST or (lead_neg and o == SHOULD
-                                         and not isinstance(
-                                             s, MatchAllDocsQuery))]
-                mnot = [s for o, s in acc.clauses if o == MUST_NOT]
+            must: list = []
+            mnot: list = []
+            if acc_lead_neg:
+                mnot.extend(s for o, s in acc.clauses if o == MUST_NOT)
+            else:
+                must.append(acc)
+            for _o, neg, q in run:
                 (mnot if neg else must).append(q)
-                acc = BooleanQuery.build(must=must, must_not=mnot)
-            else:
-                acc = (BooleanQuery.build(must=[acc], must_not=[q])
-                       if neg else BooleanQuery.build(must=[acc, q]))
+            acc = BooleanQuery.build(must=must, must_not=mnot)
         else:
-            clause = _neg(q) if neg else q
-            if acc_op == "or" and isinstance(acc, BooleanQuery):
-                should = [s for o, s in acc.clauses if o == SHOULD]
-                should.append(clause)
-                acc = BooleanQuery.build(should=should)
-            else:
-                acc = BooleanQuery.build(should=[acc, clause])
-        acc_op = op
+            should = [acc]
+            should.extend(_neg(q) if neg else q for _o, neg, q in run)
+            acc = BooleanQuery.build(should=should)
+        acc_lead_neg = False
     return acc
 
 

@@ -124,9 +124,13 @@ class _Parser:
     """Recursive descent over the token list (QueryParser.jj
     production for production)."""
 
+    MAX_DEPTH = 48   # grammar-ladder frames per level × this stays
+                     # well under Python's recursion limit
+
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
         self.i = 0
+        self.depth = 0
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, "")
@@ -145,19 +149,28 @@ class _Parser:
         return q
 
     def _infix(self, sub, match_op):
+        # same-operator runs collect into ONE SrndOp (built once, so an
+        # N-term chain costs O(N) instead of O(N^2) tuple rebuilds)
         left = sub()
+        cur: tuple | None = None
+        kids: list | None = None
         while True:
             kind, val = self.peek()
             op = match_op(val) if kind == "word" else None
             if op is None:
-                return left
+                break
             self.take()
             right = sub()
-            if (isinstance(left, SrndOp) and left.op == op[0]
-                    and left.dist == op[1] and left.weight == 1.0):
-                left = SrndOp(op[0], left.children + (right,), op[1])
+            if kids is not None and op == cur:
+                kids.append(right)
             else:
-                left = SrndOp(op[0], (left, right), op[1])
+                if kids is not None:
+                    left = SrndOp(cur[0], tuple(kids), cur[1])
+                cur = op
+                kids = [left, right]
+        if kids is not None:
+            left = SrndOp(cur[0], tuple(kids), cur[1])
+        return left
 
     def or_query(self):
         return self._infix(
@@ -195,7 +208,12 @@ class _Parser:
         kind, val = self.peek()
         if kind == "open":
             self.take()
+            self.depth += 1
+            if self.depth > self.MAX_DEPTH:
+                raise SurroundSyntaxError(
+                    f"query nested deeper than {self.MAX_DEPTH}")
             q = self.or_query()
+            self.depth -= 1
             if self.take()[0] != "close":
                 raise SurroundSyntaxError("expected ')'")
             return self._weighted(q)
@@ -220,12 +238,17 @@ class _Parser:
     def prefix_op(self, opword: str) -> SrndOp:
         self.take()                      # the operator word
         self.take()                      # '('
+        self.depth += 1
+        if self.depth > self.MAX_DEPTH:
+            raise SurroundSyntaxError(
+                f"query nested deeper than {self.MAX_DEPTH}")
         kids = [self.or_query()]
         while self.peek()[0] == "comma":
             self.take()
             kids.append(self.or_query())
         if self.take()[0] != "close":
             raise SurroundSyntaxError("expected ')' closing prefix op")
+        self.depth -= 1
         if opword in ("or", "and"):
             if len(kids) < 2:
                 raise SurroundSyntaxError(

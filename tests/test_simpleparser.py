@@ -151,3 +151,16 @@ def test_semantics_on_index(qidx):
     assert docs_of(qidx, P("delta | gamma")) == [0, 1, 2, 4]
     assert docs_of(qidx, P('"alpha beta"')) == [0, 3]
     assert docs_of(qidx, P("gamm* + delta")) == [4]
+
+
+def test_pathological_inputs_stay_fast_and_quiet():
+    import time
+
+    # hostile nesting: never raises (paren depth caps, extra ignored)
+    deep = "(" * 20000 + "alpha" + ")" * 20000
+    assert P(deep) == TermQuery("alpha")
+    # huge flat input: O(n) combination, one BooleanQuery per run
+    t0 = time.time()
+    q = P(" ".join(["alpha"] * 20000))
+    assert time.time() - t0 < 5.0
+    assert len(q.clauses) == 20000

@@ -196,3 +196,17 @@ def test_too_many_basic_queries(sidx):
 def test_surround_search_topk(sidx):
     res = surround_search(sidx, "alpha w beta", k=2)
     assert isinstance(res, pa.Table) and res.num_rows == 2
+
+
+def test_depth_cap_and_flat_chains():
+    import time
+
+    with pytest.raises(SurroundSyntaxError):
+        parse_surround("(" * 200 + "a" + ")" * 200)
+    # flat same-op chains flatten in O(n)
+    t0 = time.time()
+    ast = parse_surround(" OR ".join(["beta"] * 5000))
+    assert time.time() - t0 < 5.0
+    assert len(ast.children) == 5000
+    with pytest.raises(TooManyBasicQueries):
+        surround_query(" OR ".join(["beta"] * 5000))  # > max_basic_queries
