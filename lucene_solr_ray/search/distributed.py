@@ -55,6 +55,29 @@ def query_terms(q: Query) -> set[str]:
     if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery,
                       TermRangeQuery, FuzzyQuery)):
         return set()  # constant-score rewrites don't use df
+    from .query import (
+        BoostQuery,
+        ConstantScoreQuery,
+        DisjunctionMaxQuery,
+        FieldedQuery,
+        MultiPhraseQuery,
+    )
+    from .spans import SpanQuery
+
+    if isinstance(q, SpanQuery):
+        # score terms AND exclusion terms (SpanNot excludes need
+        # per-doc positions only, but all_terms keeps the contract
+        # simple; extra df entries are harmless)
+        return set(q.all_terms())
+    if isinstance(q, (BoostQuery, ConstantScoreQuery, FieldedQuery)):
+        return query_terms(q.query)
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for sub in q.queries:
+            out |= query_terms(sub)
+        return out
+    if isinstance(q, MultiPhraseQuery):
+        return {t for slot in q.slots for t in slot}
     return set()
 
 

@@ -92,7 +92,13 @@ class XmlQueryParser:
 
     # ------------------------------------------------------------ public
     def parse(self, xml: str | ET.Element) -> Query:
-        root = ET.fromstring(xml) if isinstance(xml, str) else xml
+        if isinstance(xml, str):
+            try:
+                root = ET.fromstring(xml)
+            except ET.ParseError as e:   # CoreParser wraps SAX errors
+                raise XmlParserException(f"malformed XML: {e}") from e
+        else:
+            root = xml
         return self._query(root)
 
     # ----------------------------------------------------------- dispatch
