@@ -233,6 +233,10 @@ def _reduce(items: list[tuple[str, bool, Query]]) -> Query | None:
                 must.append(acc)
             for _o, neg, q in run:
                 (mnot if neg else must).append(q)
+            if not must:
+                # all-negative conjunction: keep the reference's
+                # MatchAll leg so the boolean stays self-contained
+                must.append(MatchAllDocsQuery())
             acc = BooleanQuery.build(must=must, must_not=mnot)
         else:
             should = [acc]

@@ -164,3 +164,9 @@ def test_pathological_inputs_stay_fast_and_quiet():
     q = P(" ".join(["alpha"] * 20000))
     assert time.time() - t0 < 5.0
     assert len(q.clauses) == 20000
+
+
+def test_all_negative_conjunction(qidx):
+    # '-alpha + -gamma' == docs containing neither term
+    q = P("-alpha + -gamma")
+    assert docs_of(qidx, q) == [2]  # "beta delta" alone lacks both
