@@ -106,8 +106,16 @@ class XmlQueryParser:
         fn = getattr(self, f"_q_{e.tag}", None)
         if fn is None:
             raise XmlParserException(f"Unknown query type: {e.tag!r}")
-        q = fn(e)
-        boost = float(e.get("boost", "1"))
+        try:
+            q = fn(e)
+            boost = float(e.get("boost", "1"))
+        except ValueError as err:
+            # bad numeric attributes surface as parser errors, the
+            # DOMUtils.getAttribute contract (ParserException)
+            if isinstance(err, XmlParserException):
+                raise
+            raise XmlParserException(
+                f"invalid attribute on <{e.tag}>: {err}") from err
         # ConstantScoreQuery consumes its boost as the constant score
         if boost != 1.0 and e.tag != "ConstantScoreQuery":
             q = BoostQuery(q, boost)
@@ -228,10 +236,15 @@ class XmlQueryParser:
     def _q_SpanNot(self, e):
         inc = exc = None
         for c in _children(e):
-            if c.tag == "Include":
-                inc = self._span(_children(c)[0])
-            elif c.tag == "Exclude":
-                exc = self._span(_children(c)[0])
+            if c.tag in ("Include", "Exclude"):
+                sub = _children(c)
+                if len(sub) != 1:
+                    raise XmlParserException(
+                        f"{c.tag} must wrap exactly one span element")
+                if c.tag == "Include":
+                    inc = self._span(sub[0])
+                else:
+                    exc = self._span(sub[0])
         if inc is None or exc is None:
             raise XmlParserException(
                 "SpanNot requires Include and Exclude children")

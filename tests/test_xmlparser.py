@@ -120,3 +120,43 @@ def test_errors():
         P("<TermQuery></TermQuery>")
     with pytest.raises(XmlParserException):
         P("<SpanNot><Include><SpanTerm>x</SpanTerm></Include></SpanNot>")
+
+
+def test_fuzz_found_edges():
+    # empty Include/Exclude (was IndexError)
+    with pytest.raises(XmlParserException):
+        P("<SpanNot><Include></Include></SpanNot>")
+    # bad numeric attribute (was ValueError)
+    with pytest.raises(XmlParserException):
+        P('<SpanFirst end="x"><SpanTerm>a</SpanTerm></SpanFirst>')
+    # malformed XML (was ElementTree.ParseError)
+    with pytest.raises(XmlParserException):
+        P("<TermQuery>unclosed")
+
+
+def test_seeded_fuzz_never_leaks_foreign_exceptions():
+    import random
+
+    from lucene_solr_ray.search.query import Query
+    from lucene_solr_ray.search.spans import SpanQuery
+
+    rng = random.Random(3)
+    tags = ["TermQuery", "BooleanQuery", "Clause", "SpanNear", "SpanNot",
+            "Include", "Exclude", "SpanTerm", "ConstantScoreQuery",
+            "DisjunctionMaxQuery", "RangeQuery", "Bogus"]
+    attrs = ["", ' boost="2"', ' occurs="must"', ' end="x"',
+             ' slop="1"', ' occurs="junk"']
+
+    def gen(depth):
+        tag, at = rng.choice(tags), rng.choice(attrs)
+        if depth <= 0 or rng.random() < 0.4:
+            return f"<{tag}{at}>{rng.choice(['alpha', ''])}</{tag}>"
+        kids = "".join(gen(depth - 1) for _ in range(rng.randint(0, 3)))
+        return f"<{tag}{at}>{kids}</{tag}>"
+
+    for _ in range(1500):
+        try:
+            q = P(gen(rng.randint(0, 4)))
+            assert isinstance(q, (Query, SpanQuery))
+        except XmlParserException:
+            pass
