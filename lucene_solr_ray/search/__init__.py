@@ -34,12 +34,19 @@ from .distributed import (
 )
 from .memoryindex import MemoryIndex
 from .queryparser import ClassicQueryParser
+from .simpleparser import simple_parse
+from .surround import surround_query, surround_search
+from .xmlparser import parse_xml_query
 from .similarities import ClassicSimilarity, LMDirichletSimilarity
 from .multifield import MultiFieldSearcher
 from .searcher import IndexSearcher, SearcherManager
 from .topk import merge_shard_topk, top_k
 
 __all__ = [
+    "simple_parse",
+    "surround_query",
+    "surround_search",
+    "parse_xml_query",
     "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
     "DisjunctionMaxQuery", "FieldedQuery", "FuzzyQuery", "IndexSearcher",
     "MultiFieldSearcher", "SearcherManager",
