@@ -170,3 +170,19 @@ def test_all_negative_conjunction(qidx):
     # '-alpha + -gamma' == docs containing neither term
     q = P("-alpha + -gamma")
     assert docs_of(qidx, q) == [2]  # "beta delta" alone lacks both
+
+
+def test_never_raises_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_solr_ray.search.query import Query
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(
+        alphabet=st.sampled_from(list('ab+|-"()\\*~^ \t')), max_size=60))
+    def check(s):
+        q = simple_parse(s, AZ)
+        assert isinstance(q, Query)
+
+    check()
