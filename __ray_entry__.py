@@ -35,7 +35,7 @@ def entry() -> Any:
 _PRIORITY = [
     # new in round 5 (never driver-checked)
     "phonetic_keys", "icu_tokens", "pl_lemmas", "zh_smart_tokens",
-    "surround_near_matches", "simple_query_topk", "xml_dismax_topk", "perceptron_filter",
+    "surround_near_matches", "simple_query_topk", "xml_dismax_topk", "perceptron_filter", "analytics_expressions",
     # never driver-checked (r1-r4): curation/LLM-pipeline stages + graph
     "media_embed_topk", "text_profile_dedup", "graph_gather",
     "graph_shortest_path", "ann_pq_top5", "pii_redact", "decontam",

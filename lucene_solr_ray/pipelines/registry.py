@@ -5744,3 +5744,40 @@ ORACLE_SQL["perceptron_filter"] = r"""
 SELECT doc_id, regexp_matches(text, '\bvector\b') AS predicted_positive
 FROM documents ORDER BY doc_id
 """
+
+
+def q_analytics_expressions(sf_dir: str) -> pa.Table:
+    """Analytics component (``solr/contrib/analytics``
+    AnalyticsComponent): named expressions over aggregate functions,
+    grouped by a field, satisfied from ONE distributed aggregation
+    pass (stages/analytics.py). The ORACLE restates the expressions in
+    SQL GROUP BY arithmetic."""
+    from ..stages.analytics import analytics
+
+    ds = _docs_ds(sf_dir, ["lang", "n_chars"])
+    t = analytics(ds, {
+        "avg_len": "sum(n_chars) / count()",
+        "spread": "max(n_chars) - min(n_chars)",
+        "mid_ratio": "(avg(n_chars) - min(n_chars))"
+                     " / (max(n_chars) - min(n_chars))",
+    }, group_by="lang")
+    return pa.table({
+        "lang": t["lang"],
+        "avg_len": pa.array(_round4(t["avg_len"].to_numpy()), pa.float64()),
+        "spread": t["spread"],
+        "mid_ratio": pa.array(_round4(t["mid_ratio"].to_numpy()),
+                              pa.float64()),
+    })
+
+
+QUERIES.update({"analytics_expressions": q_analytics_expressions})
+ORACLE_SQL["analytics_expressions"] = """
+SELECT lang,
+       floor(sum(n_chars)::DOUBLE/count(*) * 10000 + 0.5)/10000
+         AS avg_len,
+       (max(n_chars) - min(n_chars))::DOUBLE AS spread,
+       floor((avg(n_chars) - min(n_chars))
+             / (max(n_chars) - min(n_chars)) * 10000 + 0.5)/10000
+         AS mid_ratio
+FROM documents GROUP BY lang ORDER BY lang
+"""

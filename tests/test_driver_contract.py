@@ -95,6 +95,7 @@ ORACLE_CHECKED = [
         "icu_tokens", "pl_lemmas", "multilingual_stems",
         "highlight_offsets", "surround_near_matches",
         "simple_query_topk", "xml_dismax_topk", "perceptron_filter",
+        "analytics_expressions",
 ]
 
 
