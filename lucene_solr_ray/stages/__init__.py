@@ -1,3 +1,4 @@
-from . import ann, dedup, textstats
+from . import analytics, ann, classify, clustering, dedup, textstats
 
-__all__ = ["ann", "dedup", "textstats"]
+__all__ = ["analytics", "ann", "classify", "clustering", "dedup",
+           "textstats"]
