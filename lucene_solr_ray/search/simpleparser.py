@@ -33,9 +33,7 @@ analyzed, like the classic parser's expanded-term handling.
 from __future__ import annotations
 
 from .query import (
-    MUST,
     MUST_NOT,
-    SHOULD,
     BooleanQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
