@@ -1,3 +1,12 @@
+from .bloom import (
+    FuzzySet,
+    build_bloom,
+    ensure_bloom,
+    murmur2_hash32,
+    murmur2_hash32_batch,
+    read_bloom,
+    write_bloom,
+)
 from .postings import (
     BLOCK_SIZE,
     block_offsets,
@@ -14,7 +23,14 @@ from .smallfloat import (
 
 __all__ = [
     "BLOCK_SIZE",
+    "FuzzySet",
     "NORM_TABLE",
+    "build_bloom",
+    "ensure_bloom",
+    "murmur2_hash32",
+    "murmur2_hash32_batch",
+    "read_bloom",
+    "write_bloom",
     "block_offsets",
     "byte315_to_float",
     "decode_block",

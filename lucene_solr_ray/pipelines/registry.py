@@ -5781,3 +5781,94 @@ SELECT lang,
          AS mid_ratio
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+def q_bloom_term_probe(sf_dir: str) -> pa.Table:
+    """Bloom-filtered term lookups (``lucene/codecs/bloom/
+    BloomFilteringPostingsFormat.java``: a per-segment single-hash
+    MurmurHash2 FuzzySet consulted before every seekExact). The sidecar
+    is built from the index's unique terms and attached to the reader;
+    every probe below then routes through the NO/MAYBE fast path — a NO
+    answers absent terms from a few bitset words without bisecting the
+    dictionary. Because the filter can never produce a false negative,
+    present/df answers are identical with or without it, which is
+    exactly what the ORACLE checks (df recomputed from the tokens CTE).
+    The probe list mixes vocabulary hits with misses so both branches
+    execute."""
+    from ..codec.bloom import build_bloom
+
+    s, _ = _doc_index(sf_dir)
+    fs = build_bloom(s.reader.unique_terms())
+    s.reader.attach_bloom(fs)
+    probes = sorted(["table", "vector", "hash", "join", "stream",
+                     "filter", "zzqx", "bloomsidecar", "notaterm",
+                     "qwxyz"])
+    try:
+        dfs = s.reader.doc_freqs(probes)
+    finally:
+        s.reader.attach_bloom(None)  # leave the cached searcher pristine
+    return pa.table({
+        "term": pa.array(probes, pa.string()),
+        "present": pa.array([dfs[t] > 0 for t in probes], pa.bool_()),
+        "df": pa.array([dfs[t] for t in probes], pa.int64()),
+    })
+
+
+QUERIES.update({"bloom_term_probe": q_bloom_term_probe})
+ORACLE_SQL["bloom_term_probe"] = f"""
+WITH {_TOKENS},
+ probes AS (SELECT * FROM (VALUES ('bloomsidecar'), ('filter'), ('hash'),
+            ('join'), ('notaterm'), ('qwxyz'), ('stream'), ('table'),
+            ('vector'), ('zzqx')) AS v(term)),
+ dfx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tokens
+         WHERE term IN (SELECT term FROM probes) GROUP BY term)
+SELECT p.term, coalesce(dfx.df, 0) > 0 AS present,
+       coalesce(dfx.df, 0)::BIGINT AS df
+FROM probes p LEFT JOIN dfx USING (term) ORDER BY p.term
+"""
+
+
+def q_term_automaton_matches(sf_dir: str) -> pa.Table:
+    """TermAutomatonQuery (``lucene/sandbox/.../TermAutomatonQuery.java``
+    + ``TokenStreamToTermAutomatonQuery.java``): the graph token query.
+    A synonym-stacked token stream — hash followed by (join|table) at
+    one position — converts to the automaton and runs the per-doc
+    position DP over the postings union (TermAutomatonScorer
+    semantics: one doc position per transition, freq = matching start
+    positions). The simple chain compacts positions over removed stop
+    words (StopFilter without enablePositionIncrements — the pre-4.4
+    default), so index adjacency means adjacent AFTER stop removal;
+    the ORACLE therefore deletes the stop words from the raw text
+    first, then counts the alternation with a word-boundary regex (a
+    match's second word cannot start a new match, so the
+    non-overlapping occurrence count equals the start-position
+    count)."""
+    from ..search.termautomaton import (
+        search_term_automaton,
+        token_stream_to_query,
+    )
+
+    s, doc_map = _doc_index(sf_dir)
+    q = token_stream_to_query([("hash", 1), ("join", 1), ("table", 0)])
+    docs, freqs = search_term_automaton(s, q)
+    return pa.table({
+        "doc_id": pa.array(doc_map[docs], pa.int64()),
+        "match_tf": pa.array(freqs, pa.int64()),
+    })
+
+
+QUERIES.update({"term_automaton_matches": q_term_automaton_matches})
+ORACLE_SQL["term_automaton_matches"] = (
+    r"""
+WITH cleaned AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '\b(""" + "|".join(
+        sorted(ENGLISH_STOP_WORDS)) + r""")\b', ' ', 'g') AS ctext
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(ctext, '\bhash\s+(join|table)\b'))
+         AS BIGINT) AS match_tf
+FROM cleaned WHERE regexp_matches(ctext, '\bhash\s+(join|table)\b')
+ORDER BY doc_id
+"""
+)

@@ -36,6 +36,11 @@ from .memoryindex import MemoryIndex
 from .queryparser import ClassicQueryParser
 from .simpleparser import simple_parse
 from .surround import surround_query, surround_search
+from .termautomaton import (
+    TermAutomatonQuery,
+    search_term_automaton,
+    token_stream_to_query,
+)
 from .xmlparser import parse_xml_query
 from .similarities import ClassicSimilarity, LMDirichletSimilarity
 from .multifield import MultiFieldSearcher
@@ -46,6 +51,9 @@ __all__ = [
     "simple_parse",
     "surround_query",
     "surround_search",
+    "TermAutomatonQuery",
+    "search_term_automaton",
+    "token_stream_to_query",
     "parse_xml_query",
     "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
     "DisjunctionMaxQuery", "FieldedQuery", "FuzzyQuery", "IndexSearcher",

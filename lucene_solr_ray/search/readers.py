@@ -111,6 +111,7 @@ class TermDictReader:
                  compact_terms: bool | str = False):
         self._compact_terms = compact_terms
         self._cache = _LRU(cache_size)
+        self._bloom = None  # optional FuzzySet (codec.bloom sidecar)
         # subclasses fill:
         self.terms: np.ndarray  # sorted object array (with duplicates)
         self.chunk_order: np.ndarray  # secondary order within a term
@@ -242,7 +243,18 @@ class TermDictReader:
         orig = int(self._row_order[row])
         return vals[off[orig]:off[orig + 1]]
 
+    def attach_bloom(self, fuzzy_set) -> None:
+        """Consult a ``codec.bloom.FuzzySet`` before every exact-term
+        probe — the BloomFilteringPostingsFormat ``seekExact`` NO/MAYBE
+        fast path (``lucene/codecs/.../bloom/BloomFilteringPostingsFormat
+        .java``, LazyInit/seekExact).  A NO answers the lookup from a few
+        bitset words without bisecting the dictionary; MAYBE falls
+        through, so results are identical with or without the filter."""
+        self._bloom = fuzzy_set
+
     def _term_rows(self, term: str) -> range:
+        if self._bloom is not None and not self._bloom.contains(term):
+            return range(0, 0)
         lo = self._ts.searchsorted(term, side="left")
         hi = self._ts.searchsorted(term, side="right")
         return range(int(lo), int(hi))

@@ -260,7 +260,7 @@ class IndexSearcher:
                  reader=None, norms=None, global_stats: dict | None = None,
                  apply_deletes: bool = True, similarity=None,
                  k1: float | None = None, b: float | None = None,
-                 compact_terms: bool = False):
+                 compact_terms: bool = False, bloom: bool = False):
         """``global_stats`` (optional): {"max_doc", "sum_ttf", "df": {term:
         df}} — injected by the doc-sharded distributed path so every shard
         scores with GLOBAL collection statistics (exactly what a single
@@ -303,6 +303,10 @@ class IndexSearcher:
         else:
             self.reader = SegmentsReader(index_dir,
                                          compact_terms=compact_terms)
+        if bloom:
+            from ..codec.bloom import ensure_bloom
+
+            ensure_bloom(index_dir, self.reader)
         # Similarity extension point (IndexSearcher.setSimilarity): None =
         # the bit-faithful BM25 default; e.g. similarities.ClassicSimilarity
         self.similarity = similarity

@@ -96,6 +96,7 @@ ORACLE_CHECKED = [
         "highlight_offsets", "surround_near_matches",
         "simple_query_topk", "xml_dismax_topk", "perceptron_filter",
         "analytics_expressions",
+        "bloom_term_probe", "term_automaton_matches",
 ]
 
 
