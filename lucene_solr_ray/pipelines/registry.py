@@ -5872,3 +5872,57 @@ FROM cleaned WHERE regexp_matches(ctext, '\bhash\s+(join|table)\b')
 ORDER BY doc_id
 """
 )
+
+
+def q_diversified_top10(sf_dir: str) -> pa.Table:
+    """DiversifiedTopDocsCollector (``lucene/misc/.../search/
+    DiversifiedTopDocsCollector.java``): the global BM25 top-10 for
+    TermQuery('table') constrained to at most 2 hits per lang — the
+    "top hits of 1967, max 3 Beatles records" collector. The collector
+    applies the per-key eviction-queue semantics vectorized (per-key
+    rank by score desc / doc asc, cap, then global top-n); the ORACLE
+    restates exactly that with window functions over the standard BM25
+    CTE (QUALIFY-style row_number cap, then ranked LIMIT)."""
+    import pyarrow.parquet as pqt
+
+    from ..search.collectors import DiversifiedTopN
+    from ..search.query import TermQuery
+
+    s, doc_map = _doc_index(sf_dir)
+    keys = pqt.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )["lang"].to_numpy(zero_copy_only=False)
+    coll = DiversifiedTopN(10, 2, keys)
+    docs, scores = s.collect(TermQuery("table"), coll.select)
+    return pa.table({
+        "rank": pa.array(np.arange(1, docs.size + 1), pa.int64()),
+        "doc_id": pa.array(doc_map[docs], pa.int64()),
+        "lang": pa.array(keys[docs].tolist(), pa.string()),
+        "score": pa.array(_round4(scores), pa.float64()),
+    })
+
+
+QUERIES.update({"diversified_top10": q_diversified_top10})
+ORACLE_SQL["diversified_top10"] = f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokens
+        WHERE term = 'table' GROUP BY doc_id, term),
+ dfx AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+ scored AS (
+   SELECT tf.doc_id,
+          ln(1 + (stats.n - dfx.df + 0.5)/(dfx.df + 0.5)) * 2.2 * tf.tf
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sumdl/stats.n)))
+          AS s
+   FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats),
+ keyed AS (
+   SELECT scored.doc_id, s, d.lang,
+          row_number() OVER (PARTITION BY d.lang
+                             ORDER BY s DESC, scored.doc_id) AS rk
+   FROM scored JOIN documents d ON d.doc_id = scored.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, lang, floor(s*10000 + 0.5)/10000 AS score
+FROM keyed WHERE rk <= 2 ORDER BY s DESC, doc_id LIMIT 10
+"""

@@ -63,6 +63,45 @@ class EarlyTerminating:
         return self.inner(docs[: self.limit], scores[: self.limit])
 
 
+class DiversifiedTopN:
+    """DiversifiedTopDocsCollector
+    (``lucene/misc/.../search/DiversifiedTopDocsCollector.java``):
+    global top-n constrained to at most ``max_per_key`` hits per key —
+    the "max 3 results per retailer" collector, one pass, no group-count
+    guessing, no per-group filler.
+
+    The reference maintains a global queue plus per-key eviction queues;
+    that is equivalent to: rank hits within each key by (score desc, doc
+    asc), drop per-key rank >= max_per_key, take the global top-n. A doc
+    outside its key's top-max_per_key can never be collected (its own
+    group's better docs evict it), and the survivors compete purely on
+    score — so the vectorized restatement computes exactly that in three
+    numpy passes. ``keys`` is a dense per-doc column (the NumericDocValues
+    key source analogue), factorized once at construction."""
+
+    def __init__(self, n: int, max_per_key: int, keys: np.ndarray):
+        self.n = n
+        self.max_per_key = max_per_key
+        _, self.codes = np.unique(np.asarray(keys), return_inverse=True)
+
+    def select(self, docs, scores):
+        order = np.lexsort((docs, -scores))
+        kk = self.codes[docs[order]]
+        s = np.argsort(kk, kind="stable")
+        sk = kk[s]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]]) \
+            if sk.size else np.empty(0, np.int64)
+        sizes = np.diff(np.r_[starts, sk.size])
+        rank_in_key = np.empty(sk.size, np.int64)
+        rank_in_key[s] = np.arange(sk.size) - np.repeat(starts, sizes)
+        sel = order[rank_in_key < self.max_per_key][: self.n]
+        return docs[sel], scores[sel]
+
+    def __call__(self, docs, scores):
+        d, sc = self.select(docs, scores)
+        return [(int(a), float(b)) for a, b in zip(d, sc)]
+
+
 class FieldValueFacet:
     """Facet accumulator: hit counts per value of a docvalues column
     (the FacetsCollector shape — values gathered once, bincounted)."""
@@ -120,6 +159,31 @@ class TopNManager(CollectorManager):
         rows.sort()
         return [(doc, -negscore)
                 for negscore, _, _, doc in rows[: self.n]]
+
+
+class DiversifiedTopNManager(CollectorManager):
+    """Sharded DiversifiedTopDocsCollector: each shard caps per-key and
+    keeps its local top-n (a superset of the global answer — a globally
+    collected doc is never evicted shard-locally, since both eviction
+    kinds only involve same-shard docs that also beat it globally);
+    reduce re-applies the identical selection over the union. Global doc
+    ids make the (score desc, doc asc) tie-break shard-count-invariant."""
+
+    def __init__(self, n: int, max_per_key: int, keys: np.ndarray):
+        self.n = n
+        self.max_per_key = max_per_key
+        self.keys = np.asarray(keys)
+
+    def new_collector(self):
+        return DiversifiedTopN(self.n, self.max_per_key, self.keys)
+
+    def reduce(self, results):
+        docs = np.asarray([d for part in results for d, _ in part],
+                          np.int64)
+        scores = np.asarray([s for part in results for _, s in part],
+                            np.float32)
+        final = DiversifiedTopN(self.n, self.max_per_key, self.keys)
+        return final(docs, scores)
 
 
 class ScoreHistogramManager(CollectorManager):

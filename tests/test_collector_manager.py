@@ -64,3 +64,63 @@ def test_two_parallelism_levels_agree(idx, query):
     a = collect_sharded(idx, query, TopNManager(5), num_shards=2)
     b = collect_sharded(idx, query, TopNManager(5), num_shards=8)
     assert [d for d, _ in a] == [d for d, _ in b]
+
+
+def test_diversified_semantics_unit():
+    from lucene_solr_ray.search.collectors import DiversifiedTopN
+
+    # keys per doc 0..7; scores force known order
+    keys = np.array(["a", "a", "a", "b", "b", "c", "a", "c"])
+    docs = np.arange(8)
+    scores = np.array([9.0, 8.0, 7.0, 6.5, 6.0, 5.5, 5.0, 4.5],
+                      np.float32)
+    got = DiversifiedTopN(5, 2, keys)(docs, scores)
+    # a: docs 0,1 (doc 2 and 6 capped); b: 3,4; c: 5 fills slot 5
+    assert [d for d, _ in got] == [0, 1, 3, 4, 5]
+    # cap=1 keeps only the best per key
+    got1 = DiversifiedTopN(5, 1, keys)(docs, scores)
+    assert [d for d, _ in got1] == [0, 3, 5]
+    # tie scores break by doc asc
+    tied = np.full(8, 1.0, np.float32)
+    gott = DiversifiedTopN(4, 1, keys)(docs, tied)
+    assert [d for d, _ in gott] == [0, 3, 5]
+
+
+def test_diversified_equals_groupcap_oracle(idx, query):
+    """Collector == 'rank per key, cap, global top-n' on real scores."""
+    from lucene_solr_ray.search.collectors import DiversifiedTopN
+
+    s = IndexSearcher(idx)
+    docs, scores = s._score(query)
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 5, s.max_doc).astype(str)
+    got = s.collect(query, DiversifiedTopN(10, 2, keys))
+    # brute force
+    order = sorted(range(docs.size), key=lambda i: (-scores[i], docs[i]))
+    seen: dict[str, int] = {}
+    want = []
+    for i in order:
+        k = keys[docs[i]]
+        if seen.get(k, 0) < 2:
+            seen[k] = seen.get(k, 0) + 1
+            want.append(int(docs[i]))
+        if len(want) == 10:
+            break
+    assert [d for d, _ in got] == want
+
+
+def test_diversified_manager_shard_invariant(idx, query):
+    from lucene_solr_ray.search.collectors import (
+        DiversifiedTopN,
+        DiversifiedTopNManager,
+    )
+
+    s = IndexSearcher(idx)
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 4, s.max_doc).astype(str)
+    control = s.collect(query, DiversifiedTopN(8, 2, keys))
+    for shards in (2, 5):
+        got = collect_sharded(idx, query,
+                              DiversifiedTopNManager(8, 2, keys),
+                              num_shards=shards)
+        assert got == control
