@@ -1,3 +1,4 @@
+from .autoprefix import AutoPrefixReader, build_autoprefix, has_autoprefix
 from .build import IndexManifest, build_index, build_segment, plan_partitions
 from .check import check_index, check_merged, fetch_docs
 from .deletes import LiveDocs, delete_by_query, delete_docs, ttl_delete
@@ -8,7 +9,10 @@ from .split import split_index
 from .updates import append_segment, update_documents
 
 __all__ = [
+    "AutoPrefixReader",
     "IndexManifest",
+    "build_autoprefix",
+    "has_autoprefix",
     "check_index",
     "LiveDocs",
     "delete_by_query",

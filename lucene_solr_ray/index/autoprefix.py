@@ -1,0 +1,206 @@
+"""Auto-prefix terms — the ``lucene/codecs/autoprefix`` module.
+
+``AutoPrefixPostingsFormat.java`` writes synthetic *prefix terms* whose
+postings are the union of every real term sharing the prefix, so a
+prefix (or range) query matches ONE stored term instead of expanding to
+thousands and decoding each one's postings.  Only prefixes that would
+expand to at least ``minItemsInPrefix`` terms are materialized — cheap
+expansions don't need acceleration (the format's min/max item
+contract).
+
+Restated Ray-Data-first as an index sidecar:
+
+- :func:`build_autoprefix` plans (prefix, expansion-count) descriptors
+  from the sorted unique-term array — METADATA ONLY, terms sharing a
+  prefix are contiguous in the sorted dictionary so counting is one
+  run-length pass per prefix length — then fans the qualifying prefixes
+  through an actor-pool ``map_batches`` stage: each actor opens the
+  index reader ONCE (``__init__``), each batch unions its prefixes'
+  postings into sorted doc sets and encodes them with the SAME
+  delta-varint codec as real postings.  Output is partitioned parquet
+  (``autoprefix/*.parquet``: prefix, df, payload) — per-block files,
+  resumable, never a driver-side doc list.
+- :class:`AutoPrefixReader` keeps only (prefix, df) in memory and reads
+  a probed prefix's payload with a parquet predicate-pushdown scan
+  (row groups pruned by the prefix filter), LRU-caching decodes.
+- The searcher consults the sidecar before the dictionary range scan;
+  constant-score rewrite (MultiTermQuery CONSTANT_SCORE, score 1.0 on
+  the deduped doc union) makes a hit's results provably identical to
+  term-by-term expansion, so the fast path needs no scoring logic.
+
+At 10^9-term shards a stopword-class prefix expands to 10^5+ terms; the
+sidecar turns that query from 10^5 postings decodes into one sequential
+payload read.  Skew note: a one-letter prefix's doc set can approach
+max_doc — it stores compressed (delta varint) and decodes into the
+query's constant-score union, the same memory the expansion path would
+have allocated anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..codec.postings import decode_postings, encode_postings
+
+_DIR = "autoprefix"
+_MAX_CODEPOINT = "\U0010FFFF"
+
+
+def _plan(unique_terms: np.ndarray, min_terms: int,
+          max_len: int) -> list[tuple[str, int]]:
+    """(prefix, n_terms) for every prefix of length 1..max_len whose
+    expansion meets min_terms.  unique_terms is sorted, so equal
+    prefixes are contiguous: one slice + run-length pass per level."""
+    out: list[tuple[str, int]] = []
+    for ln in range(1, max_len + 1):
+        prefs = np.asarray([t[:ln] for t in unique_terms.tolist()],
+                           dtype=object)
+        if prefs.size == 0:
+            continue
+        change = np.r_[True, prefs[1:] != prefs[:-1]]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.r_[starts, prefs.size])
+        for s, c in zip(starts.tolist(), counts.tolist()):
+            p = prefs[s]
+            # a prefix equal to a full term still unions its extensions
+            if c >= min_terms and len(p) == ln:
+                out.append((str(p), int(c)))
+    return out
+
+
+def open_reader(index_dir: str, **kw):
+    from ..search.readers import MergedReader, SegmentsReader
+    from .build import IndexManifest
+
+    man = IndexManifest.load(index_dir)
+    if man.merged and os.path.isdir(os.path.join(index_dir, "merged")):
+        return MergedReader(index_dir, **kw)
+    return SegmentsReader(index_dir, **kw)
+
+
+class _PrefixUnion:
+    """Actor-pool stage: reader opened once per actor, each batch of
+    prefixes expands + unions + encodes."""
+
+    def __init__(self, index_dir: str):
+        self.reader = open_reader(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        prefixes, dfs, payloads = [], [], []
+        for p in batch["prefix"].to_pylist():
+            terms = self.reader.terms_in_range(p, p + _MAX_CODEPOINT,
+                                               True, True)
+            if not terms:
+                continue
+            docs = np.unique(np.concatenate(
+                [self.reader.postings(t)[0] for t in terms]
+            ))
+            payload, _, _ = encode_postings(
+                docs, np.ones(docs.size, np.int32)
+            )
+            prefixes.append(p)
+            dfs.append(int(docs.size))
+            payloads.append(payload)
+        return pa.table({
+            "prefix": pa.array(prefixes, pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+
+def build_autoprefix(index_dir: str, *, min_terms: int = 25,
+                     max_len: int = 3, concurrency: int = 4) -> int:
+    """Build the sidecar; returns the number of stored prefix terms."""
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    reader = open_reader(index_dir)
+    plan = _plan(reader.unique_terms(), min_terms, max_len)
+    out_dir = os.path.join(index_dir, _DIR)
+    if not plan:
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({"prefix": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64()),
+                      "payload": pa.array([], pa.binary())}),
+            os.path.join(out_dir, "empty.parquet"),
+        )
+        return 0
+    ds = rd.from_arrow(pa.table({
+        "prefix": pa.array([p for p, _ in plan], pa.string()),
+    }))
+    # autoscaling pool (min 1): a fixed pool sized at the CPU count can
+    # deadlock the streaming executor against the upstream repartition.
+    # Write to a temp dir and publish by rename so a killed build never
+    # leaves a readable-but-partial sidecar.
+    import shutil
+
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    (ds.repartition(max(concurrency, len(plan) // 512 + 1))
+       .map_batches(_PrefixUnion, batch_format="pyarrow",
+                    fn_constructor_args=(index_dir,),
+                    concurrency=(1, concurrency), batch_size=256)
+       .write_parquet(tmp_dir))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp_dir, out_dir)
+    return len(plan)
+
+
+class AutoPrefixReader:
+    """(prefix, df) resident; payloads probed with predicate pushdown
+    and LRU-cached decoded."""
+
+    def __init__(self, index_dir: str, cache_size: int = 256):
+        import pyarrow.dataset as pads
+
+        from ..search.readers import _LRU
+
+        self._dir = os.path.join(index_dir, _DIR)
+        self._ds = pads.dataset(
+            self._dir, format="parquet",
+            schema=pa.schema([("prefix", pa.string()),
+                              ("df", pa.int64()),
+                              ("payload", pa.binary())]),
+        )
+        t = self._ds.to_table(columns=["prefix", "df"])
+        order = np.argsort(t["prefix"].to_numpy(zero_copy_only=False))
+        self._prefixes = t["prefix"].to_numpy(zero_copy_only=False)[order]
+        self._df = t["df"].to_numpy()[order]
+        self._cache = _LRU(cache_size)
+
+    def __len__(self) -> int:
+        return int(self._prefixes.size)
+
+    def doc_count(self, prefix: str) -> int | None:
+        i = np.searchsorted(self._prefixes, prefix)
+        if i < self._prefixes.size and self._prefixes[i] == prefix:
+            return int(self._df[i])
+        return None
+
+    def docs_for(self, prefix: str) -> np.ndarray | None:
+        """Sorted unique doc ids for the stored prefix, or None when the
+        prefix is not materialized (caller falls back to expansion)."""
+        hit = self._cache.get(prefix)
+        if hit is not None:
+            return hit
+        if self.doc_count(prefix) is None:
+            return None
+        import pyarrow.dataset as pads
+
+        t = self._ds.to_table(
+            filter=pads.field("prefix") == prefix, columns=["payload"]
+        )
+        if t.num_rows == 0:
+            return None
+        docs, _ = decode_postings(memoryview(t["payload"][0].as_py()))
+        self._cache.put(prefix, docs)
+        return docs
+
+
+def has_autoprefix(index_dir: str) -> bool:
+    return os.path.isdir(os.path.join(index_dir, _DIR))

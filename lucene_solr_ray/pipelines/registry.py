@@ -5926,3 +5926,60 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        doc_id, lang, floor(s*10000 + 0.5)/10000 AS score
 FROM keyed WHERE rk <= 2 ORDER BY s DESC, doc_id LIMIT 10
 """
+
+
+def q_autoprefix_count(sf_dir: str) -> pa.Table:
+    """Auto-prefix terms (``lucene/codecs/autoprefix/
+    AutoPrefixPostingsFormat.java``): synthetic prefix terms whose
+    postings are the precomputed union of every real term sharing the
+    prefix, so PrefixQuery matches ONE stored term instead of expanding
+    the dictionary. The sidecar is built over the cached documents
+    index with min_terms=2; per probed prefix the entry reports the
+    dictionary expansion width, the matched doc count (through the
+    searcher, which takes the sidecar fast path for stored prefixes),
+    and whether the min-items store policy materialized it — all three
+    recomputed independently by the ORACLE (LIKE-prefix distinct term /
+    doc counts; stored == expansion >= 2)."""
+    from ..index.autoprefix import (
+        AutoPrefixReader,
+        build_autoprefix,
+        has_autoprefix,
+    )
+    from ..search.query import PrefixQuery
+
+    s, _ = _doc_index(sf_dir)
+    idx = s.manifest.index_dir
+    if not has_autoprefix(idx):
+        build_autoprefix(idx, min_terms=2, max_len=3)
+    ap = AutoPrefixReader(idx)
+    prefixes = sorted(["b", "s", "v", "va", "val", "st", "jo", "qu",
+                       "zzq"])
+    n_terms, n_docs, stored = [], [], []
+    for p in prefixes:
+        terms = s.reader.terms_in_range(p, p + "\U0010FFFF", True, True)
+        n_terms.append(len(terms))
+        docs, _scores = s._score(PrefixQuery(p))
+        n_docs.append(int(docs.size))
+        stored.append(ap.doc_count(p) is not None)
+    return pa.table({
+        "prefix": pa.array(prefixes, pa.string()),
+        "n_terms": pa.array(n_terms, pa.int64()),
+        "n_docs": pa.array(n_docs, pa.int64()),
+        "stored": pa.array(stored, pa.bool_()),
+    })
+
+
+QUERIES.update({"autoprefix_count": q_autoprefix_count})
+ORACLE_SQL["autoprefix_count"] = f"""
+WITH {_TOKENS},
+ probes AS (SELECT * FROM (VALUES ('b'), ('jo'), ('qu'), ('s'), ('st'),
+            ('v'), ('va'), ('val'), ('zzq')) AS v(prefix)),
+ x AS (SELECT p.prefix,
+              count(DISTINCT t.term)::BIGINT AS n_terms,
+              count(DISTINCT t.doc_id)::BIGINT AS n_docs
+       FROM probes p LEFT JOIN tokens t
+         ON t.term LIKE p.prefix || '%'
+       GROUP BY p.prefix)
+SELECT prefix, n_terms, n_docs, n_terms >= 2 AS stored
+FROM x ORDER BY prefix
+"""

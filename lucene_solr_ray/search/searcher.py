@@ -315,6 +315,7 @@ class IndexSearcher:
         self._k1 = bm25.K1 if k1 is None else float(k1)
         self._b = bm25.B if b is None else float(b)
         self.precise = precise
+        self._autoprefix_reader = False  # False = unprobed, None = absent
         if precise:
             # float64 avgdl without the float32 cast, exact lengths
             sum_ttf = (
@@ -326,6 +327,17 @@ class IndexSearcher:
             )
         else:
             self._cache = bm25.norm_cache(self.avgdl, k1=self._k1, b=self._b)
+
+    def _autoprefix(self):
+        """Lazily open the auto-prefix sidecar if the index has one."""
+        if self._autoprefix_reader is False:
+            from ..index.autoprefix import AutoPrefixReader, has_autoprefix
+
+            self._autoprefix_reader = (
+                AutoPrefixReader(self.manifest.index_dir)
+                if has_autoprefix(self.manifest.index_dir) else None
+            )
+        return self._autoprefix_reader
 
     # ---- stats (CollectionStatistics / TermStatistics analogues) ----
     def doc_freq(self, term: str) -> int:
@@ -514,6 +526,17 @@ class IndexSearcher:
             q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery,
                 FuzzyQuery)
         ):
+            # auto-prefix fast path (lucene/codecs/autoprefix): a stored
+            # prefix term IS the constant-score union, so a sidecar hit
+            # skips the dictionary scan and every per-term postings
+            # decode; results are identical by construction
+            if isinstance(q, PrefixQuery):
+                ap = self._autoprefix()
+                docs = ap.docs_for(q.prefix) if ap is not None else None
+                if docs is not None:
+                    if self.live_docs is not None and docs.size:
+                        docs = docs[self.live_docs.mask[docs]]
+                    return docs, np.ones(docs.size, dtype)
             # CONSTANT_SCORE rewrite: union of matching terms' docs, score 1
             terms = self._rewrite_terms(q)
             if not terms:

@@ -1,0 +1,82 @@
+"""Auto-prefix terms sidecar (lucene/codecs/autoprefix): planning honors
+the min-items contract, the stored doc unions equal term-by-term
+expansion, and the searcher fast path is result-identical."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.index import build_autoprefix, build_index, has_autoprefix
+from lucene_solr_ray.index.autoprefix import AutoPrefixReader, _plan
+from lucene_solr_ray.search import IndexSearcher, PrefixQuery
+from lucene_solr_ray.sources import generate_table
+
+
+def test_plan_min_items_and_contiguity():
+    terms = np.asarray(sorted(
+        [f"val{i}" for i in range(30)] + [f"var{i}" for i in range(5)]
+        + ["zz", "zzz"]
+    ), dtype=object)
+    plan = dict(_plan(terms, min_terms=5, max_len=3))
+    assert plan["v"] == 35 and plan["va"] == 35 and plan["val"] == 30
+    assert plan["var"] == 5           # var0..var4 = 5 terms, exactly min
+    assert dict(_plan(terms, min_terms=6, max_len=3)).get("var") is None
+    assert "z" not in plan            # 2 terms < 5
+    # prefixes equal to a shorter term are not double-planned at depth
+    assert all(len(p) <= 3 for p in plan)
+
+
+@pytest.fixture(scope="module")
+def ap_index(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("ap_src")
+    pq.write_table(generate_table(500, seed=13), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("ap_idx") / "idx")
+    build_index(str(d), out, rows_per_partition=100)
+    n = build_autoprefix(out, min_terms=5, max_len=3, concurrency=2)
+    assert n > 0 and has_autoprefix(out)
+    return out
+
+
+def test_stored_unions_equal_expansion(ap_index):
+    s = IndexSearcher(ap_index)
+    ap = AutoPrefixReader(ap_index)
+    assert len(ap) > 0
+    checked = 0
+    for p in ap._prefixes[:25].tolist():
+        docs = ap.docs_for(p)
+        terms = s.reader.terms_in_range(p, p + "\U0010FFFF", True, True)
+        want = np.unique(np.concatenate(
+            [s.reader.postings(t)[0] for t in terms]))
+        assert np.array_equal(docs, want), p
+        assert ap.doc_count(p) == want.size
+        checked += 1
+    assert checked > 0
+    assert ap.docs_for("zz_not_a_prefix") is None
+
+
+def test_searcher_fast_path_identity(ap_index):
+    fast = IndexSearcher(ap_index)
+    ap = fast._autoprefix()
+    assert ap is not None and len(ap) > 0
+    # a searcher that never sees the sidecar = the expansion control
+    slow = IndexSearcher(ap_index)
+    slow._autoprefix_reader = None
+    probes = [str(p) for p in ap._prefixes[:10]] + ["val", "q", "zzqx"]
+    for p in probes:
+        a = fast.search(PrefixQuery(p), k=20)
+        b = slow.search(PrefixQuery(p), k=20)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), p
+        assert a["score"].to_pylist() == b["score"].to_pylist(), p
+
+
+def test_empty_plan_writes_empty_sidecar(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("ap_src2")
+    pq.write_table(generate_table(60, seed=3), str(d / "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("ap_idx2") / "idx")
+    build_index(str(d), out, rows_per_partition=60)
+    n = build_autoprefix(out, min_terms=10 ** 6, max_len=2)
+    assert n == 0 and has_autoprefix(out)
+    s = IndexSearcher(out)
+    assert s._autoprefix() is not None
+    t = s.search(PrefixQuery("val"), k=5)  # falls back to expansion
+    assert t.num_rows >= 0

@@ -97,7 +97,7 @@ ORACLE_CHECKED = [
         "simple_query_topk", "xml_dismax_topk", "perceptron_filter",
         "analytics_expressions",
         "bloom_term_probe", "term_automaton_matches",
-        "diversified_top10",
+        "diversified_top10", "autoprefix_count",
 ]
 
 
