@@ -38,6 +38,7 @@ from .simpleparser import simple_parse
 from .surround import surround_query, surround_search
 from .termautomaton import (
     TermAutomatonQuery,
+    score_term_automaton,
     search_term_automaton,
     token_stream_to_query,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "surround_query",
     "surround_search",
     "TermAutomatonQuery",
+    "score_term_automaton",
     "search_term_automaton",
     "token_stream_to_query",
     "parse_xml_query",

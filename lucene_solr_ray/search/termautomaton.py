@@ -220,3 +220,43 @@ def search_term_automaton(searcher, q: TermAutomatonQuery,
             out_freqs.append(f)
     return (np.asarray(out_docs, np.int64),
             np.asarray(out_freqs, np.int64))
+
+
+def score_term_automaton(searcher, q: TermAutomatonQuery,
+                         doc_len_fn=None):
+    """TermAutomatonScorer scoring: the match freq feeds the BM25
+    similarity under a weight built from ALL the automaton terms'
+    statistics (idf summed over the TermStatistics array —
+    ``TermAutomatonQuery.createWeight``/``TermAutomatonScorer.score``),
+    exactly how the phrase scorer treats phraseFreq.  A linear-chain
+    automaton therefore scores float32-identically to the PhraseQuery
+    of the same terms (equivalence pytest)."""
+    from . import bm25
+
+    docs, freqs = search_term_automaton(searcher, q, doc_len_fn)
+    if docs.size == 0:
+        dtype = np.float64 if searcher.precise else np.float32
+        return docs, np.empty(0, dtype)
+    if searcher.precise:
+        idf_sum = sum(
+            float(np.log(1 + (searcher.max_doc - searcher.doc_freq(t)
+                              + 0.5) / (searcher.doc_freq(t) + 0.5)))
+            for t in q.terms
+        )
+        tf = freqs.astype(np.float64)
+        dl = searcher.norms.length[docs].astype(np.float64)
+        scores = (
+            idf_sum * (searcher._k1 + 1.0) * tf
+            / (tf + searcher._k1 * ((1 - searcher._b) + searcher._b
+                                    * dl / searcher.avgdl_precise))
+        )
+        return docs, scores
+    idf_sum = np.float32(0.0)
+    for t in q.terms:  # float32 accumulation, reference order
+        idf_sum = idf_sum + bm25.idf(searcher.doc_freq(t),
+                                     searcher.max_doc)
+    scores = bm25.score_postings(
+        freqs.astype(np.float64), searcher.norms.norm[docs], idf_sum,
+        searcher._cache, k1=searcher._k1,
+    )
+    return docs, scores

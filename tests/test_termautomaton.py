@@ -179,3 +179,21 @@ def test_search_with_synonym_stream(tiny_index):
     expect = {i: len(pat.findall(t)) for i, t in enumerate(texts)
               if pat.search(t)}
     assert dict(zip(docs.tolist(), freqs.tolist())) == expect
+
+
+def test_scored_linear_chain_equals_phrase(tiny_index):
+    """TermAutomatonScorer == ExactPhraseScorer on a linear chain:
+    same candidates, same freq, same idf-sum weight -> identical
+    float32 scores."""
+    from lucene_solr_ray.search.query import PhraseQuery
+    from lucene_solr_ray.search.termautomaton import score_term_automaton
+
+    index_dir, _ = tiny_index
+    s = IndexSearcher(index_dir)
+    q = token_stream_to_query([("hash", 1), ("join", 1)])
+    docs_a, scores_a = score_term_automaton(s, q)
+    docs_p, scores_p = s._score_phrase(PhraseQuery(("hash", "join")))
+    order_p = np.argsort(docs_p)
+    assert np.array_equal(docs_a, docs_p[order_p])
+    assert np.array_equal(scores_a, scores_p[order_p])
+    assert scores_a.dtype == np.float32
