@@ -103,6 +103,16 @@ def main(argv=None) -> int:
     li = sub.add_parser("info", help="Luke-style index introspection")
     li.add_argument("--index", required=True)
 
+    bl = sub.add_parser("bloom", help="build the bloom term-filter "
+                                      "sidecar (lucene/codecs/bloom)")
+    bl.add_argument("--index", required=True)
+
+    ap = sub.add_parser("autoprefix", help="build the auto-prefix terms "
+                                           "sidecar (codecs/autoprefix)")
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--min-terms", type=int, default=25)
+    ap.add_argument("--max-len", type=int, default=3)
+
     se = sub.add_parser("select", help="Solr-shaped /select request "
                                        "(params as a JSON object)")
     se.add_argument("--index", required=True)
@@ -175,6 +185,23 @@ def main(argv=None) -> int:
         from .index.check import index_info
 
         print(json.dumps(index_info(args.index)))
+    elif args.cmd == "bloom":
+        from .codec.bloom import ensure_bloom
+        from .index.autoprefix import open_reader
+
+        fs = ensure_bloom(args.index, open_reader(args.index))
+        print(json.dumps({
+            "written": fs is not None,
+            "bloom_size": fs.bloom_size if fs else None,
+            "saturation": round(fs.saturation(), 4) if fs else None,
+        }))
+    elif args.cmd == "autoprefix":
+        _ray_session()
+        from .index import build_autoprefix
+
+        n = build_autoprefix(args.index, min_terms=args.min_terms,
+                             max_len=args.max_len)
+        print(json.dumps({"stored_prefixes": n}))
     elif args.cmd == "select":
         from .search import IndexSearcher
         from .search.select import solr_select
