@@ -204,3 +204,48 @@ class AutoPrefixReader:
 
 def has_autoprefix(index_dir: str) -> bool:
     return os.path.isdir(os.path.join(index_dir, _DIR))
+
+
+def range_docs(ap: AutoPrefixReader, reader, lower, upper,
+               include_lower: bool = True,
+               include_upper: bool = True) -> np.ndarray:
+    """TermRangeQuery through the sidecar — the format's primary use
+    case (``AutoPrefixPostingsFormat``: range queries visit the stored
+    auto-prefix terms that are fully contained in the range instead of
+    every real term).  Greedy cover: stored prefixes whose dictionary
+    interval lies inside the range are taken widest-first (sorted order
+    puts 'v' before 'va', so subsumed prefixes skip); the residual
+    uncovered terms expand individually.  The union is deduped, so the
+    result is EXACTLY the full-expansion doc set (identity pytest) with
+    the per-term decodes replaced by a few payload reads."""
+    u = reader.unique_terms()
+    lo_i = 0 if lower is None else int(np.searchsorted(
+        u, lower, "left" if include_lower else "right"))
+    hi_i = u.size if upper is None else int(np.searchsorted(
+        u, upper, "right" if include_upper else "left"))
+    if lo_i >= hi_i:
+        return np.empty(0, np.int64)
+    covered = np.zeros(hi_i - lo_i, bool)
+    parts: list[np.ndarray] = []
+    if len(ap):
+        starts = np.searchsorted(u, ap._prefixes, "left")
+        ends = np.searchsorted(
+            u, np.asarray([p + _MAX_CODEPOINT
+                           for p in ap._prefixes.tolist()], object),
+            "right")
+        for p, s, e in zip(ap._prefixes.tolist(), starts.tolist(),
+                           ends.tolist()):
+            if s < lo_i or e > hi_i or e <= s:
+                continue
+            if covered[s - lo_i:e - lo_i].all():
+                continue  # subsumed by a wider selected prefix
+            docs = ap.docs_for(p)
+            if docs is None:
+                continue
+            covered[s - lo_i:e - lo_i] = True
+            parts.append(docs)
+    for i in np.flatnonzero(~covered).tolist():
+        parts.append(reader.postings(str(u[lo_i + i]))[0])
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))

@@ -537,6 +537,16 @@ class IndexSearcher:
                     if self.live_docs is not None and docs.size:
                         docs = docs[self.live_docs.mask[docs]]
                     return docs, np.ones(docs.size, dtype)
+            elif isinstance(q, TermRangeQuery):
+                ap = self._autoprefix()
+                if ap is not None and len(ap):
+                    from ..index.autoprefix import range_docs
+
+                    docs = range_docs(ap, self.reader, q.lower, q.upper,
+                                      q.include_lower, q.include_upper)
+                    if self.live_docs is not None and docs.size:
+                        docs = docs[self.live_docs.mask[docs]]
+                    return docs, np.ones(docs.size, dtype)
             # CONSTANT_SCORE rewrite: union of matching terms' docs, score 1
             terms = self._rewrite_terms(q)
             if not terms:

@@ -80,3 +80,40 @@ def test_empty_plan_writes_empty_sidecar(tmp_path_factory, ray_session):
     assert s._autoprefix() is not None
     t = s.search(PrefixQuery("val"), k=5)  # falls back to expansion
     assert t.num_rows >= 0
+
+
+def test_range_cover_identity(ap_index):
+    """Sidecar-covered TermRangeQuery == full expansion on random and
+    edge ranges (open bounds, inclusive/exclusive, empty)."""
+    import random
+
+    from lucene_solr_ray.index.autoprefix import range_docs
+    from lucene_solr_ray.search import TermRangeQuery
+
+    s = IndexSearcher(ap_index)
+    ap = s._autoprefix()
+    u = s.reader.unique_terms()
+    rng = random.Random(17)
+    cases = [(None, None, True, True), (None, str(u[5]), True, False),
+             (str(u[-3]), None, True, True),
+             ("zzz", "zzzz", True, True)]
+    for _ in range(30):
+        a, b = sorted(rng.sample(range(u.size), 2))
+        cases.append((str(u[a]), str(u[b]),
+                      rng.random() < 0.5, rng.random() < 0.5))
+    for lower, upper, il, iu in cases:
+        got = range_docs(ap, s.reader, lower, upper, il, iu)
+        terms = s.reader.terms_in_range(lower, upper, il, iu)
+        if terms:
+            want = np.unique(np.concatenate(
+                [s.reader.postings(t)[0] for t in terms]))
+        else:
+            want = np.empty(0, np.int64)
+        assert np.array_equal(got, want), (lower, upper, il, iu)
+        # and through the searcher (fast path) vs the expansion control
+        slow = IndexSearcher(ap_index)
+        slow._autoprefix_reader = None
+        q = TermRangeQuery(lower, upper, il, iu)
+        fa = s.search(q, k=15)
+        sl = slow.search(q, k=15)
+        assert fa["doc_id"].to_pylist() == sl["doc_id"].to_pylist()
