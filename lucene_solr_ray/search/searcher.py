@@ -307,6 +307,15 @@ class IndexSearcher:
             from ..codec.bloom import ensure_bloom
 
             ensure_bloom(index_dir, self.reader)
+        else:
+            # an existing sidecar attaches automatically (results are
+            # identical; only the miss path gets cheaper) so serving
+            # actor pools benefit without plumbing a flag through
+            from ..codec.bloom import read_bloom
+
+            fs = read_bloom(index_dir)
+            if fs is not None:
+                self.reader.attach_bloom(fs)
         # Similarity extension point (IndexSearcher.setSimilarity): None =
         # the bit-faithful BM25 default; e.g. similarities.ClassicSimilarity
         self.similarity = similarity

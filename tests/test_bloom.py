@@ -203,3 +203,13 @@ def test_ensure_bloom_reuses_sidecar(bloom_index):
     # every indexed term answers MAYBE through the attached filter
     vocab = [t for t in s.reader.unique_terms()]
     assert fs2.contains_batch(vocab).all()
+
+
+def test_sidecar_auto_attaches(bloom_index):
+    # test_searcher_rank_identity_with_bloom persisted the sidecar;
+    # a plain searcher now picks it up without the flag
+    assert read_bloom(bloom_index) is not None
+    s = IndexSearcher(bloom_index)
+    assert s.reader._bloom is not None
+    t = s.search(TermQuery("zz_not_a_term"), k=5)
+    assert t.num_rows == 0
