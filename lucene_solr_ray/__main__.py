@@ -113,6 +113,12 @@ def main(argv=None) -> int:
     ap.add_argument("--min-terms", type=int, default=25)
     ap.add_argument("--max-len", type=int, default=3)
 
+    dt = sub.add_parser("dump-simpletext",
+                        help="human-readable postings dump "
+                             "(codecs/simpletext grammar)")
+    dt.add_argument("--index", required=True)
+    dt.add_argument("--out", required=True)
+
     se = sub.add_parser("select", help="Solr-shaped /select request "
                                        "(params as a JSON object)")
     se.add_argument("--index", required=True)
@@ -202,6 +208,12 @@ def main(argv=None) -> int:
         n = build_autoprefix(args.index, min_terms=args.min_terms,
                              max_len=args.max_len)
         print(json.dumps({"stored_prefixes": n}))
+    elif args.cmd == "dump-simpletext":
+        from .codec.simpletext import write_simpletext
+        from .index.autoprefix import open_reader
+
+        n = write_simpletext(open_reader(args.index), args.out)
+        print(json.dumps({"out": args.out, "terms": n}))
     elif args.cmd == "select":
         from .search import IndexSearcher
         from .search.select import solr_select
