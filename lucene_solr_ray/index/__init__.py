@@ -5,7 +5,7 @@ from .deletes import LiveDocs, delete_by_query, delete_docs, ttl_delete
 from .merge import merge_index
 from .multifield import build_multi_index
 from .sorted_build import build_sorted_index, early_terminated_topk
-from .split import split_index
+from .split import split_by_query, split_index
 from .updates import append_segment, update_documents
 
 __all__ = [
@@ -28,5 +28,7 @@ __all__ = [
     "check_merged",
     "ttl_delete",
     "append_segment",
+    "split_by_query",
+    "split_index",
     "update_documents",
 ]

@@ -75,17 +75,44 @@ def split_index(index_dir: str, out_dirs: list[str], *,
 
     counts = []
     for i, out in enumerate(out_dirs):
-        tmp = out + ".splitting"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        _link_tree(index_dir, tmp)
-        # mask every sibling's docs in ONE delete generation
-        others = doc_ids[assign != i]
-        delete_docs(tmp, others)
-        with open(os.path.join(tmp, "split.json"), "w") as f:
-            json.dump({"parent": os.path.abspath(index_dir),
-                       "child": i, "children": k,
-                       "docs": int(man.max_doc - others.size)}, f)
-        os.replace(tmp, out)  # atomic publish (2-phase like the build)
-        counts.append(int(man.max_doc - others.size))
+        _write_child(index_dir, out, doc_ids[assign != i], man, i, k)
+        counts.append(int(man.max_doc - int((assign != i).sum())))
     return {"docs_per_child": counts, "max_doc": int(man.max_doc)}
+
+
+def _write_child(index_dir, out, others, man, i, k):
+    tmp = out + ".splitting"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    _link_tree(index_dir, tmp)
+    # mask every sibling's docs in ONE delete generation
+    delete_docs(tmp, others)
+    with open(os.path.join(tmp, "split.json"), "w") as f:
+        json.dump({"parent": os.path.abspath(index_dir),
+                   "child": i, "children": k,
+                   "docs": int(man.max_doc - others.size)}, f)
+    os.replace(tmp, out)  # atomic publish (2-phase like the build)
+
+
+def split_by_query(index_dir: str, q, out_match: str,
+                   out_rest: str) -> dict:
+    """PKIndexSplitter (``lucene/misc/.../index/PKIndexSplitter.java``):
+    partition an index into the docs matching a filter query and the
+    complement — the reference's primary-key-range splitter generalized
+    to any query (its ``docsInFirstIndex`` filter IS a query). Children
+    share the parent's immutable segment files via hardlinks and differ
+    only in their live-docs generation, the same economics as
+    SPLITSHARD."""
+    from ..search.searcher import IndexSearcher
+
+    man = IndexManifest.load(index_dir)
+    s = IndexSearcher(index_dir)
+    match = s._docs_only(q)
+    mask = np.zeros(man.max_doc, bool)
+    mask[match] = True
+    doc_ids = np.arange(man.max_doc, dtype=np.int64)
+    _write_child(index_dir, out_match, doc_ids[~mask], man, 0, 2)
+    _write_child(index_dir, out_rest, doc_ids[mask], man, 1, 2)
+    return {"docs_per_child": [int(mask.sum()),
+                               int(man.max_doc - mask.sum())],
+            "max_doc": int(man.max_doc)}
