@@ -5983,3 +5983,109 @@ WITH {_TOKENS},
 SELECT prefix, n_terms, n_docs, n_terms >= 2 AS stored
 FROM x ORDER BY prefix
 """
+
+
+def q_split_by_query(sf_dir: str) -> pa.Table:
+    """PKIndexSplitter (``lucene/misc/.../index/PKIndexSplitter.java``):
+    partition the documents index into the docs matching a filter query
+    ('vector') and the complement; children hardlink the parent's
+    segments and differ only in live-docs. The entry reopens BOTH
+    children as searchers and reports each child's live doc count plus
+    its hit count for the splitting term — the match child must hold
+    every 'vector' doc and the rest child none, all recomputed by the
+    ORACLE from the tokens CTE."""
+    from ..index import split_by_query
+    from ..search.query import MatchAllDocsQuery, TermQuery
+    from ..search.searcher import IndexSearcher
+
+    s, _ = _doc_index(sf_dir)
+    idx = s.manifest.index_dir
+    out_m = idx + "-split-match"
+    out_r = idx + "-split-rest"
+    if not (os.path.isdir(out_m) and os.path.isdir(out_r)):
+        split_by_query(idx, TermQuery("vector"), out_m, out_r)
+    rows = []
+    for name, d in (("match", out_m), ("rest", out_r)):
+        c = IndexSearcher(d)
+        rows.append({
+            "child": name,
+            "n_docs": int(c._docs_only(MatchAllDocsQuery()).size),
+            "vector_docs": int(c._docs_only(TermQuery("vector")).size),
+        })
+    return pa.table({
+        "child": pa.array([r["child"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "vector_docs": pa.array([r["vector_docs"] for r in rows],
+                                pa.int64()),
+    })
+
+
+QUERIES.update({"split_by_query_counts": q_split_by_query})
+ORACLE_SQL["split_by_query_counts"] = f"""
+WITH {_TOKENS},
+ m AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tokens
+       WHERE term = 'vector'),
+ t AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT 'match' AS child, m.n AS n_docs, m.n AS vector_docs FROM m
+UNION ALL
+SELECT 'rest' AS child, t.n - m.n AS n_docs, 0::BIGINT AS vector_docs
+FROM t, m
+ORDER BY child
+"""
+
+
+def q_term_automaton_topk(sf_dir: str) -> pa.Table:
+    """Scored TermAutomatonQuery (``TermAutomatonScorer.score``): the
+    alternation automaton's match freq fed through BM25 under the
+    idf-sum weight of all three automaton terms — the top-10 page. The
+    ORACLE recomputes match_tf with the stop-cleaned regex and applies
+    the identical formula (sum of term idfs x 2.2 x tf / (tf + 1.2 x
+    length norm)) in SQL."""
+    from ..search.termautomaton import (
+        score_term_automaton,
+        token_stream_to_query,
+    )
+
+    s, doc_map = _doc_index(sf_dir)
+    q = token_stream_to_query([("hash", 1), ("join", 1), ("table", 0)])
+    docs, scores = score_term_automaton(s, q)
+    order = np.lexsort((docs, -scores))[:10]
+    return pa.table({
+        "rank": pa.array(np.arange(1, order.size + 1), pa.int64()),
+        "doc_id": pa.array(doc_map[docs[order]], pa.int64()),
+        "score": pa.array(_round4(scores[order]), pa.float64()),
+    })
+
+
+QUERIES.update({"term_automaton_topk": q_term_automaton_topk})
+ORACLE_SQL["term_automaton_topk"] = (
+    r"""
+WITH cleaned AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '\b(""" + "|".join(
+        sorted(ENGLISH_STOP_WORDS)) + r""")\b', ' ', 'g') AS ctext
+  FROM documents),
+ """ + _TOKENS + r""",
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ dfx AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tokens
+         WHERE term IN ('hash', 'join', 'table') GROUP BY term),
+ idfsum AS (SELECT sum(ln(1 + (stats.n - dfx.df + 0.5)/(dfx.df + 0.5)))
+              AS v FROM dfx, stats),
+ tfq AS (SELECT doc_id,
+                len(regexp_extract_all(ctext, '\bhash\s+(join|table)\b'))
+                  ::DOUBLE AS tf
+         FROM cleaned
+         WHERE regexp_matches(ctext, '\bhash\s+(join|table)\b')),
+ scored AS (
+   SELECT tfq.doc_id,
+          idfsum.v * 2.2 * tfq.tf
+          / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                             / (stats.sumdl/stats.n))) AS s
+   FROM tfq JOIN dl USING (doc_id), idfsum, stats)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, floor(s*10000 + 0.5)/10000 AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 10
+"""
+)

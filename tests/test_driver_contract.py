@@ -98,6 +98,7 @@ ORACLE_CHECKED = [
         "analytics_expressions",
         "bloom_term_probe", "term_automaton_matches",
         "diversified_top10", "autoprefix_count",
+        "split_by_query_counts", "term_automaton_topk",
 ]
 
 
