@@ -266,24 +266,55 @@ def build_bloom(terms, n_unique: int | None = None,
     return None if fs.saturation() > 0.9 else fs
 
 
-def write_bloom(index_dir: str, terms) -> str | None:
-    """Build the sidecar from an index's unique terms; returns the path
-    (or None when the saturated-skip policy applied)."""
-    fs = build_bloom(terms)
-    if fs is None:
+def _index_max_doc(index_dir: str) -> int | None:
+    try:
+        import json
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            return int(json.load(f).get("max_doc", -1))
+    except (OSError, ValueError):
         return None
+
+
+def _persist(index_dir: str, fs: FuzzySet) -> str:
+    import json
+
     path = bloom_path(index_dir)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(fs.to_bytes())
     os.replace(tmp, path)
+    with open(path + ".meta", "w") as f:
+        json.dump({"max_doc": _index_max_doc(index_dir)}, f)
     return path
 
 
+def write_bloom(index_dir: str, terms) -> str | None:
+    """Build the sidecar from an index's unique terms; returns the path
+    (or None when the saturated-skip policy applied)."""
+    fs = build_bloom(terms)
+    return _persist(index_dir, fs) if fs is not None else None
+
+
 def read_bloom(index_dir: str) -> FuzzySet | None:
+    """Load the sidecar; None when absent OR stale — a filter trained
+    before an NRT append/update lacks the new segments' terms, and a
+    bloom false NEGATIVE is a wrong answer, so the meta's max_doc must
+    match the live manifest (deletes don't add terms and stay safe)."""
+    import json
+
     path = bloom_path(index_dir)
     if not os.path.exists(path):
         return None
+    meta_path = path + ".meta"
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                trained = json.load(f).get("max_doc")
+        except (OSError, ValueError):
+            trained = None
+        if trained is not None and trained != _index_max_doc(index_dir):
+            return None  # stale: index grew since training
     with open(path, "rb") as f:
         return FuzzySet.from_bytes(f.read())
 
@@ -295,11 +326,7 @@ def ensure_bloom(index_dir: str, reader) -> FuzzySet | None:
     if fs is None:
         fs = build_bloom(reader.unique_terms())
         if fs is not None:
-            path = bloom_path(index_dir)
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(fs.to_bytes())
-            os.replace(tmp, path)
+            _persist(index_dir, fs)
     if fs is not None:
         reader.attach_bloom(fs)
     return fs

@@ -122,6 +122,8 @@ def build_autoprefix(index_dir: str, *, min_terms: int = 25,
     plan = _plan(reader.unique_terms(), min_terms, max_len)
     out_dir = os.path.join(index_dir, _DIR)
     if not plan:
+        import json
+
         os.makedirs(out_dir, exist_ok=True)
         pq.write_table(
             pa.table({"prefix": pa.array([], pa.string()),
@@ -129,6 +131,9 @@ def build_autoprefix(index_dir: str, *, min_terms: int = 25,
                       "payload": pa.array([], pa.binary())}),
             os.path.join(out_dir, "empty.parquet"),
         )
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump({"max_doc": _index_max_doc(index_dir),
+                       "min_terms": min_terms, "max_len": max_len}, f)
         return 0
     ds = rd.from_arrow(pa.table({
         "prefix": pa.array([p for p, _ in plan], pa.string()),
@@ -146,9 +151,42 @@ def build_autoprefix(index_dir: str, *, min_terms: int = 25,
                     fn_constructor_args=(index_dir,),
                     concurrency=(1, concurrency), batch_size=256)
        .write_parquet(tmp_dir))
+    import json
+
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump({"max_doc": _index_max_doc(index_dir),
+                   "min_terms": min_terms, "max_len": max_len}, f)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp_dir, out_dir)
     return len(plan)
+
+
+def _index_max_doc(index_dir: str) -> int | None:
+    try:
+        import json
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            return int(json.load(f).get("max_doc", -1))
+    except (OSError, ValueError):
+        return None
+
+
+def is_stale(index_dir: str) -> bool:
+    """True when the sidecar predates an index append/update — a stored
+    prefix union trained before new segments would MISS their docs, so
+    a stale sidecar must be ignored (deletes stay safe: the searcher
+    masks live docs after the union)."""
+    import json
+
+    meta = os.path.join(index_dir, _DIR, "meta.json")
+    if not os.path.exists(meta):
+        return False  # pre-meta sidecars: assume caller manages rebuilds
+    try:
+        with open(meta) as f:
+            trained = json.load(f).get("max_doc")
+    except (OSError, ValueError):
+        return True
+    return trained is not None and trained != _index_max_doc(index_dir)
 
 
 class AutoPrefixReader:
@@ -161,8 +199,12 @@ class AutoPrefixReader:
         from ..search.readers import _LRU
 
         self._dir = os.path.join(index_dir, _DIR)
+        files = sorted(
+            os.path.join(self._dir, f) for f in os.listdir(self._dir)
+            if f.endswith(".parquet")
+        )
         self._ds = pads.dataset(
-            self._dir, format="parquet",
+            files, format="parquet",
             schema=pa.schema([("prefix", pa.string()),
                               ("df", pa.int64()),
                               ("payload", pa.binary())]),

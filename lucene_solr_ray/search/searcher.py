@@ -340,11 +340,16 @@ class IndexSearcher:
     def _autoprefix(self):
         """Lazily open the auto-prefix sidecar if the index has one."""
         if self._autoprefix_reader is False:
-            from ..index.autoprefix import AutoPrefixReader, has_autoprefix
+            from ..index.autoprefix import (
+                AutoPrefixReader,
+                has_autoprefix,
+                is_stale,
+            )
 
+            idx = self.manifest.index_dir
             self._autoprefix_reader = (
-                AutoPrefixReader(self.manifest.index_dir)
-                if has_autoprefix(self.manifest.index_dir) else None
+                AutoPrefixReader(idx)
+                if has_autoprefix(idx) and not is_stale(idx) else None
             )
         return self._autoprefix_reader
 

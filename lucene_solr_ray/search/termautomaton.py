@@ -204,7 +204,7 @@ def search_term_automaton(searcher, q: TermAutomatonQuery,
         return np.empty(0, np.int64), np.empty(0, np.int64)
     cand = np.unique(np.concatenate([d[0] for d in data.values()]))
     if searcher.live_docs is not None:
-        cand = cand[searcher.live_docs.alive(cand)]
+        cand = cand[searcher.live_docs.mask[cand]]
     out_docs, out_freqs = [], []
     for doc in cand.tolist():
         posmap = {}

@@ -117,3 +117,24 @@ def test_range_cover_identity(ap_index):
         fa = s.search(q, k=15)
         sl = slow.search(q, k=15)
         assert fa["doc_id"].to_pylist() == sl["doc_id"].to_pylist()
+
+
+def test_stale_sidecar_ignored_after_append(ap_index, tmp_path_factory,
+                                            ray_session):
+    """NRT append grows the index; the prefix unions trained before it
+    would MISS the new docs — the searcher must ignore the sidecar."""
+    import shutil
+
+    from lucene_solr_ray.index import append_segment
+    from lucene_solr_ray.index.autoprefix import is_stale
+
+    d2 = str(tmp_path_factory.mktemp("ap_nrt") / "idx")
+    shutil.copytree(ap_index, d2)
+    assert not is_stale(d2)
+    append_segment(d2, generate_table(50, seed=77))
+    assert is_stale(d2)
+    s = IndexSearcher(d2)
+    assert s._autoprefix() is None  # falls back to expansion
+    # and the expansion sees appended docs
+    u = s.reader.unique_terms()
+    assert s.max_doc > IndexSearcher(ap_index).max_doc

@@ -213,3 +213,21 @@ def test_sidecar_auto_attaches(bloom_index):
     assert s.reader._bloom is not None
     t = s.search(TermQuery("zz_not_a_term"), k=5)
     assert t.num_rows == 0
+
+
+def test_stale_bloom_ignored_after_append(bloom_index, tmp_path_factory,
+                                          ray_session):
+    """A bloom trained before an append can answer false NEGATIVES for
+    the new segments' terms — staleness must drop it."""
+    import shutil
+
+    from lucene_solr_ray.index import append_segment
+
+    d2 = str(tmp_path_factory.mktemp("bloom_nrt") / "idx")
+    shutil.copytree(bloom_index, d2)
+    ensure_bloom(d2, IndexSearcher(d2).reader)
+    assert read_bloom(d2) is not None
+    append_segment(d2, generate_table(50, seed=78))
+    assert read_bloom(d2) is None  # stale -> not attached
+    s = IndexSearcher(d2)
+    assert s.reader._bloom is None

@@ -197,3 +197,18 @@ def test_scored_linear_chain_equals_phrase(tiny_index):
     assert np.array_equal(docs_a, docs_p[order_p])
     assert np.array_equal(scores_a, scores_p[order_p])
     assert scores_a.dtype == np.float32
+
+
+def test_search_respects_deletes(tiny_index):
+    from lucene_solr_ray.index import delete_docs
+
+    index_dir, texts = tiny_index
+    import shutil, tempfile, os
+    d2 = tempfile.mkdtemp(prefix="ta_del_")
+    dst = os.path.join(d2, "idx")
+    shutil.copytree(index_dir, dst)
+    delete_docs(dst, np.array([4], np.int64))  # the three-match doc
+    s = IndexSearcher(dst)
+    q = _phrase_alternation()
+    docs, _ = search_term_automaton(s, q)
+    assert 4 not in docs.tolist()
