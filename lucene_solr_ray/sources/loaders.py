@@ -174,3 +174,122 @@ def compact_corpus(src: str, out_dir: str, *,
     # (min_rows_per_file alone is a per-write-task hint, not a guarantee)
     ds.repartition(n_files).write_parquet(out_dir)
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction (the solr/contrib/extraction common case without Tika)
+# ---------------------------------------------------------------------------
+
+class _HtmlText:
+    """Visible-text + metadata extractor over the stdlib parser — the
+    ExtractingRequestHandler's HTML path (``solr/contrib/extraction``,
+    SolrContentHandler: Tika parses markup into a content stream plus
+    metadata fields) restated without the JVM. script/style/template
+    subtrees are dropped, block elements break words, entities decode,
+    <title> and <meta name=...> map to metadata — the fields Solr Cell
+    puts into ``content`` / ``title`` / arbitrary ``metadata_*``.
+    Binary formats (PDF/DOC) stay out of scope (no JVM); the format
+    registry raises for them."""
+
+    _SKIP = frozenset(("script", "style", "template", "noscript"))
+    _BLOCK = frozenset((
+        "p", "div", "br", "li", "ul", "ol", "tr", "td", "th", "table",
+        "h1", "h2", "h3", "h4", "h5", "h6", "section", "article",
+        "header", "footer", "blockquote", "pre",
+    ))
+
+    def __init__(self):
+        from html.parser import HTMLParser
+
+        outer = self
+
+        class P(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.chunks: list[str] = []
+                self.title_chunks: list[str] = []
+                self.meta: dict[str, str] = {}
+                self._skip = 0
+                self._in_title = False
+
+            def handle_starttag(self, tag, attrs):
+                if tag in outer._SKIP:
+                    self._skip += 1
+                elif tag == "title":
+                    self._in_title = True
+                elif tag == "meta":
+                    a = dict(attrs)
+                    name = a.get("name") or a.get("property")
+                    if name and a.get("content") is not None:
+                        self.meta[name.lower()] = a["content"]
+                if tag in outer._BLOCK:
+                    self.chunks.append(" ")
+
+            def handle_endtag(self, tag):
+                if tag in outer._SKIP and self._skip:
+                    self._skip -= 1
+                elif tag == "title":
+                    self._in_title = False
+                if tag in outer._BLOCK:
+                    self.chunks.append(" ")
+
+            def handle_data(self, data):
+                if self._skip:
+                    return
+                if self._in_title:
+                    self.title_chunks.append(data)
+                else:
+                    self.chunks.append(data)
+
+        self._cls = P
+
+    def __call__(self, html: str) -> dict:
+        p = self._cls()
+        try:
+            p.feed(html)
+            p.close()
+        except Exception:
+            pass  # error-tolerant like the reference's HTML parser
+        text = " ".join("".join(p.chunks).split())
+        title = " ".join("".join(p.title_chunks).split())
+        return {"text": text, "title": title, "meta": p.meta}
+
+
+def extract_html(html: str) -> dict:
+    """One-shot helper (tests / small inputs)."""
+    return _HtmlText()(html)
+
+
+def load_html(path: str):
+    """HTML corpus -> Dataset(path, title, text, meta_description):
+    one task per batch of files, the extractor class built once per
+    actor-equivalent task (compiled parser reused across files)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith((".html", ".htm")))
+    else:
+        files = [path]
+    ds = rd.from_items([{"path": f} for f in files])
+
+    def parse(b: dict) -> pa.Table:
+        ex = _HtmlText()
+        paths = [str(x) for x in b["path"]]
+        rows = []
+        for p in paths:
+            with open(p, encoding="utf-8", errors="replace") as fh:
+                d = ex(fh.read())
+            rows.append((p, d["title"], d["text"],
+                         d["meta"].get("description", "")))
+        return pa.table({
+            "path": pa.array([r[0] for r in rows], pa.string()),
+            "title": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "meta_description": pa.array([r[3] for r in rows],
+                                         pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_size=16, batch_format="numpy")
