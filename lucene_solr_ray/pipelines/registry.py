@@ -6089,3 +6089,44 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
 FROM scored ORDER BY s DESC, doc_id LIMIT 10
 """
 )
+
+
+def q_boosting_demote(sf_dir: str) -> pa.Table:
+    """BoostingQuery (``lucene/queries/.../BoostingQuery.java``): BM25
+    for 'table', but docs also containing 'slow' demoted by 0.5 — the
+    "matches stay, context halves the score" semantics. The ORACLE
+    applies the same conditional multiplier over the standard BM25
+    CTE."""
+    from ..search.query import BoostingQuery, TermQuery
+
+    s, doc_map = _doc_index(sf_dir)
+    q = BoostingQuery(TermQuery("table"), TermQuery("slow"), 0.5)
+    t = s.search(q, k=10)
+    return pa.table({
+        "rank": t["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
+QUERIES.update({"boosting_demote_top10": q_boosting_demote})
+ORACLE_SQL["boosting_demote_top10"] = f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tokens
+        WHERE term = 'table' GROUP BY doc_id),
+ dfx AS (SELECT count(*)::DOUBLE AS df FROM tf),
+ ctx AS (SELECT DISTINCT doc_id FROM tokens WHERE term = 'slow'),
+ scored AS (
+   SELECT tf.doc_id,
+          ln(1 + (stats.n - dfx.df + 0.5)/(dfx.df + 0.5)) * 2.2 * tf.tf
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sumdl/stats.n)))
+          * CASE WHEN tf.doc_id IN (SELECT doc_id FROM ctx)
+                 THEN 0.5 ELSE 1.0 END AS s
+   FROM tf, dfx, stats JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, floor(s*10000 + 0.5)/10000 AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 10
+"""

@@ -9,6 +9,7 @@ from .extras import (
 )
 from .query import (
     BooleanQuery,
+    BoostingQuery,
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
@@ -57,7 +58,7 @@ __all__ = [
     "search_term_automaton",
     "token_stream_to_query",
     "parse_xml_query",
-    "BooleanQuery", "BoostQuery", "ConstantScoreQuery",
+    "BooleanQuery", "BoostingQuery", "BoostQuery", "ConstantScoreQuery",
     "DisjunctionMaxQuery", "FieldedQuery", "FuzzyQuery", "IndexSearcher",
     "MultiFieldSearcher", "SearcherManager",
     "MatchAllDocsQuery", "PhraseQuery", "PrefixQuery", "Query", "RegexpQuery",

@@ -117,6 +117,19 @@ class BoostQuery(Query):
 
 
 @dataclass(frozen=True)
+class BoostingQuery(Query):
+    """Context demotion (``lucene/queries/.../BoostingQuery.java``):
+    matches exactly what ``match`` matches, but a doc ALSO matching
+    ``context`` has its score multiplied by ``boost`` (typically < 1) —
+    "demote docs about X" without excluding them. The context query
+    contributes no scores and no new matches."""
+
+    match: "Query"
+    context: "Query"
+    boost: float = 0.5
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     query: Query
     score: float = 1.0

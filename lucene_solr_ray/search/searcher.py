@@ -601,11 +601,21 @@ class IndexSearcher:
                     "span queries need a positional index"
                 )
             return score_spans(self, q)
-        from .query import BoostQuery, DisjunctionMaxQuery
+        from .query import BoostingQuery, BoostQuery, DisjunctionMaxQuery
 
         if isinstance(q, BoostQuery):
             docs, scores = self._score(q.query)
             return docs, (scores * dtype(q.boost)).astype(dtype)
+        if isinstance(q, BoostingQuery):
+            # BoostingQuery.java: match's hits/scores; context only
+            # multiplies the overlap by boost (no new matches, no score
+            # contribution from the context side)
+            docs, scores = self._score(q.match)
+            ctx = self._docs_only(q.context)
+            demote = np.isin(docs, ctx, assume_unique=True)
+            scores = np.where(demote, scores * dtype(q.boost),
+                              scores).astype(dtype)
+            return docs, scores
         if isinstance(q, DisjunctionMaxQuery):
             # max + tie_breaker * (sum - max) (DisjunctionMaxScorer.java)
             subs = [self._score(sub) for sub in q.queries]
