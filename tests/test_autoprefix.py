@@ -138,3 +138,56 @@ def test_stale_sidecar_ignored_after_append(ap_index, tmp_path_factory,
     # and the expansion sees appended docs
     u = s.reader.unique_terms()
     assert s.max_doc > IndexSearcher(ap_index).max_doc
+
+
+def test_sidecar_fuzz_rank_identity(ap_index):
+    """Seeded fuzz: 120 random term/prefix/range/wildcard/bool queries
+    must rank identically with and without the bloom + autoprefix fast
+    paths (both sidecars attached vs neither)."""
+    import random
+
+    from lucene_solr_ray.codec.bloom import ensure_bloom
+    from lucene_solr_ray.search import (
+        BooleanQuery,
+        TermQuery,
+        TermRangeQuery,
+        WildcardQuery,
+    )
+
+    fast = IndexSearcher(ap_index)
+    ensure_bloom(ap_index, fast.reader)
+    assert fast._autoprefix() is not None and fast.reader._bloom is not None
+    slow = IndexSearcher(ap_index)
+    slow._autoprefix_reader = None
+    slow.reader.attach_bloom(None)
+    u = [str(t) for t in fast.reader.unique_terms()]
+    rng = random.Random(23)
+
+    def rand_term():
+        t = rng.choice(u)
+        return t if rng.random() < 0.8 else t + "zz"
+
+    def rand_query():
+        r = rng.random()
+        if r < 0.25:
+            return TermQuery(rand_term())
+        if r < 0.45:
+            return PrefixQuery(rand_term()[: rng.randint(1, 3)])
+        if r < 0.65:
+            a, b = sorted((rand_term(), rand_term()))
+            return TermRangeQuery(a, b, rng.random() < 0.5,
+                                  rng.random() < 0.5)
+        if r < 0.8:
+            return WildcardQuery(rand_term()[:2] + "*")
+        return BooleanQuery.build(
+            should=[TermQuery(rand_term()), PrefixQuery(rand_term()[:2])],
+            must_not=[TermQuery(rand_term())] if rng.random() < 0.3
+            else [],
+        )
+
+    for i in range(120):
+        q = rand_query()
+        a = fast.search(q, k=12)
+        b = slow.search(q, k=12)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (i, q)
+        assert a["score"].to_pylist() == b["score"].to_pylist(), (i, q)
