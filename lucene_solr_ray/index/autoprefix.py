@@ -82,31 +82,85 @@ def open_reader(index_dir: str, **kw):
 
 
 class _PrefixUnion:
-    """Actor-pool stage: reader opened once per actor, each batch of
-    prefixes expands + unions + encodes."""
+    """Actor-pool stage: reader opened once per actor; each batch
+    gathers EVERY member term-row's payload bytes for all its prefixes
+    into one flat buffer and decodes the Zipf-tail rows in ONE
+    vectorized call (``decode_postings_batch`` — the same economics as
+    the merge compaction), unions per prefix with a single
+    lexsort+dedup, and re-encodes.  The per-term Python decode this
+    replaces dominated sidecar build time 10:1 at a 10^5-term
+    vocabulary."""
 
     def __init__(self, index_dir: str):
         self.reader = open_reader(index_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        prefixes, dfs, payloads = [], [], []
-        for p in batch["prefix"].to_pylist():
-            terms = self.reader.terms_in_range(p, p + _MAX_CODEPOINT,
-                                               True, True)
-            if not terms:
-                continue
-            docs = np.unique(np.concatenate(
-                [self.reader.postings(t)[0] for t in terms]
-            ))
+        from ..codec.postings import (
+            BLOCK_SIZE,
+            _intra,
+            decode_postings,
+            decode_postings_batch,
+        )
+
+        r = self.reader
+        plist = batch["prefix"].to_pylist()
+        row_parts, gid_parts = [], []
+        for i, p in enumerate(plist):
+            lo = int(r._ts.searchsorted(p, "left"))
+            hi = int(r._ts.searchsorted(p + _MAX_CODEPOINT, "right"))
+            if hi > lo:
+                row_parts.append(np.arange(lo, hi, dtype=np.int64))
+                gid_parts.append(np.full(hi - lo, i, np.int64))
+        empty = pa.table({
+            "prefix": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "payload": pa.array([], pa.binary()),
+        })
+        if not row_parts:
+            return empty
+        rows = np.concatenate(row_parts)
+        gid = np.concatenate(gid_parts)
+        dfs = r.df[rows].astype(np.int64)
+        # payload gather: mmap slices, no per-row decode
+        views = [np.frombuffer(r._payload(int(row)), np.uint8)
+                 for row in rows.tolist()]
+        lens = np.fromiter((v.size for v in views), np.int64, rows.size)
+        flat = np.concatenate(views) if views else np.empty(0, np.uint8)
+        dst0 = np.zeros(rows.size, np.int64)
+        np.cumsum(lens[:-1], out=dst0[1:])
+        total = int(dfs.sum())
+        docs = np.empty(total, np.int64)
+        out0 = np.zeros(rows.size, np.int64)
+        np.cumsum(dfs[:-1], out=out0[1:])
+        small = dfs <= BLOCK_SIZE
+        if small.any():
+            d_s, _ = decode_postings_batch(flat, dst0[small], dfs[small])
+            docs[np.repeat(out0[small], dfs[small])
+                 + _intra(dfs[small])] = d_s
+        for i in np.flatnonzero(~small).tolist():
+            d, _ = decode_postings(flat[dst0[i]:dst0[i] + int(lens[i])])
+            docs[out0[i]:out0[i] + dfs[i]] = d
+        # per-prefix sorted-unique union in one lexsort + diff pass
+        gid_post = np.repeat(gid, dfs)
+        order = np.lexsort((docs, gid_post))
+        gd, dd = gid_post[order], docs[order]
+        keep = np.r_[True, (gd[1:] != gd[:-1]) | (dd[1:] != dd[:-1])]
+        gd, dd = gd[keep], dd[keep]
+        starts = np.flatnonzero(np.r_[True, gd[1:] != gd[:-1]])
+        bounds = np.r_[starts, gd.size]
+        prefixes, out_df, payloads = [], [], []
+        for k, s in enumerate(starts.tolist()):
+            e = int(bounds[k + 1])
+            u_docs = dd[s:e]
             payload, _, _ = encode_postings(
-                docs, np.ones(docs.size, np.int32)
+                u_docs, np.ones(u_docs.size, np.int32)
             )
-            prefixes.append(p)
-            dfs.append(int(docs.size))
+            prefixes.append(plist[int(gd[s])])
+            out_df.append(int(u_docs.size))
             payloads.append(payload)
         return pa.table({
             "prefix": pa.array(prefixes, pa.string()),
-            "df": pa.array(dfs, pa.int64()),
+            "df": pa.array(out_df, pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
         })
 
@@ -135,8 +189,15 @@ def build_autoprefix(index_dir: str, *, min_terms: int = 25,
             json.dump({"max_doc": _index_max_doc(index_dir),
                        "min_terms": min_terms, "max_len": max_len}, f)
         return 0
+    # skew balance: widest prefixes (single-char, ~whole-corpus postings)
+    # must not cluster in one block — order by descending expansion and
+    # deal round-robin across the target block count so every task gets
+    # one wide prefix plus a tail of narrow ones
+    n_blocks = max(concurrency * 4, len(plan) // 64 + 1)
+    by_width = sorted(plan, key=lambda pc: -pc[1])
+    dealt = [pc for k in range(n_blocks) for pc in by_width[k::n_blocks]]
     ds = rd.from_arrow(pa.table({
-        "prefix": pa.array([p for p, _ in plan], pa.string()),
+        "prefix": pa.array([p for p, _ in dealt], pa.string()),
     }))
     # autoscaling pool (min 1): a fixed pool sized at the CPU count can
     # deadlock the streaming executor against the upstream repartition.
@@ -146,10 +207,10 @@ def build_autoprefix(index_dir: str, *, min_terms: int = 25,
 
     tmp_dir = out_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    (ds.repartition(max(concurrency, len(plan) // 512 + 1))
+    (ds.repartition(n_blocks)
        .map_batches(_PrefixUnion, batch_format="pyarrow",
                     fn_constructor_args=(index_dir,),
-                    concurrency=(1, concurrency), batch_size=256)
+                    concurrency=(1, concurrency), batch_size=64)
        .write_parquet(tmp_dir))
     import json
 
