@@ -6130,3 +6130,56 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        doc_id, floor(s*10000 + 0.5)/10000 AS score
 FROM scored ORDER BY s DESC, doc_id LIMIT 10
 """
+
+
+def q_dv_filtered_search(sf_dir: str) -> pa.Table:
+    """DocValues-filtered search (``lucene/sandbox/.../
+    DocValuesTermsQuery.java`` + ``DocValuesRangeQuery.java``): BM25
+    for 'table' restricted by two DV filters that never touch the
+    postings — lang IN ('en','de') and 200 <= n_chars < 600 — composed
+    as FILTER clauses (scoreless, like the reference's FILTER occur).
+    The ORACLE applies the same predicates over the documents columns
+    around the standard BM25 CTE."""
+    from ..search.query import (
+        BooleanQuery,
+        DocValuesRangeQuery,
+        DocValuesTermsQuery,
+        TermQuery,
+    )
+
+    s, doc_map = _doc_index(sf_dir)
+    q = BooleanQuery.build(
+        must=[TermQuery("table")],
+        filter=[DocValuesTermsQuery("lang", ("en", "de")),
+                DocValuesRangeQuery("n_chars", 200, 600, True, False)],
+    )
+    t = s.search(q, k=10)
+    return pa.table({
+        "rank": t["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
+QUERIES.update({"dv_filtered_search": q_dv_filtered_search})
+ORACLE_SQL["dv_filtered_search"] = f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                  (SELECT count(*) FROM tokens)::DOUBLE AS sumdl),
+ tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tokens
+        WHERE term = 'table' GROUP BY doc_id),
+ dfx AS (SELECT count(*)::DOUBLE AS df FROM tf),
+ allow AS (SELECT doc_id FROM documents
+           WHERE lang IN ('en','de') AND n_chars >= 200 AND n_chars < 600),
+ scored AS (
+   SELECT tf.doc_id,
+          ln(1 + (stats.n - dfx.df + 0.5)/(dfx.df + 0.5)) * 2.2 * tf.tf
+          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (stats.sumdl/stats.n)))
+          AS s
+   FROM tf, dfx, stats JOIN dl ON dl.doc_id = tf.doc_id
+   WHERE tf.doc_id IN (SELECT doc_id FROM allow))
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, floor(s*10000 + 0.5)/10000 AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 10
+"""

@@ -13,6 +13,8 @@ from .query import (
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
+    DocValuesRangeQuery,
+    DocValuesTermsQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     FieldedQuery,
@@ -59,7 +61,8 @@ __all__ = [
     "token_stream_to_query",
     "parse_xml_query",
     "BooleanQuery", "BoostingQuery", "BoostQuery", "ConstantScoreQuery",
-    "DisjunctionMaxQuery", "FieldedQuery", "FuzzyQuery", "IndexSearcher",
+    "DisjunctionMaxQuery", "DocValuesRangeQuery", "DocValuesTermsQuery",
+    "FieldedQuery", "FuzzyQuery", "IndexSearcher",
     "MultiFieldSearcher", "SearcherManager",
     "MatchAllDocsQuery", "PhraseQuery", "PrefixQuery", "Query", "RegexpQuery",
     "TermQuery", "TermRangeQuery", "WildcardQuery", "bm25",

@@ -130,6 +130,30 @@ class BoostingQuery(Query):
 
 
 @dataclass(frozen=True)
+class DocValuesTermsQuery(Query):
+    """Set-membership filter over a docvalues column
+    (``lucene/sandbox/.../DocValuesTermsQuery.java``): matches docs
+    whose DV value is in ``values``, constant score — the postings are
+    never touched, so it filters on fields that aren't inverted."""
+
+    field: str
+    values: tuple
+
+
+@dataclass(frozen=True)
+class DocValuesRangeQuery(Query):
+    """Range filter over a docvalues column
+    (``lucene/sandbox/.../DocValuesRangeQuery.java``): None bounds are
+    open; constant score, no postings access."""
+
+    field: str
+    lower: object = None
+    upper: object = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     query: Query
     score: float = 1.0

@@ -536,6 +536,24 @@ class IndexSearcher:
         if isinstance(q, ConstantScoreQuery):
             docs = self._docs_only(q.query)
             return docs, np.full(docs.size, dtype(q.score))
+        from .query import DocValuesRangeQuery, DocValuesTermsQuery
+
+        if isinstance(q, (DocValuesTermsQuery, DocValuesRangeQuery)):
+            col = self.docvalues(q.field)
+            if isinstance(q, DocValuesTermsQuery):
+                m = np.isin(col, np.asarray(list(q.values)))
+            else:
+                m = np.ones(col.shape[0], bool)
+                if q.lower is not None:
+                    m &= (col >= q.lower) if q.include_lower else \
+                        (col > q.lower)
+                if q.upper is not None:
+                    m &= (col <= q.upper) if q.include_upper else \
+                        (col < q.upper)
+            docs = np.flatnonzero(m).astype(np.int64)
+            if self.live_docs is not None and docs.size:
+                docs = docs[self.live_docs.mask[docs]]
+            return docs, np.ones(docs.size, dtype)
         if isinstance(
             q, (PrefixQuery, WildcardQuery, RegexpQuery, TermRangeQuery,
                 FuzzyQuery)

@@ -99,7 +99,7 @@ ORACLE_CHECKED = [
         "bloom_term_probe", "term_automaton_matches",
         "diversified_top10", "autoprefix_count",
         "split_by_query_counts", "term_automaton_topk",
-        "boosting_demote_top10",
+        "boosting_demote_top10", "dv_filtered_search",
 ]
 
 
