@@ -6183,3 +6183,28 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        doc_id, floor(s*10000 + 0.5)/10000 AS score
 FROM scored ORDER BY s DESC, doc_id LIMIT 10
 """
+
+
+def q_assoc_facet(sf_dir: str) -> pa.Table:
+    """Association facets (``lucene/facet/.../
+    TaxonomyFacetSumIntAssociations.java``): sum of n_chars rolled up
+    the lang/source taxonomy — every doc contributes its VALUE to its
+    leaf and all ancestors. The ORACLE recomputes both levels with
+    GROUP BY sums."""
+    from ..stages.taxonomy import taxonomy_associations
+
+    ds = _docs_ds(sf_dir, ["lang", "source", "n_chars"])
+    return taxonomy_associations(ds, ["lang", "source"], "n_chars")
+
+
+QUERIES.update({"assoc_facet_sum": q_assoc_facet})
+ORACLE_SQL["assoc_facet_sum"] = """
+WITH l1 AS (SELECT lang AS path, 1::BIGINT AS level,
+                   sum(n_chars)::BIGINT AS val
+            FROM documents GROUP BY lang),
+ l2 AS (SELECT lang || '/' || source AS path, 2::BIGINT AS level,
+               sum(n_chars)::BIGINT AS val
+        FROM documents GROUP BY lang, source)
+SELECT * FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+ORDER BY val DESC, path
+"""

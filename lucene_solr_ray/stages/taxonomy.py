@@ -74,6 +74,42 @@ def taxonomy_counts(ds, dim_cols: list[str], *,
     })
 
 
+def taxonomy_associations(ds, dim_cols: list[str], value_col: str, *,
+                          sep: str = "/") -> pa.Table:
+    """Association facets (``lucene/facet/.../taxonomy/
+    TaxonomyFacetSumIntAssociations.java`` / SumFloatAssociations):
+    every doc contributes its association VALUE (not 1) to its
+    category and all ancestors — "sum of revenue per category tree
+    node" instead of counts. Same distributed shape as
+    :func:`taxonomy_counts`: one leaf groupby-SUM shuffle, then the
+    ordinal rollup over the (tiny) distinct-path table driver-side.
+    Returns (path, level, val), value desc / path asc."""
+    leaf = ds.groupby(dim_cols).sum(value_col).to_pandas()
+    val_col = f"sum({value_col})"
+    tax = TaxonomyOrdinalMap()
+    vals = [0]
+    for _, row in leaf.iterrows():
+        path = tuple(str(row[c]) for c in dim_cols)
+        o = tax.add(path)
+        while len(vals) < len(tax.parent):
+            vals.append(0)
+        v = int(row[val_col])
+        while o >= 0:
+            vals[o] += v
+            o = tax.parent[o]
+    rows = []
+    for path, o in tax.ordinal.items():
+        if not path:
+            continue
+        rows.append((sep.join(path), len(path), vals[o]))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return pa.table({
+        "path": pa.array([r[0] for r in rows], pa.string()),
+        "level": pa.array([r[1] for r in rows], pa.int64()),
+        "val": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def top_children(table: pa.Table, parent_path: str | None, k: int = 10,
                  *, sep: str = "/") -> pa.Table:
     """getTopChildren: direct children of ``parent_path`` (None = top

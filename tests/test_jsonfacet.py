@@ -159,3 +159,25 @@ def test_branching_tree_plans_one_table_per_leaf(facet_ds):
     }
     plan = _AggPlan(ds, req)
     assert set(plan.tables) == {("cat", "sub"), ("cat", "x")}
+
+
+def test_taxonomy_associations_rollup(ray_session, sf_dir):
+    """Association sums roll up: each level-1 node equals the sum of
+    its children, and the grand total equals the corpus sum."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.registry import _docs_ds
+    from lucene_solr_ray.stages.taxonomy import taxonomy_associations
+
+    ds = _docs_ds(sf_dir, ["lang", "source", "n_chars"])
+    t = taxonomy_associations(ds, ["lang", "source"], "n_chars")
+    df = t.to_pandas()
+    l1 = df[df.level == 1].set_index("path")["val"]
+    l2 = df[df.level == 2]
+    for parent, grp in l2.groupby(l2.path.str.split("/").str[0]):
+        assert l1[parent] == grp["val"].sum()
+    import os
+    total = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["n_chars"])["n_chars"]
+    import pyarrow.compute as pc
+    assert l1.sum() == pc.sum(total).as_py()
