@@ -1,4 +1,12 @@
-from . import analytics, ann, classify, clustering, dedup, textstats
+from . import (
+    analytics,
+    ann,
+    boilerplate,
+    classify,
+    clustering,
+    dedup,
+    textstats,
+)
 
-__all__ = ["analytics", "ann", "classify", "clustering", "dedup",
-           "textstats"]
+__all__ = ["analytics", "ann", "boilerplate", "classify", "clustering",
+           "dedup", "textstats"]
