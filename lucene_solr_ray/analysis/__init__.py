@@ -9,11 +9,14 @@ from .analyzers import (
     get_analyzer,
     register_analyzer,
 )
+from .charfilter import CharFilteredAnalyzer, char_filter
 from .tokenizer import simple_lowercase, tokenize, tokenize_with_positions
 
 __all__ = [
     "ENGLISH_STOP_WORDS",
     "Analyzer",
+    "CharFilteredAnalyzer",
+    "char_filter",
     "NGramAnalyzer",
     "ShingleAnalyzer",
     "SimpleRegexAnalyzer",
