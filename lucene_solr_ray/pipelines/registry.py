@@ -6208,3 +6208,39 @@ WITH l1 AS (SELECT lang AS path, 1::BIGINT AS level,
 SELECT * FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2)
 ORDER BY val DESC, path
 """
+
+
+def q_wordbreak_suggest(sf_dir: str) -> pa.Table:
+    """WordBreakSpellChecker (``lucene/suggest/.../spell/
+    WordBreakSpellChecker.java``): the run-together term 'hashjoin' is
+    absent from the index, so break suggestions split it into indexed
+    words. With the corpus vocabulary the only valid split is
+    (hash, join); the entry returns it with both parts' document
+    frequencies, which the ORACLE recomputes from the tokens CTE (the
+    golden-split pattern: the split is pinned, the statistics are
+    independently derived)."""
+    from ..search.wordbreak import WordBreakSpellChecker
+
+    s, _ = _doc_index(sf_dir)
+    wb = WordBreakSpellChecker(s, min_break_word_length=2)
+    sugg = wb.suggest_word_breaks("hashjoin", max_suggestions=3)
+    return pa.table({
+        "suggestion": pa.array([" ".join(x.words) for x in sugg],
+                               pa.string()),
+        "left_df": pa.array([x.freqs[0] for x in sugg], pa.int64()),
+        "right_df": pa.array([x.freqs[1] for x in sugg], pa.int64()),
+    })
+
+
+QUERIES.update({"wordbreak_suggest": q_wordbreak_suggest})
+ORACLE_SQL["wordbreak_suggest"] = f"""
+WITH {_TOKENS},
+ dfx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tokens
+         WHERE term IN ('hash', 'join', 'hashjoin') GROUP BY term)
+SELECT 'hash join' AS suggestion,
+       (SELECT df FROM dfx WHERE term = 'hash') AS left_df,
+       (SELECT df FROM dfx WHERE term = 'join') AS right_df
+WHERE (SELECT count(*) FROM dfx WHERE term = 'hashjoin') = 0
+  AND (SELECT df FROM dfx WHERE term = 'hash') > 0
+  AND (SELECT df FROM dfx WHERE term = 'join') > 0
+"""

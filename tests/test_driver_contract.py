@@ -100,7 +100,7 @@ ORACLE_CHECKED = [
         "diversified_top10", "autoprefix_count",
         "split_by_query_counts", "term_automaton_topk",
         "boosting_demote_top10", "dv_filtered_search",
-        "assoc_facet_sum",
+        "assoc_facet_sum", "wordbreak_suggest",
 ]
 
 
