@@ -6244,3 +6244,35 @@ WHERE (SELECT count(*) FROM dfx WHERE term = 'hashjoin') = 0
   AND (SELECT df FROM dfx WHERE term = 'hash') > 0
   AND (SELECT df FROM dfx WHERE term = 'join') > 0
 """
+
+
+def q_spell_distance_ranked(sf_dir: str) -> pa.Table:
+    """StringDistance-ranked spellcheck (``lucene/suggest/.../spell/
+    JaroWinklerDistance.java`` + DirectSpellChecker candidates): terms
+    within 2 edits of 'tabl', ranked JaroWinkler desc / df desc / term
+    asc (SuggestWordScoreComparator). The ORACLE regenerates the
+    candidate set with DuckDB's levenshtein() and scores with its
+    jaro_winkler_similarity() — verified bit-compatible with the
+    reference algorithm restated here."""
+    from ..search.distances import spellcheck_ranked
+
+    s, _ = _doc_index(sf_dir)
+    t = spellcheck_ranked(s, "tabl", max_edits=2, n=10)
+    return pa.table({
+        "term": t["term"],
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+        "df": t["df"],
+    })
+
+
+QUERIES.update({"spell_distance_ranked": q_spell_distance_ranked})
+ORACLE_SQL["spell_distance_ranked"] = f"""
+WITH {_TOKENS},
+ vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tokens
+           GROUP BY term),
+ cand AS (SELECT term, df,
+                 jaro_winkler_similarity('tabl', term) AS score
+          FROM vocab WHERE levenshtein('tabl', term) <= 2)
+SELECT term, floor(score*10000 + 0.5)/10000 AS score, df
+FROM cand ORDER BY cand.score DESC, df DESC, term LIMIT 10
+"""
