@@ -55,6 +55,8 @@ def main(argv=None) -> int:
                    help="doc-sharded distributed search with N shards")
 
     c = sub.add_parser("check", help="CheckIndex-style validation")
+    c.add_argument("--exorcise", action="store_true",
+                   help="quarantine corrupt partitions (LOSES their docs)")
     c.add_argument("--index", required=True)
     c.add_argument("--sample-terms", type=int, default=2000)
 
@@ -221,11 +223,17 @@ def main(argv=None) -> int:
         print(json.dumps(solr_select(IndexSearcher(args.index),
                                      json.loads(args.params))))
     elif args.cmd == "check":
-        from .index import check_index
+        if args.exorcise:
+            from .index import exorcise_index
 
-        rep = check_index(args.index, sample_terms=args.sample_terms,
-                          strict=False)
-        print(json.dumps(rep))
+            print(json.dumps(exorcise_index(
+                args.index, sample_terms=args.sample_terms)))
+        else:
+            from .index import check_index
+
+            rep = check_index(args.index, sample_terms=args.sample_terms,
+                              strict=False)
+            print(json.dumps(rep))
     elif args.cmd == "gen-corpus":
         _ray_session()
         from .sources import write_corpus

@@ -1,6 +1,6 @@
 from .autoprefix import AutoPrefixReader, build_autoprefix, has_autoprefix
 from .build import IndexManifest, build_index, build_segment, plan_partitions
-from .check import check_index, check_merged, fetch_docs
+from .check import check_index, check_merged, exorcise_index, fetch_docs
 from .deletes import LiveDocs, delete_by_query, delete_docs, ttl_delete
 from .merge import merge_index
 from .multifield import build_multi_index
@@ -14,6 +14,7 @@ __all__ = [
     "build_autoprefix",
     "has_autoprefix",
     "check_index",
+    "exorcise_index",
     "LiveDocs",
     "delete_by_query",
     "delete_docs",

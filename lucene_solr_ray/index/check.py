@@ -362,3 +362,65 @@ def index_info(index_dir: str) -> dict:
         "offsets": man.store_offsets,
         "payloads": man.store_payloads,
     }
+
+
+def exorcise_index(index_dir: str, *,
+                   sample_terms: int | None = None) -> dict:
+    """CheckIndex ``-exorcise`` (``lucene/core/.../index/CheckIndex.java``
+    exorciseIndex: "removes any segments that are corrupt... LOSES
+    DATA"): partitions failing the invariant checks are quarantined —
+    their doc ranges are deleted in one live-docs generation and their
+    pids recorded in ``exorcised.json`` so segment readers skip their
+    files entirely.  Doc ids are a deterministic prefix sum here, so
+    exorcism must never renumber: masking loses exactly the corrupt
+    partitions' docs and nothing else (the reference's semantics —
+    dropped segments' docs disappear, survivors keep their ids).
+    Returns {"dropped": pids, "docs_deleted": n, "errors": [...]}."""
+    import json as _json
+
+    from .deletes import delete_docs
+
+    man = IndexManifest.load(index_dir)
+    already = exorcised_pids(index_dir)
+    bad: list[int] = []
+    errors: list[str] = []
+    for part in man.partitions:
+        if int(part["partition_id"]) in already:
+            continue  # quarantined in a previous exorcism
+        rep = {"segments": 0, "terms_checked": 0, "postings_checked": 0,
+               "docs": 0, "sum_len": 0, "errors": []}
+        try:
+            _check_partition_body(index_dir, man, part, sample_terms,
+                                  False, rep)
+        except Exception as e:  # unreadable segment = corrupt
+            rep["errors"].append(f"unreadable: {e}")
+        if rep["errors"]:
+            bad.append(int(part["partition_id"]))
+            errors.extend(
+                f"part {part['partition_id']}: {m}" for m in
+                rep["errors"])
+    dropped_docs = np.concatenate([
+        np.arange(p["doc_base"], p["doc_base"] + p["rows"], dtype=np.int64)
+        for p in man.partitions if int(p["partition_id"]) in bad
+    ]) if bad else np.empty(0, np.int64)
+    if bad:
+        delete_docs(index_dir, dropped_docs)
+        path = os.path.join(index_dir, "exorcised.json")
+        prev = []
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = _json.load(f).get("pids", [])
+        with open(path, "w") as f:
+            _json.dump({"pids": sorted(set(prev) | set(bad))}, f)
+    return {"dropped": bad, "docs_deleted": int(dropped_docs.size),
+            "errors": errors}
+
+
+def exorcised_pids(index_dir: str) -> set:
+    import json as _json
+
+    path = os.path.join(index_dir, "exorcised.json")
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        return set(_json.load(f).get("pids", []))

@@ -568,6 +568,17 @@ class SegmentsReader(_BinPayloads, TermDictReader):
         if partition_ids is not None:
             want = {f"part-{p:05d}.parquet" for p in partition_ids}
             files = [f for f in files if os.path.basename(f) in want]
+        else:
+            # quarantined segments (CheckIndex -exorcise) are skipped
+            # entirely — their files may be unreadable; their doc range
+            # is already masked by the exorcism delete generation
+            from ..index.check import exorcised_pids
+
+            bad = exorcised_pids(index_dir)
+            if bad:
+                drop = {f"part-{p:05d}.parquet" for p in bad}
+                files = [f for f in files
+                         if os.path.basename(f) not in drop]
         tbl = pads.dataset(files, format="parquet").to_table()
         pids = tbl["pid"].to_numpy()
         uq, inv = np.unique(pids, return_inverse=True)
