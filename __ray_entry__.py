@@ -37,7 +37,7 @@ _PRIORITY = [
     "bloom_term_probe", "term_automaton_matches", "diversified_top10",
     "autoprefix_count", "split_by_query_counts", "term_automaton_topk",
     "boosting_demote_top10", "dv_filtered_search", "assoc_facet_sum",
-    "wordbreak_suggest", "spell_distance_ranked",
+    "wordbreak_suggest", "spell_distance_ranked", "lmjm_score_top10",
     "phonetic_keys", "icu_tokens", "pl_lemmas", "zh_smart_tokens",
     "surround_near_matches", "simple_query_topk", "xml_dismax_topk", "perceptron_filter", "analytics_expressions",
     # never driver-checked (r1-r4): curation/LLM-pipeline stages + graph

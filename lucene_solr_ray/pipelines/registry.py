@@ -6276,3 +6276,47 @@ WITH {_TOKENS},
 SELECT term, floor(score*10000 + 0.5)/10000 AS score, df
 FROM cand ORDER BY cand.score DESC, df DESC, term LIMIT 10
 """
+
+
+def q_lmjm_score(sf_dir: str) -> pa.Table:
+    """LMJelinekMercerSimilarity (``similarities/
+    LMJelinekMercerSimilarity.java``; Zhai & Lafferty 2001) through the
+    Similarity extension point: OR of (table, vector) scored with
+    lambda=0.3. The ORACLE restates the smoothing formula exactly —
+    sum over matched terms of ln(1 + (0.7*tf/dl) / (0.3*ttf/sumTTF))."""
+    from ..search.query import BooleanQuery, TermQuery
+    from ..search.searcher import IndexSearcher
+    from ..search.similarities import LMJelinekMercerSimilarity
+
+    s, doc_map = _doc_index(sf_dir)
+    idx = s.manifest.index_dir
+    s2 = IndexSearcher(idx, similarity=LMJelinekMercerSimilarity(0.3))
+    q = BooleanQuery.build(should=[TermQuery("table"),
+                                   TermQuery("vector")])
+    t = s2.search(q, k=10)
+    return pa.table({
+        "rank": t["rank"].cast(pa.int64()),
+        "doc_id": pa.array(doc_map[t["doc_id"].to_numpy()], pa.int64()),
+        "score": pa.array(_round4(t["score"].to_numpy()), pa.float64()),
+    })
+
+
+QUERIES.update({"lmjm_score_top10": q_lmjm_score})
+ORACLE_SQL["lmjm_score_top10"] = f"""
+WITH {_TOKENS},
+ dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+ stats AS (SELECT (SELECT count(*) FROM tokens)::DOUBLE AS sumttf),
+ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokens
+        WHERE term IN ('table', 'vector') GROUP BY doc_id, term),
+ ttf AS (SELECT term, count(*)::DOUBLE AS ttf FROM tokens
+         WHERE term IN ('table', 'vector') GROUP BY term),
+ scored0 AS (
+   SELECT tf.doc_id,
+          ln(1 + (0.7 * tf.tf / dl.dl) / (0.3 * ttf.ttf / stats.sumttf))
+            AS s
+   FROM tf JOIN ttf USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats),
+ scored AS (SELECT doc_id, sum(s) AS s FROM scored0 GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, floor(s*10000 + 0.5)/10000 AS score
+FROM scored ORDER BY s DESC, doc_id LIMIT 10
+"""

@@ -161,3 +161,117 @@ class SweetSpotSimilarity(ClassicSimilarity):
         # plateau norm from TRUE doc lengths (precise norms path);
         # everything else is the inherited Classic scoring skeleton
         return self.length_norm(searcher.norms.length[docs])
+
+
+class LMJelinekMercerSimilarity:
+    """Language model with Jelinek-Mercer smoothing
+    (``similarities/LMJelinekMercerSimilarity.java``; Zhai & Lafferty
+    2001):
+
+        score = log(1 + ((1 - lambda) * tf/dl) / (lambda * p(w|C)))
+
+    with p(w|C) = totalTermFreq / sumTotalTermFreq. The reference's
+    guidance: small lambda (0.1) for short queries, 0.7 for long ones.
+    OR queries sum clause scores (SimilarityBase: no coord/queryNorm)."""
+
+    name = "lmjelinekmercer"
+
+    def __init__(self, lambda_: float = 0.1):
+        if not 0.0 < lambda_ < 1.0:
+            raise ValueError("lambda must be in (0, 1)")
+        self.lambda_ = lambda_
+
+    def score_or(self, searcher, terms: list[str]):
+        sum_ttf = max(1, searcher.manifest.sum_total_term_freq)
+        lam = self.lambda_
+        parts = []
+        for t in terms:
+            docs, tfs = searcher.reader.postings(t)
+            if searcher.live_docs is not None and docs.size:
+                keep = searcher.live_docs.mask[docs]
+                docs, tfs = docs[keep], tfs[keep]
+            if docs.size == 0:
+                continue
+            p_c = searcher.reader.total_term_freq(t) / sum_ttf
+            if p_c <= 0:
+                continue
+            dl = searcher.norms.length[docs].astype(np.float64)
+            s = np.log1p(((1 - lam) * tfs.astype(np.float64) / dl)
+                         / (lam * p_c))
+            parts.append((docs, s))
+        if not parts:
+            e = np.empty(0, np.int64)
+            return e, e.astype(np.float64)
+        union = np.unique(np.concatenate([d for d, _ in parts]))
+        acc = np.zeros(union.size, np.float64)
+        for docs, s in parts:
+            np.add.at(acc, np.searchsorted(union, docs), s)
+        return union, acc
+
+
+class DFRSimilarity:
+    """Divergence-from-randomness (``similarities/DFRSimilarity.java``,
+    Amati & van Rijsbergen 2002): score = tfn-after-effect-weighted
+    information content. Pluggable pieces restated:
+
+    - basic models: ``"in"`` — I(n): tfn * log2((N + 1) / (df + 0.5));
+      ``"g"`` — geometric: log2(1 + l) + tfn * log2((1 + l) / l) with
+      l = ttf / N.
+    - after effects: ``"l"`` — Laplace 1/(tfn + 1); ``"b"`` — ratio of
+      Bernoulli (ttf + 1) / (df * (tfn + 1)).
+    - normalizations: ``"h1"`` — tf * avgdl / dl; ``"h2"`` —
+      tf * log2(1 + c * avgdl / dl).
+
+    The canonical configuration I(n)L2 is the default. OR queries sum
+    clause scores (SimilarityBase semantics)."""
+
+    def __init__(self, basic_model: str = "in", after_effect: str = "l",
+                 normalization: str = "h2", c: float = 1.0):
+        assert basic_model in ("in", "g")
+        assert after_effect in ("l", "b")
+        assert normalization in ("h1", "h2")
+        self.basic_model = basic_model
+        self.after_effect = after_effect
+        self.normalization = normalization
+        self.c = c
+        self.name = f"dfr_{basic_model}{after_effect}{normalization}"
+
+    def _tfn(self, tfs, dl, avgdl):
+        if self.normalization == "h1":
+            return tfs * (avgdl / dl)
+        return tfs * np.log2(1 + self.c * avgdl / dl)
+
+    def score_or(self, searcher, terms: list[str]):
+        n = float(searcher.max_doc)
+        avgdl = max(searcher.manifest.sum_total_term_freq / n, 1e-9)
+        parts = []
+        for t in terms:
+            docs, tfs = searcher.reader.postings(t)
+            if searcher.live_docs is not None and docs.size:
+                keep = searcher.live_docs.mask[docs]
+                docs, tfs = docs[keep], tfs[keep]
+            if docs.size == 0:
+                continue
+            df = float(searcher.doc_freq(t))
+            ttf = float(searcher.reader.total_term_freq(t))
+            dl = searcher.norms.length[docs].astype(np.float64)
+            tfn = self._tfn(tfs.astype(np.float64), dl, avgdl)
+            if self.basic_model == "in":
+                info = tfn * np.log2((n + 1.0) / (df + 0.5))
+            else:
+                lam = ttf / n
+                info = (np.log2(1 + lam)
+                        + tfn * np.log2((1 + lam) / lam))
+            if self.after_effect == "l":
+                ae = 1.0 / (tfn + 1.0)
+            else:
+                ae = (ttf + 1.0) / (df * (tfn + 1.0))
+            parts.append((docs, ae * info))
+        if not parts:
+            e = np.empty(0, np.int64)
+            return e, e.astype(np.float64)
+        union = np.unique(np.concatenate([d for d, _ in parts]))
+        acc = np.zeros(union.size, np.float64)
+        for docs, s in parts:
+            np.add.at(acc, np.searchsorted(union, docs), s)
+        return union, acc

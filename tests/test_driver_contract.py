@@ -101,7 +101,7 @@ ORACLE_CHECKED = [
         "split_by_query_counts", "term_automaton_topk",
         "boosting_demote_top10", "dv_filtered_search",
         "assoc_facet_sum", "wordbreak_suggest",
-        "spell_distance_ranked",
+        "spell_distance_ranked", "lmjm_score_top10",
 ]
 
 

@@ -139,3 +139,70 @@ def test_bm25_k1_b_tuning(cidx):
     pr = full.search(TermQuery("apple"), k=10, prune=True)
     ex = full.search(TermQuery("apple"), k=10, prune=False)
     assert pr.to_pydict() == ex.to_pydict()
+
+
+def test_lmjelinekmercer_golden(cidx):
+    from lucene_solr_ray.search.similarities import (
+        LMJelinekMercerSimilarity,
+    )
+
+    lam = 0.3
+    s = IndexSearcher(cidx, similarity=LMJelinekMercerSimilarity(lam))
+    t = s.search(TermQuery("apple"), k=10)
+    got = dict(zip(t["doc_id"].to_pylist(),
+                   [float(x) for x in t["score"].to_pylist()]))
+    p_c = 3 / 11  # ttf(apple)=3, collection 11 tokens
+    want = {
+        0: math.log(1 + ((1 - lam) * 2 / 3) / (lam * p_c)),
+        1: math.log(1 + ((1 - lam) * 1 / 2) / (lam * p_c)),
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-6), d
+    with pytest.raises(ValueError):
+        LMJelinekMercerSimilarity(1.5)
+
+
+def test_dfr_inl2_golden(cidx):
+    from lucene_solr_ray.search.similarities import DFRSimilarity
+
+    s = IndexSearcher(cidx, similarity=DFRSimilarity("in", "l", "h2"))
+    t = s.search(TermQuery("apple"), k=10)
+    got = dict(zip(t["doc_id"].to_pylist(),
+                   [float(x) for x in t["score"].to_pylist()]))
+    n, df, avgdl = 4.0, 2.0, 11 / 4
+    want = {}
+    for doc, (tf, dl) in {0: (2, 3), 1: (1, 2)}.items():
+        tfn = tf * math.log2(1 + avgdl / dl)
+        want[doc] = (1 / (tfn + 1)) * tfn * math.log2((n + 1) / (df + 0.5))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-6), d
+
+
+def test_dfr_gb_h1_variants(cidx):
+    from lucene_solr_ray.search.similarities import DFRSimilarity
+
+    # the G/B/H1 pieces: scores positive and rank doc0 (tf 2) first
+    s = IndexSearcher(cidx, similarity=DFRSimilarity("g", "b", "h1"))
+    t = s.search(TermQuery("apple"), k=10)
+    assert t["doc_id"].to_pylist()[0] == 0
+    assert all(x > 0 for x in t["score"].to_pylist())
+
+
+def test_lm_or_query_sums(cidx):
+    from lucene_solr_ray.search.similarities import (
+        LMJelinekMercerSimilarity,
+    )
+
+    s = IndexSearcher(cidx, similarity=LMJelinekMercerSimilarity(0.3))
+    q = BooleanQuery.build(should=[TermQuery("apple"),
+                                   TermQuery("cherry")])
+    t = s.search(q, k=10)
+    a = s.search(TermQuery("apple"), k=10)
+    c = s.search(TermQuery("cherry"), k=10)
+    am = dict(zip(a["doc_id"].to_pylist(), a["score"].to_pylist()))
+    cm = dict(zip(c["doc_id"].to_pylist(), c["score"].to_pylist()))
+    for d, sc in zip(t["doc_id"].to_pylist(), t["score"].to_pylist()):
+        assert float(sc) == pytest.approx(
+            am.get(d, 0.0) + cm.get(d, 0.0), rel=1e-6)
