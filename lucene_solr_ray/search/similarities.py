@@ -275,3 +275,67 @@ class DFRSimilarity:
         for docs, s in parts:
             np.add.at(acc, np.searchsorted(union, docs), s)
         return union, acc
+
+
+class IBSimilarity:
+    """Information-based similarity (``similarities/IBSimilarity.java``,
+    Clinchant & Gaussier 2010): score = distribution(tfn, lambda).
+
+    - distributions: ``"ll"`` — log-logistic: -ln(lambda/(tfn+lambda));
+      ``"spl"`` — smoothed power law:
+      -ln((lambda^(tfn/(tfn+1)) - lambda) / (1 - lambda))
+      (lambda clamped to 0.99 at 1, the reference's guard).
+    - lambdas: ``"df"`` — (df+1)/(N+1); ``"ttf"`` — (ttf+1)/(N+1).
+    - normalizations: H1/H2 (shared with DFR).
+
+    OR queries sum clause scores (SimilarityBase)."""
+
+    def __init__(self, distribution: str = "ll", lambda_: str = "df",
+                 normalization: str = "h2", c: float = 1.0):
+        assert distribution in ("ll", "spl")
+        assert lambda_ in ("df", "ttf")
+        assert normalization in ("h1", "h2")
+        self.distribution = distribution
+        self.lambda_kind = lambda_
+        self.normalization = normalization
+        self.c = c
+        self.name = f"ib_{distribution}_{lambda_}_{normalization}"
+
+    def _tfn(self, tfs, dl, avgdl):
+        if self.normalization == "h1":
+            return tfs * (avgdl / dl)
+        return tfs * np.log2(1 + self.c * avgdl / dl)
+
+    def score_or(self, searcher, terms: list[str]):
+        n = float(searcher.max_doc)
+        avgdl = max(searcher.manifest.sum_total_term_freq / n, 1e-9)
+        parts = []
+        for t in terms:
+            docs, tfs = searcher.reader.postings(t)
+            if searcher.live_docs is not None and docs.size:
+                keep = searcher.live_docs.mask[docs]
+                docs, tfs = docs[keep], tfs[keep]
+            if docs.size == 0:
+                continue
+            if self.lambda_kind == "df":
+                lam = (searcher.doc_freq(t) + 1.0) / (n + 1.0)
+            else:
+                lam = (searcher.reader.total_term_freq(t) + 1.0) \
+                    / (n + 1.0)
+            dl = searcher.norms.length[docs].astype(np.float64)
+            tfn = self._tfn(tfs.astype(np.float64), dl, avgdl)
+            if self.distribution == "ll":
+                s = -np.log(lam / (tfn + lam))
+            else:
+                lam = 0.99 if lam == 1.0 else lam
+                s = -np.log(
+                    (np.power(lam, tfn / (tfn + 1.0)) - lam) / (1 - lam))
+            parts.append((docs, s))
+        if not parts:
+            e = np.empty(0, np.int64)
+            return e, e.astype(np.float64)
+        union = np.unique(np.concatenate([d for d, _ in parts]))
+        acc = np.zeros(union.size, np.float64)
+        for docs, s in parts:
+            np.add.at(acc, np.searchsorted(union, docs), s)
+        return union, acc

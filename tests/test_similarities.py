@@ -206,3 +206,30 @@ def test_lm_or_query_sums(cidx):
     for d, sc in zip(t["doc_id"].to_pylist(), t["score"].to_pylist()):
         assert float(sc) == pytest.approx(
             am.get(d, 0.0) + cm.get(d, 0.0), rel=1e-6)
+
+
+def test_ib_ll_golden(cidx):
+    from lucene_solr_ray.search.similarities import IBSimilarity
+
+    s = IndexSearcher(cidx, similarity=IBSimilarity("ll", "df", "h2"))
+    t = s.search(TermQuery("apple"), k=10)
+    got = dict(zip(t["doc_id"].to_pylist(),
+                   [float(x) for x in t["score"].to_pylist()]))
+    n, df, avgdl = 4.0, 2.0, 11 / 4
+    lam = (df + 1) / (n + 1)
+    want = {}
+    for doc, (tf, dl) in {0: (2, 3), 1: (1, 2)}.items():
+        tfn = tf * math.log2(1 + avgdl / dl)
+        want[doc] = -math.log(lam / (tfn + lam))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-6), d
+
+
+def test_ib_spl_ttf_positive_and_ranked(cidx):
+    from lucene_solr_ray.search.similarities import IBSimilarity
+
+    s = IndexSearcher(cidx, similarity=IBSimilarity("spl", "ttf", "h1"))
+    t = s.search(TermQuery("apple"), k=10)
+    assert t["doc_id"].to_pylist()[0] == 0
+    assert all(x > 0 for x in t["score"].to_pylist())
