@@ -216,7 +216,11 @@ class DFRSimilarity:
 
     - basic models: ``"in"`` — I(n): tfn * log2((N + 1) / (df + 0.5));
       ``"g"`` — geometric: log2(1 + l) + tfn * log2((1 + l) / l) with
-      l = ttf / N.
+      l = ttf / N; ``"if"`` — I(F); ``"ine"`` — I(ne) with the expected
+      doc count ne = N(1 - ((N-1)/N)^F); ``"p"`` — the Poisson
+      approximation (BasicModelP). (BE and D are the reference's
+      numerically-unstable variants superseded by G and P and are
+      intentionally not restated.)
     - after effects: ``"l"`` — Laplace 1/(tfn + 1); ``"b"`` — ratio of
       Bernoulli (ttf + 1) / (df * (tfn + 1)).
     - normalizations: ``"h1"`` — tf * avgdl / dl; ``"h2"`` —
@@ -227,7 +231,7 @@ class DFRSimilarity:
 
     def __init__(self, basic_model: str = "in", after_effect: str = "l",
                  normalization: str = "h2", c: float = 1.0):
-        assert basic_model in ("in", "g")
+        assert basic_model in ("in", "g", "if", "ine", "p")
         assert after_effect in ("l", "b")
         assert normalization in ("h1", "h2")
         self.basic_model = basic_model
@@ -258,10 +262,23 @@ class DFRSimilarity:
             tfn = self._tfn(tfs.astype(np.float64), dl, avgdl)
             if self.basic_model == "in":
                 info = tfn * np.log2((n + 1.0) / (df + 0.5))
-            else:
+            elif self.basic_model == "g":
                 lam = ttf / n
                 info = (np.log2(1 + lam)
                         + tfn * np.log2((1 + lam) / lam))
+            elif self.basic_model == "if":
+                # BasicModelIF.java: tfn * log2(1 + (N+1)/(F+0.5))
+                info = tfn * np.log2(1 + (n + 1.0) / (ttf + 0.5))
+            elif self.basic_model == "ine":
+                # BasicModelIne.java: expected ne = N(1 - ((N-1)/N)^F)
+                ne = n * (1 - ((n - 1.0) / n) ** ttf)
+                info = tfn * np.log2((n + 1.0) / (ne + 0.5))
+            else:  # "p" — BasicModelP.java Poisson approximation
+                lam = (ttf + 1.0) / (n + 1.0)
+                log2e = np.log2(np.e)
+                info = (tfn * np.log2(tfn / lam)
+                        + (lam + 1.0 / (12 * tfn) - tfn) * log2e
+                        + 0.5 * np.log2(2 * np.pi * tfn))
             if self.after_effect == "l":
                 ae = 1.0 / (tfn + 1.0)
             else:

@@ -233,3 +233,28 @@ def test_ib_spl_ttf_positive_and_ranked(cidx):
     t = s.search(TermQuery("apple"), k=10)
     assert t["doc_id"].to_pylist()[0] == 0
     assert all(x > 0 for x in t["score"].to_pylist())
+
+
+def test_dfr_extra_basic_models_golden(cidx):
+    from lucene_solr_ray.search.similarities import DFRSimilarity
+
+    n, df, ttf, avgdl = 4.0, 2.0, 3.0, 11 / 4
+    cases = {
+        "if": lambda tfn: tfn * math.log2(1 + (n + 1) / (ttf + 0.5)),
+        "ine": lambda tfn: tfn * math.log2(
+            (n + 1) / (n * (1 - ((n - 1) / n) ** ttf) + 0.5)),
+        "p": lambda tfn: (
+            tfn * math.log2(tfn / ((ttf + 1) / (n + 1)))
+            + ((ttf + 1) / (n + 1) + 1 / (12 * tfn) - tfn)
+            * math.log2(math.e)
+            + 0.5 * math.log2(2 * math.pi * tfn)),
+    }
+    for model, f in cases.items():
+        s = IndexSearcher(cidx, similarity=DFRSimilarity(model, "l", "h2"))
+        t = s.search(TermQuery("apple"), k=10)
+        got = dict(zip(t["doc_id"].to_pylist(),
+                       [float(x) for x in t["score"].to_pylist()]))
+        for doc, (tf, dl) in {0: (2, 3), 1: (1, 2)}.items():
+            tfn = tf * math.log2(1 + avgdl / dl)
+            want = (1 / (tfn + 1)) * f(tfn)
+            assert got[doc] == pytest.approx(want, rel=1e-6), (model, doc)
