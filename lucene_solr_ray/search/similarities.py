@@ -230,20 +230,30 @@ class DFRSimilarity:
     clause scores (SimilarityBase semantics)."""
 
     def __init__(self, basic_model: str = "in", after_effect: str = "l",
-                 normalization: str = "h2", c: float = 1.0):
+                 normalization: str = "h2", c: float = 1.0,
+                 mu: float = 800.0, z: float = 0.30):
         assert basic_model in ("in", "g", "if", "ine", "p")
         assert after_effect in ("l", "b")
-        assert normalization in ("h1", "h2")
+        assert normalization in ("h1", "h2", "h3", "z")
         self.basic_model = basic_model
         self.after_effect = after_effect
         self.normalization = normalization
         self.c = c
+        self.mu = mu  # NormalizationH3 Dirichlet prior (default 800)
+        self.z = z    # NormalizationZ exponent (default 0.30)
         self.name = f"dfr_{basic_model}{after_effect}{normalization}"
 
-    def _tfn(self, tfs, dl, avgdl):
+    def _tfn(self, tfs, dl, avgdl, ttf, sum_ttf):
         if self.normalization == "h1":
             return tfs * (avgdl / dl)
-        return tfs * np.log2(1 + self.c * avgdl / dl)
+        if self.normalization == "h2":
+            return tfs * np.log2(1 + self.c * avgdl / dl)
+        if self.normalization == "h3":
+            # NormalizationH3.java: Dirichlet-prior smoothing
+            return ((tfs + self.mu * ((ttf + 1.0) / (sum_ttf + 1.0)))
+                    / (dl + self.mu) * self.mu)
+        # NormalizationZ.java: Pareto-Zipf
+        return tfs * np.power(avgdl / dl, self.z)
 
     def score_or(self, searcher, terms: list[str]):
         n = float(searcher.max_doc)
@@ -259,7 +269,8 @@ class DFRSimilarity:
             df = float(searcher.doc_freq(t))
             ttf = float(searcher.reader.total_term_freq(t))
             dl = searcher.norms.length[docs].astype(np.float64)
-            tfn = self._tfn(tfs.astype(np.float64), dl, avgdl)
+            tfn = self._tfn(tfs.astype(np.float64), dl, avgdl, ttf,
+                            float(searcher.manifest.sum_total_term_freq))
             if self.basic_model == "in":
                 info = tfn * np.log2((n + 1.0) / (df + 0.5))
             elif self.basic_model == "g":
@@ -308,20 +319,20 @@ class IBSimilarity:
     OR queries sum clause scores (SimilarityBase)."""
 
     def __init__(self, distribution: str = "ll", lambda_: str = "df",
-                 normalization: str = "h2", c: float = 1.0):
+                 normalization: str = "h2", c: float = 1.0,
+                 mu: float = 800.0, z: float = 0.30):
         assert distribution in ("ll", "spl")
         assert lambda_ in ("df", "ttf")
-        assert normalization in ("h1", "h2")
+        assert normalization in ("h1", "h2", "h3", "z")
         self.distribution = distribution
         self.lambda_kind = lambda_
         self.normalization = normalization
         self.c = c
+        self.mu = mu
+        self.z = z
         self.name = f"ib_{distribution}_{lambda_}_{normalization}"
 
-    def _tfn(self, tfs, dl, avgdl):
-        if self.normalization == "h1":
-            return tfs * (avgdl / dl)
-        return tfs * np.log2(1 + self.c * avgdl / dl)
+    _tfn = DFRSimilarity._tfn
 
     def score_or(self, searcher, terms: list[str]):
         n = float(searcher.max_doc)
@@ -340,7 +351,9 @@ class IBSimilarity:
                 lam = (searcher.reader.total_term_freq(t) + 1.0) \
                     / (n + 1.0)
             dl = searcher.norms.length[docs].astype(np.float64)
-            tfn = self._tfn(tfs.astype(np.float64), dl, avgdl)
+            ttf = float(searcher.reader.total_term_freq(t))
+            tfn = self._tfn(tfs.astype(np.float64), dl, avgdl, ttf,
+                            float(searcher.manifest.sum_total_term_freq))
             if self.distribution == "ll":
                 s = -np.log(lam / (tfn + lam))
             else:
@@ -348,6 +361,28 @@ class IBSimilarity:
                 s = -np.log(
                     (np.power(lam, tfn / (tfn + 1.0)) - lam) / (1 - lam))
             parts.append((docs, s))
+        if not parts:
+            e = np.empty(0, np.int64)
+            return e, e.astype(np.float64)
+        union = np.unique(np.concatenate([d for d, _ in parts]))
+        acc = np.zeros(union.size, np.float64)
+        for docs, s in parts:
+            np.add.at(acc, np.searchsorted(union, docs), s)
+        return union, acc
+
+
+class MultiSimilarity:
+    """``similarities/MultiSimilarity.java``: the SUM of several
+    sub-similarities' scores per doc (MultiSimScorer.score) — score
+    blending without changing any sub-formula."""
+
+    def __init__(self, sims: list):
+        self.sims = list(sims)
+        self.name = "multi(" + ",".join(s.name for s in sims) + ")"
+
+    def score_or(self, searcher, terms: list[str]):
+        parts = [sim.score_or(searcher, terms) for sim in self.sims]
+        parts = [(d, s) for d, s in parts if d.size]
         if not parts:
             e = np.empty(0, np.int64)
             return e, e.astype(np.float64)

@@ -258,3 +258,45 @@ def test_dfr_extra_basic_models_golden(cidx):
             tfn = tf * math.log2(1 + avgdl / dl)
             want = (1 / (tfn + 1)) * f(tfn)
             assert got[doc] == pytest.approx(want, rel=1e-6), (model, doc)
+
+
+def test_dfr_h3_z_normalizations_golden(cidx):
+    from lucene_solr_ray.search.similarities import DFRSimilarity
+
+    n, df, ttf, sumttf, avgdl = 4.0, 2.0, 3.0, 11.0, 11 / 4
+    mu, z = 800.0, 0.30
+
+    def info_in(tfn):
+        return (1 / (tfn + 1)) * tfn * math.log2((n + 1) / (df + 0.5))
+
+    for norm, tfn_fn in (
+        ("h3", lambda tf, dl: (tf + mu * ((ttf + 1) / (sumttf + 1)))
+         / (dl + mu) * mu),
+        ("z", lambda tf, dl: tf * (avgdl / dl) ** z),
+    ):
+        s = IndexSearcher(cidx, similarity=DFRSimilarity("in", "l", norm))
+        t = s.search(TermQuery("apple"), k=10)
+        got = dict(zip(t["doc_id"].to_pylist(),
+                       [float(x) for x in t["score"].to_pylist()]))
+        for doc, (tf, dl) in {0: (2, 3), 1: (1, 2)}.items():
+            assert got[doc] == pytest.approx(
+                info_in(tfn_fn(tf, dl)), rel=1e-6), (norm, doc)
+
+
+def test_multi_similarity_sums(cidx):
+    from lucene_solr_ray.search.similarities import (
+        ClassicSimilarity,
+        LMJelinekMercerSimilarity,
+        MultiSimilarity,
+    )
+
+    subs = [ClassicSimilarity(), LMJelinekMercerSimilarity(0.3)]
+    s = IndexSearcher(cidx, similarity=MultiSimilarity(subs))
+    t = s.search(TermQuery("apple"), k=10)
+    parts = [IndexSearcher(cidx, similarity=x).search(TermQuery("apple"),
+                                                      k=10) for x in subs]
+    maps = [dict(zip(p["doc_id"].to_pylist(), p["score"].to_pylist()))
+            for p in parts]
+    for d, sc in zip(t["doc_id"].to_pylist(), t["score"].to_pylist()):
+        assert float(sc) == pytest.approx(
+            sum(float(m.get(d, 0.0)) for m in maps), rel=1e-5)
