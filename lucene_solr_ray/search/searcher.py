@@ -1266,3 +1266,91 @@ class SearcherManager:
 
     def acquire(self) -> "IndexSearcher":
         return self._searcher
+
+
+class SearcherLifetimeManager:
+    """``search/SearcherLifetimeManager.java``: pin point-in-time
+    searchers by token so a user paging through results keeps seeing
+    the SAME index version even as reopens happen (the "searcher
+    leases" pattern behind searchAfter pagination across requests).
+
+    ``record`` returns a token for the searcher's version; ``acquire``
+    returns that exact searcher (or None if pruned); ``prune`` drops
+    searchers older than a max age — the reference's
+    PruneByAge policy."""
+
+    def __init__(self):
+        import time as _time
+
+        self._time = _time
+        self._by_token: dict = {}  # token -> (searcher, recorded_at)
+
+    def record(self, searcher: "IndexSearcher") -> str:
+        man = searcher.manifest
+        token = f"{id(searcher):x}-{man.max_doc}"
+        if token not in self._by_token:
+            self._by_token[token] = (searcher, self._time.monotonic())
+        return token
+
+    def acquire(self, token: str):
+        hit = self._by_token.get(token)
+        return hit[0] if hit is not None else None
+
+    def prune(self, max_age_sec: float) -> int:
+        now = self._time.monotonic()
+        dead = [t for t, (_, at) in self._by_token.items()
+                if now - at > max_age_sec]
+        for t in dead:
+            del self._by_token[t]
+        return len(dead)
+
+
+class TimeExceededException(Exception):
+    """TimeLimitingCollector.TimeExceededException: carries the partial
+    result collected before the budget ran out."""
+
+    def __init__(self, partial, elapsed_ms: float, budget_ms: float):
+        super().__init__(
+            f"time allowed {budget_ms:.0f} ms exceeded ({elapsed_ms:.0f} ms)"
+        )
+        self.partial = partial
+        self.elapsed_ms = elapsed_ms
+        self.budget_ms = budget_ms
+
+
+class TimeLimitingCollector:
+    """``search/TimeLimitingCollector.java`` / Solr ``timeAllowed``:
+    wrap any collector with a wall-clock budget. The vectorized scorer
+    hands the collector (docs, scores) once per query, so the check
+    points are BETWEEN scoring stages (clause boundaries), not per doc
+    — call ``checkpoint()`` from multi-stage drivers; ``__call__``
+    checks before and after the wrapped collector. With ``greedy=True``
+    (the reference's greedy mode) the wrapped collector always runs and
+    its result rides the exception as ``partial``."""
+
+    def __init__(self, inner, time_allowed_ms: float, *,
+                 greedy: bool = False, _clock=None):
+        import time as _time
+
+        self.inner = inner
+        self.budget_ms = float(time_allowed_ms)
+        self.greedy = greedy
+        self._clock = _clock or (lambda: _time.monotonic() * 1000.0)
+        self._t0 = self._clock()
+
+    def _elapsed(self) -> float:
+        return self._clock() - self._t0
+
+    def checkpoint(self, partial=None) -> None:
+        e = self._elapsed()
+        if e > self.budget_ms:
+            raise TimeExceededException(partial, e, self.budget_ms)
+
+    def __call__(self, docs, scores):
+        if not self.greedy:
+            self.checkpoint()
+        out = self.inner(docs, scores)
+        e = self._elapsed()
+        if e > self.budget_ms:
+            raise TimeExceededException(out, e, self.budget_ms)
+        return out

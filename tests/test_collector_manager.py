@@ -124,3 +124,38 @@ def test_diversified_manager_shard_invariant(idx, query):
                               DiversifiedTopNManager(8, 2, keys),
                               num_shards=shards)
         assert got == control
+
+
+def test_time_limiting_collector(idx, query):
+    from lucene_solr_ray.search.collectors import TopN
+    from lucene_solr_ray.search.searcher import (
+        TimeExceededException,
+        TimeLimitingCollector,
+    )
+
+    s = IndexSearcher(idx)
+    # fake clock: first call 0 (construction), then jumps past budget
+    ticks = iter([0.0, 1000.0, 2000.0, 3000.0])
+    tlc = TimeLimitingCollector(TopN(5), 100.0, greedy=True,
+                                _clock=lambda: next(ticks))
+    with pytest.raises(TimeExceededException) as ei:
+        s.collect(query, tlc)
+    assert ei.value.partial is not None  # greedy: partial rides along
+    assert len(ei.value.partial) > 0
+    # a generous budget completes normally
+    ok = TimeLimitingCollector(TopN(5), 1e9)
+    got = s.collect(query, ok)
+    assert got == s.collect(query, TopN(5))
+
+
+def test_searcher_lifetime_manager(idx):
+    from lucene_solr_ray.search.searcher import SearcherLifetimeManager
+
+    mgr = SearcherLifetimeManager()
+    s1 = IndexSearcher(idx)
+    tok = mgr.record(s1)
+    assert mgr.acquire(tok) is s1
+    assert mgr.record(s1) == tok  # idempotent
+    assert mgr.acquire("nope") is None
+    assert mgr.prune(max_age_sec=-1.0) == 1
+    assert mgr.acquire(tok) is None
