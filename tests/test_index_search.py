@@ -362,3 +362,33 @@ def test_merge_ignores_stale_staging_dir(corpus_dir, tmp_path_factory,
     assert "terms-stalejunk.parquet" not in os.listdir(
         os.path.join(out, "merged"))
     assert check_merged(out, sample_terms=100)["ok"]
+
+
+def test_docvalues_queries_numeric_and_string(index_dir, corpus_dir):
+    """DocValuesTermsQuery/DocValuesRangeQuery over both value types
+    (sandbox DocValuesNumbersQuery folds into the terms form)."""
+    from lucene_solr_ray.search.query import (
+        DocValuesRangeQuery,
+        DocValuesTermsQuery,
+    )
+
+    s = IndexSearcher(index_dir)
+    langs = s.docvalues("lang")
+    want = np.flatnonzero(np.isin(langs, np.asarray(["java", "python"])))
+    got = s._docs_only(DocValuesTermsQuery("lang", ("java", "python")))
+    assert np.array_equal(got, want)
+    # numeric semantics over an injected DV column (the accessor cache
+    # is the per-searcher docvalues store)
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 1000, s.max_doc)
+    s._docvalues = {"num": vals}
+    lo, hi = 250, 750
+    want_n = np.flatnonzero((vals >= lo) & (vals < hi))
+    got_n = s._docs_only(DocValuesRangeQuery("num", lo, hi, True, False))
+    assert np.array_equal(got_n, want_n)
+    # numbers-as-terms (DocValuesNumbersQuery shape)
+    got_t = s._docs_only(DocValuesTermsQuery("num", (5, 17, 400)))
+    assert np.array_equal(got_t,
+                          np.flatnonzero(np.isin(vals, [5, 17, 400])))
+    # open bounds
+    assert s._docs_only(DocValuesRangeQuery("num")).size == s.max_doc
