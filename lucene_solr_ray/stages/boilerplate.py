@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import re
 
-import numpy as np
 import pyarrow as pa
 
 from ..analysis import ENGLISH_STOP_WORDS
