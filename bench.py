@@ -221,6 +221,28 @@ def run_bench() -> dict:
         fn(SF_DIR)
         timings[name] = time.perf_counter() - tq0
 
+    if not os.environ.get("GRAFT_SKIP_SECONDARY"):
+        # auto-prefix sidecar (codecs/autoprefix): build cost + the
+        # measured win on a wide prefix query, fast path vs expansion
+        from lucene_solr_ray.index import build_autoprefix
+        from lucene_solr_ray.search import IndexSearcher, PrefixQuery
+
+        tq0 = time.perf_counter()
+        build_autoprefix(idx_dir, min_terms=25, max_len=3,
+                         concurrency=min(8, NUM_CPUS))
+        timings["autoprefix_build"] = time.perf_counter() - tq0
+        fast = IndexSearcher(idx_dir)
+        slow = IndexSearcher(idx_dir)
+        slow._autoprefix_reader = None
+        wide = PrefixQuery("get")
+        fast._score(wide), slow._score(wide)  # warm both paths once
+        tq0 = time.perf_counter()
+        fast._score(wide)
+        timings["prefix_sidecar_ms"] = 1e3 * (time.perf_counter() - tq0)
+        tq0 = time.perf_counter()
+        slow._score(wide)
+        timings["prefix_expand_ms"] = 1e3 * (time.perf_counter() - tq0)
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     docs_per_sec = man.max_doc / timings["index_build"]
     corpus_bytes = sum(
